@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Lexicons, TextExprs}
+import graft.operators.{Dedup, Similarity, SurveyPipeline, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + §2.3 gap map + training-data extensions), each with a
+  * DuckDB `oracleSql` twin where SQL-expressible.
+  *
+  * Oracle-parity conventions (the driver hash-compares after sorting columns
+  * by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - aggregated doubles are `round`ed (sum → 2dp, avg/ratio → 4dp,
+  *    similarity → 6dp) so partial-aggregation order can't flip a bit;
+  *  - integer-ish aggregates are pinned to BIGINT on both sides (DuckDB
+  *    `sum(int)` returns HUGEINT, Spark returns long);
+  *  - classifier/lexicon SQL is *generated from the same Scala constants*
+  *    as the Spark expressions, so the two sides can't drift.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ----------------------------------------------------------------
+  // Oracle SQL fragments generated from the shared constants
+  // ----------------------------------------------------------------
+  private val fillerList = Lexicons.FillerValues.map(v => s"'$v'").mkString(", ")
+
+  /** DuckDB twin of TextExprs.cleanText (note the 'g' flags: DuckDB
+    * regexp_replace is first-match-only by default, Spark replaces all). */
+  private def cleanSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(trim(coalesce($e, '')), '[\\x{10000}-\\x{10FFFF}]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private def isFillerSql(e: String): String =
+    s"lower(trim(coalesce($e, ''))) IN ($fillerList)"
+
+  private def sentimentSql(filler: String, low: String): String =
+    s"CASE WHEN $filler THEN 'Neutral' " +
+      s"WHEN regexp_matches($low, '${Lexicons.positiveAlt}') AND regexp_matches($low, '${Lexicons.negativeAlt}') THEN 'Mixed' " +
+      s"WHEN regexp_matches($low, '${Lexicons.positiveAlt}') THEN 'Positive' " +
+      s"WHEN regexp_matches($low, '${Lexicons.negativeAlt}') THEN 'Negative' " +
+      s"ELSE 'Neutral' END"
+
+  private def categorySql(filler: String, low: String): String =
+    s"CASE WHEN $filler THEN 'No Feedback' " +
+      Lexicons.categoryAlts.map { case (c, alt) =>
+        s"WHEN regexp_matches($low, '$alt') THEN '$c' "
+      }.mkString +
+      "ELSE 'General' END"
+
+  private def hitSql(e: String, pattern: String): String =
+    s"len(regexp_extract_all(lower(coalesce($e, '')), '$pattern'))"
+
+  /** Shared CTE prefix for shingle-based dedup oracles (3-gram shingles of
+    * the cleaned text, distinct, docs with >= 3 tokens). */
+  private def shingleCte: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |       FROM docs WHERE len(toks) >= 3)""".stripMargin
+
+  private def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct(list_concat($a, $b)))"
+
+  // ----------------------------------------------------------------
+  // Queries
+  // ----------------------------------------------------------------
+
+  /** Flagship: the reference's summary dataflow (clean → classify → group →
+    * pivot) over the documents corpus. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q22_summary_pivot")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---- relational core (SURVEY.md §2.3 gap map, TPC-H-ish) ----
+
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_topn" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 48 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+    }),
+
+    "q03_join_geo" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"),
+          round(avg("c_acctbal"), 4).as("avg_acctbal"))
+    }),
+
+    "q04_join_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q05_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").where(col("l_quantity") >= 49)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    "q07_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    "q08_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "q09_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0, Seq("F", "O", "P"))
+    }),
+
+    "q10_set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.where(col("c_acctbal") > 8000).select(col("c_nationkey").as("n")).distinct()
+        .intersect(
+          c.where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("n")).distinct())
+    }),
+
+    "q11_set_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_nationkey").as("n")).distinct()
+        .except(
+          c.where(col("c_acctbal") > 9900).select(col("c_nationkey").as("n")).distinct())
+    }),
+
+    "q12_date_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+    }),
+
+    "q13_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_value"),
+          sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+    }),
+
+    "q14_window_hour" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    "q15_asof_join" -> ((s, dir) => {
+      // as-of join composed from a single window pass: tag purchases, take
+      // the running max purchase-ts per user — one shuffle, no self-join.
+      val ev = t(s, dir, "events").where(col("event_type").isin("error", "purchase"))
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_purchase_ts",
+          max(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("error_ts"), col("last_purchase_ts"))
+    }),
+
+    // ---- survey pipeline operators over the documents corpus ----
+
+    "q20_clean_filler" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextExprs.cleanText(col("text")).as("clean_text"),
+        TextExprs.isFiller(col("text")).as("is_filler"))
+    }),
+
+    "q21_classify_demo" -> ((s, dir) => {
+      val cls = TextExprs.classifyDemo(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        cls.getField("sentiment").as("sentiment"),
+        cls.getField("category").as("category"))
+    }),
+
+    "q22_summary_pivot" -> ((s, dir) => {
+      val cls = TextExprs.classifyDemo(col("text"))
+      t(s, dir, "documents")
+        .select(col("source").as("Product"), col("lang").as("Question"),
+          cls.getField("sentiment").as("Sentiment"))
+        .groupBy("Product", "Question")
+        .pivot("Sentiment", Lexicons.SentimentOrder)
+        .count()
+        .na.fill(0, Lexicons.SentimentOrder)
+    }),
+
+    "q23_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(TextExprs.cleanText(col("text")), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- text analysis (training-data extensions) ----
+
+    "q24_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), TextExprs.langId(col("text")).as("lang_pred"))
+    }),
+
+    "q25_text_profile" -> ((s, dir) => {
+      val text = col("text")
+      val cln = TextExprs.cleanText(text)
+      val nChars = length(cln)
+      val nTokens = TextExprs.tokenCountWs(text)
+      val nPunct = TextExprs.punctCount(text)
+      val nStop = TextExprs.stopwordCount(text)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nChars.cast("int").as("n_chars"),
+        nTokens.as("n_tokens_ws"),
+        TextExprs.tokenCountBpe(text).as("n_tokens_bpe"),
+        round(when(nTokens === 0, 0.0).otherwise(nChars.cast("double") / nTokens), 4).as("avg_token_len"),
+        round(when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars), 4).as("punct_ratio"),
+        round(when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens), 4).as("stopword_ratio"),
+        TextAnalysis.qualityScore(text).as("quality"))
+    }),
+
+    // ---- dedup (training-data extensions) ----
+
+    "q26_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+    }),
+
+    "q27_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q28_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 6)
+    }),
+
+    "q29_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleLen = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- similarity search (training-data extensions) ----
+
+    "q30_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      Similarity.bruteForceTopK(queries, corpus, 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+    }),
+
+    "q31_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      Similarity.ivfTopK(queries, corpus, 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+    }),
+
+    // ---- multimodal plumbing (training-data extensions) ----
+
+    "q32_media_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(Multimodal.packFake(t(s, dir, "documents"))).toDF()
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val low = "low"; val cln = "cln"
+    val classifiedCte =
+      s"""WITH c1 AS (SELECT *, ${cleanSql("text")} AS $cln FROM documents),
+         |c2 AS (SELECT *, lower($cln) AS $low FROM c1)""".stripMargin
+
+    ListMap(
+      "q01_agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_base_price,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          | round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,
+          | count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q02_filter_topn" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          |FROM lineitem WHERE l_quantity >= 48 AND l_discount <= 0.02
+          |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+
+      "q03_join_geo" ->
+        """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_acctbal,
+          | round(avg(c_acctbal), 4) AS avg_acctbal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin,
+
+      "q04_join_revenue" ->
+        """SELECT o_orderpriority,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      "q05_semi_join" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+      "q06_anti_join" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+      "q07_window_topk" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          |FROM orders QUALIFY rnk <= 3""".stripMargin,
+
+      "q08_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+      "q09_pivot_status" ->
+        """SELECT o_orderpriority,
+          | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+          | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+          | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+          |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+      "q10_set_intersect" ->
+        """SELECT DISTINCT c_nationkey AS n FROM customer WHERE c_acctbal > 8000
+          |INTERSECT
+          |SELECT DISTINCT c_nationkey AS n FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+      "q11_set_except" ->
+        """SELECT DISTINCT c_nationkey AS n FROM customer
+          |EXCEPT
+          |SELECT DISTINCT c_nationkey AS n FROM customer WHERE c_acctbal > 9900""".stripMargin,
+
+      "q12_date_agg" ->
+        """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+          | CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+          | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+          |FROM orders GROUP BY 1, 2""".stripMargin,
+
+      "q13_json_extract" ->
+        """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+          | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          | round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "q14_window_hour" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          | round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q15_asof_join" ->
+        """SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS error_ts,
+          | (SELECT max(p.ts) FROM events p
+          |  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts) AS last_purchase_ts
+          |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+      "q20_clean_filler" ->
+        s"""SELECT doc_id, ${cleanSql("text")} AS clean_text,
+           | ${isFillerSql("text")} AS is_filler
+           |FROM documents""".stripMargin,
+
+      "q21_classify_demo" ->
+        s"""$classifiedCte
+           |SELECT doc_id,
+           | ${sentimentSql(isFillerSql(cln), low)} AS sentiment,
+           | ${categorySql(isFillerSql(cln), low)} AS category
+           |FROM c2""".stripMargin,
+
+      "q22_summary_pivot" ->
+        s"""$classifiedCte,
+           |cls AS (SELECT source, lang,
+           |  ${sentimentSql(isFillerSql(cln), low)} AS sentiment FROM c2)
+           |SELECT source AS "Product", lang AS "Question",
+           | count(*) FILTER (WHERE sentiment = 'Positive') AS "Positive",
+           | count(*) FILTER (WHERE sentiment = 'Neutral') AS "Neutral",
+           | count(*) FILTER (WHERE sentiment = 'Negative') AS "Negative",
+           | count(*) FILTER (WHERE sentiment = 'Mixed') AS "Mixed"
+           |FROM cls GROUP BY source, lang""".stripMargin,
+
+      "q23_explode_tokens" ->
+        s"""SELECT token, count(*) AS n FROM (
+           |  SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS token FROM documents)
+           |WHERE token <> '' GROUP BY token""".stripMargin,
+
+      "q24_lang_id" -> {
+        val en = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))
+        val es = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEs))
+        val de = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsDe))
+        val fr = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsFr))
+        val cjk = hitSql("text", "[\\x{4e00}-\\x{9fff}]")
+        s"""WITH h AS (SELECT doc_id, lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+           |  $cjk AS s_cjk, greatest($en, $es, $de, $fr) AS s_best FROM documents)
+           |SELECT doc_id, lang,
+           | CASE WHEN s_cjk > 0 THEN 'zh' WHEN s_best = 0 THEN 'und'
+           |  WHEN s_en = s_best THEN 'en' WHEN s_es = s_best THEN 'es'
+           |  WHEN s_de = s_best THEN 'de' ELSE 'fr' END AS lang_pred
+           |FROM h""".stripMargin
+      },
+
+      "q25_text_profile" -> {
+        val nTok = s"CASE WHEN $cln = '' THEN 0 ELSE len(string_split($cln, ' ')) END"
+        val nPunct = hitSql("text", "[\\.,;:!\\?]")
+        val nStop = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))
+        // quality mirrors TextAnalysis.qualityScore: mean of clamped
+        // length/token/punctuation components
+        val quality = "round((least(nc / 200.0, 1.0) + least(nt / 50.0, 1.0) + " +
+          "greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END) * 5.0)) / 3.0, 4)"
+        s"""WITH c1 AS (SELECT *, ${cleanSql("text")} AS $cln FROM documents),
+           |f AS (SELECT doc_id, text, length($cln) AS nc, $nTok AS nt,
+           |  $nPunct AS np, $nStop AS ns FROM c1)
+           |SELECT doc_id, CAST(nc AS INT) AS n_chars, CAST(nt AS INT) AS n_tokens_ws,
+           | CAST(len(regexp_extract_all(coalesce(text, ''), '${TextExprs.BpeTokenRegex}')) AS INT) AS n_tokens_bpe,
+           | round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nc AS DOUBLE) / nt END, 4) AS avg_token_len,
+           | round(CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END, 4) AS punct_ratio,
+           | round(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END, 4) AS stopword_ratio,
+           | $quality AS quality
+           |FROM f""".stripMargin
+      },
+
+      "q26_dedup_exact" ->
+        s"""SELECT md5(${cleanSql("text")}) AS content_hash, min(doc_id) AS keep_id,
+           | count(*) AS n_copies
+           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q27_minhash_neardup" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    ${jaccardSql("a.s", "b.s")} AS j
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+      "q29_ngram_jaccard" ->
+        s"""$shingleCte,
+           |blk AS (SELECT doc_id, s, list_min(s) AS b FROM sh),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    ${jaccardSql("a.s", "b.s")} AS j
+           |  FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id)
+           |SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+
+      "q30_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |   list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))) AS cos
+          |  FROM q, c)
+          |SELECT query_id, corpus_id, round(cos, 6) AS cos,
+          | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+          |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+      "q32_media_meta" ->
+        """SELECT doc_id,
+          | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          | octet_length(encode(text)) AS n_bytes,
+          | CAST(64 + octet_length(encode(text)) % 576 AS INT) AS width,
+          | CAST(64 + (octet_length(encode(text)) * 31) % 576 AS INT) AS height,
+          | CAST(1 + octet_length(encode(text)) % 120 AS INT) AS n_frames
+          |FROM documents""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Core text expressions of the engine, all pure Catalyst expression trees
+  * (codegen'd, pushdown-friendly — no UDFs on the hot path).
+  *
+  * Reference semantics (cites into /root/reference/survey_analysis.py):
+  *  - cleanText          :76-81   strip → drop astral codepoints → collapse \s+ → strip
+  *  - isFiller           :60,83-84
+  *  - normalizeSentiment :90-93
+  *  - demoCategory       :63-70,112-116  ordered first-hit keyword table
+  *  - demoSentiment      :131-136        fallback-lexicon branch (VADER absent on JVM)
+  *  - classifyDemo       :138-141,284-285 incl. the filler short-circuit
+  */
+object TextExprs {
+
+  /** Astral-plane codepoints (emoji etc.) — survey_analysis.py:79. */
+  val AstralRegex = "[\\x{10000}-\\x{10FFFF}]"
+
+  /** survey_analysis.py:76-81. Null-safe: non-string/null → "". */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), AstralRegex, ""), "\\s+", " "))
+
+  /** survey_analysis.py:83-84 — lower(trim(s)) ∈ FILLER_VALUES. */
+  def isFiller(c: Column): Column =
+    lower(trim(coalesce(c, lit("")))).isin(Lexicons.FillerValues: _*)
+
+  /** survey_analysis.py:90-93 — canonicalize a free-form sentiment string. */
+  def normalizeSentiment(c: Column): Column = {
+    val low = lower(trim(coalesce(c, lit(""))))
+    when(low === "positive", "Positive")
+      .when(low === "neutral", "Neutral")
+      .when(low === "negative", "Negative")
+      .when(low === "mixed", "Mixed")
+      .otherwise("Neutral")
+  }
+
+  /** survey_analysis.py:105-106 — header → wide-column base (driver-side). */
+  def sanitizeBase(header: String): String = header.trim.replaceAll("\\s+", "_")
+
+  /** survey_analysis.py:367-368 — Excel sheet-name sanitization (driver-side). */
+  def sanitizeSheetName(name: String): String = {
+    val cleaned = name.replaceAll("[:\\\\/?*\\[\\]]", " ").take(31).trim
+    if (cleaned.isEmpty) "Sheet" else cleaned
+  }
+
+  /** Ordered keyword-table category — survey_analysis.py:112-116.
+    * First category whose alternation hits wins; else "General". */
+  def demoCategory(c: Column): Column = {
+    val low = lower(coalesce(c, lit("")))
+    Lexicons.categoryAlts.foldRight(lit("General")) { case ((cat, alt), rest) =>
+      when(low.rlike(alt), cat).otherwise(rest)
+    }
+  }
+
+  /** Fallback-lexicon sentiment — survey_analysis.py:131-136.
+    * Mixed if both polarities hit, else Positive / Negative / Neutral. */
+  def demoSentiment(c: Column): Column = {
+    val low = lower(coalesce(c, lit("")))
+    val hasPos = low.rlike(Lexicons.positiveAlt)
+    val hasNeg = low.rlike(Lexicons.negativeAlt)
+    when(hasPos && hasNeg, "Mixed")
+      .when(hasPos, "Positive")
+      .when(hasNeg, "Negative")
+      .otherwise("Neutral")
+  }
+
+  /** Full demo classifier with the filler short-circuit
+    * (survey_analysis.py:284-285 routing + :138-141 compose):
+    * returns struct(sentiment, category). The CASE WHEN guard keeps the
+    * expensive branch off filler rows — Catalyst preserves the short-circuit. */
+  def classifyDemo(c: Column): Column = {
+    val cleaned = cleanText(c)
+    when(isFiller(cleaned), struct(lit("Neutral").as("sentiment"), lit("No Feedback").as("category")))
+      .otherwise(struct(demoSentiment(cleaned).as("sentiment"), demoCategory(cleaned).as("category")))
+  }
+
+  // ------------------------------------------------------------------
+  // Text-analysis extensions (engine scope beyond the reference — token
+  // counting, quality scoring, language ID, fingerprinting).
+  // ------------------------------------------------------------------
+
+  /** Whitespace token count of the cleaned text; "" → 0. */
+  def tokenCountWs(c: Column): Column = {
+    val cleaned = cleanText(c)
+    when(cleaned === "", lit(0)).otherwise(size(split(cleaned, " "))).cast("int")
+  }
+
+  /** BPE-ish token count: runs of letters, single digits, single
+    * non-alphanumeric marks — a cheap proxy for subword token cost. */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(coalesce(c, lit("")), lit(BpeTokenRegex), lit(0))).cast("int")
+
+  /** Count of regex hits in lowercased text (shared by lang-ID/quality). */
+  def hitCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(coalesce(c, lit(""))), lit(pattern), lit(0))).cast("int")
+
+  /** Stopword-count language ID over {en, es, de, fr} + CJK detection.
+    * Ties broken by fixed priority en > es > de > fr; no hits → "und". */
+  def langId(c: Column): Column = {
+    val en = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn))
+    val es = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEs))
+    val de = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsDe))
+    val fr = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsFr))
+    val cjk = hitCount(c, "[\\x{4e00}-\\x{9fff}]")
+    val best = greatest(en, es, de, fr)
+    when(cjk > 0, "zh")
+      .when(best === 0, "und")
+      .when(en === best, "en")
+      .when(es === best, "es")
+      .when(de === best, "de")
+      .otherwise("fr")
+  }
+
+  /** Document quality features + composite score (length, punctuation
+    * density, stopword ratio) — the standard pretraining-corpus filters. */
+  def punctCount(c: Column): Column = hitCount(c, "[\\.,;:!\\?]")
+  def stopwordCount(c: Column): Column = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn))
+
+  /** xxhash64 fingerprint of the cleaned text (exact-dup key at scale —
+    * 64-bit, cheap, codegen'd). */
+  def fingerprint(c: Column): Column = xxhash64(cleanText(c))
+
+  /** md5 fingerprint (portable across engines; used for oracle parity). */
+  def fingerprintMd5(c: Column): Column = md5(cleanText(c))
+}

@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Opaque media metadata produced by the decode stage. */
+case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded executor-side in partition batches.
+  *
+  * The Spark-side shape is real — binary payload column, typed Dataset
+  * decode over mapPartitions (the Scala analog of a pandas-UDF batch),
+  * partition-parallel, no driver collect. The codec call itself is STUBBED
+  * with a deterministic fake (this container ships no image/audio libs);
+  * swap `decodeOne` for a real codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** Build a fake media table from a text corpus: payload = utf-8 bytes,
+    * kind round-robins image/audio/video. Stands in for a real binary
+    * column read from parquet. */
+  def packFake(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"))
+
+  /** STUB decode: a real pipeline calls the codec here (JNI/FFI or a
+    * subprocess per partition). Deterministic fake metadata derived from the
+    * byte stream keeps the operator testable offline. */
+  private def decodeOne(id: Long, bytes: Array[Byte], kind: String): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(id, kind, n, (64 + n % 576).toInt, (64 + (n * 31) % 576).toInt, (1 + n % 120).toInt)
+  }
+
+  /** Decode metadata for every payload — executor-side, batched per
+    * partition, returns a typed Dataset. */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "kind").as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, kind) => decodeOne(id, bytes, kind) })
+  }
+
+  /** Frame sampling for video-kind rows: one output row per sampled frame
+    * index (every `stride`-th frame) — the explode pattern a real
+    * frame-extraction stage uses, with the decode stubbed. */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int = 30): DataFrame = {
+    meta.toDF()
+      .where(col("kind") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+}

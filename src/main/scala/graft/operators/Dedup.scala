@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextExprs, VectorExprs}
+
+/** Deduplication operators for large-scale corpus curation — the
+  * training-data-pipeline extensions of the engine (SURVEY.md §2.3).
+  *
+  * Design rule for 100 TB: never materialize the O(n²) pair space. Every
+  * near-dup variant is (signature per row) → (bucket by signature band) →
+  * (pairs only within buckets) → (exact verify on candidates). All signature
+  * computation is Catalyst expressions over arrays, so it stays codegen'd and
+  * scales linearly; the only shuffles are the bucket groupBys/joins on
+  * well-distributed hash keys.
+  */
+object Dedup {
+
+  /** Exact dedup via full-text hash groupBy (the reference's memo-dedup
+    * insight O7 applied to documents): one row per distinct content hash,
+    * keeping the minimum id as canonical representative. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), TextExprs.fingerprintMd5(text).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("id").as("keep_id"), count("*").as("n_copies"))
+
+  /** Word n-gram shingle set (distinct) of the cleaned text — the unit for
+    * Jaccard similarity. Pure expressions: split → sliding windows via
+    * sequence+slice → concat. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(TextExprs.cleanText(text), " ")
+    val nWindows = size(toks) - (n - 1)
+    // guard: sequence(0, -1) would produce a DESCENDING [0,-1], not empty
+    when(nWindows <= 0, typedLit(Seq.empty[String]))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), nWindows - 1),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity between two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash signature: `numPerm` independent hash functions realized as
+    * xxhash64(shingle, permIndex) — the running-seed composition makes each
+    * index an independent permutation. Expression-only, and ANSI-safe (the
+    * classic `a*h+b` mix overflows under Spark 4's default ANSI mode). */
+  def minhashSignature(shingleArr: Column, numPerm: Int): Column =
+    array((0 until numPerm).map { i =>
+      coalesce(array_min(transform(shingleArr, s => xxhash64(s, lit(i)))), lit(Long.MaxValue))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → minhash(numBands*rowsPerBand) → band buckets → self-join within
+    * buckets → exact-Jaccard verify ≥ threshold. Emits each pair once
+    * (id_a < id_b). The band join key is (band_index, hash(band slice)), a
+    * well-spread composite — no skew beyond genuinely hot near-dup clusters.
+    */
+  def minhashNearDups(
+      df: DataFrame, id: Column, text: Column,
+      shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numPerm = numBands * rowsPerBand
+    val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+    val bandHashes = (0 until numBands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    val banded = docs.select(col("id"), col("sh"), posexplode(array(bandHashes: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct() // same pair can collide in multiple bands
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit) via the native codegen'd expression
+    * (graft.plans.SimHash) over the cleaned text. */
+  def simhash(text: Column): Column =
+    graft.plans.SimHash.simhash(TextExprs.cleanText(text))
+
+  /** Near-dup pairs by SimHash band blocking + Hamming verify ≤ maxHamming.
+    * Bands: 4 × 16-bit slices — any identical slice → candidate. */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"), simhash(text).as("sig"))
+    val bandSlices = (0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(bandSlices: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val l = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Pairwise n-gram Jaccard over *blocked* candidates: block by a cheap
+    * key to avoid O(n²); exact verify. The key is the lexicographic MIN
+    * shingle — a function of the shingle *set*, not its order, so it is
+    * reproducible across engines (array_distinct order is not). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("blk", array_min(col("sh")))
+    val l = docs.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = docs.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify.
+    * At 100 TB the bucket join replaces the quadratic cross join; raise
+    * nPlanes for tighter buckets. */
+  def embeddingNearDups(df: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.95, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = VectorExprs.deterministicPlanes(nPlanes, dim)
+    val docs = df.select(id.as("id"), vec.as("v"))
+      .withColumn("bucket", VectorExprs.hyperplaneBucket(col("v"), planes))
+    val l = docs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = docs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VectorExprs.cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExprs
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop join of the
+  * (small) query set against the corpus, scored with the higher-order-
+  * function cosine. Correct, embarrassingly parallel, O(|Q|·|C|).
+  *
+  * Scale path: IVF (inverted-file) — assign every corpus vector to its
+  * nearest centroid once (linear scan over ~hundreds of centroids, all
+  * codegen'd expressions), then probe only the nProbe nearest cells per
+  * query. At 100 TB the corpus scan is partitioned by cell, so a query
+  * touches |corpus| * nProbe / nCells rows instead of all of them.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every query against every corpus vector.
+    * Queries are broadcast (they are the small side by construction).
+    * Deterministic tie-break on corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
+    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic centroid selection: every (nRows/nCells)-th corpus vector
+    * by id order — a stand-in for k-means that keeps the whole operator
+    * reproducible (no iterative fitting in the hot path; swap in real
+    * centroids when available). Returned collected: centroids are by design
+    * small enough to broadcast as literals. */
+  def sampleCentroids(corpus: DataFrame, nCells: Int): Seq[(Int, Seq[Double])] = {
+    val ordered = corpus.select(col("id"), col("v")).orderBy("id").limit(nCells)
+    ordered.collect().zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Float](1).map(_.toDouble).toSeq
+    }.toSeq
+  }
+
+  /** Index side of IVF: nearest-centroid cell id per corpus vector. */
+  def assignCells(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    // argmax over centroid dot products (vectors ~unit norm; dot ≈ cosine)
+    val scores = centroids.map { case (cid, cv) =>
+      struct(VectorExprs.dot(vec, array(cv.map(lit): _*)).as("score"), lit(cid).as("cid"))
+    }
+    array_max(array(scores: _*)).getField("cid")
+  }
+
+  /** IVF top-k: probe the nProbe nearest cells for each query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = sampleCentroids(corpus, nCells)
+    val indexed = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+      .withColumn("cell", assignCells(col("cv"), centroids))
+    // per query: the nProbe closest cells
+    val probeCells = (q: Column) => {
+      val scores = centroids.map { case (cid, cv) =>
+        struct(VectorExprs.dot(q, array(cv.map(lit): _*)).as("score"), lit(cid).as("cid"))
+      }
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+    }
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv")).getField("cid")))
+    val scored = indexed.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

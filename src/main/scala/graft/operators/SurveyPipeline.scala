@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.functions.{Lexicons, TextExprs}
+
+/** The reference's fixed ETL dataflow (survey_analysis.py:223-354), decomposed
+  * into reusable, scale-out DataFrame operators:
+  *
+  *   CSV scan → validate → clean → filler-route → classify → explode(products)
+  *   → wide triplets → unpivot → group-count → pivot summary
+  *
+  * Each stage is a `DataFrame => DataFrame` combinator so the harness can
+  * exercise them independently and the flagship pipeline composes them.
+  */
+object SurveyPipeline {
+
+  /** O1 — CSV scan (survey_analysis.py:463-469). multiLine + escape handle
+    * quoted commas/newlines present in the sample corpus. */
+  def readSurveyCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+    require(df.columns.length >= 4,
+      s"Input needs >= 4 columns (Email, Name, Products, questions...); got ${df.columns.length}") // :471-473
+    df
+  }
+
+  /** O3 — positional projection: question columns = all after the first 3
+    * (survey_analysis.py:86-88). */
+  def questionColumns(df: DataFrame): Seq[String] =
+    if (df.columns.length > 3) df.columns.drop(3).toSeq else Seq.empty
+
+  /** Question header → (base, header) preserving the reference's duplicate
+    * semantics (survey_analysis.py:288,296): dict keyed by sanitized base —
+    * first-occurrence position, last-occurrence value wins. */
+  def questionBases(qcols: Seq[String]): Seq[(String, String)] = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    qcols.foreach(q => order.update(TextExprs.sanitizeBase(q), q))
+    order.toSeq
+  }
+
+  /** O8 — comma-split multi-value product list; empty → ["Unspecified"]
+    * (survey_analysis.py:276-277). Products truncated to 100 chars (:292). */
+  def productsArray(c: Column): Column = {
+    val arr = filter(transform(split(coalesce(c, lit("")), ","), t => trim(t)), t => t =!= "")
+    when(size(arr) === 0, array(lit("Unspecified")))
+      .otherwise(transform(arr, p => substring(p, 1, 100)))
+  }
+
+  /** O9 — ResponseID synthesis. Two modes, per SURVEY.md §7.5:
+    *  - faithful: input-order `str(idx+1)` (survey_analysis.py:292) via
+    *    zipWithIndex — breaks whole-stage pipelines, test-scale only;
+    *  - scale: deterministic content-keyed surrogate (xxhash64 of the row) —
+    *    distributes, stable under repartitioning.
+    */
+  def withResponseId(df: DataFrame, faithful: Boolean): DataFrame =
+    if (faithful) {
+      val schema = df.schema.add("ResponseID", StringType, nullable = false)
+      val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1).toString) }
+      df.sparkSession.createDataFrame(rdd, schema)
+    } else {
+      df.withColumn("ResponseID",
+        xxhash64(concat_ws("", df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .cast("string"))
+    }
+
+  /** O5+O6+O8+O10 — the wide analysis table (survey_analysis.py:275-317):
+    * one row per (response × product); per question a
+    * <Base>_Answer/_Sentiment/_Category triplet. Pure expression pipeline —
+    * scan → explode is the only shuffle-free fan-out; classification stays in
+    * codegen via the demo expression classifier (or is delegated to `clf`,
+    * which computes on distinct keys and joins back — O7).
+    */
+  def analyzeWide(
+      dfIn: DataFrame,
+      industry: String,
+      clf: AnswerClassifier = DemoAnswerClassifier,
+      faithfulIds: Boolean = false,
+  ): DataFrame = {
+    require(dfIn.columns.length >= 4, "need >= 4 columns")
+    val productsCol = dfIn.columns(2)
+    val qcols = questionColumns(dfIn)
+    val bases = questionBases(qcols)
+
+    val withId = withResponseId(dfIn, faithfulIds)
+    val exploded = withId.withColumn("Product", explode(productsArray(col(productsCol))))
+
+    // Demo classifier inlines as expressions; other classifiers go through
+    // the distinct-key join per question.
+    val analyzed = clf match {
+      case DemoAnswerClassifier =>
+        bases.foldLeft(exploded) { case (d, (base, q)) =>
+          val cls = TextExprs.classifyDemo(col(q))
+          d.withColumn(s"${base}__cls", cls)
+        }
+      case other =>
+        bases.foldLeft(exploded) { case (d, (base, q)) =>
+          Classify.applyTo(d, col(q), lit(q), lit(industry), other,
+              sentimentCol = s"${base}__s", categoryCol = s"${base}__c")
+            .withColumn(s"${base}__cls",
+              struct(col(s"${base}__s").as("sentiment"), col(s"${base}__c").as("category")))
+            .drop(s"${base}__s", s"${base}__c")
+        }
+    }
+
+    val tripletCols = bases.flatMap { case (base, q) =>
+      Seq(
+        TextExprs.cleanText(col(q)).as(s"${base}_Answer"),
+        col(s"${base}__cls").getField("sentiment").as(s"${base}_Sentiment"),
+        col(s"${base}__cls").getField("category").as(s"${base}_Category"))
+    }
+    analyzed.select(col("ResponseID") +: col("Product") +: tripletCols: _*)
+  }
+
+  /** O11–O13 — summary: unpivot every *_Sentiment column to long form, count,
+    * pivot to fixed sentiment columns (survey_analysis.py:323-354). Blank
+    * sentiment coalesces to "Neutral" (:334); explicit pivot values give the
+    * zero backfill and fixed order (:347-354) and skip the distinct-values
+    * job. */
+  def buildSummary(wide: DataFrame): DataFrame = {
+    val sentCols = wide.columns.filter(_.endsWith("_Sentiment"))
+    require(sentCols.nonEmpty, "wide frame has no *_Sentiment columns")
+    val longDf = wide
+      .unpivot(Array(col("Product")), sentCols.map(col), "QuestionCol", "SentimentRaw")
+      .select(
+        col("Product"),
+        expr("substring(QuestionCol, 1, length(QuestionCol) - 10)").as("Question"), // strip "_Sentiment"
+        coalesce(nullif(trim(col("SentimentRaw")), lit("")), lit("Neutral")).as("Sentiment"))
+    longDf
+      .groupBy("Product", "Question")
+      .pivot("Sentiment", Lexicons.SentimentOrder)
+      .count()
+      .na.fill(0, Lexicons.SentimentOrder)
+  }
+
+  /** O14/O18 — data sink: partition the wide table by product (the scalable
+    * analog of one-sheet-per-product) + the summary alongside. */
+  def writeReport(wide: DataFrame, summary: DataFrame, outDir: String): Unit = {
+    wide.write.mode("overwrite").partitionBy("Product").parquet(s"$outDir/wide")
+    summary.write.mode("overwrite").parquet(s"$outDir/summary")
+  }
+
+  /** Full flagship flow: CSV → wide → summary. */
+  def run(spark: SparkSession, csvPath: String, industry: String,
+      clf: AnswerClassifier = DemoAnswerClassifier): (DataFrame, DataFrame) = {
+    val df = readSurveyCsv(spark, csvPath)
+    val wide = analyzeWide(df, industry, clf)
+    (wide, buildSummary(wide))
+  }
+}

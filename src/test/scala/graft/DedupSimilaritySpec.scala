@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.plans.SimHashImpl
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different text about spark query engines and distributed joins"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 0
+    (4L, "short text"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates") {
+    val g = Dedup.exactGroups(corpus, col("doc_id"), col("text"))
+    assert(g.count() == 4) // 0&3 share a hash
+    val dup = g.where(col("n_copies") === 2).collect()(0)
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("shingles + jaccard") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(0L).head == "the quick brown")
+    assert(m(4L).isEmpty) // 2 tokens < 3
+    val j = corpus.as("a").where(col("doc_id") === 0)
+      .crossJoin(corpus.as("b").where(col("b.doc_id") === 1))
+      .select(Dedup.jaccard(
+        Dedup.shingles(col("a.text"), 3), Dedup.shingles(col("b.text"), 3)))
+      .collect()(0).getDouble(0)
+    assert(j > 0.7 && j < 1.0)
+  }
+
+  test("minhashNearDups finds the near-dup pair and not the unrelated ones") {
+    val pairs = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"),
+      shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical → distance 0; near-dup → small hamming; unrelated → large") {
+    def h(s: String) = SimHashImpl.simhash64(UTF8String.fromString(s))
+    assert(h("a b c") == h("a b c"))
+    val d01 = java.lang.Long.bitCount(h(corpus.collect()(0).getString(1)) ^ h(corpus.collect()(1).getString(1)))
+    val d02 = java.lang.Long.bitCount(h(corpus.collect()(0).getString(1)) ^ h(corpus.collect()(2).getString(1)))
+    assert(d01 < d02)
+    val pairs = Dedup.simhashNearDups(corpus, col("doc_id"), col("text"), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("SimHash expression survives codegen and matches eval") {
+    val viaExpr = corpus.select(graft.plans.SimHash.simhash(col("text"))).collect().map(_.getLong(0))
+    val direct = corpus.collect().map(r => SimHashImpl.simhash64(UTF8String.fromString(r.getString(1))))
+    assert(viaExpr.toSeq == direct.toSeq)
+  }
+
+  test("embeddingNearDups finds planted duplicate vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    ).toDF("id", "v")
+    val pairs = Dedup.embeddingNearDups(vecs, col("id"), col("v"),
+      threshold = 0.95, nPlanes = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bruteForceTopK: self is rank 1 with cos ~ 1") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val top = Similarity.bruteForceTopK(emb.where(col("id") < 3), emb, 3)
+    val r1 = top.where(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(top.where(col("rank") === 1).select(min("cos")).collect()(0).getDouble(0) > 0.999999)
+  }
+
+  test("ivfTopK with full probe = brute force; partial probe has decent recall") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val q = emb.where(col("id") < 5)
+    val bf = Similarity.bruteForceTopK(q, emb, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val fullProbe = Similarity.ivfTopK(q, emb, 3, nCells = 8, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(fullProbe == bf) // probing every cell == exact
+    val partial = Similarity.ivfTopK(q, emb, 3, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(partial.intersect(bf).size >= bf.size / 2)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.multimodal.Multimodal
+import graft.operators.{RemoteBatchClassifier}
+import graft.streaming.EventStreams
+import java.sql.Timestamp
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedCounts runs as a genuine streaming query (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events, watermark = "10 minutes", win = "5 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:07:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.length == 2) // two (window, type) groups
+    } finally q.stop()
+  }
+
+  test("windowed/session aggregations also run in batch mode on the events table") {
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+    assert(EventStreams.windowedCounts(ev).count() > 0)
+    assert(EventStreams.slidingLoad(ev).count() > 0)
+    assert(EventStreams.userSessions(ev).count() > 0)
+  }
+
+  test("multimodal decode plumbing: deterministic stub metadata + frame sampling") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val meta = Multimodal.decodeMeta(Multimodal.packFake(docs))
+    val m = meta.collect()
+    assert(m.length == docs.count())
+    assert(m.forall(r => r.width >= 64 && r.width < 640))
+    val again = Multimodal.decodeMeta(Multimodal.packFake(docs)).collect()
+    assert(m.map(_.doc_id).sorted.sameElements(again.map(_.doc_id).sorted))
+    val frames = Multimodal.sampleFrames(meta, stride = 30)
+    assert(frames.count() >= meta.filter(_.kind == "video").count())
+  }
+
+  test("RemoteBatchClassifier: retry then degrade to (Neutral, No Feedback)") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: (String, String, String) => (String, String) = (_, _, ans) => {
+      if (ans.contains("fail")) throw new RuntimeException("boom")
+      ("positive", "Cat")
+    }
+    val clf = new RemoteBatchClassifier(flaky, maxAttempts = 3, sleeper = _ => ())
+    val keys = Seq(("i", "q", "ok answer"), ("i", "q", "fail answer"))
+      .toDF("industry", "question", "answer")
+    val out = clf.classify(keys).collect()
+      .map(r => r.getAs[String]("answer") -> (r.getAs[String]("sentiment"), r.getAs[String]("category"))).toMap
+    assert(out("ok answer") == ("Positive", "Cat"))
+    assert(out("fail answer") == ("Neutral", "No Feedback"))
+  }
+
+  test("RemoteBatchClassifier truncates the transport answer to maxChars, key keeps full text") {
+    // transport echoes what it was given via the category field
+    val t: (String, String, String) => (String, String) = (_, _, a) => ("neutral", a)
+    val clf = new RemoteBatchClassifier(t, maxChars = 5, sleeper = _ => ())
+    val out = clf.classify(Seq(("i", "q", "0123456789")).toDF("industry", "question", "answer"))
+      .collect()(0)
+    assert(out.getAs[String]("category") == "01234") // truncated for the call
+    assert(out.getAs[String]("answer") == "0123456789") // full text kept as key
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextExprs
+
+/** Table-driven checks of the core text expressions against the reference
+  * rules (survey_analysis.py:60,76-84,90-93,112-141). */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(input: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(input).toDF("s").select(c(col("s"))).collect()(0).get(0)
+
+  test("cleanText strips, drops astral codepoints, collapses whitespace") {
+    // verified reference semantics: "hola 🙂  mundo\t x" → "hola mundo x" (SURVEY.md §2.2)
+    assert(one("hola 🙂  mundo\t x", TextExprs.cleanText) == "hola mundo x")
+    assert(one("  a  b  ", TextExprs.cleanText) == "a b")
+    assert(one("", TextExprs.cleanText) == "")
+    assert(one("😕", TextExprs.cleanText) == "")
+    val nullRes = Seq((1, null: String)).toDF("i", "s")
+      .select(TextExprs.cleanText(col("s"))).collect()(0).get(0)
+    assert(nullRes == "")
+  }
+
+  test("isFiller matches the FILLER_VALUES set after trim+lower") {
+    val yes = Seq("", " ", "N/A", "na", "No", "NONE", "null", "nan",
+      "Sin Comentarios", "NINGUNO", "-", "  -  ")
+    val no = Seq("—", "ok", "n/a x", "0", "nulls")
+    yes.foreach(v => assert(one(v, TextExprs.isFiller) == true, s"'$v' should be filler"))
+    no.foreach(v => assert(one(v, TextExprs.isFiller) == false, s"'$v' should NOT be filler"))
+  }
+
+  test("normalizeSentiment canonicalizes, unknown → Neutral") {
+    assert(one("  POSITIVE ", TextExprs.normalizeSentiment) == "Positive")
+    assert(one("mixed", TextExprs.normalizeSentiment) == "Mixed")
+    assert(one("meh", TextExprs.normalizeSentiment) == "Neutral")
+    assert(one("", TextExprs.normalizeSentiment) == "Neutral")
+  }
+
+  test("demoCategory: ordered first-hit keyword table, substring semantics") {
+    assert(one("the price is high but quality is poor", TextExprs.demoCategory) == "Price") // Price before Quality
+    assert(one("llegó tarde el envío", TextExprs.demoCategory) == "Shipping")
+    assert(one("great MATERIAL overall", TextExprs.demoCategory) == "Quality")
+    assert(one("la talla es grande", TextExprs.demoCategory) == "Fit")
+    assert(one("me encanta el diseño", TextExprs.demoCategory) == "Design")
+    assert(one("need a refund", TextExprs.demoCategory) == "Support")
+    assert(one("nothing relevant here", TextExprs.demoCategory) == "General")
+    // substring (not word) semantics: "shipment" contains "ship"
+    assert(one("shipment ok", TextExprs.demoCategory) == "Shipping")
+  }
+
+  test("demoSentiment: fallback lexicon p/n rules") {
+    assert(one("I love it", TextExprs.demoSentiment) == "Positive")
+    assert(one("terrible product", TextExprs.demoSentiment) == "Negative")
+    assert(one("love it but arrived late", TextExprs.demoSentiment) == "Mixed")
+    assert(one("it exists", TextExprs.demoSentiment) == "Neutral")
+    assert(one("muy bueno", TextExprs.demoSentiment) == "Positive")
+    assert(one("carísimo", TextExprs.demoSentiment) == "Negative")
+  }
+
+  test("classifyDemo: filler short-circuits to (Neutral, No Feedback)") {
+    val r = Seq("n/a").toDF("s").select(TextExprs.classifyDemo(col("s")).as("c"))
+      .select("c.sentiment", "c.category").collect()(0)
+    assert(r.getString(0) == "Neutral" && r.getString(1) == "No Feedback")
+    // em-dash is NOT filler (FIXTURES.md A1) — classifies as Neutral/General
+    val r2 = Seq("—").toDF("s").select(TextExprs.classifyDemo(col("s")).as("c"))
+      .select("c.sentiment", "c.category").collect()(0)
+    assert(r2.getString(0) == "Neutral" && r2.getString(1) == "General")
+  }
+
+  test("token counts and langId") {
+    assert(one("a b  c", TextExprs.tokenCountWs) == 3)
+    assert(one("", TextExprs.tokenCountWs) == 0)
+    assert(one("don't stop", TextExprs.tokenCountBpe) == 4) // don + ' + t + stop
+    assert(one("the cat and the hat", TextExprs.langId) == "en")
+    assert(one("el gato y la casa de que", TextExprs.langId) == "es")
+    assert(one("你好世界", TextExprs.langId) == "zh")
+    assert(one("xyz qrs", TextExprs.langId) == "und")
+  }
+
+  test("sanitizeBase / sanitizeSheetName (driver-side)") {
+    assert(TextExprs.sanitizeBase("  What  did you like? ") == "What_did_you_like?")
+    assert(TextExprs.sanitizeSheetName("a/b:c*d") == "a b c d")
+    assert(TextExprs.sanitizeSheetName("") == "Sheet")
+    assert(TextExprs.sanitizeSheetName("x" * 40).length == 31)
+  }
+}
