@@ -153,6 +153,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
     }),
 
+    "q16_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    "q17_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+    }),
+
+    "q19_range_join" -> ((s, dir) => {
+      // range join: purchases within 1h after each error, same user. The
+      // equi-key (user_id) carries the shuffle; the range is a join filter.
+      val ev = t(s, dir, "events")
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("u"), col("ts").as("ets"))
+      val pur = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      err.join(pur,
+          col("u") === col("pu") && col("pts") >= col("ets") &&
+            col("pts") <= col("ets") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy("event_id")
+        .agg(count(col("pts")).as("n_purchases_1h"))
+    }),
+
     "q09_pivot_status" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
@@ -222,18 +252,16 @@ object SparkEntry {
     }),
 
     "q21_classify_demo" -> ((s, dir) => {
-      val cls = TextExprs.classifyDemo(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        cls.getField("sentiment").as("sentiment"),
-        cls.getField("category").as("category"))
+      TextExprs.withClassification(t(s, dir, "documents"), col("text"), "_cls")
+        .select(col("doc_id"),
+          col("_cls.sentiment").as("sentiment"),
+          col("_cls.category").as("category"))
     }),
 
     "q22_summary_pivot" -> ((s, dir) => {
-      val cls = TextExprs.classifyDemo(col("text"))
-      t(s, dir, "documents")
+      TextExprs.withClassification(t(s, dir, "documents"), col("text"), "_cls")
         .select(col("source").as("Product"), col("lang").as("Question"),
-          cls.getField("sentiment").as("Sentiment"))
+          col("_cls.sentiment").as("Sentiment"))
         .groupBy("Product", "Question")
         .pivot("Sentiment", Lexicons.SentimentOrder)
         .count()
@@ -248,29 +276,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q33_survey_wide" -> ((s, dir) => {
+      // flagship reference parity: survey-shaped frame → explode(products) →
+      // staged classify → wide triplet columns (O5/O6/O8/O9/O10)
+      val survey = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("Email"),
+        col("source").as("Name"),
+        concat_ws(",", col("source"), col("lang")).as("Products"),
+        col("text").as("Q Feedback"))
+      SurveyPipeline.analyzeWide(survey, "retail", idCol = Some(col("Email")))
+    }),
+
     // ---- text analysis (training-data extensions) ----
 
     "q24_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"), TextExprs.langId(col("text")).as("lang_pred"))
+      TextExprs.withLangId(t(s, dir, "documents"), col("text"), "lang_pred")
+        .select("doc_id", "lang", "lang_pred")
     }),
 
     "q25_text_profile" -> ((s, dir) => {
+      // staged: projection 1 = one scan per feature, projection 2 = ratios
       val text = col("text")
-      val cln = TextExprs.cleanText(text)
-      val nChars = length(cln)
-      val nTokens = TextExprs.tokenCountWs(text)
-      val nPunct = TextExprs.punctCount(text)
-      val nStop = TextExprs.stopwordCount(text)
-      t(s, dir, "documents").select(
+      val base = t(s, dir, "documents").select(
         col("doc_id"),
-        nChars.cast("int").as("n_chars"),
-        nTokens.as("n_tokens_ws"),
+        length(TextExprs.cleanText(text)).cast("int").as("n_chars"),
+        TextExprs.tokenCountWs(text).as("n_tokens_ws"),
         TextExprs.tokenCountBpe(text).as("n_tokens_bpe"),
+        TextExprs.punctCount(text).as("_np"),
+        TextExprs.stopwordCount(text).as("_ns"))
+      val nChars = col("n_chars"); val nTokens = col("n_tokens_ws")
+      base.select(
+        col("doc_id"), nChars, nTokens, col("n_tokens_bpe"),
         round(when(nTokens === 0, 0.0).otherwise(nChars.cast("double") / nTokens), 4).as("avg_token_len"),
-        round(when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars), 4).as("punct_ratio"),
-        round(when(nTokens === 0, 0.0).otherwise(nStop.cast("double") / nTokens), 4).as("stopword_ratio"),
-        TextAnalysis.qualityScore(text).as("quality"))
+        round(when(nChars === 0, 0.0).otherwise(col("_np").cast("double") / nChars), 4).as("punct_ratio"),
+        round(when(nTokens === 0, 0.0).otherwise(col("_ns").cast("double") / nTokens), 4).as("stopword_ratio"),
+        TextAnalysis.qualityScoreFromCounts(nChars, nTokens, col("_np")).as("quality"))
     }),
 
     // ---- dedup (training-data extensions) ----
@@ -378,6 +418,25 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+      "q16_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          | round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+      "q17_running_sum" ->
+        """SELECT o_custkey, o_orderkey,
+          | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+          |FROM orders""".stripMargin,
+
+      "q19_range_join" ->
+        """SELECT e.event_id AS event_id, count(p.ts) AS n_purchases_1h
+          |FROM events e LEFT JOIN events p ON p.user_id = e.user_id
+          |  AND p.event_type = 'purchase'
+          |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+          |WHERE e.event_type = 'error'
+          |GROUP BY e.event_id""".stripMargin,
+
       "q09_pivot_status" ->
         """SELECT o_orderpriority,
           | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
@@ -445,6 +504,15 @@ object SparkEntry {
         s"""SELECT token, count(*) AS n FROM (
            |  SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS token FROM documents)
            |WHERE token <> '' GROUP BY token""".stripMargin,
+
+      "q33_survey_wide" ->
+        s"""$classifiedCte
+           |SELECT CAST(doc_id AS VARCHAR) AS "ResponseID",
+           | trim(unnest(string_split(source || ',' || lang, ','))) AS "Product",
+           | $cln AS "Q_Feedback_Answer",
+           | ${sentimentSql(isFillerSql(cln), low)} AS "Q_Feedback_Sentiment",
+           | ${categorySql(isFillerSql(cln), low)} AS "Q_Feedback_Category"
+           |FROM c2""".stripMargin,
 
       "q24_lang_id" -> {
         val en = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))

@@ -70,12 +70,46 @@ object TextExprs {
   /** Full demo classifier with the filler short-circuit
     * (survey_analysis.py:284-285 routing + :138-141 compose):
     * returns struct(sentiment, category). The CASE WHEN guard keeps the
-    * expensive branch off filler rows — Catalyst preserves the short-circuit. */
+    * expensive branch off filler rows — Catalyst preserves the short-circuit.
+    *
+    * NOTE: this single-Column form re-embeds the cleanText regex tree in
+    * every branch (conditionals block Catalyst subexpression elimination) —
+    * the generated method outgrows the JIT and runs interpreted, ~50× slower.
+    * Fine for tests/small frames; on the hot path use the staged
+    * [[classifyFromCleaned]] behind projection boundaries instead. */
   def classifyDemo(c: Column): Column = {
     val cleaned = cleanText(c)
     when(isFiller(cleaned), struct(lit("Neutral").as("sentiment"), lit("No Feedback").as("category")))
       .otherwise(struct(demoSentiment(cleaned).as("sentiment"), demoCategory(cleaned).as("category")))
   }
+
+  /** Staged classifier over pre-computed `cln = cleanText(text)` and
+    * `low = lower(cln)` attribute columns. Each regex input is an attribute,
+    * so the whole struct is a small expression tree that evaluates cln/low
+    * exactly once per row inside whole-stage codegen. */
+  def classifyFromCleaned(cln: Column, low: Column): Column = {
+    val hasPos = low.rlike(Lexicons.positiveAlt)
+    val hasNeg = low.rlike(Lexicons.negativeAlt)
+    val sentiment = when(hasPos && hasNeg, "Mixed")
+      .when(hasPos, "Positive").when(hasNeg, "Negative").otherwise("Neutral")
+    val category = Lexicons.categoryAlts.foldRight(lit("General")) { case ((cat, alt), rest) =>
+      when(low.rlike(alt), cat).otherwise(rest)
+    }
+    // cln is already trimmed, so filler test reduces to low ∈ FILLER_VALUES
+    when(low.isin(Lexicons.FillerValues: _*),
+        struct(lit("Neutral").as("sentiment"), lit("No Feedback").as("category")))
+      .otherwise(struct(sentiment.as("sentiment"), category.as("category")))
+  }
+
+  /** DataFrame-level staged classify: adds `outCol` = struct(sentiment,
+    * category) of `text`. The two intermediate projections are the whole
+    * point — see [[classifyFromCleaned]]. */
+  def withClassification(df: org.apache.spark.sql.DataFrame, text: Column,
+      outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(s"_${outCol}_cln", cleanText(text))
+      .withColumn(s"_${outCol}_low", lower(col(s"_${outCol}_cln")))
+      .withColumn(outCol, classifyFromCleaned(col(s"_${outCol}_cln"), col(s"_${outCol}_low")))
+      .drop(s"_${outCol}_cln", s"_${outCol}_low")
 
   // ------------------------------------------------------------------
   // Text-analysis extensions (engine scope beyond the reference — token
@@ -98,14 +132,10 @@ object TextExprs {
   def hitCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(lower(coalesce(c, lit(""))), lit(pattern), lit(0))).cast("int")
 
-  /** Stopword-count language ID over {en, es, de, fr} + CJK detection.
+  /** Decision rule of the stopword-count language ID, over pre-computed hit
+    * counts (attributes — keep the regex scans in a prior projection).
     * Ties broken by fixed priority en > es > de > fr; no hits → "und". */
-  def langId(c: Column): Column = {
-    val en = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn))
-    val es = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEs))
-    val de = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsDe))
-    val fr = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsFr))
-    val cjk = hitCount(c, "[\\x{4e00}-\\x{9fff}]")
+  def langIdFromHits(en: Column, es: Column, de: Column, fr: Column, cjk: Column): Column = {
     val best = greatest(en, es, de, fr)
     when(cjk > 0, "zh")
       .when(best === 0, "und")
@@ -113,6 +143,33 @@ object TextExprs {
       .when(es === best, "es")
       .when(de === best, "de")
       .otherwise("fr")
+  }
+
+  /** Stopword-count language ID over {en, es, de, fr} + CJK detection.
+    * Single-Column form (each hit count scanned once here, but `best` and the
+    * tie-break re-embed them — use [[withLangId]] on the hot path). */
+  def langId(c: Column): Column =
+    langIdFromHits(
+      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn)),
+      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEs)),
+      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsDe)),
+      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsFr)),
+      hitCount(c, "[\\x{4e00}-\\x{9fff}]"))
+
+  /** DataFrame-level staged language ID: one projection runs the five regex
+    * scans, the next applies the decision rule over the attribute columns. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val p = s"_${outCol}_"
+    df.withColumns(Map(
+        s"${p}en" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsEn)),
+        s"${p}es" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsEs)),
+        s"${p}de" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsDe)),
+        s"${p}fr" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsFr)),
+        s"${p}cjk" -> hitCount(text, "[\\x{4e00}-\\x{9fff}]")))
+      .withColumn(outCol, langIdFromHits(
+        col(s"${p}en"), col(s"${p}es"), col(s"${p}de"), col(s"${p}fr"), col(s"${p}cjk")))
+      .drop(s"${p}en", s"${p}es", s"${p}de", s"${p}fr", s"${p}cjk")
   }
 
   /** Document quality features + composite score (length, punctuation

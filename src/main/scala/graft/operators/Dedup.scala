@@ -65,19 +65,29 @@ object Dedup {
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numPerm = numBands * rowsPerBand
+    // Cached: the signature projection feeds both sides of the candidate
+    // self-join AND the verify join-back — without the cache Spark would
+    // recompute the full shingle+minhash tree for every consumer.
     val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .cache()
     val bandHashes = (0 until numBands).map(b =>
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-    val banded = docs.select(col("id"), col("sh"), posexplode(array(bandHashes: _*)))
+    // Candidate generation carries ONLY (band, band_hash, id): the shingle
+    // arrays must not ride through the exploded self-join shuffle.
+    val banded = docs.select(col("id"), posexplode(array(bandHashes: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
+      .distinct() // same pair collides in multiple bands — dedupe BEFORE verify
+    // Exact-Jaccard verify: join the (cached) shingle sets back per side.
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct() // same pair can collide in multiple bands
       .where(col("jaccard") >= threshold)
   }
 
@@ -113,13 +123,18 @@ object Dedup {
     val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("blk", array_min(col("sh")))
-    val l = docs.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = docs.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk"))
+      .cache()
+    // candidate pairs on ids only; shingles join back for the exact verify
+    val keys = docs.select(col("blk"), col("id"))
+    val candidates = keys.as("l").join(keys.as("r"), Seq("blk"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify.

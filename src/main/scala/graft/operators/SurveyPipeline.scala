@@ -80,22 +80,29 @@ object SurveyPipeline {
       industry: String,
       clf: AnswerClassifier = DemoAnswerClassifier,
       faithfulIds: Boolean = false,
+      idCol: Option[Column] = None,
   ): DataFrame = {
     require(dfIn.columns.length >= 4, "need >= 4 columns")
     val productsCol = dfIn.columns(2)
     val qcols = questionColumns(dfIn)
     val bases = questionBases(qcols)
 
-    val withId = withResponseId(dfIn, faithfulIds)
+    // idCol: caller-supplied stable key (the scale path — no zipWithIndex,
+    // no content hashing); otherwise synthesize per `faithfulIds`.
+    val withId = idCol match {
+      case Some(c) => dfIn.withColumn("ResponseID", c.cast(StringType))
+      case None => withResponseId(dfIn, faithfulIds)
+    }
     val exploded = withId.withColumn("Product", explode(productsArray(col(productsCol))))
 
     // Demo classifier inlines as expressions; other classifiers go through
     // the distinct-key join per question.
     val analyzed = clf match {
       case DemoAnswerClassifier =>
+        // staged classify per question: keeps each regex scan evaluated once
+        // (the single-Column classifyDemo tree would outgrow the JIT × #questions)
         bases.foldLeft(exploded) { case (d, (base, q)) =>
-          val cls = TextExprs.classifyDemo(col(q))
-          d.withColumn(s"${base}__cls", cls)
+          TextExprs.withClassification(d, col(q), s"${base}__cls")
         }
       case other =>
         bases.foldLeft(exploded) { case (d, (base, q)) =>
