@@ -115,13 +115,21 @@ object SparkEntry {
     }),
 
     "q04_join_revenue" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // Scale plan: pre-aggregate lineitem per order BEFORE the join — the
+      // map-side partial agg shrinks the shuffled fact table to one row per
+      // order, and n_orders becomes a plain count (each joined row is one
+      // order), avoiding countDistinct's Expand duplication entirely.
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev"),
+          count(lit(1)).as("_n_items"))
+      t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_items"))
+          round(sum("_rev"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum("_n_items").as("n_items"))
     }),
 
     "q05_semi_join" -> ((s, dir) => {

@@ -24,11 +24,11 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("id").as("keep_id"), count("*").as("n_copies"))
 
-  /** Word n-gram shingle set (distinct) of the cleaned text — the unit for
-    * Jaccard similarity. Pure expressions: split → sliding windows via
-    * sequence+slice → concat. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(TextExprs.cleanText(text), " ")
+  /** Word n-gram shingle set (distinct) of a pre-split token array. The
+    * lambda body only touches `toks` — pass an ATTRIBUTE column: a non-
+    * attribute subtree in a higher-order-function lambda is re-evaluated per
+    * element (measured ~50x on the documents corpus). */
+  def shinglesOfToks(toks: Column, n: Int): Column = {
     val nWindows = size(toks) - (n - 1)
     // guard: sequence(0, -1) would produce a DESCENDING [0,-1], not empty
     when(nWindows <= 0, typedLit(Seq.empty[String]))
@@ -37,6 +37,13 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Word n-gram shingle set (distinct) of the cleaned text. Convenience
+    * single-Column form for tests/small frames; on the hot path stage
+    * `split(cleanText(text), " ")` into an attribute and use
+    * [[shinglesOfToks]] (or the codegen'd `MinHashExprs.shingleHashes`). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfToks(split(TextExprs.cleanText(text), " "), n)
+
   /** Exact Jaccard similarity between two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -44,38 +51,37 @@ object Dedup {
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** MinHash signature: `numPerm` independent hash functions realized as
-    * xxhash64(shingle, permIndex) — the running-seed composition makes each
-    * index an independent permutation. Expression-only, and ANSI-safe (the
-    * classic `a*h+b` mix overflows under Spark 4's default ANSI mode). */
-  def minhashSignature(shingleArr: Column, numPerm: Int): Column =
-    array((0 until numPerm).map { i =>
-      coalesce(array_min(transform(shingleArr, s => xxhash64(s, lit(i)))), lit(Long.MaxValue))
-    }: _*)
-
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle → minhash(numBands*rowsPerBand) → band buckets → self-join within
-    * buckets → exact-Jaccard verify ≥ threshold. Emits each pair once
+    * shingle-hash → minhash(numBands*rowsPerBand) → band buckets → self-join
+    * within buckets → exact-Jaccard verify ≥ threshold. Emits each pair once
     * (id_a < id_b). The band join key is (band_index, hash(band slice)), a
     * well-spread composite — no skew beyond genuinely hot near-dup clusters.
+    *
+    * Hot path is fully codegen'd native expressions (graft.plans.MinHashExprs):
+    * each shingle is hashed exactly once to a 64-bit key, the signature mixes
+    * those longs per permutation, and the exact verify runs a linear merge
+    * over the sorted hash sets — Jaccard over the hash sets equals Jaccard
+    * over the shingle string sets up to 64-bit collisions (~1e-16 per pair).
     */
   def minhashNearDups(
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    import graft.plans.MinHashExprs
     val numPerm = numBands * rowsPerBand
     // Cached: the signature projection feeds both sides of the candidate
     // self-join AND the verify join-back — without the cache Spark would
-    // recompute the full shingle+minhash tree for every consumer.
-    val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+    // recompute the shingle+minhash pipeline for every consumer.
+    val docs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+      .select(col("id"), MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"))
+      .where(size(col("shh")) > 0)
+      .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm))
       .cache()
     val bandHashes = (0 until numBands).map(b =>
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
     // Candidate generation carries ONLY (band, band_hash, id): the shingle
-    // arrays must not ride through the exploded self-join shuffle.
+    // hash sets must not ride through the exploded self-join shuffle.
     val banded = docs.select(col("id"), posexplode(array(bandHashes: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     val candidates = banded.as("l")
@@ -83,11 +89,12 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct() // same pair collides in multiple bands — dedupe BEFORE verify
-    // Exact-Jaccard verify: join the (cached) shingle sets back per side.
+    // Exact-Jaccard verify: join the (cached) sorted hash sets back per side.
     candidates
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(docs.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -120,20 +127,29 @@ object Dedup {
     * reproducible across engines (array_distinct order is not). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(id.as("id"), shingles(text, shingleLen).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("blk", array_min(col("sh")))
+    import graft.plans.MinHashExprs
+    // Staged projections: cln and toks become ATTRIBUTES before any lambda
+    // touches them (each is referenced >1x downstream, so CollapseProject
+    // keeps the boundary and nothing is re-evaluated per array element).
+    val docs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+      .select(col("id"),
+        MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"),
+        split(col("cln"), " ").as("toks"))
+      .where(size(col("shh")) > 0)
+      .select(col("id"), col("shh"),
+        array_min(shinglesOfToks(col("toks"), shingleLen)).as("blk"))
       .cache()
-    // candidate pairs on ids only; shingles join back for the exact verify
+    // candidate pairs on ids only; hash sets join back for the exact verify
     val keys = docs.select(col("blk"), col("id"))
     val candidates = keys.as("l").join(keys.as("r"), Seq("blk"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
     candidates
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(docs.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
