@@ -370,6 +370,71 @@ object SparkEntry {
     "q32_media_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(Multimodal.packFake(t(s, dir, "documents"))).toDF()
     }),
+
+    // ---- round 2 additions ----
+
+    "q34_embed_neardup" -> ((s, dir) => {
+      // random-hyperplane LSH buckets (8 deterministic planes) + exact
+      // cosine verify — the embedding-space analog of q27's minhash LSH
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          threshold = 0.35, nPlanes = 8, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    "q35_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: one window pass (lag + running sum share
+      // the same partitioning/sort, so Catalyst plans a single shuffle+sort)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("_gap_us"))
+        .withColumn("_new_sess",
+          when(col("_gap_us").isNull || col("_gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum("_new_sess").over(wRun))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"), max("ts").as("sess_end"))
+    }),
+
+    "q36_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "q37_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles (not the sketch — q39 has that)
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    }),
+
+    "q38_summary_unpivot" -> ((s, dir) => {
+      // reference O11-O13 end-to-end: multi-question wide frame → unpivot
+      // (melt *_Sentiment) → group-count → fixed-order pivot
+      val survey = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("Email"),
+        col("source").as("Name"),
+        concat_ws(",", col("source"), col("lang")).as("Products"),
+        col("text").as("Q Feedback"),
+        substring(col("text"), 1, 80).as("Q Short"))
+      SurveyPipeline.buildSummary(
+        SurveyPipeline.analyzeWide(survey, "retail", idCol = Some(col("Email"))))
+    }),
+
+    "q39_sketches" -> ((s, dir) => {
+      // approximate sketches (HLL++ distinct, KLL-style quantile) — no
+      // cross-engine oracle by construction; driver records rows-only
+      t(s, dir, "events").groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value_approx"),
+        count(lit(1)).as("n"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -588,6 +653,76 @@ object SparkEntry {
           |SELECT query_id, corpus_id, round(cos, 6) AS cos,
           | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
           |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+      "q34_embed_neardup" -> {
+        // bucket assignment replicated with the SAME plane constants the
+        // Spark side uses (VectorExprs.deterministicPlanes) — generated, so
+        // the two engines cannot drift
+        val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+        def planeDot(v: String, p: Seq[Double]): String =
+          s"list_sum(list_transform(range(1,65), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n   + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+           |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |   list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i])) /
+           |   (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i]))) *
+           |    sqrt(list_sum(list_transform(range(1,65), i -> y.v[i] * y.v[i])))) AS cos
+           |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin
+      },
+
+      "q35_sessionize" ->
+        """WITH o AS (SELECT user_id, event_id, ts,
+          |    epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |s AS (SELECT user_id, event_id, ts,
+          |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM o),
+          |c AS (SELECT user_id, ts,
+          |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          |  FROM s)
+          |SELECT user_id, session_no, count(*) AS n_events,
+          | min(ts) AS sess_start, max(ts) AS sess_end
+          |FROM c GROUP BY user_id, session_no""".stripMargin,
+
+      "q36_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+      "q37_percentile" ->
+        """SELECT o_orderpriority,
+          | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+          | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+          | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+          |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+      "q38_summary_unpivot" -> {
+        val cln1 = cleanSql("text"); val cln2 = cleanSql("substring(text, 1, 80)")
+        s"""WITH c1 AS (SELECT source, lang, $cln1 AS cln1, $cln2 AS cln2 FROM documents),
+           |c2 AS (SELECT *, lower(cln1) AS low1, lower(cln2) AS low2 FROM c1),
+           |w AS (
+           |  SELECT trim(unnest(string_split(source || ',' || lang, ','))) AS "Product",
+           |   'Q_Feedback' AS "Question",
+           |   ${sentimentSql(isFillerSql("cln1"), "low1")} AS sent
+           |  FROM c2
+           |  UNION ALL
+           |  SELECT trim(unnest(string_split(source || ',' || lang, ','))) AS "Product",
+           |   'Q_Short' AS "Question",
+           |   ${sentimentSql(isFillerSql("cln2"), "low2")} AS sent
+           |  FROM c2)
+           |SELECT "Product", "Question",
+           | count(*) FILTER (WHERE sent = 'Positive') AS "Positive",
+           | count(*) FILTER (WHERE sent = 'Neutral') AS "Neutral",
+           | count(*) FILTER (WHERE sent = 'Negative') AS "Negative",
+           | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
+           |FROM w GROUP BY 1, 2""".stripMargin
+      },
 
       "q32_media_meta" ->
         """SELECT doc_id,

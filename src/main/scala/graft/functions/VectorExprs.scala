@@ -15,17 +15,17 @@ object VectorExprs {
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — native codegen'd expression (graft.plans.VectorNative);
+    * strictly sequential double accumulation, bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorNative.dot(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a); val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  /** Cosine similarity; 0.0 when either vector has zero norm. Native
+    * codegen'd single-call expression. */
+  def cosine(a: Column, b: Column): Column = graft.plans.VectorNative.cosine(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
@@ -37,8 +37,7 @@ object VectorExprs {
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.map(lit): _*)
-      when(aggregate(zip_with(toDouble(v), planeArr, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0.0, lit(1 << i)).otherwise(lit(0))
+      when(dot(v, planeArr) >= 0.0, lit(1 << i)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
