@@ -2,6 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Per-key accumulator for [[EventStreams.runningTotals]]. */
+case class TypeState(n: Long, sum: Double)
 
 /** Structured-Streaming shapes over the events table. Every transform here
   * works identically on a batch DataFrame and a readStream DataFrame — the
@@ -32,4 +36,32 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+
+  /** Custom streaming state: running (count, sum) per event_type via
+    * mapGroupsWithState — the KeyValueGroupedDataset form of arbitrary
+    * stateful processing. Emits the updated totals each micro-batch. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeState, (String, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var n = 0L; var s = 0.0
+          rows.foreach { r => n += 1; s += r._2 }
+          val prev = state.getOption.getOrElse(TypeState(0L, 0.0))
+          val next = TypeState(prev.n + n, prev.sum + s)
+          state.update(next)
+          (key, next.n, next.sum)
+      }
+      .toDF("event_type", "n", "sum_value")
+  }
+
+  /** Streaming exact dedup: replayed/duplicate ids within the watermark
+    * horizon are dropped with bounded state (the streaming face of
+    * Dedup.exactGroups). */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 }

@@ -45,6 +45,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("shingleHashes: hash-set Jaccard equals string-set Jaccard; sorted distinct") {
+    import graft.plans.MinHashExprs
+    import graft.functions.TextExprs
+    val withSets = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"),
+      MinHashExprs.shingleHashes(TextExprs.cleanText(col("text")), 3).as("shh"))
+    val m = withSets.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+    // same cardinality per doc, sorted ascending, no dups
+    m.values.foreach { case (sh, shh) =>
+      assert(sh.toSet.size == shh.length)
+      assert(shh == shh.sorted && shh.distinct.length == shh.length)
+    }
+    // pairwise jaccard equal (hash collisions would need 2^-64 luck)
+    val pair = withSets.as("a").where(col("doc_id") === 0)
+      .crossJoin(withSets.as("b").where(col("b.doc_id") === 1))
+      .select(
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("js"),
+        MinHashExprs.jaccardSorted(col("a.shh"), col("b.shh")).as("jh"))
+      .collect()(0)
+    assert(math.abs(pair.getDouble(0) - pair.getDouble(1)) < 1e-12)
+  }
+
+  test("minhashSignature: deterministic, near-dups collide on more bands than strangers") {
+    import graft.plans.MinHashExprs
+    import graft.functions.TextExprs
+    val sigs = corpus.select(col("doc_id"),
+        MinHashExprs.minhashSignature(
+          MinHashExprs.shingleHashes(TextExprs.cleanText(col("text")), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L)) // exact dup → identical signature
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0L), sigs(1L)) > agree(sigs(0L), sigs(2L))) // near-dup >> unrelated
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair via min-shingle blocking") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, col("doc_id"), col("text"),
+      shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("native cosine/dot match the HOF fold bit-for-bit") {
+    import graft.functions.VectorExprs
+    import graft.plans.VectorNative
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val a = vecs.as("a"); val b = vecs.as("b")
+    val hofCos = {
+      val na = VectorExprs.norm(col("a.embedding")); val nb = VectorExprs.norm(col("b.embedding"))
+      val dot = org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          VectorExprs.toDouble(col("a.embedding")), VectorExprs.toDouble(col("b.embedding")),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      org.apache.spark.sql.functions.when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(dot / (na * nb))
+    }
+    val diffs = a.crossJoin(b)
+      .select(hofCos.as("h"), VectorNative.cosine(col("a.embedding"), col("b.embedding")).as("n"))
+      .where(col("h") =!= col("n"))
+    assert(diffs.count() == 0)
+  }
+
   test("simhash: identical → distance 0; near-dup → small hamming; unrelated → large") {
     def h(s: String) = SimHashImpl.simhash64(UTF8String.fromString(s))
     assert(h("a b c") == h("a b c"))

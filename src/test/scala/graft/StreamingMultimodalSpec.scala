@@ -35,6 +35,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(EventStreams.userSessions(ev).count() > 0)
   }
 
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val df = mem.toDF().toDF("event_type", "value")
+    val q = EventStreams.runningTotals(df)
+      .writeStream.outputMode("update").format("memory").queryName("rt").start()
+    try {
+      mem.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+      q.processAllAvailable()
+      mem.addData(("click", 3.0))
+      q.processAllAvailable()
+      val clicks = spark.table("rt").collect().filter(_.getString(0) == "click")
+      assert(clicks.map(_.getLong(1)).max == 3) // state carried across batches
+      assert(math.abs(clicks.map(_.getDouble(2)).max - 6.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupStream(df)
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 2L))
+      q.processAllAvailable()
+      mem.addData( // replay id 1 within the watermark + one new id
+        (Timestamp.valueOf("2024-01-01 00:03:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:04:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("multimodal decode plumbing: deterministic stub metadata + frame sampling") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val meta = Multimodal.decodeMeta(Multimodal.packFake(docs))
