@@ -43,6 +43,32 @@ object SurveyPipeline {
     order.toSeq
   }
 
+  /** O4 — first non-null, non-blank sample answer per question column (the
+    * reference's language-probe diagnostic, survey_analysis.py:241-249).
+    * One aggregate pass over all columns — not a per-column job. */
+  def sampleAnswers(df: DataFrame, qcols: Seq[String]): Map[String, Option[String]] =
+    if (qcols.isEmpty) Map.empty
+    else {
+      val aggs = qcols.map(q =>
+        first(when(trim(coalesce(col(q), lit(""))) =!= "", col(q)), ignoreNulls = true).as(q))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      qcols.zipWithIndex.map { case (q, i) => q -> Option(row.getString(i)) }.toMap
+    }
+
+  /** O16 — presentation column widths: clamp(0.9 * maxLen, 12, 60) over the
+    * header plus the first `probe` values (survey_analysis.py:360-365). */
+  def columnWidths(df: DataFrame, cols: Seq[String], probe: Int = 1000): Map[String, Int] =
+    if (cols.isEmpty) Map.empty
+    else {
+      val aggs = cols.map(c =>
+        max(length(coalesce(col(c).cast(StringType), lit("")))).as(c))
+      val row = df.limit(probe).agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val maxLen = math.max(if (row.isNullAt(i)) 0 else row.getInt(i), c.length)
+        c -> math.min(60, math.max(12, (0.9 * maxLen).toInt))
+      }.toMap
+    }
+
   /** O8 — comma-split multi-value product list; empty → ["Unspecified"]
     * (survey_analysis.py:276-277). Products truncated to 100 chars (:292). */
   def productsArray(c: Column): Column = {

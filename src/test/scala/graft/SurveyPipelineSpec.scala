@@ -84,6 +84,58 @@ class SurveyPipelineSpec extends SparkSpec {
     assert(out("terrible") == ("Negative", "General"))
   }
 
+  test("readSurveyCsv: quoted multiline/comma fields round-trip; arity enforced") {
+    val dir = "target/tmp/csv_roundtrip"
+    val tricky = Seq(
+      ("a@x.com", "Ana", "P1,P2", "line one\nline two", "has, commas"),
+      ("b@x.com", "Bo", "P1", "quote \" inside", "ok"),
+    ).toDF("Email", "Name", "Products", "Q1", "Q2")
+    tricky.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(dir)
+    val back = SurveyPipeline.readSurveyCsv(spark, dir)
+    assert(back.count() == 2)
+    val vals = back.collect().map(r => r.getAs[String]("Q1")).toSet
+    assert(vals.contains("line one\nline two") && vals.contains("quote \" inside"))
+    val narrowDir = "target/tmp/csv_narrow"
+    tricky.select("Email", "Name", "Products").write.mode("overwrite")
+      .option("header", "true").csv(narrowDir)
+    intercept[IllegalArgumentException] {
+      SurveyPipeline.readSurveyCsv(spark, narrowDir)
+    }
+  }
+
+  test("sampleAnswers: first non-blank value per question; all-blank → None") {
+    val df = Seq(
+      ("a", "n", "P", null.asInstanceOf[String], "  "),
+      ("b", "n", "P", "first real", " "),
+      ("c", "n", "P", "second", " "),
+    ).toDF("Email", "Name", "Products", "QA", "QB")
+    val s = SurveyPipeline.sampleAnswers(df, Seq("QA", "QB"))
+    assert(s("QA").contains("first real"))
+    assert(s("QB").isEmpty)
+  }
+
+  test("columnWidths: clamp(0.9*maxLen, 12, 60) over header + probe rows") {
+    val df = Seq(
+      ("tiny", "x" * 100),
+      ("ab", "y" * 200),
+    ).toDF("narrow", "wide")
+    val w = SurveyPipeline.columnWidths(df, Seq("narrow", "wide"))
+    assert(w("narrow") == 12) // 0.9*6 → clamp up to 12
+    assert(w("wide") == 60)   // 0.9*200 → clamp down to 60
+  }
+
+  test("writeReport: wide partitioned by Product, summary alongside, read-back intact") {
+    val wide = SurveyPipeline.analyzeWide(surveyDf, "retail", faithfulIds = true)
+    val summary = SurveyPipeline.buildSummary(wide)
+    val out = "target/tmp/report"
+    SurveyPipeline.writeReport(wide, summary, out)
+    val parts = new java.io.File(s"$out/wide").listFiles()
+    assert(parts.exists(_.getName.startsWith("Product=")))
+    val wideBack = spark.read.parquet(s"$out/wide")
+    assert(wideBack.count() == wide.count())
+    assert(spark.read.parquet(s"$out/summary").count() == summary.count())
+  }
+
   test("empty-ish input: zero data rows still yields empty wide frame") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], surveyDf.schema)
