@@ -11,6 +11,7 @@ object Diag {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,21 +20,24 @@ object Diag {
       df.write.format("noop").mode("overwrite").save()
       println(f"[diag] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    def agg(df: DataFrame): DataFrame =
-      df.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"),
-          sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))
-    val ev = graft.sources.Tables.events(spark, sfDir)
-    // replicate diag run 1 sequence that triggered the 85s agg
-    time("range_sum") { spark.range(100000000L).agg(sum("id")) }
-    time("events_raw_scan") { raw.select("event_id", "props", "value") }
-    time("events_tables_scan") { ev.select("event_id", "props", "value") }
-    time("events_json") { raw.select(get_json_object(col("props"), "$.k").cast("long").as("k")) }
-    time("events_json_agg_raw") { agg(raw) }
-    time("q13_full_ev") { agg(ev) }
+    // q28 candidate blowup analysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigs = docs.select(col("doc_id").as("id"), graft.operators.Dedup.simhash(col("text")).as("sig"))
+    val bandSlices = (0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(bandSlices: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val l = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val joined = l.join(r, Seq("band", "band_val")).where(col("id_a") < col("id_b"))
+    println("[diag] q28 raw candidate rows = " + joined.count())
+    println("[diag] q28 distinct pairs = " + joined.select("id_a", "id_b").distinct().count())
+    // top bucket sizes
+    banded.groupBy("band", "band_val").count().orderBy(desc("count")).show(10)
+    // row-group / partition diagnostics
+    for (t <- Seq("documents", "events", "lineitem"))
+      println(s"[diag] $t partitions = " +
+        spark.read.parquet(s"$sfDir/$t.parquet").rdd.getNumPartitions)
     spark.stop()
   }
 }

@@ -34,23 +34,47 @@ object SimHashImpl {
     h ^ (h >>> 31)
   }
 
-  def simhash64(u: UTF8String): Long = {
+  def simhash64(u: UTF8String): Long = simhash64(u, 1)
+
+  /** SimHash with word `n`-gram features. Unigram features degenerate on
+    * corpora with a shared vocabulary (most docs share most tokens → the
+    * bit votes correlate → band blocking produces quadratic candidates —
+    * measured 511k candidate pairs from 5k docs at sf0.1); shingle features
+    * are document-specific, so the signature bits decorrelate and buckets
+    * stay small. Expects cleaned text (single-space separated), under which
+    * each feature is a contiguous char window — zero allocation per feature. */
+  def simhash64(u: UTF8String, n: Int): Long = {
     val s = u.toString
+    val len = s.length
     val counts = new Array[Int](64)
-    val n = s.length
+    // token offsets
+    var nToks = 0
     var i = 0
-    while (i < n) {
-      while (i < n && s.charAt(i) == ' ') i += 1
-      val start = i
-      while (i < n && s.charAt(i) != ' ') i += 1
-      if (i > start) {
-        val h = fnv64(s, start, i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) { nToks += 1; while (i < len && s.charAt(i) != ' ') i += 1 }
+    }
+    val starts = new Array[Int](nToks)
+    val ends = new Array[Int](nToks)
+    var t = 0; i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        starts(t) = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        ends(t) = i; t += 1
       }
+    }
+    var w = 0
+    val nWin = nToks - n + 1
+    while (w < nWin) {
+      val h = fnv64(s, starts(w), ends(w + n - 1))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      w += 1
     }
     var sig = 0L
     var b = 0
@@ -62,18 +86,19 @@ object SimHashImpl {
   }
 }
 
-case class SimHash(child: Expression) extends UnaryExpression {
+case class SimHash(child: Expression, n: Int = 1) extends UnaryExpression {
+  require(n >= 1, "feature n-gram length must be >= 1")
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
     if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"simhash requires string input, got ${child.dataType}")
   override def nullSafeEval(v: Any): Any =
-    SimHashImpl.simhash64(v.asInstanceOf[UTF8String])
+    SimHashImpl.simhash64(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SimHashImpl.simhash64($c);")
-  override protected def withNewChildInternal(newChild: Expression): SimHash = copy(newChild)
+      s"${ev.value} = graft.plans.SimHashImpl.simhash64($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): SimHash = copy(child = newChild)
   override def prettyName: String = "simhash"
 }
 
@@ -81,4 +106,7 @@ object SimHash {
   import org.apache.spark.sql.graft.ColumnBridge
   def simhash(c: Column): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
+  /** SimHash over word n-gram shingle features (near-dup blocking form). */
+  def simhashShingled(c: Column, n: Int): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(c), n))
 }
