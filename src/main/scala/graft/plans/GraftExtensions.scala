@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions hook: registers the engine's native expressions as
+  * SQL functions, so `spark.sql("SELECT simhash(text) ...")` works anywhere
+  * the DataFrame API does. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide) or
+  * `builder.withExtensions(new GraftExtensions)` — or inject into an already
+  * running session with [[GraftFunctions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every engine-native SQL function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash", info("simhash",
+      "simhash(text[, n]) - 64-bit SimHash of the word n-gram features (n defaults to 1)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash(c)
+        case Seq(c, n) => SimHash(c, intLit(n, "simhash n-gram length"))
+        case _ => throw new IllegalArgumentException("simhash expects 1 or 2 arguments")
+      }),
+    ("shingle_hashes", info("shingle_hashes",
+      "shingle_hashes(cleaned_text, n) - sorted distinct 64-bit hashes of word n-gram shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => ShingleHashes(c, intLit(n, "shingle length"))
+        case _ => throw new IllegalArgumentException("shingle_hashes expects 2 arguments")
+      }),
+    ("minhash_signature", info("minhash_signature",
+      "minhash_signature(hash_array, num_perm) - MinHash signature over shingle hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, p) => MinHashSignature(c, intLit(p, "numPerm"))
+        case _ => throw new IllegalArgumentException("minhash_signature expects 2 arguments")
+      }),
+    ("jaccard_sorted", info("jaccard_sorted",
+      "jaccard_sorted(a, b) - exact Jaccard of two sorted distinct array<long>"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaccardSorted(a, b)
+        case _ => throw new IllegalArgumentException("jaccard_sorted expects 2 arguments")
+      }),
+    ("vec_dot", info("vec_dot",
+      "vec_dot(a, b) - dot product of two array<float|double> vectors"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("vec_dot expects 2 arguments")
+      }),
+    ("vec_cosine", info("vec_cosine",
+      "vec_cosine(a, b) - cosine similarity of two array<float|double> vectors"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("vec_cosine expects 2 arguments")
+      }),
+  )
+
+  /** Register into a live session (tests / spark-shell after startup). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, i, builder)
+    }
+}

@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression-backed SQL function into a LIVE session's
+    * function registry (sessionState is private[sql], hence here). The
+    * session-creation path is graft.plans.GraftExtensions via
+    * SparkSessionExtensions.injectFunction. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
