@@ -427,6 +427,21 @@ object SparkEntry {
         SurveyPipeline.analyzeWide(survey, "retail", idCol = Some(col("Email"))))
     }),
 
+    "q40_asof_tolerance" -> ((s, dir) => {
+      // generalized as-of join operator (union + one window pass, no
+      // self-join) with a 1h staleness bound on the matched payload
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.backward(errors, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+          tolerance = Some(lit(3600L)))
+        .select(col("event_id"), col("_asof_ts").as("purchase_ts"),
+          round(col("_asof_value"), 2).as("purchase_value"))
+    }),
+
     "q39_sketches" -> ((s, dir) => {
       // approximate sketches (HLL++ distinct, KLL-style quantile) — no
       // cross-engine oracle by construction; driver records rows-only
@@ -689,6 +704,19 @@ object SparkEntry {
           |SELECT user_id, session_no, count(*) AS n_events,
           | min(ts) AS sess_start, max(ts) AS sess_end
           |FROM c GROUP BY user_id, session_no""".stripMargin,
+
+      "q40_asof_tolerance" ->
+        """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+          |SELECT e.event_id,
+          | (SELECT p.ts FROM events p
+          |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+          |    AND (epoch_us(e.ts::TIMESTAMP) // 1000000) - (epoch_us(p.ts::TIMESTAMP) // 1000000) <= 3600
+          |   ORDER BY p.ts DESC LIMIT 1) AS purchase_ts,
+          | round((SELECT p.value FROM events p
+          |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+          |    AND (epoch_us(e.ts::TIMESTAMP) // 1000000) - (epoch_us(p.ts::TIMESTAMP) // 1000000) <= 3600
+          |   ORDER BY p.ts DESC LIMIT 1), 2) AS purchase_value
+          |FROM e""".stripMargin,
 
       "q36_grouping_sets" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
