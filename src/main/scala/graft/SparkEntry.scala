@@ -450,6 +450,13 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value_approx"),
         count(lit(1)).as("n"))
     }),
+
+    "q41_frame_sample" -> ((s, dir) => {
+      // multimodal frame-extraction shape: binary payload → executor-side
+      // decode (stubbed deterministic codec) → per-frame explode
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.packFake(t(s, dir, "documents"))), stride = 30)
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -751,6 +758,13 @@ object SparkEntry {
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
       },
+
+      "q41_frame_sample" ->
+        """WITH f AS (SELECT doc_id,
+          |    CAST(1 + octet_length(encode(text)) % 120 AS INT) AS n_frames
+          |  FROM documents WHERE doc_id % 3 = 2)
+          |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 30)) AS INT) AS frame_idx
+          |FROM f""".stripMargin,
 
       "q32_media_meta" ->
         """SELECT doc_id,
