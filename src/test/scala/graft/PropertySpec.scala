@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.TextExprs
+import graft.operators.{DemoAnswerClassifier, SurveyPipeline}
+
+/** Property-based invariants (SURVEY.md §5): clean_text idempotence, explode
+  * fan-out arithmetic, summary count conservation, row-order independence. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** scalatest/scalacheck bridge is not in the offline cache — drive the
+    * generators directly, fixed trial count, deterministic seed via retry. */
+  private def trials[T](g: Gen[T], n: Int = 8): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf("hola", "  ", "🙂", "love", "\t", "n/a", "—", "x"))
+      .map(_.mkString(" ")),
+  )
+
+  test("cleanText is idempotent and never yields leading/trailing/double spaces") {
+    trials(Gen.listOfN(20, textGen)).foreach { texts =>
+      {
+        val df = texts.toDF("t")
+        val once = df.select(TextExprs.cleanText(col("t")).as("c"))
+        val twice = once.select(TextExprs.cleanText(col("c")).as("c"))
+        val a = once.collect().map(_.getString(0))
+        val b = twice.collect().map(_.getString(0))
+        assert(a.sameElements(b))
+        assert(a.forall(s => s == s.trim && !s.contains("  ")))
+      }
+    }
+  }
+
+  test("explode fan-out: wide rows == Σ max(1, #non-empty products)") {
+    val productsGen = Gen.listOf(Gen.oneOf("A", "B", "C", " ", "")).map(_.mkString(","))
+    trials(Gen.listOfN(12, productsGen)).foreach { prods =>
+      {
+        val df = prods.zipWithIndex
+          .map { case (p, i) => (s"e$i", s"n$i", p, "some answer") }
+          .toDF("Email", "Name", "Products", "Q1")
+        val wide = SurveyPipeline.analyzeWide(df, "retail", faithfulIds = true)
+        val expected = prods.map { p =>
+          math.max(1, p.split(",").map(_.trim).count(_.nonEmpty))
+        }.sum
+        assert(wide.count() == expected)
+      }
+    }
+  }
+
+  test("summary counts conserve wide rows x questions; invariant under row order") {
+    trials(Gen.zip(Gen.listOfN(10, textGen), Gen.listOfN(10, textGen)), 5).foreach {
+      case (q1, q2) =>
+        {
+          val rows = q1.zip(q2).zipWithIndex.map { case ((a, b), i) =>
+            (s"e$i", s"n$i", if (i % 3 == 0) "P1,P2" else "P1", a, b)
+          }
+          val df = rows.toDF("Email", "Name", "Products", "QA", "QB")
+          val shuffled = rows.reverse.toDF("Email", "Name", "Products", "QA", "QB")
+          val wide = SurveyPipeline.analyzeWide(df, "retail", faithfulIds = true)
+          val s1 = SurveyPipeline.buildSummary(wide)
+          val s2 = SurveyPipeline.buildSummary(
+            SurveyPipeline.analyzeWide(shuffled, "retail", faithfulIds = true))
+          val total = s1.select(
+            sum(col("Positive") + col("Neutral") + col("Negative") + col("Mixed")))
+            .collect()(0).getLong(0)
+          assert(total == wide.count() * 2)
+          assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+        }
+    }
+  }
+
+  test("cache-join classifier ≡ direct classify for any cache subset") {
+    trials(Gen.zip(Gen.listOfN(15, textGen), Gen.choose(0, 15)), 5).foreach {
+      case (answers, take) =>
+      {
+        val keys = answers.zipWithIndex
+          .map { case (a, i) => ("retail", "Q", TextExprs.sanitizeBase(a) + i) }
+          .toDF("industry", "question", "answer")
+        val full = DemoAnswerClassifier.classify(keys)
+        val cacheSubset = full.limit(take)
+        val viaCache = new graft.operators.CacheJoinClassifier(cacheSubset, DemoAnswerClassifier)
+          .classify(keys)
+        assert(viaCache.except(full).count() == 0 && full.except(viaCache).count() == 0)
+      }
+    }
+  }
+}
