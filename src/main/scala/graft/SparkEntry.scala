@@ -664,6 +664,28 @@ object SparkEntry {
            |  FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id)
            |SELECT DISTINCT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
 
+      "q31_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+          |  FROM e ORDER BY vec_id LIMIT 16),
+          |dots AS (SELECT e.vec_id, e.v, c.cid,
+          |    list_sum(list_transform(range(1,65), i -> e.v[i] * c.v[i])) AS dot
+          |  FROM e CROSS JOIN cent c),
+          |assign AS (SELECT vec_id, v, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+          |    FROM dots) WHERE rn = 1),
+          |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM (
+          |    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+          |    FROM dots d WHERE d.vec_id < 8) WHERE rn <= 4),
+          |scored AS (SELECT q.query_id, a.vec_id AS corpus_id,
+          |    list_sum(list_transform(range(1,65), i -> q.qv[i] * a.v[i])) /
+          |    (sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i] * q.qv[i]))) *
+          |     sqrt(list_sum(list_transform(range(1,65), i -> a.v[i] * a.v[i])))) AS cos
+          |  FROM qprobe q JOIN assign a ON a.cid = q.cid)
+          |SELECT query_id, corpus_id, round(cos, 6) AS cos,
+          | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+          |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
       "q30_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
           |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
