@@ -10,11 +10,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write as a bucketed+sorted parquet managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+  /** Write as a bucketed+sorted parquet managed table. Drops any existing
+    * table AND its leftover warehouse location first — with the in-memory
+    * catalog a previous process's directory survives while the catalog
+    * entry does not, and saveAsTable refuses the orphaned location. */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** True if the executed plan of `df` contains a shuffle exchange —
     * the assertion hook for co-located-join tests. */
