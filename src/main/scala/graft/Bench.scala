@@ -37,18 +37,21 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
-      run(name) // warm-up: Janino + JIT + parquet footers
-      // min of 2 timed runs: this host is a shared VM and a neighbor can
-      // stall any single run by tens of seconds; the min is the engine's
-      // actual steady-state cost.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        run(name)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+    val names = SparkEntry.queries.keys.toSeq
+    // Pass 0 (untimed): Janino + JIT + parquet footers.
+    names.foreach(run)
+    // Two timed passes over the WHOLE suite, per-query min across passes.
+    // Back-to-back reps share any multi-minute neighbor-contention window
+    // on this shared VM (observed: both of 2 consecutive reps stalled
+    // 30-50x); full-suite interleaving separates a query's reps by
+    // minutes, so the min rejects the stall at no extra cost.
+    def timedPass(): Map[String, Double] = names.map { name =>
+      val t0 = System.nanoTime()
+      run(name)
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = timedPass(); val p2 = timedPass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
