@@ -53,4 +53,44 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
   }
+
+  /** Resize stage: clamp the longer edge to `maxDim`, preserving aspect
+    * ratio (integer arithmetic, floor) — the metadata math is real, the
+    * pixel resample is the stubbed codec call. */
+  def resizeMeta(meta: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val longEdge = math.max(m.width, m.height)
+      if (longEdge <= maxDim) m
+      else m.copy(
+        width = math.max(1, m.width * maxDim / longEdge),
+        height = math.max(1, m.height * maxDim / longEdge))
+    }
+  }
+
+  /** Feature-extraction stage: payload → dense embedding. The real pipeline
+    * calls a vision/audio encoder here; the stub folds a byte histogram
+    * into `dim` L2-normalized floats — deterministic, so the downstream
+    * similarity/dedup operators (cosine top-k, embedding LSH) are testable
+    * on its output. Executor-side partition batches, like a real encoder. */
+  def featureExtract(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "kind").as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, kind) =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { acc((bytes(i) & 0xFF) % dim) += 1f; i += 1 }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
+        val n = math.sqrt(norm)
+        if (n > 0) { j = 0; while (j < dim) { acc(j) = (acc(j) / n).toFloat; j += 1 } }
+        MediaFeature(id, kind, acc)
+      })
+  }
 }
+
+/** Dense feature vector produced by the (stubbed) encoder stage. */
+case class MediaFeature(doc_id: Long, kind: String, embedding: Array[Float])

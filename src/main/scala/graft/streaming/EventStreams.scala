@@ -64,4 +64,24 @@ object EventStreams {
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** SURVEY.md §7.6 made real: the reference's classify-then-aggregate
+    * dataflow streamed. Each micro-batch runs the SAME cache-join classify
+    * and emits long-form (product, sentiment, count) — pivot is not
+    * streamable, the long form is (pivot at read time). Output parquet is
+    * append-only per batch; `checkpoint` gives exactly-once batch ids. */
+  def classifiedSummary(stream: DataFrame, industry: String,
+      clf: graft.operators.AnswerClassifier, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Classify
+          .applyTo(batch, col("answer"), lit("Q"), lit(industry), clf)
+          .groupBy(col("product"), col("sentiment"))
+          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }

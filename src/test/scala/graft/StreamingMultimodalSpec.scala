@@ -84,6 +84,51 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.count() >= meta.filter(_.kind == "video").count())
   }
 
+  test("classifiedSummary: the survey dataflow runs as a stream (foreachBatch cache-join classify)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "target/tmp/stream_summary"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("product", "answer")
+    val q = EventStreams.classifiedSummary(df, "retail",
+      graft.operators.DemoAnswerClassifier, s"$base/out", s"$base/ckpt")
+    try {
+      mem.addData(("Alpha", "I love it"), ("Alpha", "terrible support"), ("Beta", "n/a"))
+      q.processAllAvailable()
+      mem.addData(("Beta", "love the quality"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      val m = out.collect().map(r =>
+        (r.getAs[String]("product"), r.getAs[String]("sentiment")) -> r.getAs[Long]("n")).toMap
+      assert(m(("Alpha", "Positive")) == 1 && m(("Alpha", "Negative")) == 1)
+      assert(m(("Beta", "Neutral")) == 1)  // filler route, batch 0
+      assert(m(("Beta", "Positive")) == 1) // batch 1
+      assert(out.select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("multimodal resize + feature-extract stages: deterministic, bounded, normalized") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val media = Multimodal.packFake(docs)
+    val meta = Multimodal.decodeMeta(media)
+    val resized = Multimodal.resizeMeta(meta, maxDim = 128).collect()
+    assert(resized.forall(m => math.max(m.width, m.height) <= 128))
+    // aspect preserved within integer-floor tolerance
+    val orig = meta.collect().map(m => m.doc_id -> m).toMap
+    resized.filter(m => math.max(orig(m.doc_id).width, orig(m.doc_id).height) > 128).foreach { m =>
+      val o = orig(m.doc_id)
+      val expected = o.width.toDouble / o.height
+      val got = m.width.toDouble / m.height
+      assert(math.abs(expected - got) / expected < 0.15, s"aspect drift for ${m.doc_id}")
+    }
+    val feats = Multimodal.featureExtract(media, dim = 16).collect()
+    assert(feats.forall(_.embedding.length == 16))
+    assert(feats.forall(f => math.abs(f.embedding.map(x => x * x).sum - 1.0) < 1e-5))
+    val again = Multimodal.featureExtract(media, dim = 16).collect()
+      .map(f => f.doc_id -> f.embedding.toSeq).toMap
+    assert(feats.forall(f => again(f.doc_id) == f.embedding.toSeq))
+  }
+
   test("RemoteBatchClassifier: retry then degrade to (Neutral, No Feedback)") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val flaky: (String, String, String) => (String, String) = (_, _, ans) => {
