@@ -451,6 +451,42 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
+    "q42_full_outer" -> ((s, dir) => {
+      // FULL OUTER: per-nation customer stats vs supplier stats — either
+      // side may be absent (coalesced key, null-safe aggregates)
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("cust_bal"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"), round(sum("s_acctbal"), 2).as("supp_bal"))
+      c.join(su, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"), col("cust_bal"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"), col("supp_bal"))
+    }),
+
+    "q43_edit_distance" -> ((s, dir) => {
+      // character-level verify for blocked near-dup candidates: levenshtein
+      // over cleaned text, same min-shingle blocking as q29
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), TextExprs.cleanText(col("text")).as("cln"))
+        .select(col("id"), col("cln"), split(col("cln"), " ").as("toks"))
+        .select(col("id"), col("cln"),
+          array_min(Dedup.shinglesOfToks(col("toks"), 3)).as("blk"))
+        .where(col("blk").isNotNull)
+        .cache()
+      val keys = docs.select(col("blk"), col("id"))
+      val candidates = keys.as("l").join(keys.as("r"), Seq("blk"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .where(col("id_a") < col("id_b"))
+        .distinct()
+      candidates
+        .join(docs.select(col("id").as("id_a"), col("cln").as("cln_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("cln").as("cln_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("cln_a"), col("cln_b")).as("edit_dist"))
+        .where(col("edit_dist") <= 40)
+    }),
+
     "q41_frame_sample" -> ((s, dir) => {
       // multimodal frame-extraction shape: binary payload → executor-side
       // decode (stubbed deterministic codec) → per-frame explode
@@ -779,6 +815,29 @@ object SparkEntry {
            | count(*) FILTER (WHERE sent = 'Negative') AS "Negative",
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
+      },
+
+      "q42_full_outer" ->
+        """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust,
+          |    round(sum(c_acctbal), 2) AS cust_bal FROM customer GROUP BY 1),
+          |s AS (SELECT s_nationkey AS sk, count(*) AS n_supp,
+          |    round(sum(s_acctbal), 2) AS supp_bal FROM supplier GROUP BY 1)
+          |SELECT coalesce(ck, sk) AS nationkey,
+          | coalesce(n_cust, 0) AS n_cust, cust_bal,
+          | coalesce(n_supp, 0) AS n_supp, supp_bal
+          |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin,
+
+      "q43_edit_distance" -> {
+        val cln = cleanSql("text")
+        s"""$shingleCte,
+           |blk AS (SELECT doc_id, list_min(s) AS b FROM sh),
+           |c1 AS (SELECT doc_id, $cln AS cln FROM documents),
+           |pairs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM blk a JOIN blk b2 ON a.b = b2.b AND a.doc_id < b2.doc_id)
+           |SELECT DISTINCT p.id_a, p.id_b,
+           | CAST(levenshtein(x.cln, y.cln) AS INT) AS edit_dist
+           |FROM pairs p JOIN c1 x ON x.doc_id = p.id_a JOIN c1 y ON y.doc_id = p.id_b
+           |WHERE levenshtein(x.cln, y.cln) <= 40""".stripMargin
       },
 
       "q41_frame_sample" ->

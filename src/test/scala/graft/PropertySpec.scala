@@ -17,6 +17,7 @@ class PropertySpec extends SparkSpec {
 
   private val textGen: Gen[String] = Gen.oneOf(
     Gen.asciiPrintableStr,
+    Gen.const(null.asInstanceOf[String]), // null answers must flow through
     Gen.listOf(Gen.oneOf("hola", "  ", "🙂", "love", "\t", "n/a", "—", "x"))
       .map(_.mkString(" ")),
   )
@@ -78,7 +79,9 @@ class PropertySpec extends SparkSpec {
       case (answers, take) =>
       {
         val keys = answers.zipWithIndex
-          .map { case (a, i) => ("retail", "Q", TextExprs.sanitizeBase(a) + i) }
+          .map { case (a, i) =>
+            ("retail", "Q", Option(a).map(TextExprs.sanitizeBase).getOrElse("null") + i)
+          }
           .toDF("industry", "question", "answer")
         val full = DemoAnswerClassifier.classify(keys)
         val cacheSubset = full.limit(take)
