@@ -451,6 +451,13 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
+    "q44_curate" -> ((s, dir) => {
+      // THE capstone composition: raw docs → profile → filter → exact dedup
+      // → near-dup removal = curated training corpus (operators/Curate)
+      graft.operators.Curate.curate(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.7)
+    }),
+
     "q42_full_outer" -> ((s, dir) => {
       // FULL OUTER: per-nation customer stats vs supplier stats — either
       // side may be absent (coalesced key, null-safe aggregates)
@@ -815,6 +822,43 @@ object SparkEntry {
            | count(*) FILTER (WHERE sent = 'Negative') AS "Negative",
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
+      },
+
+      "q44_curate" -> {
+        val en = hitSql("cln", Lexicons.wordAlternation(Lexicons.StopwordsEn))
+        val es = hitSql("cln", Lexicons.wordAlternation(Lexicons.StopwordsEs))
+        val de = hitSql("cln", Lexicons.wordAlternation(Lexicons.StopwordsDe))
+        val fr = hitSql("cln", Lexicons.wordAlternation(Lexicons.StopwordsFr))
+        val cjk = hitSql("cln", "[\\x{4e00}-\\x{9fff}]")
+        s"""WITH c1 AS (SELECT doc_id, ${cleanSql("text")} AS cln FROM documents),
+           |h AS (SELECT doc_id, cln,
+           |   $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr, $cjk AS s_cjk,
+           |   greatest($en, $es, $de, $fr) AS s_best,
+           |   length(cln) AS nc,
+           |   CASE WHEN cln = '' THEN 0 ELSE len(string_split(cln, ' ')) END AS nt,
+           |   ${hitSql("cln", "[\\.,;:!\\?]")} AS np
+           |  FROM c1),
+           |p AS (SELECT doc_id, cln,
+           |   CASE WHEN s_cjk > 0 THEN 'zh' WHEN s_best = 0 THEN 'und'
+           |    WHEN s_en = s_best THEN 'en' WHEN s_es = s_best THEN 'es'
+           |    WHEN s_de = s_best THEN 'de' ELSE 'fr' END AS lang_pred,
+           |   round((least(nc / 200.0, 1.0) + least(nt / 50.0, 1.0) +
+           |     greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0.0
+           |       ELSE CAST(np AS DOUBLE) / nc END) * 5.0)) / 3.0, 4) AS quality
+           |  FROM h),
+           |f AS (SELECT * FROM p WHERE lang_pred IN ('en') AND quality >= 0.5),
+           |ex AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(cln)),
+           |s1 AS (SELECT f.* FROM f JOIN ex USING (doc_id)),
+           |toks AS (SELECT doc_id, string_split(cln, ' ') AS t FROM s1),
+           |shc AS (SELECT doc_id,
+           |    list_distinct(list_transform(range(1, len(t) - 1),
+           |      i -> array_to_string(t[i:i+2], ' '))) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |losers AS (SELECT DISTINCT b.doc_id
+           |  FROM shc a JOIN shc b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7)
+           |SELECT doc_id, cln AS clean_text, lang_pred, round(quality, 4) AS quality
+           |FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
       },
 
       "q42_full_outer" ->

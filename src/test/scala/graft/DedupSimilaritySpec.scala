@@ -127,6 +127,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaExpr.toSeq == direct.toSeq)
   }
 
+  test("Curate: drops exact dup, near-dup (higher id), and filler; keeps canonical docs") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today and more text follows here to pass quality"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight and more text follows here to pass quality"), // near-dup of 0
+      (2L, "a completely different story about spark engines with many long words that should be kept in the corpus for training runs"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today and more text follows here to pass quality"), // exact dup of 0
+      (4L, "n/a"), // filler → und/low quality
+    ).toDF("doc_id", "text")
+    val curated = graft.operators.Curate.curate(docs, col("doc_id"), col("text"),
+        minQuality = 0.3, langs = Seq("en"), nearDupThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated.contains(0L) && curated.contains(2L))
+    assert(!curated.contains(3L), "exact dup must collapse to min id")
+    assert(!curated.contains(1L), "near-dup higher id must drop")
+    assert(!curated.contains(4L), "filler/low-quality must drop")
+  }
+
   test("embeddingNearDups finds planted duplicate vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
