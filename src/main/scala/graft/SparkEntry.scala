@@ -489,9 +489,13 @@ object SparkEntry {
       candidates
         .join(docs.select(col("id").as("id_a"), col("cln").as("cln_a")), "id_a")
         .join(docs.select(col("id").as("id_b"), col("cln").as("cln_b")), "id_b")
+        // length-difference lower bound (|len(a)-len(b)| > k implies
+        // edit_dist > k) + the banded threshold DP (O(n*k), returns -1
+        // above the bound) — result set provably unchanged
+        .where(abs(length(col("cln_a")) - length(col("cln_b"))) <= 40)
         .select(col("id_a"), col("id_b"),
-          levenshtein(col("cln_a"), col("cln_b")).as("edit_dist"))
-        .where(col("edit_dist") <= 40)
+          levenshtein(col("cln_a"), col("cln_b"), 40).as("edit_dist"))
+        .where(col("edit_dist") >= 0)
     }),
 
     "q41_frame_sample" -> ((s, dir) => {
