@@ -451,6 +451,18 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
+    "q45_topk_agg" -> ((s, dir) => {
+      // custom bounded Aggregator: map-side top-k combine — shuffle carries
+      // |Q|*k rows, not |Q|*|C| scores (same results as q30's window form)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      Similarity.bruteForceTopKAgg(queries, corpus, 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+    }),
+
     "q44_curate" -> ((s, dir) => {
       // THE capstone composition: raw docs → profile → filter → exact dedup
       // → near-dup removal = curated training corpus (operators/Curate)
@@ -827,6 +839,18 @@ object SparkEntry {
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
       },
+
+      "q45_topk_agg" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+          |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |   list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))) AS cos
+          |  FROM q, c)
+          |SELECT query_id, corpus_id, round(cos, 6) AS cos,
+          | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+          |FROM s QUALIFY rnk <= 5""".stripMargin,
 
       "q44_curate" -> {
         val en = hitSql("cln", Lexicons.wordAlternation(Lexicons.StopwordsEn))

@@ -32,6 +32,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Brute-force cosine top-k via the bounded [[TopKAgg]] aggregator:
+    * identical results to [[bruteForceTopK]], but the per-query state never
+    * exceeds k entries and partial aggregation combines map-side — at 100 TB
+    * the shuffle carries |Q|·k rows instead of |Q|·|C| scores. */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
+    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+    TopKAgg.perKey(scored, col("query_id"), col("cos"), col("corpus_id"), k)
+      .select(col("_k").as("query_id"), col("id").as("corpus_id"),
+        col("score").as("cos"), col("rank"))
+  }
+
   /** Deterministic centroid selection: every (nRows/nCells)-th corpus vector
     * by id order — a stand-in for k-means that keeps the whole operator
     * reproducible (no iterative fitting in the hot path; swap in real

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types.IntegerType
   * running session with [[GraftFunctions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => JaccardBoundRule)
+  }
 }
 
 object GraftFunctions {

@@ -114,7 +114,7 @@ object MinHashImpl {
   }
 }
 
-case class JaccardSorted(left: Expression, right: Expression)
+case class JaccardSorted(left: Expression, right: Expression, bounded: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -15,6 +15,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Materialize a DataFrame from a (possibly hand-rewritten) logical plan —
+    * the test hook for optimizer rules applied outside a session's
+    * extension list. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register an expression-backed SQL function into a LIVE session's
     * function registry (sessionState is private[sql], hence here). The
     * session-creation path is graft.plans.GraftExtensions via

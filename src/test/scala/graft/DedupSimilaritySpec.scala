@@ -167,6 +167,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.where(col("rank") === 1).select(min("cos")).collect()(0).getDouble(0) > 0.999999)
   }
 
+  test("bruteForceTopKAgg == bruteForceTopK; partial aggregation combines map-side") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val q = emb.where(col("id") < 5)
+    val viaAgg = Similarity.bruteForceTopKAgg(q, emb, 3)
+      .select("query_id", "corpus_id", "rank")
+    val viaWindow = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(viaAgg.except(viaWindow).count() == 0 && viaWindow.except(viaAgg).count() == 0)
+    // two ObjectHashAggregate nodes = partial (pre-shuffle, bounded to k
+    // rows per key) + final — the whole point of the custom Aggregator
+    val plan = Similarity.bruteForceTopKAgg(q, emb, 3).queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(1200))
+  }
+
   test("ivfTopK with full probe = brute force; partial probe has decent recall") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("v"))

@@ -54,6 +54,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("JaccardBoundRule injects the implied size bound; results and semantics unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{JaccardBoundRule, MinHashExprs}
+    import graft.functions.TextExprs
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"),
+        MinHashExprs.shingleHashes(TextExprs.cleanText(col("text")), 3).as("shh"))
+      .where(size(col("shh")) > 0)
+    val pairs = docs.as("a").crossJoin(docs.as("b").withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shh", "shh_b"))
+      .where(col("doc_id") < col("doc_b")).limit(500)
+      .where(MinHashExprs.jaccardSorted(col("shh"), col("shh_b")) >= 0.7)
+    val before = pairs.queryExecution.optimizedPlan
+    val after = JaccardBoundRule(before)
+    assert(after.toString.contains("size("), "size bound must be conjoined")
+    assert(JaccardBoundRule(after).fastEquals(after), "rule must be idempotent")
+    val viaRule = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, after)
+      .select("doc_id", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs.select("doc_id", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRule == direct)
+  }
+
   test("jaccardSorted impl: disjoint, identical, empty edge cases") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def arr(xs: Long*) = new GenericArrayData(xs.toArray)
