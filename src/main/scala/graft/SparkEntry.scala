@@ -451,6 +451,38 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
+    "q46_range_frame" -> ((s, dir) => {
+      // RANGE frame over event-time seconds: trailing-1h mean per user
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        round(avg("value").over(w), 4).as("avg_value_1h"))
+    }),
+
+    "q47_lead_lag_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w),
+          col("o_orderdate")).cast("long").as("days_to_next"),
+        ntile(4).over(wAll).cast("long").as("price_quartile"))
+    }),
+
+    "q48_array_agg" -> ((s, dir) => {
+      // deterministic array aggregation: sorted distinct langs per source,
+      // serialized (cross-engine array rendering differs; strings hash equal)
+      t(s, dir, "documents").groupBy("source").agg(
+        concat_ws("|", array_sort(collect_set(col("lang")))).as("langs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_docs"))
+    }),
+
     "q45_topk_agg" -> ((s, dir) => {
       // custom bounded Aggregator: map-side top-k combine — shuffle carries
       // |Q|*k rows, not |Q|*|C| scores (same results as q30's window form)
@@ -839,6 +871,28 @@ object SparkEntry {
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
       },
+
+      "q46_range_frame" ->
+        """SELECT user_id, event_id,
+          | count(*) OVER w AS n_trailing_1h,
+          | round(avg(value) OVER w, 4) AS avg_value_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "q47_lead_lag_ntile" ->
+        """SELECT o_custkey, o_orderkey,
+          | CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+          | CAST(datediff('day', o_orderdate, lead(o_orderdate) OVER w) AS BIGINT) AS days_to_next,
+          | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+      "q48_array_agg" ->
+        """SELECT source,
+          | array_to_string(list_sort(list(DISTINCT lang)), '|') AS langs,
+          | count(DISTINCT lang) AS n_langs, count(*) AS n_docs
+          |FROM documents GROUP BY source""".stripMargin,
 
       "q45_topk_agg" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
