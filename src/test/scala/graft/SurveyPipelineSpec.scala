@@ -103,6 +103,18 @@ class SurveyPipelineSpec extends SparkSpec {
     }
   }
 
+  test("JSON-lines source round-trip with explicit schema") {
+    val dir = "target/tmp/json_roundtrip"
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    val a = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    val b = back.select("doc_id", "text").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("sampleAnswers: first non-blank value per question; all-blank → None") {
     val df = Seq(
       ("a", "n", "P", null.asInstanceOf[String], "  "),
