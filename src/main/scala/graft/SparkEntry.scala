@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Lexicons, TextExprs}
-import graft.operators.{Dedup, Similarity, SurveyPipeline, TextAnalysis}
+import graft.operators.{Dedup, GlobalRank, JoinOps, Profiler, Retrieval, Similarity, SurveyPipeline, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -548,7 +548,126 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.packFake(t(s, dir, "documents"))), stride = 30)
     }),
+
+    // ---- round 3 additions ----
+
+    "q18_bloom_join" -> ((s, dir) => {
+      // bloom-filter join pruning: the big side is filtered by a bloom of
+      // the selective side's keys BEFORE the shuffle; result identical to
+      // the plain join (false positives are re-checked by the join itself)
+      val hot = t(s, dir, "orders").where(col("o_totalprice") > 480000)
+        .select("o_orderkey", "o_orderpriority")
+      val pruned = JoinOps.bloomPrune(
+        t(s, dir, "lineitem"), col("l_orderkey"), hot, "o_orderkey", fpp = 0.01)
+      pruned.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "q49_global_ntile" -> ((s, dir) => {
+      // exact global ntile WITHOUT the single-partition window collapse:
+      // range-repartition + per-partition offsets (operators.GlobalRank)
+      GlobalRank.withNtile(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          buckets = 4,
+          sortCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          out = "price_quartile")
+        .select("o_orderkey", "price_quartile")
+    }),
+
+    "q50_stats_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qp"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_pop_qp"),
+        round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
+        round(var_samp("l_quantity"), 4).as("var_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+    }),
+
+    "q51_tfidf" -> ((s, dir) => {
+      Retrieval.tfidfTopK(t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+    }),
+
+    "q52_bm25" -> ((s, dir) => {
+      Retrieval.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream"))
+    }),
+
+    "q53_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs → connected components → dedup clusters: the
+      // post-pass that turns q27's pair list into keep/drop groups
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+    }),
+
+    "q54_histogram" -> ((s, dir) => {
+      // fixed-width histogram binning (floor arithmetic — engine-portable)
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"))
+    }),
+
+    "q55_col_profile" -> ((s, dir) => {
+      Profiler.profile(t(s, dir, "orders"), ordersProfile)
+    }),
+
+    "q56_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sampling: md5-keyed order within each
+      // stratum = a reproducible pseudo-random draw, identical on any engine
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 20)
+    }),
+
+    "q57_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_disc_ctr"),
+        floor(col("l_extendedprice") / 1000.0).cast("long").as("price_k"),
+        ceil(col("l_quantity") / lit(7.0)).cast("long").as("qty_ceil7"),
+        pmod(col("l_orderkey"), lit(97L)).cast("long").as("mod97"))
+    }),
+
+    "q58_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        date_trunc("week", col("o_orderdate")).as("week_start"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        add_months(col("o_orderdate"), 1).cast("string").as("plus_month"))
+    }),
   )
+
+  /** Column specs for the q55 profiler — shared by the Spark side and the
+    * generated DuckDB twin (Profiler.oracleSql). */
+  private val ordersProfile: Seq[(String, Profiler.Kind)] = Seq(
+    "o_orderkey" -> Profiler.Num, "o_custkey" -> Profiler.Num,
+    "o_totalprice" -> Profiler.Num, "o_orderdate" -> Profiler.Ts,
+    "o_orderstatus" -> Profiler.Str, "o_orderpriority" -> Profiler.Str)
 
   def oracleSql: Map[String, String] = {
     val low = "low"; val cln = "cln"
@@ -981,6 +1100,116 @@ object SparkEntry {
           | CAST(64 + (octet_length(encode(text)) * 31) % 576 AS INT) AS height,
           | CAST(1 + octet_length(encode(text)) % 120 AS INT) AS n_frames
           |FROM documents""".stripMargin,
+
+      "q18_bloom_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 480000
+          |GROUP BY o_orderpriority""".stripMargin,
+
+      "q49_global_ntile" ->
+        """SELECT o_orderkey,
+          | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_quartile
+          |FROM orders""".stripMargin,
+
+      "q50_stats_agg" ->
+        """SELECT l_returnflag, count(*) AS n,
+          | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+          | round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+          | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+          | round(var_samp(l_quantity), 4) AS var_qty,
+          | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+          | round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+          | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q51_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+           |sc AS (SELECT tf.doc_id, tf.token,
+           |   round(tf.tf * ln((n.n + 1.0) / (dfq.dfreq + 1.0)), 4) AS score
+           |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+           |SELECT doc_id, token, score,
+           | row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+           |FROM sc QUALIFY rnk <= 3""".stripMargin,
+
+      "q52_bm25" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |sc AS (SELECT tf.doc_id,
+           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * (1.2 + 1.0)
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM tf
+           |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token) dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st
+           |  WHERE tf.token IN ('spark', 'vector', 'stream'))
+           |SELECT doc_id, round(sum(s), 4) AS score FROM sc GROUP BY doc_id""".stripMargin,
+
+      "q53_dedup_clusters" -> {
+        s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |  UNION SELECT id_a, id_a FROM pairs
+           |  UNION SELECT id_b, id_b FROM pairs),
+           |reach AS (SELECT src, dst FROM e
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+           |SELECT c.doc_id, c.cluster_id, s.cluster_size
+           |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+           |  FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
+      },
+
+      "q54_histogram" ->
+        """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+          | count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+          | round(min(o_totalprice), 2) AS min_price,
+          | round(max(o_totalprice), 2) AS max_price
+          |FROM orders GROUP BY 1""".stripMargin,
+
+      "q55_col_profile" -> Profiler.oracleSql("orders", ordersProfile),
+
+      "q56_stratified_sample" ->
+        """SELECT o_orderpriority, o_orderkey,
+          | row_number() OVER (PARTITION BY o_orderpriority
+          |   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+          |FROM orders QUALIFY rn <= 20""".stripMargin,
+
+      "q57_math_funcs" ->
+        """SELECT l_orderkey, l_linenumber,
+          | round(sqrt(l_quantity), 6) AS sqrt_qty,
+          | round(ln(l_extendedprice), 6) AS ln_price,
+          | round(exp(l_discount), 6) AS exp_disc,
+          | round(pow(l_quantity, 2.0), 2) AS qty_sq,
+          | round(abs(l_discount - 0.05), 6) AS abs_disc_ctr,
+          | CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+          | CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+          | CAST(mod(l_orderkey, 97) AS BIGINT) AS mod97
+          |FROM lineitem""".stripMargin,
+
+      "q58_date_funcs" ->
+        """SELECT o_orderkey,
+          | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+          | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+          | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+          | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+          | date_trunc('week', o_orderdate) AS week_start,
+          | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+          | CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_month
+          |FROM orders""".stripMargin,
     )
   }
 }

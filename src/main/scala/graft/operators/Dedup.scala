@@ -165,6 +165,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list `(id_a, id_b)` —
+    * turns near-dup PAIRS into dedup CLUSTERS (the canonical post-pass for
+    * any of the near-dup operators above: keep one doc per component).
+    *
+    * Algorithm: min-label propagation. Every node starts labeled with its
+    * own id; each round a node adopts the minimum label in its closed
+    * neighborhood; fixpoint = components labeled by their minimum member.
+    * Convergence is detected with a one-row aggregate (labels are
+    * non-negative and the label sum strictly decreases until fixpoint —
+    * no join-diff needed). Rounds ≤ graph diameter; near-dup clusters are
+    * shallow (near-cliques), so 2-3 rounds in practice. Each round is one
+    * shuffle join + one groupBy on node ids — no driver-side graph, works
+    * at any scale. (For adversarially long chains, swap in the
+    * large-star/small-star round structure; same join primitive.)
+    *
+    * Returns (node, component) — component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).cache()
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min("component").as("_nbr"))
+      val next = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("component"), col("_nbr")).as("component"))
+        .cache()
+      val s = next.agg(sum("component")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify.
     * At 100 TB the bucket join replaces the quadratic cross join; raise
     * nPlanes for tighter buckets. */

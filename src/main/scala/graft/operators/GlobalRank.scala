@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Total-order ranking without the single-partition window collapse.
+  *
+  * `Window.orderBy(...)` with no partition key sends EVERY row to one
+  * partition (Spark itself warns "No Partition Defined for Window operation
+  * ... serious performance degradation") — a non-starter at 100 TB. These
+  * operators compute the same global `row_number` / `ntile` the scalable
+  * way, mirroring how a distributed sort works:
+  *
+  *  1. `repartitionByRange` on the sort key (sampled range bounds — the
+  *     exchange Spark plans for any global `orderBy`), sort within
+  *     partitions → globally sorted across partition index order;
+  *  2. one count per partition to the driver (#partitions longs, not rows);
+  *  3. per-partition rank = partition offset + local position.
+  *
+  * The data never converges on one node; the only driver traffic is the
+  * per-partition counts. The caller must supply a TOTAL order (tie-broken
+  * to uniqueness) for a deterministic result.
+  */
+object GlobalRank {
+
+  /** Appends a 1-based global row number column `out` under the total order
+    * `sortCols`. One range exchange + one pass; rows stay distributed. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
+      numPartitions: Option[Int] = None): DataFrame =
+    ranked(df, sortCols, out, numPartitions)._1
+
+  /** Appends an `out` column with the SQL `ntile(buckets)` assignment under
+    * the total order `sortCols`: rows split into `buckets` contiguous groups,
+    * the first `n % buckets` groups one row larger — identical semantics to
+    * `ntile(k) OVER (ORDER BY ...)` but without the single-partition plan. */
+  def withNtile(df: DataFrame, buckets: Int, sortCols: Seq[Column], out: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val (rowNumbered, total) = ranked(df, sortCols, "_grank", numPartitions)
+    val base = total / buckets     // small-bucket size
+    val rem = total % buckets      // #buckets of size base+1 (they come first)
+    val cut = rem * (base + 1)     // rank0 below this → a big bucket
+    val rank0 = col("_grank") - 1
+    val tile = when(rank0 < cut, rank0.cast("long") / (base + 1))
+      // greatest() guards base=0 (total < buckets): then cut == total and
+      // every row takes the first branch, but both branches are codegen'd.
+      .otherwise(lit(rem) + (rank0 - cut).cast("long") / math.max(base, 1L))
+    rowNumbered.withColumn(out, (tile + 1).cast("long")).drop("_grank")
+  }
+
+  /** Shared core: returns (df + rank column, total row count). */
+  private def ranked(df: DataFrame, sortCols: Seq[Column], out: String,
+      numPartitions: Option[Int]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    // Freeze the sorted row stream as an RDD so the count pass and the
+    // rank-assignment pass see the SAME partitioning (a re-optimized second
+    // DataFrame execution could legally choose different range bounds).
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withIdx = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = bc.value(i)
+      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    (spark.createDataFrame(withIdx, schema), offsets.last)
+  }
+}

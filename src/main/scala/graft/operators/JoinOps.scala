@@ -50,6 +50,27 @@ object JoinOps {
       .agg(sum("_partial").as("n"))
   }
 
+  /** Bloom-filter join pruning: build a bloom filter over `other`'s join
+    * keys (driver-side, broadcast as a task closure constant) and pre-filter
+    * the big side before the shuffle join. False positives only let a few
+    * extra rows through to the exact join — results are identical to the
+    * unfiltered join — but true negatives (the overwhelming majority when
+    * the key set is selective) never enter the exchange. This is the manual
+    * form of Spark's own runtime row-group filtering, exposed as an operator
+    * so the pruning applies to ANY downstream shape, not just joins the
+    * planner picks up.
+    *
+    * @param keyName  long-typed join key column present in `other`.
+    * @param fpp      false-positive rate; sizes the filter (~ -n·ln(fpp)/ln²2 bits). */
+  def bloomPrune(big: DataFrame, bigKey: Column, other: DataFrame,
+      keyName: String, fpp: Double = 0.01): DataFrame = {
+    val nKeys = math.max(other.count(), 1L)
+    val bf = other.stat.bloomFilter(keyName, nKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.where(might(bigKey))
+  }
+
   /** Salted join for a skewed left side against a (modest) right side: the
     * left's hot keys are spread across `nSalts` sub-keys, the right side is
     * replicated once per salt. Correct for any join whose right side fits

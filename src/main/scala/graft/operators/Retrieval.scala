@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextExprs
+
+/** Corpus retrieval scoring — TF-IDF term weighting and BM25 ranking — as
+  * pure dataflow over the (doc, token, tf) long format. These are the
+  * text-side analogs of the embedding similarity operators (q30/q31): the
+  * sparse-retrieval half of a training-data curation / search stack.
+  *
+  * Scale shape: everything is groupBy/join on well-spread keys. The document
+  * frequency table is |vocab| rows — tiny next to the corpus — so Catalyst
+  * broadcasts it into the per-token join; the per-doc aggregates shuffle on
+  * doc_id. Corpus-level scalars (N, avgdl) are single-row aggregates
+  * computed driver-side and folded into the plan as literals (at 100 TB
+  * these stay two cheap scans; cache `termFreqs` to make them one).
+  */
+object Retrieval {
+
+  /** (doc_id, token, tf): term frequencies of the cleaned, lowercased,
+    * whitespace-split text. Empty tokens dropped; docs with no tokens
+    * contribute no rows. */
+  def termFreqs(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), lower(TextExprs.cleanText(text)).as("cln"))
+      .select(col("doc_id"), explode(split(col("cln"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document.
+    *
+    * score = tf · ln((N + 1) / (df + 1))  (smoothed idf; never negative-∞)
+    *
+    * Ranking happens on the 4-dp-ROUNDED score (ties broken by token) so the
+    * ordering is reproducible across engines — two different (tf, df) pairs
+    * can land within a double ulp of each other, and an unrounded
+    * cross-engine comparison would make the top-k boundary flap. */
+  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = termFreqs(df, id, text)
+    val nDocs = df.count()
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("score",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("dfreq") + 1.0)), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("score"), col("rnk"))
+  }
+
+  /** BM25 relevance of every matching document for a bag-of-words query.
+    *
+    * score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1 · (1 − b + b·|d|/avgdl))
+    * idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * |d| = total token count of the doc (Σ tf), avgdl its corpus mean.
+    * Emits (doc_id, score) for docs containing ≥ 1 query term, score rounded
+    * to 4 dp. No top-k cut here: a rank column over float scores is exactly
+    * the cross-engine trap tfidfTopK rounds away, and the match set is
+    * already |docs containing a term|, not the corpus. */
+  def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tf = termFreqs(df, id, text).cache()
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val Row0 = docLen.agg(count(lit(1)), avg("dl")).head()
+    val nDocs = Row0.getLong(0)
+    val avgdl = Row0.getDouble(1)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
+    tf.where(col("token").isin(terms: _*))
+      .join(broadcast(dfreq.where(col("token").isin(terms: _*))), "token")
+      .join(docLen, "doc_id")
+      .withColumn("_s", idf * col("tf") * (k1 + 1.0) / norm)
+      .groupBy("doc_id")
+      .agg(round(sum("_s"), 4).as("score"))
+  }
+}
