@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, GlobalRank, JoinOps, Profiler, Retrieval}
+import graft.sources.Tables
+
+/** Round-3 operators: global ranking without single-partition windows,
+  * retrieval scoring, dedup clustering, bloom join pruning, profiling. */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- GlobalRank ----
+
+  test("GlobalRank.withRowNumber matches the window row_number under a total order") {
+    val orders = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
+    val viaOp = GlobalRank.withRowNumber(orders,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rn")
+    val viaWindow = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).cast("long"))
+    assert(viaOp.except(viaWindow).count() == 0 && viaWindow.except(viaOp).count() == 0)
+  }
+
+  test("GlobalRank.withNtile matches SQL ntile incl. the uneven-remainder split") {
+    // 10 rows into 4 buckets: sizes 3,3,2,2 — exercises the remainder path
+    val df = (1 to 10).toDF("x")
+    val viaOp = GlobalRank.withNtile(df, 4, Seq(col("x").asc), "t")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val viaWindow = df.withColumn("t", ntile(4).over(Window.orderBy("x")).cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaOp == viaWindow)
+  }
+
+  test("GlobalRank.withNtile with fewer rows than buckets gives one row per leading bucket") {
+    val out = GlobalRank.withNtile((1 to 3).toDF("x"), 5, Seq(col("x").asc), "t")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
+  test("GlobalRank plans no Window operator") {
+    val orders = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
+    val plan = GlobalRank.withNtile(orders, 4,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
+
+  // ---- connected components ----
+
+  test("connectedComponents labels a chain and a separate pair correctly") {
+    // chain 1-2-3-4 (diameter 3) + pair 10-11 + triangle 20-21-22
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  // ---- bloom pruning ----
+
+  test("bloomPrune keeps every true match: pruned join == plain join") {
+    val hot = Tables.table(spark, sf(), "orders")
+      .where(col("o_totalprice") > 300000).select("o_orderkey")
+    val li = Tables.table(spark, sf(), "lineitem")
+    val pruned = JoinOps.bloomPrune(li, col("l_orderkey"), hot, "o_orderkey")
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    val plain = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    assert(pruned.except(plain).count() == 0 && plain.except(pruned).count() == 0)
+    assert(pruned.count() == plain.count())
+  }
+
+  // ---- retrieval ----
+
+  test("tfidfTopK scores: rare terms outrank common ones; k bounds per-doc rows") {
+    val docs = Seq((1L, "apple banana banana"), (2L, "apple cherry"),
+      (3L, "apple date")).toDF("id", "txt")
+    val out = Retrieval.tfidfTopK(docs, col("id"), col("txt"), 2)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 2))
+    // doc 1: banana (tf=2, df=1) must beat apple (tf=1, df=3)
+    val d1 = byDoc(1L).sortBy(_.getLong(3)).map(_.getString(1)).toSeq
+    assert(d1 == Seq("banana", "apple"))
+    // idf of apple = ln(4/4) = 0 → apple scores exactly 0 everywhere
+    val appleScores = out.where(col("token") === "apple").select("score")
+      .collect().map(_.getDouble(0)).toSet
+    assert(appleScores == Set(0.0))
+  }
+
+  test("bm25: more query-term mass scores higher; non-matching docs absent") {
+    val docs = Seq((1L, "spark spark spark fast"), (2L, "spark slow"),
+      (3L, "nothing here")).toDF("id", "txt")
+    val out = Retrieval.bm25(docs, col("id"), col("txt"), Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > out(2L))
+  }
+
+  // ---- profiler ----
+
+  test("Profiler counts nulls/distincts and min/max per kind") {
+    val df = Seq((Some(1L), Some("b")), (Some(1L), None), (None, Some("a")))
+      .toDF("k", "s")
+    val rows = Profiler.profile(df, Seq("k" -> Profiler.Num, "s" -> Profiler.Str))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k"); val s = rows("s")
+    assert(k.getLong(1) == 1L && k.getLong(2) == 1L) // one null, one distinct
+    assert(k.getDouble(3) == 1.0 && k.getDouble(4) == 1.0)
+    assert(k.isNullAt(5) && k.isNullAt(6))           // no string stats for Num
+    assert(s.getLong(1) == 1L && s.getLong(2) == 2L)
+    assert(s.isNullAt(3) && s.isNullAt(4))
+    assert(s.getString(5) == "a" && s.getString(6) == "b")
+  }
+
+  // ---- cluster query end-to-end invariants ----
+
+  test("q53 clusters are consistent with q27 pairs: every pair lands in one cluster") {
+    val pairs = SparkEntry.queries("q27_minhash_neardup")(spark, sf())
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q53_dedup_clusters")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster id is the minimum member id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+}
