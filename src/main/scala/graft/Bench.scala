@@ -40,18 +40,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     // Pass 0 (untimed): Janino + JIT + parquet footers.
     names.foreach(run)
-    // Two timed passes over the WHOLE suite, per-query min across passes.
+    // Three timed passes over the WHOLE suite, per-query min across passes.
     // Back-to-back reps share any multi-minute neighbor-contention window
     // on this shared VM (observed: both of 2 consecutive reps stalled
-    // 30-50x); full-suite interleaving separates a query's reps by
-    // minutes, so the min rejects the stall at no extra cost.
+    // 30-50x, and one round-2 driver run had a stall window outlasting two
+    // interleaved passes); full-suite interleaving separates a query's reps
+    // by minutes, and a third pass widens that separation further.
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       run(name)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = timedPass(); val p2 = timedPass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

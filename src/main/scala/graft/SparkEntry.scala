@@ -463,15 +463,21 @@ object SparkEntry {
     }),
 
     "q47_lead_lag_ntile" -> ((s, dir) => {
+      // lag/lead ride the per-custkey window; the GLOBAL quartile goes
+      // through GlobalRank (same ntile semantics, no single-partition
+      // window — `ntile().over(Window.orderBy(..))` funnels every row to
+      // one task, Spark's own WindowExec warning at any real scale)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val wAll = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(
-        col("o_custkey"), col("o_orderkey"),
+      val base = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         datediff(col("o_orderdate"),
           lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
         datediff(lead(col("o_orderdate"), 1).over(w),
-          col("o_orderdate")).cast("long").as("days_to_next"),
-        ntile(4).over(wAll).cast("long").as("price_quartile"))
+          col("o_orderdate")).cast("long").as("days_to_next"))
+      GlobalRank.withNtile(base, 4,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), "price_quartile")
+        .select("o_custkey", "o_orderkey", "days_since_prev", "days_to_next",
+          "price_quartile")
     }),
 
     "q48_array_agg" -> ((s, dir) => {
@@ -659,6 +665,39 @@ object SparkEntry {
         date_trunc("week", col("o_orderdate")).as("week_start"),
         last_day(col("o_orderdate")).cast("string").as("month_end"),
         add_months(col("o_orderdate"), 1).cast("string").as("plus_month"))
+    }),
+
+    "q59_salted_agg" -> ((s, dir) => {
+      // explicit two-phase skew-safe aggregation — identical result to the
+      // direct groupBy (which the oracle computes)
+      JoinOps.saltedCount(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), nSalts = 16)
+    }),
+
+    "q60_time_range_join" -> ((s, dir) => {
+      // range join WITHOUT any equi-key: interval bucketing replaces the
+      // theta-join (each left row probes its own bucket + the next)
+      val ev = t(s, dir, "events")
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("ts").as("ets"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("ts").as("pts"))
+      JoinOps.timeRangeJoin(errs, purch, "ets", "pts", windowUs = 3600L * 1000000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_purchases_1h"))
+    }),
+
+    "q61_asof_forward" -> ((s, dir) => {
+      // forward as-of: EARLIEST purchase at/after each error, ≤ 1h ahead
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.forward(errors, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+          tolerance = Some(lit(3600L)))
+        .select(col("event_id"), col("_asof_ts").as("next_purchase_ts"),
+          round(col("_asof_value"), 2).as("next_purchase_value"))
     }),
   )
 
@@ -1210,6 +1249,30 @@ object SparkEntry {
           | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
           | CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_month
           |FROM orders""".stripMargin,
+
+      "q59_salted_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q60_time_range_join" ->
+        """SELECT e.event_id AS event_id, count(*) AS n_purchases_1h
+          |FROM events e JOIN events p ON p.event_type = 'purchase'
+          |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+          |WHERE e.event_type = 'error'
+          |GROUP BY e.event_id""".stripMargin,
+
+      "q61_asof_forward" ->
+        """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+          |SELECT e.event_id,
+          | (SELECT p.ts FROM events p
+          |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts >= e.ts
+          |    AND (epoch_us(p.ts::TIMESTAMP) // 1000000) - (epoch_us(e.ts::TIMESTAMP) // 1000000) <= 3600
+          |   ORDER BY p.ts ASC LIMIT 1) AS next_purchase_ts,
+          | round((SELECT p.value FROM events p
+          |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts >= e.ts
+          |    AND (epoch_us(p.ts::TIMESTAMP) // 1000000) - (epoch_us(e.ts::TIMESTAMP) // 1000000) <= 3600
+          |   ORDER BY p.ts ASC LIMIT 1), 2) AS next_purchase_value
+          |FROM e""".stripMargin,
     )
   }
 }

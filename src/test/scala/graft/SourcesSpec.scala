@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Source/sink format coverage beyond parquet: ORC (columnar, built into
+  * spark-sql) and quoted CSV round-trips. JSON-lines round-trip lives in
+  * SurveyPipelineSpec; bucketed managed tables in JoinOpsSpec. */
+class SourcesSpec extends SparkSpec {
+
+  test("ORC round-trip preserves schema and rows (documents)") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val dir = "target/tmp/docs_orc"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.except(docs).count() == 0 && docs.except(back).count() == 0)
+  }
+
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val dir = "target/tmp/docs_orc_plan"
+    docs.write.mode("overwrite").orc(dir)
+    val plan = spark.read.orc(dir)
+      .where(col("doc_id") > 100).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("CSV round-trip with quoted commas/newlines in values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "has, commas, three"),
+      (3L, "has \"quotes\" inside"),
+      (4L, "multi\nline value")).toDF("id", "v")
+    val dir = "target/tmp/csv_rt"
+    df.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(dir)
+    val back = spark.read
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .schema(df.schema).csv(dir)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+}
