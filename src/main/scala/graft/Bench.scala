@@ -32,26 +32,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Unit =
+    val runQuery: String => Unit = name =>
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
     val names = SparkEntry.queries.keys.toSeq
-    // Pass 0 (untimed): Janino + JIT + parquet footers.
-    names.foreach(run)
-    // Three timed passes over the WHOLE suite, per-query min across passes.
-    // Back-to-back reps share any multi-minute neighbor-contention window
-    // on this shared VM (observed: both of 2 consecutive reps stalled
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    // Pass 0 (untimed): Janino + JIT + parquet footers. Runs on a driver
+    // thread pool — Spark's scheduler is thread-safe and the one-time costs
+    // being absorbed (codegen compilation, footer reads, cache fills) are
+    // mostly serial per query, so overlapping 8 queries cuts this pass from
+    // sum-of-query-times to roughly the longest chain. Timing is not read
+    // from this pass, so concurrency can't distort the measurement.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    names.foreach { n =>
+      pool.submit(new Runnable { def run(): Unit = runQuery(n) })
+    }
+    pool.shutdown()
+    pool.awaitTermination(45, java.util.concurrent.TimeUnit.MINUTES)
+    // Up to three timed passes over the WHOLE suite, per-query min across
+    // passes. Back-to-back reps share any multi-minute neighbor-contention
+    // window on this shared VM (observed: both of 2 consecutive reps stalled
     // 30-50x, and one round-2 driver run had a stall window outlasting two
     // interleaved passes); full-suite interleaving separates a query's reps
-    // by minutes, and a third pass widens that separation further.
+    // by minutes, and extra passes widen that separation further. A wall
+    // budget (driver-side timeout protection: the round-3 harness run was
+    // killed at ~55 min) drops the later passes if the host is stalling.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      run(name)
+      runQuery(name)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val passes = scala.collection.mutable.ArrayBuffer(timedPass())
+    while (passes.size < 3 && elapsed < budgetS) passes += timedPass()
     val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

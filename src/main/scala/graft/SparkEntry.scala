@@ -406,12 +406,17 @@ object SparkEntry {
     }),
 
     "q37_percentile" -> ((s, dir) => {
-      // exact interpolated percentiles (not the sketch — q39 has that)
-      t(s, dir, "orders").groupBy("o_orderpriority").agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      // exact interpolated percentiles (not the sketch — q39 has that).
+      // ONE array-argument percentile aggregate: a single sorted buffer per
+      // group serves all four cut points (four scalar aggregates would each
+      // buffer + sort the group's values independently)
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("_p"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("_p"), 1), 4).as("p25"),
+          round(element_at(col("_p"), 2), 4).as("p50"),
+          round(element_at(col("_p"), 3), 4).as("p75"),
+          round(element_at(col("_p"), 4), 4).as("p99"))
     }),
 
     "q38_summary_unpivot" -> ((s, dir) => {

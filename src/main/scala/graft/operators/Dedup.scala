@@ -169,43 +169,137 @@ object Dedup {
     * turns near-dup PAIRS into dedup CLUSTERS (the canonical post-pass for
     * any of the near-dup operators above: keep one doc per component).
     *
-    * Algorithm: min-label propagation. Every node starts labeled with its
-    * own id; each round a node adopts the minimum label in its closed
-    * neighborhood; fixpoint = components labeled by their minimum member.
-    * Convergence is detected with a one-row aggregate (labels are
-    * non-negative and the label sum strictly decreases until fixpoint —
-    * no join-diff needed). Rounds ≤ graph diameter; near-dup clusters are
-    * shallow (near-cliques), so 2-3 rounds in practice. Each round is one
-    * shuffle join + one groupBy on node ids — no driver-side graph, works
-    * at any scale. (For adversarially long chains, swap in the
-    * large-star/small-star round structure; same join primitive.)
+    * Two execution paths, picked by ONE count of the deduped edge list:
+    *
+    *  - **Small graph** (≤ `driverMaxEdges`, the overwhelmingly common case:
+    *    verified near-dup pairs are a vanishing fraction of the corpus —
+    *    5k docs here yield 256 pairs; even a 1%-dup 100 TB corpus yields
+    *    edges in the low billions, of which ≤4M fit this path per the
+    *    default): collect to the driver, run union-find with path
+    *    compression, return a re-parallelized label table. One job instead
+    *    of 3 per propagation round — the iterative dataflow version spends
+    *    seconds of pure scheduling on a graph that fits in one task.
+    *
+    *  - **Large graph**: min-label propagation. Every node starts labeled
+    *    with its own id; each round a node adopts the minimum label in its
+    *    closed neighborhood (self-loops are pre-added, so one join + one
+    *    groupBy per round); fixpoint = components labeled by their minimum
+    *    member, detected by an unchanged one-row label sum (labels only
+    *    decrease). Rounds ≤ graph diameter; near-dup clusters are shallow
+    *    near-cliques, so 2-3 rounds in practice. No driver-side graph,
+    *    works at any scale. (For adversarially long chains, swap in the
+    *    large-star/small-star round structure; same join primitive.)
     *
     * Returns (node, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 25,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).cache()
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
-    var it = 0
-    var done = false
-    while (!done && it < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(min("component").as("_nbr"))
-      val next = labels.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("component"), col("_nbr")).as("component"))
-        .cache()
-      val s = next.agg(sum("component")).head().getLong(0)
-      labels.unpersist()
-      labels = next
-      done = s == prevSum
-      prevSum = s
-      it += 1
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      val local = edges.collect()
+      edges.unpersist(false)
+      // Union-find with path compression; component label = min member.
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      local.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val lt: (Any, Any) => Boolean = {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: String, y: String) => x < y
+        case (x, y) => x.toString < y.toString
+      }
+      val nodes = local.iterator.map(_.get(0)).toArray.distinct
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot.updateWith(r) {
+          case Some(m) => Some(if (lt(n, m)) n else m)
+          case None => Some(n)
+        }
+      }
+      val idType = edges.schema.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+      val rows = nodes.map(n => org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+      val slices = math.max(1, math.min(nodes.length / 100000, 64))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, slices), schema)
+    } else {
+      val nodes = edges.select(col("src")).distinct()
+      // self-loops make one join/groupBy cover the CLOSED neighborhood
+      val edgesPlus = edges.union(nodes.select(col("src"), col("src").as("dst"))).cache()
+      var labels = nodes.select(col("src").as("node"), col("src").as("component")).cache()
+      var prevSum = labels.agg(sum("component")).head().getLong(0)
+      var it = 0
+      var done = false
+      while (!done && it < maxIter) {
+        val next = edgesPlus.join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(min("component").as("component"))
+          .cache()
+        val s = next.agg(sum("component")).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        done = s == prevSum
+        prevSum = s
+        it += 1
+      }
+      edges.unpersist()
+      edgesPlus.unpersist()
+      labels
     }
-    edges.unpersist()
-    labels
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * local algorithm): ordered word k-grams → position-wise gram hashes →
+    * sliding window of `window` consecutive hashes → keep the MINIMUM hash
+    * of each window → distinct set per document. Guarantees every match of
+    * length ≥ window+gramLen-1 tokens shares a fingerprint, while storing
+    * only ~2/(window+1) of the gram hashes — the classic sublinear
+    * fingerprint for plagiarism/near-dup detection at corpus scale.
+    *
+    * Hashes are md5-hex prefixes (not engine hash functions) so the
+    * fingerprints — and the DuckDB oracle — are engine-neutral; the window
+    * minimum is the lexicographic min of those hex strings. Documents
+    * shorter than one full window contribute their single global-min
+    * fingerprint (the standard short-document degenerate case).
+    *
+    * Output: (doc_id, fingerprint) distinct pairs. Dedup candidates are
+    * then `fingerprint`-equality buckets — same shape as the LSH band
+    * joins above. Everything is per-row array work staged onto ATTRIBUTE
+    * columns (HOF-lambda re-evaluation pitfall), one explode, one
+    * distinct; no shuffle before the final distinct. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      gramLen: Int = 3, window: Int = 4): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      split(lower(TextExprs.cleanText(text)), " ").as("toks"))
+    val nGrams = size(col("toks")) - (gramLen - 1)
+    val grams = base.select(col("doc_id"),
+      when(nGrams <= 0, typedLit(Seq.empty[String]))
+        .otherwise(transform(sequence(lit(0), nGrams - 1),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(gramLen))))).as("grams"))
+    val hashes = grams.select(col("doc_id"),
+      transform(col("grams"), g => substring(md5(g), 1, 16)).as("gh"))
+    val nWin = size(col("gh")) - (window - 1)
+    val fps = hashes.select(col("doc_id"),
+      when(size(col("gh")) === 0, typedLit(Seq.empty[String]))
+        .when(nWin <= 0, array(array_min(col("gh"))))
+        .otherwise(transform(sequence(lit(0), nWin - 1),
+          j => array_min(slice(col("gh"), j + 1, lit(window))))).as("fps"))
+    fps.select(col("doc_id"), explode(array_distinct(col("fps"))).as("fingerprint"))
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify.

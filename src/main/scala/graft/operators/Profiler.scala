@@ -1,17 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality column profiler: one long-format row per column with null
   * count, distinct count, and type-appropriate min/max. The first pass any
   * 100 TB ingest runs — schema sanity before heavier curation.
   *
-  * Shape: a SINGLE global aggregate computes every column's stats in one
-  * scan (partial+final hash agg; no per-column jobs, no driver loops), then
-  * the one-row result unpivots to long format with `stack`. Distinct counts
-  * are exact (`count_distinct` plans Expand; for quick profiles at extreme
-  * cardinality swap in `approx_count_distinct` — q39 covers that sketch).
+  * Shape: one two-level aggregate per column, UNION ALL'd into a single
+  * plan. Level 1 groups by the column value — so the distinct count is a
+  * plain `count(*)` over groups and min/max reduce over GROUP KEYS, not raw
+  * rows; level 2 folds the groups to one stats row. Compared with the
+  * one-scan multi-`count_distinct` form this avoids Catalyst's Expand
+  * (which replicates every row once per distinct aggregate — a
+  * (1+|cols|)× row blowup carrying the widest string columns through the
+  * shuffle); each union branch instead scans exactly one column
+  * (column-pruned parquet) and shuffles pre-aggregated groups. Branches
+  * are independent stages and run concurrently. Distinct counts are exact
+  * (for quick profiles at extreme cardinality swap in
+  * `approx_count_distinct` — q39 covers that sketch).
   *
   * The DuckDB twin is GENERATED from the same column specs
   * ([[Profiler.oracleSql]]) so engine and oracle cannot drift.
@@ -25,28 +32,35 @@ object Profiler {
 
   def profile(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
     require(cols.nonEmpty)
-    val aggs = cols.flatMap { case (c, kind) =>
+    val branches = cols.map { case (c, kind) =>
+      val key = col(c)
       val numView = kind match {
         // parquet NTZ timestamps: cast to LTZ first (session TZ is pinned
         // UTC, so the cast is identity) — unix_micros rejects NTZ input
-        case Ts => Some(unix_micros(col(c).cast("timestamp")).cast("double"))
-        case Num => Some(col(c).cast("double"))
+        case Ts => Some(unix_micros(key.cast("timestamp")).cast("double"))
+        case Num => Some(key.cast("double"))
         case Str => None
       }
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        numView.map(v => round(min(v), 4)).getOrElse(lit(null).cast("double")).as(s"${c}__minn"),
-        numView.map(v => round(max(v), 4)).getOrElse(lit(null).cast("double")).as(s"${c}__maxn"),
-        (if (kind == Str) min(col(c)) else lit(null).cast("string")).as(s"${c}__mins"),
-        (if (kind == Str) max(col(c)) else lit(null).cast("string")).as(s"${c}__maxs"))
+      df.groupBy(key.as("_k")).agg(count(lit(1)).as("_cnt"))
+        .agg(
+          coalesce(sum(when(col("_k").isNull, col("_cnt"))), lit(0L)).as("n_null"),
+          count(when(col("_k").isNotNull, lit(1))).as("n_distinct"),
+          numView.map(_ => round(min(kindView(kind, col("_k"))), 4))
+            .getOrElse(lit(null).cast("double")).as("min_num"),
+          numView.map(_ => round(max(kindView(kind, col("_k"))), 4))
+            .getOrElse(lit(null).cast("double")).as("max_num"),
+          (if (kind == Str) min(col("_k")) else lit(null).cast("string")).as("min_str"),
+          (if (kind == Str) max(col("_k")) else lit(null).cast("string")).as("max_str"))
+        .select(lit(c).as("column_name"), col("n_null"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     }
-    val stackArgs = cols.map { case (c, _) =>
-      s"'$c', ${c}__nn, ${c}__nd, ${c}__minn, ${c}__maxn, ${c}__mins, ${c}__maxs"
-    }.mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+    branches.reduce(_ union _)
+  }
+
+  /** numeric view of a group key under the column's kind */
+  private def kindView(kind: Kind, c: Column) = kind match {
+    case Ts => unix_micros(c.cast("timestamp")).cast("double")
+    case _ => c.cast("double")
   }
 
   /** DuckDB twin: one SELECT per column, UNION ALL'd. */

@@ -13,9 +13,9 @@ import graft.functions.TextExprs
   * Scale shape: everything is groupBy/join on well-spread keys. The document
   * frequency table is |vocab| rows — tiny next to the corpus — so Catalyst
   * broadcasts it into the per-token join; the per-doc aggregates shuffle on
-  * doc_id. Corpus-level scalars (N, avgdl) are single-row aggregates
-  * computed driver-side and folded into the plan as literals (at 100 TB
-  * these stay two cheap scans; cache `termFreqs` to make them one).
+  * doc_id. Corpus-level scalars (N, avgdl) are single-ROW aggregates folded
+  * back in as a broadcast cross join — they stay inside the DAG (one job,
+  * no blocking driver-side collect between scans).
   */
 object Retrieval {
 
@@ -37,13 +37,14 @@ object Retrieval {
     * can land within a double ulp of each other, and an unrounded
     * cross-engine comparison would make the top-k boundary flap. */
   def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val tf = termFreqs(df, id, text)
-    val nDocs = df.count()
+    val tf = termFreqs(df, id, text).cache()
+    val nd = df.agg(count(lit(1)).cast("double").as("_nd"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
     tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nd))
       .withColumn("score",
-        round(col("tf") * log((lit(nDocs) + 1.0) / (col("dfreq") + 1.0)), 4))
+        round(col("tf") * log((col("_nd") + 1.0) / (col("dfreq") + 1.0)), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("token"), col("score"), col("rnk"))
@@ -64,15 +65,17 @@ object Retrieval {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val tf = termFreqs(df, id, text).cache()
     val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val Row0 = docLen.agg(count(lit(1)), avg("dl")).head()
-    val nDocs = Row0.getLong(0)
-    val avgdl = Row0.getDouble(1)
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
-    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
-    tf.where(col("token").isin(terms: _*))
-      .join(broadcast(dfreq.where(col("token").isin(terms: _*))), "token")
+    // corpus scalars ride a broadcast cross join; document frequency is
+    // computed over the query-term rows only (identical df for those terms)
+    val stats = docLen.agg(count(lit(1)).cast("double").as("_nd"), avg("dl").as("_avgdl"))
+    val matches = tf.where(col("token").isin(terms: _*))
+    val dfreq = matches.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val idf = log(lit(1.0) + (col("_nd") - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))
+    matches
+      .join(broadcast(dfreq), "token")
       .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
       .withColumn("_s", idf * col("tf") * (k1 + 1.0) / norm)
       .groupBy("doc_id")
       .agg(round(sum("_s"), 4).as("score"))
