@@ -704,6 +704,102 @@ object SparkEntry {
         .select(col("event_id"), col("_asof_ts").as("next_purchase_ts"),
           round(col("_asof_value"), 2).as("next_purchase_value"))
     }),
+
+    // ---- round 5 additions ----
+
+    "q62_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        substring(col("p_name"), 1, 12).as("name_12"),
+        length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        reverse(col("p_brand")).as("brand_rev"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        instr(col("p_name"), "a").cast("long").as("a_pos"),
+        expr("left(p_name, 5)").as("name_l5"),
+        expr("right(p_name, 5)").as("name_r5"))
+    }),
+
+    "q63_rank_suite" -> ((s, dir) => {
+      // dense_rank / percent_rank / cume_dist / first_value share ONE
+      // window (single shuffle+sort); total order via the orderkey tiebreak
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        first(col("o_orderkey")).over(w).as("top_key"))
+    }),
+
+    "q64_gap_fill" -> ((s, dir) => {
+      // time-series gap filling: per-type hourly scaffold (sequence over
+      // the observed min..max hour) left-joined to the observed buckets,
+      // zero-filled. The scaffold is |types|·|hours| rows — generated, not
+      // shuffled from the fact table; at 100 TB the only big-data move is
+      // the one groupBy of the facts.
+      val hr = t(s, dir, "events").select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"), col("value"))
+      val counts = hr.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val scaffold = hr.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      scaffold.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
+    "q65_token_entropy" -> ((s, dir) => {
+      // corpus vocabulary statistics per source: Shannon entropy of the
+      // token distribution (H = ln N − Σ c·ln c / N — one pass over the
+      // (source, token) counts) and type-token ratio
+      val tok = t(s, dir, "documents")
+        .select(col("source"), lower(TextExprs.cleanText(col("text"))).as("cln"))
+        .select(col("source"), explode(split(col("cln"), " ")).as("token"))
+        .where(col("token") =!= "")
+      tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 6).as("entropy"),
+          round(count(lit(1)).cast("double") / sum("c"), 6).as("ttr"))
+    }),
+
+    "q66_regexp" -> ((s, dir) => {
+      // regexp scalar surface; patterns restricted to the RE2∩Java common
+      // dialect so the DuckDB twin matches byte-for-byte
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "\\b(s[a-z]+)\\b", 1).as("first_s_word"),
+        size(regexp_extract_all(col("text"), lit("\\b(scan|sort|stream)\\b"), lit(1)))
+          .cast("long").as("n_scan_like"),
+        regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*").as("masked_head"))
+    }),
+
+    "q67_winnow" -> ((s, dir) => {
+      // winnowing (MOSS) fingerprints — sublinear near-dup signatures with
+      // a guaranteed-match window; see Dedup.winnowFingerprints
+      Dedup.winnowFingerprints(t(s, dir, "documents"), col("doc_id"), col("text"),
+        gramLen = 3, window = 4)
+    }),
+
+    "q68_cond_funcs" -> ((s, dir) => {
+      // conditional/null scalar surface; operands are existing exact values
+      // (no float arithmetic) so both engines bit-match
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity"), lit(30.0)).as("qty_floor30"),
+        least(col("l_extendedprice"), lit(10000.0)).as("price_cap10k"),
+        coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_or_neg"),
+        when(col("l_quantity") > 25, "H").when(col("l_quantity") > 10, "M")
+          .otherwise("L").as("qty_band"))
+    }),
   )
 
   /** Column specs for the q55 profiler — shared by the Spark side and the
@@ -1265,6 +1361,82 @@ object SparkEntry {
           |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
           |WHERE e.event_type = 'error'
           |GROUP BY e.event_id""".stripMargin,
+
+      "q62_string_funcs" ->
+        """SELECT p_partkey,
+          | upper(p_name) AS name_up,
+          | substring(p_name, 1, 12) AS name_12,
+          | CAST(length(p_name) AS BIGINT) AS name_len,
+          | lpad(p_brand, 12, '#') AS brand_pad,
+          | regexp_replace(p_type, ' ', '_', 'g') AS type_us,
+          | reverse(p_brand) AS brand_rev,
+          | concat_ws('|', p_brand, p_type) AS brand_type,
+          | split_part(p_type, ' ', 1) AS type_head,
+          | CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+          | left(p_name, 5) AS name_l5,
+          | right(p_name, 5) AS name_r5
+          |FROM part""".stripMargin,
+
+      "q63_rank_suite" ->
+        """SELECT o_orderpriority, o_orderkey,
+          | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+          | round(percent_rank() OVER w, 6) AS prank,
+          | round(cume_dist() OVER w, 6) AS cdist,
+          | first_value(o_orderkey) OVER w AS top_key
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
+      "q64_gap_fill" ->
+        """WITH h AS (SELECT event_type,
+          |   date_trunc('hour', ts)::TIMESTAMP AS hr, value FROM events),
+          |c AS (SELECT event_type, hr, count(*) AS n,
+          |   round(sum(value), 2) AS sum_value FROM h GROUP BY 1, 2),
+          |s AS (SELECT event_type,
+          |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+          |  FROM (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1))
+          |SELECT s.event_type AS event_type, s.hr AS hr,
+          | coalesce(c.n, 0) AS n, coalesce(c.sum_value, 0.0) AS sum_value
+          |FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr""".stripMargin,
+
+      "q65_token_entropy" ->
+        s"""WITH tok AS (SELECT source,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+           |tc AS (SELECT source, token, count(*) AS c FROM tok
+           |  WHERE token <> '' GROUP BY 1, 2)
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+           | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+           |FROM tc GROUP BY source""".stripMargin,
+
+      "q66_regexp" ->
+        """SELECT doc_id,
+          | regexp_extract(text, '\b(s[a-z]+)\b', 1) AS first_s_word,
+          | CAST(len(regexp_extract_all(text, '\b(scan|sort|stream)\b', 1)) AS BIGINT)
+          |   AS n_scan_like,
+          | regexp_replace(substring(text, 1, 40), '[aeiou]', '*', 'g') AS masked_head
+          |FROM documents""".stripMargin,
+
+      "q67_winnow" ->
+        s"""WITH c AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, CASE WHEN len(toks) - 2 < 1 THEN CAST([] AS VARCHAR[])
+           |   ELSE [substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 16)
+           |         FOR i IN generate_series(1, len(toks) - 2)] END AS gh FROM c),
+           |f AS (SELECT doc_id, CASE WHEN len(gh) = 0 THEN CAST([] AS VARCHAR[])
+           |   WHEN len(gh) - 3 < 1 THEN [list_min(gh)]
+           |   ELSE [list_min(gh[j:j+3]) FOR j IN generate_series(1, len(gh) - 3)]
+           |  END AS fps FROM g)
+           |SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM f""".stripMargin,
+
+      "q68_cond_funcs" ->
+        """SELECT l_orderkey, l_linenumber,
+          | greatest(l_quantity, 30.0) AS qty_floor30,
+          | least(l_extendedprice, 10000.0) AS price_cap10k,
+          | coalesce(nullif(l_tax, 0.0), -1.0) AS tax_or_neg,
+          | CASE WHEN l_quantity > 25 THEN 'H' WHEN l_quantity > 10 THEN 'M'
+          |   ELSE 'L' END AS qty_band
+          |FROM lineitem""".stripMargin,
 
       "q61_asof_forward" ->
         """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Round-5 operators: winnowing fingerprints, connected-components
+  * distributed path, gap-fill scaffold invariants, token entropy. */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- winnowing fingerprints ----
+
+  test("winnow: overlapping documents share a fingerprint, disjoint ones don't") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro words here $shared trailing tail"),
+      (2L, s"$shared completely different ending part"),
+      (3L, "nothing in common with the others at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"))
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    // guarantee: a shared run of >= window+gramLen-1 = 6 tokens yields a
+    // common fingerprint (the 8-token overlap is comfortably above it)
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnow: short documents degrade to a single global-min fingerprint") {
+    // 4 tokens -> 2 grams -> fewer than one window of 4
+    val docs = Seq((1L, "just four little words"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, col("doc_id"), col("text")).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
+  test("winnow: fingerprints are a subset of the doc's gram hashes (min picks)") {
+    val docs = Tables.table(spark, sf(), "documents").limit(50)
+    val fp = Dedup.winnowFingerprints(docs, col("doc_id"), col("text"))
+    // every fingerprint is the md5-prefix of SOME 3-gram of the same doc
+    val grams = docs
+      .select(col("doc_id"), split(lower(graft.functions.TextExprs.cleanText(col("text"))), " ").as("toks"))
+      .select(col("doc_id"), explode(Dedup.shinglesOfToks(col("toks"), 3)).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("fingerprint"))
+    assert(fp.join(grams, Seq("doc_id", "fingerprint"), "left_anti").count() == 0)
+  }
+
+  // ---- connected components: both execution paths agree ----
+
+  test("connectedComponents: distributed path == driver union-find path") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  // ---- gap fill ----
+
+  test("q64 scaffold has one row per hour per type, gap-free and zero-filled") {
+    val out = SparkEntry.queries("q64_gap_fill")(spark, sf())
+    val spans = out.groupBy("event_type").agg(
+      count(lit(1)).as("rows"),
+      ((unix_micros(max("hr")) - unix_micros(min("hr"))) / 3600000000L + 1)
+        .cast("long").as("hours"),
+      sum(when(col("n") === 0, 1).otherwise(0)).as("zeros"))
+    spans.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"gap in scaffold: $r")
+    }
+    // zero-filled rows exist at sf0.001 (sparse hours) and carry 0.0 sums
+    assert(out.where(col("n") === 0 && col("sum_value") =!= 0.0).count() == 0)
+  }
+
+  // ---- token entropy ----
+
+  test("entropy: uniform distribution gives ln(vocab), constant gives 0") {
+    val uniform = Seq(("s1", "aa bb cc dd")).toDF("source", "text")
+      .withColumn("doc_id", lit(1L))
+    val constant = Seq(("s2", "aa aa aa aa")).toDF("source", "text")
+      .withColumn("doc_id", lit(2L))
+    def entropyOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val tok = df.select(col("source"),
+          explode(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " ")).as("token"))
+        .where(col("token") =!= "")
+      tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg((log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c")).as("h"))
+        .head().getDouble(1)
+    }
+    assert(math.abs(entropyOf(uniform) - math.log(4)) < 1e-9)
+    assert(math.abs(entropyOf(constant)) < 1e-9)
+  }
+}
