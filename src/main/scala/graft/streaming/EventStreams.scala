@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 /** Per-key accumulator for [[EventStreams.runningTotals]]. */
 case class TypeState(n: Long, sum: Double)
 
+/** Open-session accumulator for [[EventStreams.closedSessions]]. */
+case class SessionState(n: Long, sum: Double, t0: Long, t1: Long)
+
 /** Structured-Streaming shapes over the events table. Every transform here
   * works identically on a batch DataFrame and a readStream DataFrame — the
   * engine's streaming story is "same declarative plan, streaming source"
@@ -64,6 +67,65 @@ object EventStreams {
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream interval join: each error joined to the purchases of the
+    * same user within the following hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance in BOTH directions, so
+    * state on each side is provably droppable once the watermark passes —
+    * the requirement for an unbounded-input join to run with bounded state.
+    * (The batch twin is q60's time-range join.) */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    e.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("error_ts") &&
+        col("purchase_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"))
+      .select("error_id", "user_id", "error_ts", "purchase_ts", "purchase_value")
+  }
+
+  /** Completed-session emission via flatMapGroupsWithState: events buffer
+    * per user in state; once the EVENT-TIME timeout fires (watermark passes
+    * last-event-ts + gap with no new events), the CLOSED session (count,
+    * sum, bounds) is emitted and state cleared. mapGroupsWithState emits
+    * every batch; this emits only at session close — the standard shape for
+    * "output a record when the entity goes quiet". Event-time (not
+    * processing-time) timeouts keep the operator deterministic under replay
+    * and testable without wall-clock sleeps; state is provably dropped once
+    * the watermark passes, so it stays bounded on an unbounded stream. */
+  def closedSessions(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    events.withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Double, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.n, s.sum, s.t0, s.t1))
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, ts, v) =>
+              val ms = ts.getTime
+              st = SessionState(st.n + 1, st.sum + v, math.min(st.t0, ms), math.max(st.t1, ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.t1 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_events", "session_value", "first_ts_ms", "last_ts_ms")
+  }
 
   /** SURVEY.md §7.6 made real: the reference's classify-then-aggregate
     * dataflow streamed. Each micro-batch runs the SAME cache-join classify

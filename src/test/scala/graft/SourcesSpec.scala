@@ -31,6 +31,22 @@ class SourcesSpec extends SparkSpec {
       s"columns not pruned:\n$plan")
   }
 
+  test("hive-style partitioned layout: predicate becomes a PartitionFilter, not a scan filter") {
+    val ev = Tables.table(spark, sf(), "events")
+    val dir = "target/tmp/events_parted"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("event_type") === "purchase")
+      .select("event_id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    // directory-level pruning: the predicate appears as a PartitionFilter
+    // (evaluated against the file listing — zero data files of other types
+    // are opened), not a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter:\n$plan")
+    val expected = ev.where(col("event_type") === "purchase").count()
+    assert(q.count() == expected)
+  }
+
   test("CSV round-trip with quoted commas/newlines in values") {
     import spark.implicits._
     val df = Seq(

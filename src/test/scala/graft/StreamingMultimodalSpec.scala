@@ -52,6 +52,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within the hour after an error") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[(Long, Timestamp, Long)]
+    val purch = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.errorPurchaseJoin(
+      errs.toDF().toDF("event_id", "ts", "user_id"),
+      purch.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      errs.addData((100L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L))
+      purch.addData(
+        (7L, Timestamp.valueOf("2024-01-01 10:30:00"), 9.5),  // within 1h -> match
+        (7L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0),  // too late -> no match
+        (8L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0))  // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("error_id") == 100L)
+      assert(math.abs(rows.head.getAs[Double]("purchase_value") - 9.5) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits a session only when the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.closedSessions(df, gapMs = 10L * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("cs").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("cs").count() == 0) // watermark 00:01 < timeout 00:11
+      // user 2 at 01:00 pushes the watermark past user 1's 00:11 timeout
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cs").collect()
+      assert(rows.length == 1) // user 1 closed; user 2 (timeout 01:10) still open
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(math.abs(rows.head.getAs[Double]("session_value") - 5.0) < 1e-9)
+      assert(rows.head.getAs[Long]("last_ts_ms") - rows.head.getAs[Long]("first_ts_ms") == 60000L)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
