@@ -789,6 +789,20 @@ object SparkEntry {
         gramLen = 3, window = 4)
     }),
 
+    "q69_band_join" -> ((s, dir) => {
+      // custom physical operator (plans.RangeJoin): orders priced into
+      // OVERLAPPING price bands — no equi-key, so stock Spark would plan a
+      // BroadcastNestedLoopJoin; BroadcastRangeJoinExec probes a sorted
+      // broadcast band index by binary search instead
+      val bands = s.range(0, 48).select(col("id").as("band_id"),
+        (col("id") * 12500.0).as("lo"), (col("id") * 12500.0 + 25000.0).as("hi"))
+      graft.plans.RangeJoinOps.rangeJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"), bands,
+          point = col("o_totalprice"), lo = col("lo"), hi = col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+    }),
+
     "q68_cond_funcs" -> ((s, dir) => {
       // conditional/null scalar surface; operands are existing exact values
       // (no float arithmetic) so both engines bit-match
@@ -1428,6 +1442,14 @@ object SparkEntry {
            |   ELSE [list_min(gh[j:j+3]) FOR j IN generate_series(1, len(gh) - 3)]
            |  END AS fps FROM g)
            |SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM f""".stripMargin,
+
+      "q69_band_join" ->
+        """SELECT band_id, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders
+          |JOIN (SELECT i AS band_id, i * 12500.0 AS lo, i * 12500.0 + 25000.0 AS hi
+          |      FROM generate_series(0, 47) t(i)) b
+          |  ON o_totalprice >= b.lo AND o_totalprice <= b.hi
+          |GROUP BY band_id""".stripMargin,
 
       "q68_cond_funcs" ->
         """SELECT l_orderkey, l_linenumber,

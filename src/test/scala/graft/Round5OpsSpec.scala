@@ -60,6 +60,43 @@ class Round5OpsSpec extends SparkSpec {
       6L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  // ---- custom physical range join ----
+
+  test("rangeJoin == crossJoin+filter, including overlapping and empty intervals") {
+    val pts = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, 99.0)).toDF("id", "p")
+    val ivs = Seq((100L, 0.0, 10.0), (101L, 5.0, 15.0), (102L, 20.0, 30.0),
+      (103L, 50.0, 40.0) /* inverted: joins nothing */).toDF("iv_id", "lo", "hi")
+    val viaOp = graft.plans.RangeJoinOps.rangeJoin(pts, ivs,
+        col("p"), col("lo"), col("hi"))
+      .select("id", "iv_id")
+    val viaCross = pts.crossJoin(ivs)
+      .where(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "iv_id")
+    assert(viaOp.except(viaCross).count() == 0 && viaCross.except(viaOp).count() == 0)
+    // boundary inclusivity + multi-hit: p=5 and p=10 each land in 2 bands
+    assert(viaOp.count() == 5)
+  }
+
+  test("rangeJoin plans the custom exec, not a nested-loop join") {
+    val pts = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
+    val ivs = spark.range(0, 10).select(col("id"),
+      (col("id") * 100.0).as("lo"), (col("id") * 100.0 + 200.0).as("hi"))
+    val plan = graft.plans.RangeJoinOps.rangeJoin(pts, ivs,
+        col("o_totalprice"), col("lo"), col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"fell back to BNLJ:\n$plan")
+  }
+
+  test("rangeJoin: null points and null bounds join nothing") {
+    val pts = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "p")
+    val ivs = Seq((100L, Some(0.0), Some(10.0)), (101L, None, Some(10.0)))
+      .toDF("iv_id", "lo", "hi")
+    val got = graft.plans.RangeJoinOps.rangeJoin(pts, ivs, col("p"), col("lo"), col("hi"))
+      .select("id", "iv_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)))
+  }
+
   // ---- gap fill ----
 
   test("q64 scaffold has one row per hour per type, gap-free and zero-filled") {
