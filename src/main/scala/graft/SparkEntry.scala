@@ -814,7 +814,118 @@ object SparkEntry {
         when(col("l_quantity") > 25, "H").when(col("l_quantity") > 10, "M")
           .otherwise("L").as("qty_band"))
     }),
+
+    "q70_pii_redact" -> ((s, dir) => {
+      // PII audit + redaction (operators.Privacy). The corpus is PII-free,
+      // so deterministic synthetic PII is spliced in — built by the exact
+      // same expression in the DuckDB twin, so the redaction rules (not the
+      // synthesis) are what the hash compares.
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 60),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("raw"))
+      graft.operators.Privacy.redactAudit(withPii, col("doc_id"), col("raw"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q71_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing any 8-token gram
+      // with the (broadcast) benchmark slice — operators.Decontaminate
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.report(
+          train = docs.where(col("doc_id") % 20 =!= 0),
+          bench = docs.where(col("doc_id") % 20 === 0),
+          id = col("doc_id"), text = col("text"), n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q72_funnel" -> ((s, dir) => {
+      // ordered conversion funnel with a 12h per-stage window — each stage
+      // is one groupBy(user) + equi-join back, no full-log window
+      graft.operators.Funnel.funnel(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        withinSeconds = Some(12L * 3600))
+    }),
+
+    "q73_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle over the event log
+      graft.operators.Funnel.retention(t(s, dir, "events"), col("user_id"), col("ts"))
+    }),
+
+    "q74_zscore" -> ((s, dir) => {
+      // two-pass outlier detection: per-type moments, broadcast back, flag
+      // |z| > 2.5 — no window over the full log, scales as one agg + one map
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("_mu"), stddev_samp("value").as("_sd"))
+      ev.join(broadcast(stats), "event_type")
+        .where(abs((col("value") - col("_mu")) / col("_sd")) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("_mu")) / col("_sd"), 4).as("z"))
+    }),
+
+    "q75_subqueries" -> ((s, dir) => {
+      // the SQL surface: correlated scalar subquery + correlated EXISTS,
+      // run through spark.sql — Catalyst decorrelates both into joins; the
+      // oracle executes the IDENTICAL string (subquerySql), so the check is
+      // pure ANSI-semantics parity
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(subquerySql)
+    }),
+
+    "q76_agg_suite" -> ((s, dir) => {
+      // aggregate-function surface: conditional counts, boolean aggregates,
+      // exact median, deterministic mode (ties -> lowest value)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        count_if(col("l_discount") > 0.05).as("n_disc"),
+        bool_or(col("l_quantity") >= 49.0).as("any_q49"),
+        bool_and(col("l_quantity") > 0.0).as("all_qpos"),
+        round(median(col("l_extendedprice")), 4).as("med_price"),
+        expr("mode(l_quantity, true)").as("mode_qty"))
+    }),
+
+    "q77_array_funcs" -> ((s, dir) => {
+      // array scalar surface over the token arrays; every array-valued
+      // result is sorted and serialized so the comparison is order-free
+      // (DuckDB list_distinct does not preserve element order)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
+      toks.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        concat_ws("|", slice(col("toks"), 1, 3)).as("first3"),
+        concat_ws("|", array_sort(array_distinct(col("toks")))).as("uniq_sorted"),
+        array_contains(col("toks"), "vector").as("has_vector"),
+        array_position(col("toks"), "vector").cast("long").as("pos_vector"),
+        array_max(col("toks")).as("max_tok"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0L),
+          (acc, x) => acc + x).as("sum_tok_len"))
+    }),
+
+    "q78_kmeans" -> ((s, dir) => {
+      // fixed-iteration Lloyd k-means over embeddings (semantic-clustering
+      // curation pass); oracle generated for the same (k, iters) by
+      // KMeansOp.oracleSql
+      graft.operators.KMeansOp.kmeans(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 4, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+    }),
   )
+
+  /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
+    * oracle via DuckDB) — ANSI subquery semantics parity by construction. */
+  private val subquerySql: String =
+    """SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                              WHERE o2.o_orderpriority = o.o_orderpriority)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)""".stripMargin
 
   /** Column specs for the q55 profiler — shared by the Spark side and the
     * generated DuckDB twin (Profiler.oracleSql). */
@@ -1472,6 +1583,106 @@ object SparkEntry {
           |    AND (epoch_us(p.ts::TIMESTAMP) // 1000000) - (epoch_us(e.ts::TIMESTAMP) // 1000000) <= 3600
           |   ORDER BY p.ts ASC LIMIT 1), 2) AS next_purchase_value
           |FROM e""".stripMargin,
+
+      "q70_pii_redact" -> {
+        val emailRe = graft.operators.Privacy.EmailRe
+        val phoneRe = graft.operators.Privacy.PhoneRe
+        val ipRe = graft.operators.Privacy.Ipv4Re
+        s"""WITH p AS (SELECT doc_id,
+           |  substring(text, 1, 60) || ' contact user' || CAST(doc_id AS VARCHAR)
+           |   || '@mail.example.com or +1-555-01'
+           |   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           |   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+           | FROM documents)
+           |SELECT doc_id,
+           | regexp_replace(regexp_replace(regexp_replace(raw,
+           |   '$emailRe', '<EMAIL>', 'g'),
+           |   '$ipRe', '<IP>', 'g'),
+           |   '$phoneRe', '<PHONE>', 'g') AS redacted,
+           | CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+           | CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones,
+           | CAST(len(regexp_extract_all(raw, '$ipRe')) AS BIGINT) AS n_ips
+           |FROM p""".stripMargin
+      },
+
+      "q71_decontaminate" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+           |  FROM toks WHERE len(toks) >= 8),
+           |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+           |SELECT t.doc_id AS doc_id, count(DISTINCT t.gram) AS n_hit_grams
+           |FROM grams t JOIN bench USING (gram)
+           |WHERE t.doc_id % 20 <> 0 GROUP BY 1""".stripMargin,
+
+      "q72_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+          |   WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |   JOIN s1 ON e.user_id = s1.user_id
+          |   WHERE e.event_type = 'click' AND e.ts > s1.t
+          |    AND e.ts <= s1.t + INTERVAL 12 HOUR GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          |   JOIN s2 ON e.user_id = s2.user_id
+          |   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          |    AND e.ts <= s2.t + INTERVAL 12 HOUR GROUP BY 1)
+          |SELECT 'stage1_view' AS stage, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 'stage2_click', count(*) FROM s2
+          |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3""".stripMargin,
+
+      "q73_retention" ->
+        """WITH f AS (SELECT user_id,
+          |   date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+          |  FROM events GROUP BY 1),
+          |a AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS w
+          |  FROM events)
+          |SELECT f.cohort_week AS cohort_week,
+          | CAST(date_diff('day', f.cohort_week::DATE, a.w::DATE) // 7 AS BIGINT)
+          |   AS week_offset,
+          | count(DISTINCT a.user_id) AS n_users
+          |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      "q74_zscore" ->
+        """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, e.event_type AS event_type,
+          | round((e.value - mu) / sd, 4) AS z
+          |FROM events e JOIN s USING (event_type)
+          |WHERE abs((e.value - mu) / sd) > 2.5""".stripMargin,
+
+      "q75_subqueries" -> subquerySql,
+
+      "q76_agg_suite" ->
+        """WITH vc AS (SELECT l_returnflag, l_quantity, count(*) AS c
+          |  FROM lineitem GROUP BY 1, 2),
+          |md AS (SELECT l_returnflag, l_quantity AS mode_qty FROM vc
+          |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          |    ORDER BY c DESC, l_quantity ASC) = 1)
+          |SELECT l.l_returnflag AS l_returnflag, count(*) AS n,
+          | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+          | bool_or(l_quantity >= 49.0) AS any_q49,
+          | bool_and(l_quantity > 0.0) AS all_qpos,
+          | round(median(l_extendedprice), 4) AS med_price,
+          | min(md.mode_qty) AS mode_qty
+          |FROM lineitem l JOIN md ON l.l_returnflag = md.l_returnflag
+          |GROUP BY 1""".stripMargin,
+
+      "q77_array_funcs" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents)
+           |SELECT doc_id,
+           | CAST(len(toks) AS BIGINT) AS n_toks,
+           | array_to_string(toks[1:3], '|') AS first3,
+           | array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_sorted,
+           | list_contains(toks, 'vector') AS has_vector,
+           | CAST(coalesce(list_position(toks, 'vector'), 0) AS BIGINT) AS pos_vector,
+           | list_max(toks) AS max_tok,
+           | CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_tok_len
+           |FROM d""".stripMargin,
+
+      "q78_kmeans" -> graft.operators.KMeansOp.oracleSql(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64),
     )
   }
 }

@@ -38,8 +38,13 @@ object Curate {
       .withColumn("quality",
         TextAnalysis.qualityScoreFromCounts(col("_nc"), col("_nt"), col("_np")))
       .drop("_nc", "_nt", "_np")
+    // Persisted: the filtered frame feeds the exact-dedup aggregate, the
+    // join back, the near-dup signature projection, and the final anti-join
+    // — without it the clean+langID+quality expression pipeline (the most
+    // expensive scan) re-runs once per consumer.
     val filtered = profiled
       .where(col("lang_pred").isin(langs: _*) && col("quality") >= minQuality)
+      .cache()
 
     // stage 3: exact dedup — keep the minimum id per content hash
     val keepExact = filtered

@@ -195,10 +195,13 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 25,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // The symmetrizing union scans `pairs` twice; persist so an expensive
+    // upstream (e.g. an LSH band join + verify) is evaluated once.
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val nEdges = edges.count()
+    p.unpersist(false)
     if (nEdges <= driverMaxEdges) {
       val local = edges.collect()
       edges.unpersist(false)

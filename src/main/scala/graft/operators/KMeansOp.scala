@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** Fixed-iteration Lloyd k-means over an embedding column — the semantic
+  * (embedding-space) clustering pass of a training-data pipeline, e.g.
+  * SemDeDup-style cluster-then-prune curation.
+  *
+  * Deterministic by construction so the result is oracle-checkable:
+  * seeds = the k lowest-id vectors, a FIXED number of update iterations,
+  * centroid coordinates rounded to 6 dp between iterations (absorbs
+  * partial-aggregation summation-order noise), ties in the assignment
+  * broken toward the lowest centroid index.
+  *
+  * Scale shape (the same as Spark MLlib's own KMeans): the only per-row
+  * work is k dot products against BROADCAST centroid literals (native
+  * codegen'd DotProduct), the update is one groupBy((cluster, dim)) mean,
+  * and the only driver-side state is the k×dim centroid matrix. Rows
+  * never shuffle except as (cluster, dim, component) triples pre-reduced
+  * map-side.
+  *
+  * Assignment uses score_k = |c_k|² − 2·v·c_k (adding the row-constant
+  * |v|² recovers the squared L2 distance), so nearest-centroid needs no
+  * per-centroid subtraction loop and the squared distance comes back for
+  * free from the winning score.
+  */
+object KMeansOp {
+
+  /** (clusterIdx, score) pair as two Columns, strict-< fold so ties keep
+    * the earliest (lowest) centroid index. */
+  private def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) = {
+    val scores = centroids.map { c =>
+      val cnorm = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      lit(cnorm) - lit(2.0) * VectorExprs.dot(v, array(c.map(lit): _*))
+    }
+    scores.zipWithIndex.tail.foldLeft((lit(0), scores.head)) {
+      case ((bestIdx, bestScore), (sc, i)) =>
+        (when(sc < bestScore, lit(i)).otherwise(bestIdx),
+          when(sc < bestScore, sc).otherwise(bestScore))
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Runs `iters` centroid updates then a final assignment.
+    * Returns (id, cluster, sq_dist) with sq_dist rounded to 4 dp. */
+  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val base = df.select(id.as("id"), VectorExprs.toDouble(vec).as("v")).cache()
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    var centroids: Seq[Array[Double]] = base.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val (cl, _) = argmin(col("v"), centroids)
+      val means = base.select(cl.as("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = (0 until k).map { c =>
+        byCluster.get(c).map { rows =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = round6(r.getDouble(2)))
+          arr
+        }.getOrElse(centroids(c)) // empty cluster keeps its previous centroid
+      }
+    }
+    val (cl, sc) = argmin(col("v"), centroids)
+    base.select(col("id"), cl.cast("long").as("cluster"),
+      round(VectorExprs.dot(col("v"), col("v")) + sc, 4).as("sq_dist"))
+  }
+
+  /** DuckDB twin, generated for the same (k, iters) so engine and oracle
+    * cannot drift: the iteration chain is unrolled into CTEs. `table` must
+    * expose (idCol, vecCol list<float>). */
+  def oracleSql(table: String, idCol: String, vecCol: String, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT $idCol AS id,
+              |  list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),
+              |c0 AS (SELECT id AS cid, v AS c FROM e WHERE id < $k),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s"""sc$i AS (SELECT e.id, $prev.cid,
+                |  list_inner_product($prev.c, $prev.c)
+                |   - 2 * list_inner_product(e.v, $prev.c) AS score
+                | FROM e CROSS JOIN $prev),
+                |a$i AS (SELECT id, cid FROM sc$i
+                | QUALIFY row_number() OVER (PARTITION BY id ORDER BY score, cid) = 1),
+                |m$i AS (SELECT a$i.cid, t.i, round(avg(e.v[t.i]), 6) AS mv
+                | FROM a$i JOIN e USING (id) CROSS JOIN range(1, ${dim + 1}) t(i)
+                | GROUP BY a$i.cid, t.i),
+                |c$i AS (SELECT cid, list(mv ORDER BY i) AS c FROM m$i GROUP BY cid),
+                |""".stripMargin
+    }
+    val last = s"c$iters"
+    sb ++= s"""scf AS (SELECT e.id, $last.cid,
+              |  list_inner_product($last.c, $last.c)
+              |   - 2 * list_inner_product(e.v, $last.c) AS score,
+              |  list_inner_product(e.v, e.v) AS vnorm
+              | FROM e CROSS JOIN $last)
+              |SELECT id AS $idCol, CAST(cid AS BIGINT) AS cluster,
+              | round(vnorm + score, 4) AS sq_dist
+              |FROM scf
+              |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score, cid) = 1""".stripMargin
+    sb.toString
+  }
+}

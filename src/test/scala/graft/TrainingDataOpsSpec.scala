@@ -1,0 +1,147 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Funnel, KMeansOp, Privacy}
+
+/** Round-5 training-data / clickstream operators: PII redaction, benchmark
+  * decontamination, funnels, cohort retention, fixed-iteration k-means. */
+class TrainingDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PII redaction ----
+
+  test("privacy: email, phone, and IPv4 are each masked and counted") {
+    val docs = Seq(
+      (1L, "reach me at jo.do+spam@sub.example.co.uk or +1-555-0147 thanks"),
+      (2L, "server 192.168.001.7 and 10.0.0.1 answered"),
+      (3L, "no pii here at all")
+    ).toDF("id", "text")
+    val got = Privacy.redactAudit(docs, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(got(1L).getLong(2) == 1 && got(1L).getLong(3) == 1 && got(1L).getLong(4) == 0)
+    assert(got(2L).getString(1) == "server <IP> and <IP> answered")
+    assert(got(2L).getLong(4) == 2)
+    assert(got(3L).getString(1) == "no pii here at all")
+    assert(got(3L).getLong(2) == 0 && got(3L).getLong(3) == 0 && got(3L).getLong(4) == 0)
+  }
+
+  test("privacy: phone rule cannot eat IPv4 octets (IP masked first)") {
+    val docs = Seq((1L, "dial 555-123-9876 from 10.11.12.13")).toDF("id", "text")
+    val got = Privacy.redactAudit(docs, col("id"), col("text")).head()
+    assert(got.getString(1) == "dial <PHONE> from <IP>")
+  }
+
+  // ---- decontamination ----
+
+  test("decontaminate: only docs sharing a full n-gram run are flagged") {
+    val run = "one two three four five six seven eight" // 8 tokens = 1 8-gram
+    val bench = Seq((100L, s"$run and more benchmark text here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $run suffix"),            // contains the run
+      (2L, "one two three four five six seven"),    // 7-token prefix only
+      (3L, "totally unrelated training document")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.report(train, bench, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+
+  // ---- funnel / retention ----
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: strict order and conversion window are both enforced") {
+    val ev = Seq(
+      // u1 completes all three stages in order, within windows
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2 clicks BEFORE the first view -> stops at stage 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3 clicks only after the 12h window -> stops at stage 1
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-02 00:00:01"), "click"),
+      // u4 never views -> not even stage 1
+      (4L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), withinSeconds = Some(12L * 3600))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("stage1_view" -> 3L, "stage2_click" -> 1L, "stage3_purchase" -> 1L))
+  }
+
+  test("funnel: first-touch semantics — a later qualifying pair doesn't resurrect") {
+    // u1's FIRST view is at 00:00; the only click in its window is at 01:00;
+    // no purchase follows that click within its window even though a
+    // (view, click, purchase) chain exists starting from the SECOND view.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-03 00:00:00"), "view"),
+      (1L, ts("2024-01-03 01:00:00"), "click"),
+      (1L, ts("2024-01-03 02:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), withinSeconds = Some(12L * 3600))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage2 fires at 01:00 (first touch); purchase at day-3 02:00 is
+    // outside that first-touch window -> stage3 is empty
+    assert(got == Map("stage1_view" -> 1L, "stage2_click" -> 1L, "stage3_purchase" -> 0L))
+  }
+
+  test("retention: cohorts anchor at the week of first activity") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 2024-01-01
+      (1L, ts("2024-01-10 10:00:00")), // week offset 1
+      (1L, ts("2024-01-21 10:00:00")), // Sunday of week offset 2
+      (2L, ts("2024-01-10 10:00:00"))  // cohort week 2024-01-08, offset 0
+    ).toDF("user_id", "ts")
+    val got = Funnel.retention(ev, col("user_id"), col("ts"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
+  // ---- k-means ----
+
+  test("kmeans: separable clusters converge and sq_dist is the squared L2") {
+    // two tight groups in 3-d; seeds are ids 0 and 1 (one in each group)
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f, 0.0f)), (4L, Seq(0.0f, 0.1f, 0.0f)),
+      (1L, Seq(5.0f, 5.0f, 5.0f)), (3L, Seq(5.1f, 5.0f, 5.0f)), (5L, Seq(5.0f, 5.1f, 5.0f))
+    ).toDF("id", "v")
+    val got = KMeansOp.kmeans(vecs, col("id"), col("v"), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(Seq(0L, 2L, 4L).forall(got(_)._1 == 0L))
+    assert(Seq(1L, 3L, 5L).forall(got(_)._1 == 1L))
+    // centroid of cluster 0 after an update is the group mean; check one
+    // distance: id 0 at (0,0,0) vs centroid (0.033333, 0.033333, 0) ->
+    // sq_dist = 2 * 0.033333^2
+    val expect = 2 * 0.033333 * 0.033333
+    assert(math.abs(got(0L)._2 - expect) < 1e-3, s"got ${got(0L)._2}")
+  }
+
+  test("kmeans: assignment ties break toward the lowest centroid index") {
+    // a point equidistant from both seed centroids, iters = 0 keeps seeds
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (7L, Seq(1.0f, 0.0f))
+    ).toDF("id", "v")
+    val got = KMeansOp.kmeans(vecs, col("id"), col("v"), k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 0L)
+  }
+
+  // ---- oracle-query smoke at sf0.001 (the driver checks sf0.01) ----
+
+  test("q70/q72/q74 run and return rows at sf0.001") {
+    assert(SparkEntry.queries("q70_pii_redact")(spark, sf()).count() > 0)
+    assert(SparkEntry.queries("q72_funnel")(spark, sf()).count() == 3)
+    assert(SparkEntry.queries("q74_zscore")(spark, sf()).count() > 0)
+  }
+}
