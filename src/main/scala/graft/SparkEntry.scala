@@ -915,6 +915,51 @@ object SparkEntry {
           col("vec_id"), col("embedding"), k = 4, iters = 2)
         .withColumnRenamed("id", "vec_id")
     }),
+
+    "q79_quality_rules" -> ((s, dir) => {
+      // Gopher-style hard keep/drop rule layer (oracle generated from the
+      // same constants by TextAnalysis.gopherRulesOracleSql)
+      TextAnalysis.gopherRules(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q80_repetition" -> ((s, dir) => {
+      // repetition profile: top-unigram / top-bigram frequency share — the
+      // Gopher duplication-rule statistic for machine-generated-text spikes
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q81_mix_sample" -> ((s, dir) => {
+      // deterministic dataset-mixing sampler: per-language acceptance rates
+      // applied via an md5 hex draw compared against a hex threshold STRING
+      // (lexicographic = numeric for fixed-width lowercase hex) — fully
+      // engine-neutral, no float parsing, reproducible on any cluster
+      val w = when(col("lang") === "en", lit("g")) // accept all
+        .when(col("lang").isin("es", "fr"), lit("80000000"))
+        .when(col("lang") === "de", lit("40000000"))
+        .otherwise(lit("20000000"))
+      t(s, dir, "documents")
+        .where(substring(md5(col("doc_id").cast("string")), 1, 8) < w)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "q82_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization — native expression (plans.NfcNormalize,
+      // also registered as the SQL function nfc_normalize). The corpus is
+      // ASCII, so decomposed sequences are spliced in identically on both
+      // engines; codepoint lengths expose the composition.
+      // decomposed by construction: combining acute after "cafe",
+      // combining cedilla after "prec" -- NFC composes both; the
+      // eszett is untouched
+      val raw = concat(substring(col("text"), 1, 20),
+        lit(" cafe\u0301 prec\u0327o stra\u00dfe"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.plans.NfcNormalize.nfc(raw).as("nfc"),
+        length(raw).cast("long").as("len_raw"),
+        length(graft.plans.NfcNormalize.nfc(raw)).cast("long").as("len_nfc"))
+    }),
   )
 
   /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
@@ -1683,6 +1728,44 @@ object SparkEntry {
 
       "q78_kmeans" -> graft.operators.KMeansOp.oracleSql(
         "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64),
+
+      "q79_quality_rules" -> TextAnalysis.gopherRulesOracleSql(
+        "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')"),
+
+      "q80_repetition" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+           |uni AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f FROM (
+           |   SELECT doc_id, g, count(*) AS c FROM (
+           |     SELECT doc_id, unnest(toks) AS g FROM d2) GROUP BY 1, 2
+           |  ) GROUP BY doc_id),
+           |bi AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f FROM (
+           |   SELECT doc_id, g, count(*) AS c FROM (
+           |     SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |       i -> array_to_string(toks[i:i+1], ' '))) AS g FROM d2) GROUP BY 1, 2
+           |  ) GROUP BY doc_id)
+           |SELECT uni.doc_id AS doc_id, round(uni.f, 6) AS top_uni_frac,
+           | round(bi.f, 6) AS top_bi_frac, bi.f > 0.08 AS repetitive
+           |FROM uni JOIN bi ON uni.doc_id = bi.doc_id""".stripMargin,
+
+      "q81_mix_sample" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          | CASE WHEN lang = 'en' THEN 'g'
+          |      WHEN lang IN ('es', 'fr') THEN '80000000'
+          |      WHEN lang = 'de' THEN '40000000'
+          |      ELSE '20000000' END""".stripMargin,
+
+      "q82_nfc_normalize" ->
+        """WITH p AS (SELECT doc_id,
+          |  substring(text, 1, 20) || ' cafe' || chr(769) || ' prec' || chr(807)
+          |   || 'o stra' || chr(223) || 'e' AS raw
+          | FROM documents)
+          |SELECT doc_id, nfc_normalize(raw) AS nfc,
+          | CAST(length(raw) AS BIGINT) AS len_raw,
+          | CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+          |FROM p""".stripMargin,
     )
   }
 }

@@ -59,4 +59,78 @@ object TextAnalysis {
       length(TextExprs.cleanText(text)),
       TextExprs.tokenCountWs(text),
       TextExprs.punctCount(text))
+
+  /** Mini stopword list for the boolean rule layer — single source of truth
+    * for the Spark expressions AND the generated DuckDB twin. */
+  val RuleStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "is", "in", "it")
+
+  /** Gopher-style boolean quality rules (Rae et al. '21 §A1.1, simplified):
+    * token-count bounds, mean-word-length bounds, alphabetic-word fraction,
+    * stopword presence — each reported, plus the conjunction `passes`.
+    * Unlike [[qualityScoreFromCounts]] (a soft score), this is the hard
+    * keep/drop rule layer a pretraining filter runs first. One scan; the
+    * token array is staged to an attribute before any lambda touches it. */
+  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("id"),
+      split(lower(TextExprs.cleanText(text)), " ").as("toks"))
+    val n = size(col("toks"))
+    val meanLen = aggregate(transform(col("toks"), t => length(t)), lit(0L),
+      (acc, x) => acc + x).cast("double") / n
+    val alphaFrac = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / n
+    val stopHits = size(filter(col("toks"), t => t.isin(RuleStopwords: _*)))
+    base.select(
+      col("id"),
+      n.cast("long").as("n_tokens"),
+      round(meanLen, 4).as("mean_tok_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (n.between(10, 5000) && meanLen.between(2.0, 12.0) &&
+        alphaFrac > 0.8 && stopHits >= 2).as("passes"))
+  }
+
+  /** DuckDB twin of [[gopherRules]], generated from the same constants.
+    * `toksSql` must produce the same lowercase token list as the Spark side
+    * (i.e. string_split of the lowered cleaned text). */
+  def gopherRulesOracleSql(table: String, idCol: String, toksSql: String): String = {
+    val stopList = RuleStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT $idCol, $toksSql AS toks FROM $table)
+       |SELECT $idCol,
+       | CAST(len(toks) AS BIGINT) AS n_tokens,
+       | round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4)
+       |   AS mean_tok_len,
+       | round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |   / len(toks), 4) AS alpha_frac,
+       | CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stop_hits,
+       | (len(toks) BETWEEN 10 AND 5000
+       |   AND CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+       |     BETWEEN 2.0 AND 12.0
+       |   AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |     / len(toks) > 0.8
+       |   AND len(list_filter(toks, t -> t IN ($stopList))) >= 2) AS passes
+       |FROM d""".stripMargin
+  }
+
+  /** Repetition profile (the Gopher duplication rules' core statistic):
+    * the frequency share of the most-common unigram and bigram per doc.
+    * Highly repetitive machine-generated text spikes both. Shape: explode →
+    * two-level aggregate — the shuffle carries (doc, gram) counts, never
+    * gram text through a join. Docs need ≥ 2 tokens (one full bigram). */
+  def repetitionProfile(df: DataFrame, id: Column, text: Column,
+      repThreshold: Double = 0.08): DataFrame = {
+    val base = df.select(id.as("id"),
+        split(lower(TextExprs.cleanText(text)), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+    def topShare(grams: Column, out: String): DataFrame =
+      base.select(col("id"), explode(grams).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg((max("c").cast("double") / sum("c")).as(out))
+    // ordered (non-distinct) bigrams — frequency needs every occurrence
+    val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))
+    topShare(col("toks"), "_uni").join(topShare(bigrams, "_bi"), "id")
+      .select(col("id"),
+        round(col("_uni"), 6).as("top_uni_frac"),
+        round(col("_bi"), 6).as("top_bi_frac"),
+        (col("_bi") > repThreshold).as("repetitive"))
+  }
 }

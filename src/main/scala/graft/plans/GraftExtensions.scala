@@ -71,6 +71,12 @@ object GraftFunctions {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("vec_cosine expects 2 arguments")
       }),
+    ("nfc_normalize", info("nfc_normalize",
+      "nfc_normalize(text) - Unicode canonical composition (NFC) of the string"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException("nfc_normalize expects 1 argument")
+      }),
   )
 
   /** Register into a live session (tests / spark-shell after startup). */

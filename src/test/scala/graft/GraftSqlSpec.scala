@@ -42,6 +42,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2)) < 1e-12)
   }
 
+  test("nfc_normalize SQL function: composes decomposed sequences, NFC-stable") {
+    // 'cafe' + combining acute (decomposed, 5 codepoints) -> composed 4
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS c, nfc_normalize('caf\u00e9') AS d, " +
+        "length(nfc_normalize('cafe\u0301')) AS n, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS z").collect()(0)
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "caf\u00e9")
+    assert(r.getInt(2) == 4)
+    assert(r.isNullAt(3))
+  }
+
   test("near-dup pipeline expressible in pure SQL over the documents table") {
     spark.read.parquet(sf() + "/documents.parquet").createOrReplaceTempView("docs_sql")
     val n = spark.sql(

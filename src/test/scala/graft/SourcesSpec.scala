@@ -8,6 +8,31 @@ import graft.sources.Tables
   * SurveyPipelineSpec; bucketed managed tables in JoinOpsSpec. */
 class SourcesSpec extends SparkSpec {
 
+  test("binaryFile source: opaque payload + metadata columns, glob-filtered") {
+    // the multimodal ingest path: raw media files -> (path, length, content)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
+    try {
+      val payloads = Seq("a.img" -> Array[Byte](1, 2, 3, 4), "b.img" -> Array[Byte](9, 8),
+        "skip.txt" -> Array[Byte](0))
+      payloads.foreach { case (name, bytes) =>
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+      }
+      val df = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(dir.getAbsolutePath)
+      val got = df.select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"), col("content"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+        .toMap
+      assert(got.keySet == Set("a.img", "b.img")) // glob excludes skip.txt
+      assert(got("a.img") == (4L, Seq[Byte](1, 2, 3, 4)))
+      assert(got("b.img") == (2L, Seq[Byte](9, 8)))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("ORC round-trip preserves schema and rows (documents)") {
     val docs = Tables.table(spark, sf(), "documents")
     val dir = "target/tmp/docs_orc"

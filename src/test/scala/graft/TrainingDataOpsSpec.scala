@@ -137,6 +137,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got(7L) == 0L)
   }
 
+  // ---- quality rules / repetition ----
+
+  test("gopherRules: each rule fails on its own pathological document") {
+    val tenStops = "the a of to and is in it the a" // 10 tokens, all stopwords
+    val docs = Seq(
+      (1L, s"$tenStops good words here"),                    // passes all
+      (2L, "too short"),                                     // n_tokens < 10
+      (3L, Seq.fill(12)("pneumonoultramicroscopics").mkString(" ")), // mean len > 12
+      (4L, s"$tenStops " + Seq.fill(41)("99").mkString(" ")), // alpha_frac <= 0.8
+      (5L, Seq.fill(12)("word").mkString(" "))               // no stopwords
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .gopherRules(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
+  test("repetitionProfile: constant text maxes out, diverse text stays low") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam").mkString(" ")),  // top uni AND bi frac = 1.0
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")) // all distinct
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .repetitionProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(1) == 1.0 && got(1L).getDouble(2) == 1.0
+      && got(1L).getBoolean(3))
+    assert(got(2L).getDouble(1) == 0.05 && !got(2L).getBoolean(3))
+  }
+
   // ---- oracle-query smoke at sf0.001 (the driver checks sf0.01) ----
 
   test("q70/q72/q74 run and return rows at sf0.001") {
