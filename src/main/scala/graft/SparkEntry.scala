@@ -960,6 +960,26 @@ object SparkEntry {
         length(raw).cast("long").as("len_raw"),
         length(graft.plans.NfcNormalize.nfc(raw)).cast("long").as("len_nfc"))
     }),
+
+    "q83_conversion_lag" -> ((s, dir) => {
+      // time-to-convert distribution: first view → first subsequent
+      // purchase per user, exact interpolated percentiles of the lag.
+      // Composition of the funnel stage join and the q37 percentile shape.
+      val ev = t(s, dir, "events")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val p = ev.where(col("event_type") === "purchase").as("e")
+        .join(v, Seq("user_id"))
+        .where(col("e.ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("e.ts")).as("t_purch"), min("t_view").as("t_v"))
+      p.select(((unix_micros(col("t_purch")) - unix_micros(col("t_v"))) / 60000000.0)
+          .as("mins"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(mins, array(0.5D, 0.9D))").as("_p"))
+        .select(col("n_converted"),
+          round(element_at(col("_p"), 1), 4).as("p50_mins"),
+          round(element_at(col("_p"), 2), 4).as("p90_mins"))
+    }),
   )
 
   /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
@@ -1756,6 +1776,19 @@ object SparkEntry {
           |      WHEN lang IN ('es', 'fr') THEN '80000000'
           |      WHEN lang = 'de' THEN '40000000'
           |      ELSE '20000000' END""".stripMargin,
+
+      "q83_conversion_lag" ->
+        """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+          |   WHERE event_type = 'view' GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.ts) AS t_purch, min(v.t_view) AS t_v
+          |   FROM events e JOIN v ON e.user_id = v.user_id
+          |   WHERE e.event_type = 'purchase' AND e.ts > v.t_view GROUP BY 1),
+          |d AS (SELECT (epoch_us(t_purch::TIMESTAMP) - epoch_us(t_v::TIMESTAMP))
+          |   / 60000000.0 AS mins FROM p)
+          |SELECT count(*) AS n_converted,
+          | round(quantile_cont(mins, 0.5), 4) AS p50_mins,
+          | round(quantile_cont(mins, 0.9), 4) AS p90_mins
+          |FROM d""".stripMargin,
 
       "q82_nfc_normalize" ->
         """WITH p AS (SELECT doc_id,

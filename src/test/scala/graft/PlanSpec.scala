@@ -51,6 +51,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "signature frame must be cached")
   }
 
+  test("q71: the benchmark gram set broadcasts; training grams never shuffle for the probe") {
+    val p = executed("q71_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    // the only hash exchange is the final per-doc hit count (plus AQE reads)
+    val probeThenAgg = p.indexOf("BroadcastHashJoin") > p.indexOf("HashAggregate")
+    assert(probeThenAgg, "probe feeds the aggregate (plan prints top-down)")
+  }
+
+  test("q74: the per-type moments broadcast back onto the event scan") {
+    val p = executed("q74_zscore")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q81: the md5 acceptance filter is evaluated scan-side (no shuffle at all)") {
+    val p = executed("q81_mix_sample")
+    assert(!p.contains("Exchange"), s"sampler must be a pure map dataflow:\n$p")
+  }
+
+  test("q75: both correlated subqueries decorrelate into joins (no per-row subplan)") {
+    val df = SparkEntry.queries("q75_subqueries")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+      s"correlated scalar subquery must decorrelate:\n$p")
+    assert(p.contains("Join"), "EXISTS must become a semi join")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")

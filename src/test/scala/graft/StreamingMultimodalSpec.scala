@@ -118,6 +118,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once, no duplicate output") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val chk = new java.io.File(dir, "chk").getAbsolutePath
+    val mem = MemoryStream[(Long, Double)]
+    def start() = mem.toDF().toDF("id", "v").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append").start()
+    mem.addData((1L, 1.0), (2L, 2.0))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    mem.addData((3L, 3.0))
+    // second query instance, SAME checkpoint: must resume past batch 0 —
+    // the committed offsets gate replay, the file-sink log gates re-writes
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"exactly-once violated: $ids")
+  }
+
   test("multimodal decode plumbing: deterministic stub metadata + frame sampling") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val meta = Multimodal.decodeMeta(Multimodal.packFake(docs))
