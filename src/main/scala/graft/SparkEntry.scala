@@ -980,6 +980,24 @@ object SparkEntry {
           round(element_at(col("_p"), 1), 4).as("p50_mins"),
           round(element_at(col("_p"), 2), 4).as("p90_mins"))
     }),
+
+    "q84_latest_event" -> ((s, dir) => {
+      // keep-latest-row-per-key as ONE hash aggregate: max(struct(ts, id,
+      // payload)) compares lexicographically, so the combine is map-side
+      // partial and the shuffle carries one candidate row per (key,
+      // partition) — the upsert-compaction idiom. The window form
+      // (row_number ORDER BY ts DESC = 1) sorts every group's full history
+      // instead; at 100 TB that is a sort of the whole log.
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("_last"))
+        .select(col("user_id"),
+          col("_last.ts").as("last_ts"),
+          col("_last.event_id").as("last_event_id"),
+          col("_last.event_type").as("last_type"),
+          col("_last.value").as("last_value"))
+    }),
   )
 
   /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
@@ -1776,6 +1794,13 @@ object SparkEntry {
           |      WHEN lang IN ('es', 'fr') THEN '80000000'
           |      WHEN lang = 'de' THEN '40000000'
           |      ELSE '20000000' END""".stripMargin,
+
+      "q84_latest_event" ->
+        """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+          | event_type AS last_type, value AS last_value
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id
+          |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
       "q83_conversion_lag" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

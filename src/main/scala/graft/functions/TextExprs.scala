@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object TextExprs {
 
-  /** Astral-plane codepoints (emoji etc.) — survey_analysis.py:79. */
+  /** Astral-plane codepoints (emoji etc.) — survey_analysis.py:79.
+    * (Kept for the generated DuckDB oracle SQL and the regex-form tests;
+    * the engine-side scan is the native plans.CleanText expression.) */
   val AstralRegex = "[\\x{10000}-\\x{10FFFF}]"
 
-  /** survey_analysis.py:76-81. Null-safe: non-string/null → "". */
+  /** survey_analysis.py:76-81. Null-safe: non-string/null → "".
+    * Native single-pass byte scan (plans.CleanText) — semantically equal to
+    * trim(regexp_replace(regexp_replace(trim(s), astral, ''), '\\s+', ' '))
+    * and asserted so by TextExprsSpec's differential property test. */
   def cleanText(c: Column): Column =
+    graft.plans.CleanText.clean(coalesce(c, lit("")))
+
+  /** The original two-regex form — the oracle-twin semantics reference. */
+  def cleanTextRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), AstralRegex, ""), "\\s+", " "))
 
   /** survey_analysis.py:83-84 — lower(trim(s)) ∈ FILLER_VALUES. */
@@ -46,12 +55,20 @@ object TextExprs {
     if (cleaned.isEmpty) "Sheet" else cleaned
   }
 
+  /** `any(k in low)` — the reference's substring-containment test. Native
+    * byte-probe expression (plans.ContainsAny): identical semantics to
+    * `rlike(alternation)` for the all-literal lexicons (Lexicons.alternation
+    * asserts no metacharacters), minus the regex engine — the classifier
+    * runs 8 of these per answer column, making this THE hot scan. */
+  private def hitsAny(low: Column, words: Seq[String]): Column =
+    graft.plans.ContainsAny.containsAny(low, words)
+
   /** Ordered keyword-table category — survey_analysis.py:112-116.
-    * First category whose alternation hits wins; else "General". */
+    * First category whose keyword list hits wins; else "General". */
   def demoCategory(c: Column): Column = {
     val low = lower(coalesce(c, lit("")))
-    Lexicons.categoryAlts.foldRight(lit("General")) { case ((cat, alt), rest) =>
-      when(low.rlike(alt), cat).otherwise(rest)
+    Lexicons.DemoKeywords.foldRight(lit("General")) { case ((cat, kws), rest) =>
+      when(hitsAny(low, kws), cat).otherwise(rest)
     }
   }
 
@@ -59,8 +76,8 @@ object TextExprs {
     * Mixed if both polarities hit, else Positive / Negative / Neutral. */
   def demoSentiment(c: Column): Column = {
     val low = lower(coalesce(c, lit("")))
-    val hasPos = low.rlike(Lexicons.positiveAlt)
-    val hasNeg = low.rlike(Lexicons.negativeAlt)
+    val hasPos = hitsAny(low, Lexicons.PositiveWords)
+    val hasNeg = hitsAny(low, Lexicons.NegativeWords)
     when(hasPos && hasNeg, "Mixed")
       .when(hasPos, "Positive")
       .when(hasNeg, "Negative")
@@ -88,12 +105,12 @@ object TextExprs {
     * so the whole struct is a small expression tree that evaluates cln/low
     * exactly once per row inside whole-stage codegen. */
   def classifyFromCleaned(cln: Column, low: Column): Column = {
-    val hasPos = low.rlike(Lexicons.positiveAlt)
-    val hasNeg = low.rlike(Lexicons.negativeAlt)
+    val hasPos = hitsAny(low, Lexicons.PositiveWords)
+    val hasNeg = hitsAny(low, Lexicons.NegativeWords)
     val sentiment = when(hasPos && hasNeg, "Mixed")
       .when(hasPos, "Positive").when(hasNeg, "Negative").otherwise("Neutral")
-    val category = Lexicons.categoryAlts.foldRight(lit("General")) { case ((cat, alt), rest) =>
-      when(low.rlike(alt), cat).otherwise(rest)
+    val category = Lexicons.DemoKeywords.foldRight(lit("General")) { case ((cat, kws), rest) =>
+      when(hitsAny(low, kws), cat).otherwise(rest)
     }
     // cln is already trimmed, so filler test reduces to low ∈ FILLER_VALUES
     when(low.isin(Lexicons.FillerValues: _*),

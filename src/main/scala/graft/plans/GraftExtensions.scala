@@ -77,6 +77,23 @@ object GraftFunctions {
         case Seq(c) => NfcNormalize(c)
         case _ => throw new IllegalArgumentException("nfc_normalize expects 1 argument")
       }),
+    ("clean_text", info("clean_text",
+      "clean_text(text) - strip, drop astral codepoints, collapse whitespace (single scan)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => CleanText(c)
+        case _ => throw new IllegalArgumentException("clean_text expects 1 argument")
+      }),
+    ("contains_any", info("contains_any",
+      "contains_any(text, 'p1|p2|...') - true iff any literal pattern is a substring"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, p) => p match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+            ContainsAny(c, u.toString.split('|').toSeq)
+          case other => throw new IllegalArgumentException(
+            s"contains_any patterns must be a string literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException("contains_any expects 2 arguments")
+      }),
   )
 
   /** Register into a live session (tests / spark-shell after startup). */

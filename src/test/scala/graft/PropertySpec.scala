@@ -36,6 +36,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native cleanText == the two-regex reference form on adversarial inputs") {
+    val hardGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      "a", "🙂", "😕", "é", "中", "\t", "\n", "\r", "", "\f",
+      " ", "  ", "ß", "x🙂y", "—")).map(_.mkString(""))
+    trials(Gen.listOfN(40, Gen.oneOf(hardGen, textGen)), n = 6).foreach { texts =>
+      val df = texts.toDF("t")
+      val got = df.select(
+        TextExprs.cleanText(col("t")).as("native"),
+        TextExprs.cleanTextRegex(col("t")).as("regex")).collect()
+      got.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"native='${r.getString(0)}' regex='${r.getString(1)}'"))
+    }
+  }
+
   test("explode fan-out: wide rows == Σ max(1, #non-empty products)") {
     val productsGen = Gen.listOf(Gen.oneOf("A", "B", "C", " ", "")).map(_.mkString(","))
     trials(Gen.listOfN(12, productsGen)).foreach { prods =>

@@ -33,6 +33,20 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions column sets across file versions") {
+    // the 100 TB reality: a corpus written over months gains columns; the
+    // reader must union schemas and null-fill the old files
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toFile.getAbsolutePath
+    Seq((1L, "a")).toDF("id", "text").write.parquet(dir + "/v=1")
+    Seq((2L, "b", "en")).toDF("id", "text", "lang").write.parquet(dir + "/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "lang", "text", "v"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("lang")), "old files null-fill new columns")
+    assert(byId(2L).getString(merged.columns.indexOf("lang")) == "en")
+  }
+
   test("ORC round-trip preserves schema and rows (documents)") {
     val docs = Tables.table(spark, sf(), "documents")
     val dir = "target/tmp/docs_orc"
