@@ -998,6 +998,35 @@ object SparkEntry {
           col("_last.event_type").as("last_type"),
           col("_last.value").as("last_value"))
     }),
+
+    "q85_heavy_hitters" -> ((s, dir) => {
+      // exact frequent items via the two-pass Misra-Gries dataflow
+      // (operators.HeavyHitters): a bounded mergeable summary finds the
+      // candidate superset without shuffling the long tail; pass 2 exact-
+      // counts only the candidates. Deterministic -> oracle = naive HAVING.
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("item"))
+        .where(col("item") =!= "")
+      graft.operators.HeavyHitters.topFrequent(toks, col("item"), k = 50)
+    }),
+
+    "q86_map_funcs" -> ((s, dir) => {
+      // map-column surface: literal-map construction, keys/values, lookup,
+      // map_filter, transform_values — results serialized deterministically
+      // (map() literals preserve entry order) so the oracle is plain strings
+      val m = map(lit("type"), col("event_type"),
+        lit("uid"), col("user_id").cast("string"),
+        lit("k"), get_json_object(col("props"), "$.k"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        concat_ws(",", map_keys(m)).as("keys"),
+        element_at(m, "type").as("type_val"),
+        size(m).cast("long").as("n_entries"),
+        concat_ws("|", map_values(map_filter(m, (k, _) => k =!= "uid")))
+          .as("non_uid_vals"),
+        concat_ws("|", map_values(transform_values(m,
+          (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
+    }),
   )
 
   /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
@@ -1794,6 +1823,23 @@ object SparkEntry {
           |      WHEN lang IN ('es', 'fr') THEN '80000000'
           |      WHEN lang = 'de' THEN '40000000'
           |      ELSE '20000000' END""".stripMargin,
+
+      "q85_heavy_hitters" ->
+        s"""WITH toks AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' '))
+           |   AS item FROM documents),
+           |t2 AS (SELECT item FROM toks WHERE item <> '')
+           |SELECT item, count(*) AS cnt FROM t2 GROUP BY 1
+           |HAVING count(*) * 50 > (SELECT count(*) FROM t2)""".stripMargin,
+
+      "q86_map_funcs" ->
+        """SELECT event_id,
+          | 'type,uid,k' AS keys,
+          | event_type AS type_val,
+          | CAST(3 AS BIGINT) AS n_entries,
+          | event_type || '|' || (props->>'$.k') AS non_uid_vals,
+          | upper(event_type) || '|' || CAST(user_id AS VARCHAR) || '|'
+          |   || (props->>'$.k') AS vals_up
+          |FROM events""".stripMargin,
 
       "q84_latest_event" ->
         """SELECT user_id, ts AS last_ts, event_id AS last_event_id,

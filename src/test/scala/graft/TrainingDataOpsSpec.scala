@@ -167,6 +167,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got(2L).getDouble(1) == 0.05 && !got(2L).getBoolean(3))
   }
 
+  // ---- heavy hitters ----
+
+  test("heavy hitters: exact result under a long tail that overflows the summary") {
+    // 2 genuinely heavy items + 400-item tail; summary capacity (2k=10) is
+    // 40x smaller than the distinct domain, so eviction/merge-cut both fire
+    val rows = Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++
+      (1 to 400).map(i => f"tail$i%03d")
+    val df = rows.toDF("item").repartition(7) // force multi-partition merges
+    val got = graft.operators.HeavyHitters.topFrequent(df, col("item"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 1200, threshold N/5 = 240: exactly hot1 (500) and hot2 (300)
+    assert(got == Map("hot1" -> 500L, "hot2" -> 300L))
+  }
+
+  test("heavy hitters: candidate summary is a superset of true heavy items") {
+    val rows = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ (1 to 50).map("t" + _)
+    val df = rows.toDF("item").repartition(5)
+    val cand = graft.operators.HeavyHitters.candidates(df, col("item"), capacity = 8)
+    assert(cand.size <= 8)
+    assert(cand.contains("a") && cand.contains("b"))
+  }
+
   // ---- oracle-query smoke at sf0.001 (the driver checks sf0.01) ----
 
   test("q70/q72/q74 run and return rows at sf0.001") {
