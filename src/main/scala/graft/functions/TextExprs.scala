@@ -145,9 +145,18 @@ object TextExprs {
   def tokenCountBpe(c: Column): Column =
     size(regexp_extract_all(coalesce(c, lit("")), lit(BpeTokenRegex), lit(0))).cast("int")
 
-  /** Count of regex hits in lowercased text (shared by lang-ID/quality). */
+  /** Count of regex hits in lowercased text (kept for char-class patterns,
+    * e.g. the CJK range; plain word sets go through [[wordHitCount]]). */
   def hitCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(lower(coalesce(c, lit(""))), lit(pattern), lit(0))).cast("int")
+
+  /** `\b(w1|w2|...)\b` hit count in lowercased text as a native byte scan
+    * (plans.WordSetCount) — a maximal \w-run is a \b-token, so set
+    * membership over token runs is exactly the regex count, minus the
+    * regex engine. The five-per-document language-ID scans run through
+    * this. Differential-tested against [[hitCount]] in TextExprsSpec. */
+  def wordHitCount(c: Column, words: Seq[String]): Column =
+    graft.plans.WordSetCount.wordSetCount(lower(coalesce(c, lit(""))), words)
 
   /** Decision rule of the stopword-count language ID, over pre-computed hit
     * counts (attributes — keep the regex scans in a prior projection).
@@ -167,10 +176,10 @@ object TextExprs {
     * tie-break re-embed them — use [[withLangId]] on the hot path). */
   def langId(c: Column): Column =
     langIdFromHits(
-      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn)),
-      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEs)),
-      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsDe)),
-      hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsFr)),
+      wordHitCount(c, Lexicons.StopwordsEn),
+      wordHitCount(c, Lexicons.StopwordsEs),
+      wordHitCount(c, Lexicons.StopwordsDe),
+      wordHitCount(c, Lexicons.StopwordsFr),
       hitCount(c, "[\\x{4e00}-\\x{9fff}]"))
 
   /** DataFrame-level staged language ID: one projection runs the five regex
@@ -179,10 +188,10 @@ object TextExprs {
       outCol: String): org.apache.spark.sql.DataFrame = {
     val p = s"_${outCol}_"
     df.withColumns(Map(
-        s"${p}en" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsEn)),
-        s"${p}es" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsEs)),
-        s"${p}de" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsDe)),
-        s"${p}fr" -> hitCount(text, Lexicons.wordAlternation(Lexicons.StopwordsFr)),
+        s"${p}en" -> wordHitCount(text, Lexicons.StopwordsEn),
+        s"${p}es" -> wordHitCount(text, Lexicons.StopwordsEs),
+        s"${p}de" -> wordHitCount(text, Lexicons.StopwordsDe),
+        s"${p}fr" -> wordHitCount(text, Lexicons.StopwordsFr),
         s"${p}cjk" -> hitCount(text, "[\\x{4e00}-\\x{9fff}]")))
       .withColumn(outCol, langIdFromHits(
         col(s"${p}en"), col(s"${p}es"), col(s"${p}de"), col(s"${p}fr"), col(s"${p}cjk")))
@@ -191,8 +200,9 @@ object TextExprs {
 
   /** Document quality features + composite score (length, punctuation
     * density, stopword ratio) — the standard pretraining-corpus filters. */
-  def punctCount(c: Column): Column = hitCount(c, "[\\.,;:!\\?]")
-  def stopwordCount(c: Column): Column = hitCount(c, Lexicons.wordAlternation(Lexicons.StopwordsEn))
+  def punctCount(c: Column): Column =
+    graft.plans.WordSetCount.charSetCount(coalesce(c, lit("")), ".,;:!?")
+  def stopwordCount(c: Column): Column = wordHitCount(c, Lexicons.StopwordsEn)
 
   /** xxhash64 fingerprint of the cleaned text (exact-dup key at scale —
     * 64-bit, cheap, codegen'd). */

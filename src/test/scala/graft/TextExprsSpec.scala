@@ -78,6 +78,36 @@ class TextExprsSpec extends SparkSpec {
     assert(one("xyz qrs", TextExprs.langId) == "und")
   }
 
+  test("wordHitCount == the \\b-alternation regex count on adversarial inputs") {
+    import graft.functions.Lexicons
+    val texts = Seq(
+      "the cat and the hat", // 3 en hits (the, and, the)
+      "él el level elf _el el_ EL", // only the bare 'el' + lowercased 'EL' count
+      "aTHEb the_x x_the the", // embedded/underscore-joined runs don't count
+      "de la de-de de", // punctuation breaks runs
+      "", "   ", "中文 the 中", "tab\tthe\nnewline the")
+    val df = texts.toDF("t")
+    Seq(Lexicons.StopwordsEn, Lexicons.StopwordsEs, Lexicons.StopwordsDe).foreach { set =>
+      val got = df.select(
+        TextExprs.wordHitCount(col("t"), set).as("native"),
+        TextExprs.hitCount(col("t"), Lexicons.wordAlternation(set)).as("regex")).collect()
+      got.zip(texts).foreach { case (r, t) =>
+        assert(r.getInt(0) == r.getInt(1), s"set mismatch on '$t'")
+      }
+    }
+  }
+
+  test("punctCount (native char scan) == the regex char-class count") {
+    val texts = Seq("a.b,c;d:e!f?g", "no punct", "...", "", "中.文!", "a . b ? !")
+    val got = texts.toDF("t").select(
+      TextExprs.punctCount(col("t")).as("native"),
+      size(regexp_extract_all(lower(coalesce(col("t"), lit(""))),
+        lit("[\\.,;:!\\?]"), lit(0))).cast("int").as("regex")).collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on '$t'")
+    }
+  }
+
   test("sanitizeBase / sanitizeSheetName (driver-side)") {
     assert(TextExprs.sanitizeBase("  What  did you like? ") == "What_did_you_like?")
     assert(TextExprs.sanitizeSheetName("a/b:c*d") == "a b c d")
