@@ -68,6 +68,14 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment: join each streamed event to a static (batch)
+    * dimension table — the canonical "decorate the stream with reference
+    * data" shape. No watermark needed: the static side is bounded, Spark
+    * broadcasts it under the threshold, and the stream never buffers.
+    * `dim` must be a batch DataFrame keyed by `key` (unique). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each error joined to the purchases of the
     * same user within the following hour. Both sides carry watermarks and
     * the join condition bounds event-time distance in BOTH directions, so

@@ -118,6 +118,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("event_id", "event_type")
+    val q = EventStreams.enrichWithDim(stream, dim, "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      mem.addData((1L, "click"), (2L, "purchase"), (3L, "error"))
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+      assert(got == Map(1L -> Some("engagement"), 2L -> Some("revenue"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once, no duplicate output") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
