@@ -999,6 +999,14 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q87_lateral" -> ((s, dir) => {
+      // correlated LATERAL (ORDER BY + LIMIT inside): top-2 orders per
+      // selected customer; the oracle runs the identical string
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(lateralSql)
+    }),
+
     "q85_heavy_hitters" -> ((s, dir) => {
       // exact frequent items via the two-pass Misra-Gries dataflow
       // (operators.HeavyHitters): a bounded mergeable summary finds the
@@ -1028,6 +1036,17 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** q87: correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
+    * per high-balance customer. The identical string runs on both engines
+    * (Spark decorrelates the lateral limit into a partitioned rank). */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      | LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |          WHERE o_custkey = c.c_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      |WHERE c.c_acctbal > 9000""".stripMargin
 
   /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
     * oracle via DuckDB) — ANSI subquery semantics parity by construction. */
@@ -1823,6 +1842,8 @@ object SparkEntry {
           |      WHEN lang IN ('es', 'fr') THEN '80000000'
           |      WHEN lang = 'de' THEN '40000000'
           |      ELSE '20000000' END""".stripMargin,
+
+      "q87_lateral" -> lateralSql,
 
       "q85_heavy_hitters" ->
         s"""WITH toks AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' '))

@@ -140,9 +140,13 @@ object TextExprs {
   }
 
   /** BPE-ish token count: runs of letters, single digits, single
-    * non-alphanumeric marks — a cheap proxy for subword token cost. */
+    * non-alphanumeric marks — a cheap proxy for subword token cost.
+    * Native single-scan form (plans.BpeCount); the regex it implements is
+    * kept below for the oracle twin and the differential test. */
   val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCountBpe(c: Column): Column =
+    graft.plans.BpeCount.bpeCount(coalesce(c, lit("")))
+  def tokenCountBpeRegex(c: Column): Column =
     size(regexp_extract_all(coalesce(c, lit("")), lit(BpeTokenRegex), lit(0))).cast("int")
 
   /** Count of regex hits in lowercased text (kept for char-class patterns,

@@ -108,6 +108,17 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("tokenCountBpe (native scan) == the regex form on adversarial inputs") {
+    val texts = Seq("hello world", "abc123def", "a.b!c", "  spaced  out  ",
+      "中文mixed漢字", "émoji 🙂 test", "", "123", "___", "tab\there")
+    val got = texts.toDF("t").select(
+      TextExprs.tokenCountBpe(col("t")).as("native"),
+      TextExprs.tokenCountBpeRegex(col("t")).as("regex")).collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on '$t': ${r.getInt(0)} vs ${r.getInt(1)}")
+    }
+  }
+
   test("sanitizeBase / sanitizeSheetName (driver-side)") {
     assert(TextExprs.sanitizeBase("  What  did you like? ") == "What_did_you_like?")
     assert(TextExprs.sanitizeSheetName("a/b:c*d") == "a b c d")
