@@ -54,6 +54,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("clean_text / contains_any SQL functions") {
+    val r = spark.sql(
+      "SELECT clean_text('  hola \t mundo  ') AS c, " +
+        "contains_any('we love it', 'love|great|good') AS hit, " +
+        "contains_any('meh', 'love|great|good') AS miss").collect()(0)
+    assert(r.getString(0) == "hola mundo")
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("near-dup pipeline expressible in pure SQL over the documents table") {
     spark.read.parquet(sf() + "/documents.parquet").createOrReplaceTempView("docs_sql")
     val n = spark.sql(

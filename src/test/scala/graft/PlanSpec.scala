@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("simhash") && p.contains("shingle_hashes"))
   }
 
+  test("round-5 natives (clean/contains/word-set/bpe/nfc) also stay in codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Lexicons, TextExprs}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val df = docs.select(
+      TextExprs.cleanText(col("text")).as("cln"),
+      graft.plans.ContainsAny.containsAny(lower(col("text")),
+        Lexicons.PositiveWords).as("pos"),
+      TextExprs.wordHitCount(col("text"), Lexicons.StopwordsEn).as("en"),
+      TextExprs.tokenCountBpe(col("text")).as("bpe"),
+      graft.plans.NfcNormalize.nfc(col("text")).as("nfc"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(800))
+    Seq("clean_text", "contains_any", "word_set_count", "bpe_count", "nfc_normalize")
+      .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
