@@ -999,6 +999,21 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q88_fuzzy_match" -> ((s, dir) => {
+      // record-linkage shape: brand-blocked candidate pairs verified by the
+      // native Jaro-Winkler expression (Spark ships only levenshtein).
+      // Blocking bounds the pair space exactly like the LSH dedups; the
+      // filter compares the 4-dp ROUNDED score so both engines cut
+      // identically. Self-matches (same name) excluded to keep it fuzzy.
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
+      pairs.select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          round(graft.plans.JaroWinkler.jaroWinkler(col("a.p_name"), col("b.p_name")), 4)
+            .as("jw"))
+        .where(col("jw") >= 0.88 && col("jw") < 1.0)
+    }),
+
     "q87_lateral" -> ((s, dir) => {
       // correlated LATERAL (ORDER BY + LIMIT inside): top-2 orders per
       // selected customer; the oracle runs the identical string
@@ -1844,6 +1859,14 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q88_fuzzy_match" ->
+        """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+          | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+          |FROM part a JOIN part b
+          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88
+          |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 4) < 1.0""".stripMargin,
 
       "q85_heavy_hitters" ->
         s"""WITH toks AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' '))

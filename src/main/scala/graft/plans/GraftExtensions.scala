@@ -83,6 +83,12 @@ object GraftFunctions {
         case Seq(c) => CleanText(c)
         case _ => throw new IllegalArgumentException("clean_text expects 1 argument")
       }),
+    ("jaro_winkler", info("jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (standard 0.7-threshold prefix boost)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException("jaro_winkler expects 2 arguments")
+      }),
     ("contains_any", info("contains_any",
       "contains_any(text, 'p1|p2|...') - true iff any literal pattern is a substring"),
       (args: Seq[Expression]) => args match {

@@ -119,6 +119,27 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler matches the DuckDB-verified reference values") {
+    import graft.plans.JaroWinklerImpl.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def eq(a: String, b: String, expect: Double): Unit =
+      assert(math.abs(jw(u(a), u(b)) - expect) < 1e-12, s"jw($a, $b)")
+    eq("martha", "marhta", 0.9611111111111111)
+    eq("dixon", "dicksonx", 0.8133333333333332)
+    eq("jellyfish", "smellyfish", 0.8962962962962964)
+    eq("abc", "xyz", 0.0)
+    eq("abcdef", "abcdef", 1.0)
+    eq("a", "", 0.0)
+    eq("", "", 0.0) // DuckDB convention: either side empty -> 0
+    eq("ab", "ba", 0.0) // window 0: adjacent transposition can't match
+    eq("crate", "trace", 0.7333333333333334)
+    eq("aaaa", "aaab", 0.8833333333333334)
+    eq("abcxxxxx", "abcyyzzz", 0.5833333333333334) // jaro <= 0.7: no boost
+    eq("abcde", "aebdc", 0.76) // odd transposition count, integer halving
+    eq("abcdef", "badcfe", 0.8333333333333334)
+    eq("information", "informant", 0.9414141414141414)
+  }
+
   test("sanitizeBase / sanitizeSheetName (driver-side)") {
     assert(TextExprs.sanitizeBase("  What  did you like? ") == "What_did_you_like?")
     assert(TextExprs.sanitizeSheetName("a/b:c*d") == "a b c d")
