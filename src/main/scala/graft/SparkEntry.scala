@@ -999,6 +999,27 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q89_perplexity" -> ((s, dir) => {
+      // perplexity-style quality filter (CCNet-ish, self-trained): score
+      // each doc by its cross-entropy under the corpus unigram model.
+      // Two-pass dataflow: token counts (vocab-sized), then score with the
+      // model BROADCAST back onto the token stream — the corpus-total
+      // scalar folds into the DAG as a broadcast cross join (no driver
+      // collect), same pattern as BM25's N/avgdl.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = model.agg(sum("c").as("n"))
+      toks.join(broadcast(model), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(-log(col("c") / col("n"))), 4).as("xent"),
+          round(exp(avg(-log(col("c") / col("n")))), 4).as("ppl"))
+    }),
+
     "q88_fuzzy_match" -> ((s, dir) => {
       // record-linkage shape: brand-blocked candidate pairs verified by the
       // native Jaro-Winkler expression (Spark ships only levenshtein).
@@ -1859,6 +1880,19 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q89_perplexity" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |  FROM documents),
+           |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+           |m AS (SELECT tok, count(*) AS c FROM t2 GROUP BY 1),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM m)
+           |SELECT t2.doc_id AS doc_id, count(*) AS n_toks,
+           | round(avg(-ln(m.c / n.n)), 4) AS xent,
+           | round(exp(avg(-ln(m.c / n.n))), 4) AS ppl
+           |FROM t2 JOIN m USING (tok) CROSS JOIN n
+           |GROUP BY 1""".stripMargin,
 
       "q88_fuzzy_match" ->
         """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

@@ -33,6 +33,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CSV malformed rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    // ingestion reality at 100 TB: some rows are garbage; the mode decides
+    // whether they surface (with the raw line preserved) or vanish
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "rows.csv")
+    java.nio.file.Files.write(f.toPath,
+      "id,qty\n1,10\nnot_a_number,20\n3,thirty\n4,40\n".getBytes)
+    try {
+      val schema = "id INT, qty INT, _corrupt STRING"
+      val permissive = spark.read
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema).csv(f.getAbsolutePath).cache()
+      permissive.count() // materialize before filtering on _corrupt
+      assert(permissive.where(col("_corrupt").isNotNull).count() == 2)
+      assert(permissive.where(col("_corrupt").isNull).count() == 2)
+      val dropped = spark.read
+        .option("header", "true").option("mode", "DROPMALFORMED")
+        .schema("id INT, qty INT").csv(f.getAbsolutePath)
+      assert(dropped.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 4))
+    } finally { f.delete(); dir.delete() }
+  }
+
   test("parquet schema evolution: mergeSchema unions column sets across file versions") {
     // the 100 TB reality: a corpus written over months gains columns; the
     // reader must union schemas and null-fill the old files
