@@ -28,6 +28,60 @@ object JaroWinklerImpl {
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
     if (a == b) return 1.0
+    // ≤ 64-char strings (virtually all linkage keys) track the match sets
+    // in two Long bitmasks — zero allocation on the 10⁶-pairs/task hot path
+    if (la <= 64 && lb <= 64) jwSmall(a, b, la, lb)
+    else jwLarge(a, b, la, lb)
+  }
+
+  private def finishScore(a: String, b: String, la: Int, lb: Int,
+      m: Int, t: Int): Double = {
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxL = math.min(4, math.min(la, lb))
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  private def jwSmall(a: String, b: String, la: Int, lb: Int): Double = {
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    var aMask = 0L
+    var bMask = 0L
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val from = math.max(0, i - window)
+      val until = math.min(lb, i + window + 1)
+      var j = from
+      var found = false
+      while (!found && j < until) {
+        if ((bMask & (1L << j)) == 0L && a.charAt(i) == b.charAt(j)) {
+          aMask |= 1L << i; bMask |= 1L << j; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if ((aMask & (1L << i)) != 0L) {
+        while ((bMask & (1L << k)) == 0L) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    finishScore(a, b, la, lb, m, t)
+  }
+
+  private def jwLarge(a: String, b: String, la: Int, lb: Int): Double = {
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
@@ -47,7 +101,6 @@ object JaroWinklerImpl {
       i += 1
     }
     if (m == 0) return 0.0
-    // transpositions: matched chars out of relative order, halved
     var t = 0
     var k = 0
     i = 0
@@ -59,15 +112,7 @@ object JaroWinklerImpl {
       }
       i += 1
     }
-    val md = m.toDouble
-    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
-    if (jaro <= 0.7) jaro
-    else {
-      var l = 0
-      val maxL = math.min(4, math.min(la, lb))
-      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
-      jaro + l * 0.1 * (1.0 - jaro)
-    }
+    finishScore(a, b, la, lb, m, t)
   }
 }
 
