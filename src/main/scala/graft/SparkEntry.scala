@@ -999,6 +999,23 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q90_scd2" -> ((s, dir) => {
+      // type-2 slowly-changing dimension from a change log: collapse each
+      // user's event-type runs into validity intervals [valid_from,
+      // valid_to) — run starts where the type differs from the previous
+      // row (lag), interval ends at the next run's start (lead over the
+      // compressed rows), NULL for the open current interval. One window
+      // partitioning shared by both passes.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val marked = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("_prev", lag("event_type", 1).over(w))
+        .where(col("_prev").isNull || col("_prev") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      marked.select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead("ts", 1).over(w2).as("valid_to"))
+    }),
+
     "q89_perplexity" -> ((s, dir) => {
       // perplexity-style quality filter (CCNet-ish, self-trained): score
       // each doc by its cross-entropy under the corpus unigram model.
@@ -1885,6 +1902,16 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q90_scd2" ->
+        """WITH marked AS (
+          |  SELECT user_id, event_id, ts, event_type,
+          |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |runs AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type, ts AS valid_from,
+          | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          |FROM runs""".stripMargin,
 
       "q89_perplexity" ->
         s"""WITH toks AS (SELECT doc_id,

@@ -167,6 +167,31 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got(2L).getDouble(1) == 0.05 && !got(2L).getBoolean(3))
   }
 
+  test("privacy: redaction is idempotent (placeholders never re-match)") {
+    val docs = Seq(
+      (1L, "mail a@b.co phone +1-555-0147890 ip 10.0.0.1"),
+      (2L, "clean text")).toDF("id", "text")
+    val once = Privacy.redactAudit(docs, col("id"), col("text"))
+      .select(col("id"), col("redacted").as("text"))
+    val twice = Privacy.redactAudit(once, col("id"), col("text"))
+    val both = once.join(twice.select(col("id"), col("redacted")), "id").collect()
+    both.foreach(r => assert(r.getString(1) == r.getString(2), r.toString))
+  }
+
+  test("kmeans: an emptied cluster keeps its previous centroid") {
+    // duplicate seed vectors: every point ties between c0 and c1 and the
+    // tie-break sends ALL of them to cluster 0 — cluster 1 empties on the
+    // first update and must keep its old centroid (no NPE, no collapse)
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 2.0f))
+    ).toDF("id", "v")
+    val got = KMeansOp.kmeans(vecs, col("id"), col("v"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4) // all points assigned, no crash
+    assert(got.values.toSet.contains(0L)) // cluster 0 carries the data
+  }
+
   // ---- heavy hitters ----
 
   test("heavy hitters: exact result under a long tail that overflows the summary") {
