@@ -999,6 +999,18 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q91_scalable_percentile" -> ((s, dir) => {
+      // the 100 TB path for q37's exact percentiles: rank-based dataflow
+      // (operators.Percentiles) instead of Spark's percentile aggregate,
+      // whose buffer holds an entire group's values on one task
+      graft.operators.Percentiles.exactByGroup(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"),
+          Seq(0.25, 0.5, 0.75, 0.99), Seq("p25", "p50", "p75", "p99"))
+        .select(col("group").as("o_orderpriority"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"), round(col("p99"), 4).as("p99"))
+    }),
+
     "q90_scd2" -> ((s, dir) => {
       // type-2 slowly-changing dimension from a change log: collapse each
       // user's event-type runs into validity intervals [valid_from,
@@ -1902,6 +1914,14 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q91_scalable_percentile" ->
+        """SELECT o_orderpriority,
+          | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+          | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+          | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+          |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
       "q90_scd2" ->
         """WITH marked AS (

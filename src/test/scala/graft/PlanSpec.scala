@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "EXISTS must become a semi join")
   }
 
+  test("q91 == q37 values, with neither a Window nor a percentile buffer in the plan") {
+    val viaAgg = SparkEntry.queries("q37_percentile")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val df = SparkEntry.queries("q91_scalable_percentile")(spark, sf())
+    val viaRank = df.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(viaRank == viaAgg)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "rank path must not plan a Window")
+    assert(!p.toLowerCase.contains("percentile"),
+      "rank path must not fall back to the buffering percentile aggregate")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")
