@@ -28,6 +28,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the horizon in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events, watermark = "10 minutes", win = "5 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wm").start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far beyond 00:01 + watermark → closes the first window
+      mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      // LATE: event-time 00:02 is behind the 00:50 watermark → must be dropped
+      mem.addData((Timestamp.valueOf("2024-01-01 00:02:00"), "click", 99.0))
+      q.processAllAvailable()
+      // and the closed [00:00,00:05) click window must still count exactly 1
+      mem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "view", 3.0))
+      q.processAllAvailable()
+      val clicks = spark.table("wm").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+      assert(clicks.length == 1 && clicks.head.getAs[Long]("n") == 1L,
+        s"late event must not reopen the closed window: ${clicks.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("windowed/session aggregations also run in batch mode on the events table") {
     val ev = graft.sources.Tables.table(spark, sf(), "events")
     assert(EventStreams.windowedCounts(ev).count() > 0)
