@@ -999,6 +999,19 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q92_heavy_hitters_grouped" -> ((s, dir) => {
+      // per-language frequent tokens: the MG-summary Aggregator riding an
+      // ordinary groupBy (map-side partial merge), exact pass on the
+      // broadcast candidate union
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("item"))
+        .where(col("item") =!= "")
+      graft.operators.HeavyHitters.topFrequentByGroup(
+          toks, col("lang"), col("item"), k = 40)
+        .withColumnRenamed("grp", "lang")
+    }),
+
     "q91_scalable_percentile" -> ((s, dir) => {
       // the 100 TB path for q37's exact percentiles: rank-based dataflow
       // (operators.Percentiles) instead of Spark's percentile aggregate,
@@ -1914,6 +1927,17 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q92_heavy_hitters_grouped" ->
+        s"""WITH toks AS (SELECT lang,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS item
+           |  FROM documents),
+           |t2 AS (SELECT lang, item FROM toks WHERE item <> ''),
+           |sz AS (SELECT lang, count(*) AS n FROM t2 GROUP BY 1)
+           |SELECT t2.lang AS lang, item, count(*) AS cnt
+           |FROM t2 JOIN sz ON t2.lang = sz.lang
+           |GROUP BY 1, 2, sz.n
+           |HAVING count(*) * 40 > sz.n""".stripMargin,
 
       "q91_scalable_percentile" ->
         """SELECT o_orderpriority,

@@ -78,4 +78,25 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
   }
+
+  /** Per-group frequent items: one MG summary PER GROUP KEY (the typed
+    * Aggregator rides an ordinary groupBy — partial summaries merge
+    * map-side), then the same broadcast-candidates exact pass. Returns
+    * (group, item, cnt) for items with frequency > n_group/k. The candidate
+    * union across groups is ≤ |groups|·capacity — still sketch-sized. */
+  def topFrequentByGroup(df: DataFrame, group: Column, item: Column, k: Int,
+      capacityFactor: Int = 2): DataFrame = {
+    val items = df.select(group.cast("string").as("grp"),
+      item.cast("string").as("item")).cache()
+    val fn = udaf(new MisraGriesAgg(capacityFactor * k), ExpressionEncoder[String]())
+    val cand = items.groupBy("grp").agg(fn(col("item")).as("mg"))
+      .select(col("grp"), explode(map_keys(col("mg"))).as("item"))
+    val sizes = items.groupBy("grp").agg(count(lit(1)).as("_n"))
+    items.join(broadcast(cand), Seq("grp", "item"))
+      .groupBy("grp", "item")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sizes), "grp")
+      .where(col("cnt") * k > col("_n"))
+      .select(col("grp"), col("item"), col("cnt"))
+  }
 }

@@ -206,6 +206,18 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got == Map("hot1" -> 500L, "hot2" -> 300L))
   }
 
+  test("heavy hitters by group: per-key summaries stay independent") {
+    val rows = (Seq.fill(90)("g1" -> "hot") ++ (1 to 30).map(i => "g1" -> s"t$i") ++
+      Seq.fill(5)("g2" -> "other") ++ Seq.fill(3)("g2" -> "rare"))
+    val df = rows.toDF("grp", "item").repartition(5)
+    val got = graft.operators.HeavyHitters
+      .topFrequentByGroup(df, col("grp"), col("item"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // g1: n=120, threshold 40 → only "hot" (90). g2: n=8, threshold 8/3≈2.67
+    // → "other" (5) and "rare" (3)
+    assert(got == Map(("g1", "hot") -> 90L, ("g2", "other") -> 5L, ("g2", "rare") -> 3L))
+  }
+
   test("heavy hitters: candidate summary is a superset of true heavy items") {
     val rows = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ (1 to 50).map("t" + _)
     val df = rows.toDF("item").repartition(5)
