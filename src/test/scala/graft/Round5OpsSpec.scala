@@ -113,6 +113,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(out.where(col("n") === 0 && col("sum_value") =!= 0.0).count() == 0)
   }
 
+  // ---- mergeable sketch columns ----
+
+  test("HLL sketch columns: per-group sketches union to the global estimate") {
+    // the 100 TB rollup pattern: persist a SKETCH per partition/day, union
+    // sketches later instead of re-scanning raw data. Estimates must agree
+    // whether built in one pass or merged from per-source sketches.
+    val ev = Tables.table(spark, sf(), "events")
+    val perType = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = perType.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(merged == direct, "sketch union must equal the single-pass sketch")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   // ---- token entropy ----
 
   test("entropy: uniform distribution gives ln(vocab), constant gives 0") {
