@@ -69,8 +69,12 @@ object Bench {
     val passes = scala.collection.mutable.ArrayBuffer(timedPass())
     while (passes.size < 3 && elapsed < budgetS) passes += timedPass()
     val results = names.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // Short keys ("q01" for "q01_agg_pricing"): the driver's line capture
+    // has truncated the head of long JSON lines, losing the first ~13
+    // per-query timings; the qNN prefix is unique and halves the line.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

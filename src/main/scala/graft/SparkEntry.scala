@@ -334,7 +334,11 @@ object SparkEntry {
     }),
 
     "q28_simhash_neardup" -> ((s, dir) => {
-      Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 6)
+      // oracle-exact variant: md5-feature signatures + 8-band blocking is
+      // EXACT for hamming <= 7 (pigeonhole), so the DuckDB brute-force
+      // twin hash-matches the full pair set
+      Dedup.simhashNearDupsExact(t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 7, shingleLen = 3)
     }),
 
     "q29_ngram_jaccard" -> ((s, dir) => {
@@ -448,12 +452,25 @@ object SparkEntry {
     }),
 
     "q39_sketches" -> ((s, dir) => {
-      // approximate sketches (HLL++ distinct, KLL-style quantile) — no
-      // cross-engine oracle by construction; driver records rows-only
+      // approximate sketches (HLL++ distinct, KLL-style quantile), made
+      // oracle-checkable via engine-neutral VERDICT rows: each engine runs
+      // ITS OWN sketch (Spark HLL++ here, DuckDB HLL in the twin) and
+      // reports whether it lands within 5% of ITS OWN exact answer. The
+      // sketches never have to agree bit-for-bit — only the accuracy
+      // verdict and the exact columns are compared, which is the portable
+      // contract an approximate operator actually offers.
       t(s, dir, "events").groupBy("event_type").agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value_approx"),
-        count(lit(1)).as("n"))
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("_au"),
+          expr("percentile(value, 0.5D)").as("_p50x"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("_p50a"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_au") - col("exact_users"))
+            <= col("exact_users").cast("double") * 0.05).as("users_within_5pct"),
+          (abs(col("_p50a") - col("_p50x"))
+            <= abs(col("_p50x")) * 0.05).as("p50_within_5pct"),
+          col("n"))
     }),
 
     "q46_range_frame" -> ((s, dir) => {
@@ -1044,17 +1061,20 @@ object SparkEntry {
     "q89_perplexity" -> ((s, dir) => {
       // perplexity-style quality filter (CCNet-ish, self-trained): score
       // each doc by its cross-entropy under the corpus unigram model.
-      // Two-pass dataflow: token counts (vocab-sized), then score with the
-      // model BROADCAST back onto the token stream — the corpus-total
-      // scalar folds into the DAG as a broadcast cross join (no driver
-      // collect), same pattern as BM25's N/avgdl.
+      // Two-pass dataflow: token counts (vocab-sized), then score by
+      // joining the model back onto the token stream. The model join is
+      // deliberately NOT hinted: a web-scale corpus vocabulary (1e8+
+      // types) exceeds any broadcast threshold, and a shuffled hash join
+      // on `tok` is well-spread; AQE still converts it to broadcast at
+      // runtime when the model measures small. Only the one-row corpus
+      // total rides a broadcast cross join (BM25's N/avgdl pattern).
       val toks = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
         .where(col("tok") =!= "")
       val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       val total = model.agg(sum("c").as("n"))
-      toks.join(broadcast(model), "tok")
+      toks.join(model, "tok")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"),
@@ -1345,6 +1365,26 @@ object SparkEntry {
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
            |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
 
+      // Brute-force twin of the md5-feature SimHash: recompute the 64
+      // signature bits relationally (per-doc votes over the distinct
+      // shingles' md5 bits), then all-pairs Hamming — 500 docs at sf0.01,
+      // so the quadratic scan is the oracle's price, not the engine's.
+      "q28_simhash_neardup" ->
+        s"""$shingleCte,
+           |hs AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 16)) AS hs FROM sh),
+           |hb AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+           |votes AS (SELECT doc_id, b,
+           |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+           |          >> CAST(3 - b % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM hb CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, b),
+           |sigs AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+           |  FROM votes GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+           |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7""".stripMargin,
+
       "q29_ngram_jaccard" ->
         s"""$shingleCte,
            |blk AS (SELECT doc_id, s, list_min(s) AS b FROM sh),
@@ -1447,6 +1487,20 @@ object SparkEntry {
           | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
           | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
           |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+      // Verdict-row oracle: DuckDB runs ITS OWN sketches (HLL,
+      // approx_quantile's t-digest) against its own exact answers and
+      // reports the same within-5% booleans — sketch values themselves are
+      // engine-specific and never compared.
+      "q39_sketches" ->
+        """SELECT event_type,
+          | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+          |   <= count(DISTINCT user_id) * 0.05 AS users_within_5pct,
+          | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+          |   <= abs(quantile_cont(value, 0.5)) * 0.05 AS p50_within_5pct,
+          | count(*) AS n
+          |FROM events GROUP BY event_type""".stripMargin,
 
       "q38_summary_unpivot" -> {
         val cln1 = cleanSql("text"); val cln2 = cleanSql("substring(text, 1, 80)")

@@ -133,6 +133,45 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dups, ORACLE-EXACT variant: engine-neutral md5-feature
+    * signatures (SimHashImpl.simhashMd5 — distinct word n-gram shingles,
+    * md5 feature hashes) over docs with ≥ shingleLen tokens, 8 × 8-bit band
+    * blocking, Hamming verify ≤ maxHamming.
+    *
+    * With maxHamming < 8 bands the pigeonhole principle makes the blocking
+    * EXACT, not approximate: ≤ 7 differing bits can touch at most 7 of the
+    * 8 bands, so every qualifying pair shares at least one identical band
+    * and is generated as a candidate. The output therefore EQUALS the
+    * brute-force all-pairs answer — a DuckDB twin that recomputes the md5
+    * signatures and scans all pairs hash-matches it row-for-row, which is
+    * what turns this sketch operator into a driver-verifiable one. The
+    * dataflow shape (ids-only candidates, dedupe before verify) and its
+    * scale posture are identical to [[simhashNearDups]]. */
+  def simhashNearDupsExact(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 7, shingleLen: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      "band blocking is only exact for maxHamming < 8 (pigeonhole over 8 bands)")
+    val sigs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+      .where(size(split(col("cln"), " ")) >= shingleLen)
+      .select(col("id"),
+        graft.plans.SimHash.simhashMd5Shingled(col("cln"), shingleLen).as("sig"))
+      .cache()
+    val bandSlices = (0 until 8).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
+    val banded = sigs.select(col("id"), posexplode(array(bandSlices: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val candidates = banded.as("l").join(banded.as("r"), Seq("band", "band_val"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Pairwise n-gram Jaccard over *blocked* candidates: block by a cheap
     * key to avoid O(n²); exact verify. The key is the lexicographic MIN
     * shingle — a function of the shingle *set*, not its order, so it is

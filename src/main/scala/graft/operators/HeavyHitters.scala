@@ -67,11 +67,19 @@ object HeavyHitters {
 
   /** Exactly the items with frequency > N/k, with exact counts.
     * `capacity` trades summary size for tail-pressure headroom; ≥ k
-    * preserves the guarantee, 2k is comfortable. */
+    * preserves the guarantee, 2k is comfortable.
+    *
+    * Cache posture: the item stream is deliberately RECOMPUTED per pass,
+    * not cached — it is one cheap pruned projection of the source, and at
+    * 100 TB caching it (even DISK_ONLY) writes the whole corpus to local
+    * disk for exactly two extra scans. Recomputation also leaves no
+    * persisted footprint behind the operator. (Candidate supersets may
+    * differ between recomputations under different partitionings; any
+    * superset yields the same exact final answer.) */
   def topFrequent(df: DataFrame, item: Column, k: Int,
       capacityFactor: Int = 2): DataFrame = {
-    val items = df.select(item.cast("string").as("item")).cache()
-    val n = items.count() // also materializes the cache for the two passes
+    val items = df.select(item.cast("string").as("item"))
+    val n = items.count()
     val cand = candidates(items, col("item"), capacityFactor * k)
     items.where(col("item").isin(cand: _*))
       .groupBy("item")
@@ -86,8 +94,10 @@ object HeavyHitters {
     * union across groups is ≤ |groups|·capacity — still sketch-sized. */
   def topFrequentByGroup(df: DataFrame, group: Column, item: Column, k: Int,
       capacityFactor: Int = 2): DataFrame = {
+    // same recompute posture as topFrequent: the projection is cheaper
+    // than persisting the full item stream at scale
     val items = df.select(group.cast("string").as("grp"),
-      item.cast("string").as("item")).cache()
+      item.cast("string").as("item"))
     val fn = udaf(new MisraGriesAgg(capacityFactor * k), ExpressionEncoder[String]())
     val cand = items.groupBy("grp").agg(fn(col("item")).as("mg"))
       .select(col("grp"), explode(map_keys(col("mg"))).as("item"))

@@ -127,6 +127,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaExpr.toSeq == direct.toSeq)
   }
 
+  test("simhashMd5: single-shingle signature IS the md5 prefix; big-endian bit order") {
+    // one 3-token doc = one shingle = every vote is that shingle's bit, so
+    // the signature must equal md5's first 8 bytes read big-endian — pins
+    // the exact bit convention the DuckDB oracle twin reproduces
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("a b c".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val expected = (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xFFL))
+    assert(SimHashImpl.simhashMd5(UTF8String.fromString("a b c"), 3) == expected)
+  }
+
+  test("SimHashMd5 expression survives codegen and matches eval") {
+    val viaExpr = corpus
+      .select(graft.plans.SimHash.simhashMd5Shingled(col("text"), 3)).collect().map(_.getLong(0))
+    val direct = corpus.collect().map(r => SimHashImpl.simhashMd5(UTF8String.fromString(r.getString(1)), 3))
+    assert(viaExpr.toSeq == direct.toSeq)
+  }
+
+  test("simhashNearDupsExact equals brute-force all-pairs (pigeonhole completeness)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val blocked = Dedup.simhashNearDupsExact(docs, col("doc_id"), col("text"),
+        maxHamming = 7, shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.TextExprs.cleanText(col("text")).as("cln"))
+      .where(size(split(col("cln"), " ")) >= 3)
+      .select(col("doc_id"), graft.plans.SimHash.simhashMd5Shingled(col("cln"), 3).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("h"))
+      .where(col("h") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
+  }
+
   test("Curate: drops exact dup, near-dup (higher id), and filler; keeps canonical docs") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank today and more text follows here to pass quality"),

@@ -122,6 +122,18 @@ class PlanSpec extends SparkSpec {
       .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
   }
 
+  test("q89: the unigram model join carries no broadcast hint (scale posture)") {
+    // a web-scale vocabulary exceeds any broadcast threshold: the only
+    // hinted broadcast in the plan must be the one-row corpus total; the
+    // model join is left to AQE (broadcast when small, shuffled when not)
+    val df = SparkEntry.queries("q89_perplexity")(spark, sf())
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"expected exactly the corpus-total broadcast hint, found ${hints.size}")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
