@@ -94,6 +94,31 @@ object SurveyPipeline {
           .cast("string"))
     }
 
+  /** pandas `read_csv` default NA sentinels. The reference reads with
+    * pandas and then `str()`-ifies each answer (survey_analysis.py:283), so
+    * a missing or sentinel cell ("N/A", "NULL", …) becomes the LITERAL
+    * string "nan" in its wide frame — the golden workbook carries those
+    * cells. "nan" sits in FILLER_VALUES (:60), so classification is
+    * unaffected; only the displayed answer text differs. */
+  val PandasNaValues: Seq[String] = Seq(
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
+
+  /** Faithful-mode NA coercion: question cells that pandas would read as
+    * NaN become the literal "nan" (see [[PandasNaValues]]). Scale path
+    * keeps real nulls — this exists for byte-parity with the reference's
+    * report artifacts. */
+  def withPandasNa(df: DataFrame): DataFrame = {
+    val qset = questionColumns(df).toSet
+    df.select(df.columns.map { c =>
+      if (qset(c))
+        when(col(c).isNull || col(c).isin(PandasNaValues: _*), lit("nan"))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** O5+O6+O8+O10 — the wide analysis table (survey_analysis.py:275-317):
     * one row per (response × product); per question a
     * <Base>_Answer/_Sentiment/_Category triplet. Pure expression pipeline —
@@ -107,17 +132,19 @@ object SurveyPipeline {
       clf: AnswerClassifier = DemoAnswerClassifier,
       faithfulIds: Boolean = false,
       idCol: Option[Column] = None,
+      pandasNa: Boolean = false,
   ): DataFrame = {
     require(dfIn.columns.length >= 4, "need >= 4 columns")
-    val productsCol = dfIn.columns(2)
-    val qcols = questionColumns(dfIn)
+    val dfNa = if (pandasNa) withPandasNa(dfIn) else dfIn
+    val productsCol = dfNa.columns(2)
+    val qcols = questionColumns(dfNa)
     val bases = questionBases(qcols)
 
     // idCol: caller-supplied stable key (the scale path — no zipWithIndex,
     // no content hashing); otherwise synthesize per `faithfulIds`.
     val withId = idCol match {
-      case Some(c) => dfIn.withColumn("ResponseID", c.cast(StringType))
-      case None => withResponseId(dfIn, faithfulIds)
+      case Some(c) => dfNa.withColumn("ResponseID", c.cast(StringType))
+      case None => withResponseId(dfNa, faithfulIds)
     }
     val exploded = withId.withColumn("Product", explode(productsArray(col(productsCol))))
 
@@ -176,6 +203,84 @@ object SurveyPipeline {
     wide.write.mode("overwrite").partitionBy("Product").parquet(s"$outDir/wide")
     summary.write.mode("overwrite").parquet(s"$outDir/summary")
   }
+
+  /** O18 — the reference's Excel report (survey_analysis.py:370-446), on the
+    * zip+XML writer (sources.Xlsx): one data sheet per product (rows sorted
+    * by ResponseID, `*_Answer` columns wrap/valign-top, widths =
+    * clamp(0.9·maxLen, 12, 60) probed over the first 1000 rows — :360-365,
+    * :385-394), a `Summary` sheet (widths clamped 10..40 — :396-402), and a
+    * `Charts - <product>` sheet per product carrying each question's
+    * sentiment helper block at the reference's exact cell positions
+    * (:417-423). The chart DRAWING parts (pie graphics) are presentation
+    * XML that no query reads — the helper cells the reference's own charts
+    * reference ARE written; the graphic itself is out of scope.
+    *
+    * Scale contract: a single .xlsx is a driver-side artifact by format
+    * (one zip stream, 2^20-row sheet limit) — this collects, and REFUSES
+    * frames beyond `maxRows` rather than silently truncating. Bulk data
+    * belongs to the partitioned parquet sink ([[writeReport]]); this sink
+    * renders the human report.
+    */
+  def writeExcelReport(wide: DataFrame, outPath: String,
+      baseToDisplay: Map[String, String] = Map.empty,
+      maxRows: Int = graft.sources.Xlsx.MaxRows - 1): Unit = {
+    import graft.sources.Xlsx
+    val header = wide.columns.toSeq
+    require(header.take(2) == Seq("ResponseID", "Product"),
+      "writeExcelReport expects an analyzeWide frame")
+    val n = wide.count()
+    require(n <= maxRows,
+      s"xlsx report sink is for report-sized frames: $n rows > $maxRows " +
+        "(use writeReport's partitioned parquet for bulk data)")
+    // one driver-side collect, pre-sorted to the reference's sheet order:
+    // groupby("Product") iterates sorted keys, each sheet sorted by
+    // ResponseID (a STRING sort — faithful ids are str(idx+1))
+    val rows = wide.orderBy("Product", "ResponseID").collect()
+      .map(r => header.indices.map(r.get))
+    val byProduct = rows.groupBy(_(1).asInstanceOf[String]).toSeq.sortBy(_._1)
+    val wrapCols = header.indices.filter(i => header(i).endsWith("_Answer")).toSet
+
+    val dataSheets = byProduct.map { case (prod, rs) =>
+      Xlsx.Table(TextExprs.sanitizeSheetName(prod), header, rs.toSeq,
+        widthsOf(header, rs.toSeq, 12, 60), wrapCols)
+    }
+
+    val summaryCols = Seq("Product", "Question") ++ Lexicons.SentimentOrder
+    val summaryRows = buildSummary(wide).orderBy("Product", "Question").collect()
+      .map(r => summaryCols.map(c => r.get(r.fieldIndex(c))))
+    val summarySheet = Xlsx.Table("Summary", summaryCols, summaryRows.toSeq,
+      widthsOf(summaryCols, summaryRows.toSeq, 10, 40))
+
+    // chart helper blocks: labels at col 50, values at col 51, one 6-row
+    // block per question starting at row 2 (0-based) — survey_analysis.py:417
+    val chartSheets = summaryRows.groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
+      .map { case (prod, prodRows) =>
+        val title = (0, 0, s"Sentiment Mix per Question — $prod", Xlsx.StyleBold)
+        val blocks = prodRows.sortBy(_(1).asInstanceOf[String]).zipWithIndex.flatMap {
+          case (row, i) =>
+            val startR = 2 + i * 6
+            Lexicons.SentimentOrder.zipWithIndex.flatMap { case (snt, k) =>
+              Seq(
+                (startR + k, 50, snt: Any, Xlsx.StyleDefault),
+                (startR + k, 51, row(2 + k), Xlsx.StyleDefault))
+            }
+        }
+        Xlsx.Sparse(TextExprs.sanitizeSheetName(s"Charts - $prod"), title +: blocks.toSeq)
+      }
+
+    Xlsx.write(outPath, (dataSheets :+ summarySheet) ++ chartSheets)
+  }
+
+  /** The reference's presentation width rule (survey_analysis.py:360-365):
+    * clamp(0.9 · max(len(header), max value length over the first `probe`
+    * rows), minW, maxW), computed on already-collected report rows. */
+  private def widthsOf(header: Seq[String], rows: Seq[Seq[Any]],
+      minW: Int, maxW: Int, probe: Int = 1000): Seq[Double] =
+    header.indices.map { i =>
+      val vals = rows.iterator.take(probe).map(r => String.valueOf(r(i)).length)
+      val maxLen = (Iterator(header(i).length) ++ vals).max
+      math.min(maxW, math.max(minW, (0.9 * maxLen).toInt)).toDouble
+    }
 
   /** Full flagship flow: CSV → wide → summary. */
   def run(spark: SparkSession, csvPath: String, industry: String,
