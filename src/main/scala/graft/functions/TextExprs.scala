@@ -84,6 +84,21 @@ object TextExprs {
       .otherwise("Neutral")
   }
 
+  /** VADER-branch demo sentiment — survey_analysis.py:118-127, the branch
+    * the reference takes when vaderSentiment is installed (it scored the
+    * shipped golden workbook and memo cache). Thresholds ±0.35 on the
+    * compound score; "but/aunque/pero" texts inside the neutral band are
+    * Mixed. The `abs(sc) < 0.35` guard of the reference is implied by
+    * branch order (a CASE WHEN arm only runs once ±0.35 failed). */
+  def demoSentimentVader(c: Column, lex: Vader.Lexicon): Column = {
+    val txt = coalesce(c, lit(""))
+    val sc = graft.plans.VaderCompound.compound(txt, lex)
+    when(sc >= 0.35, "Positive")
+      .when(sc <= -0.35, "Negative")
+      .when(hitsAny(lower(txt), Seq("but", "aunque", "pero")), "Mixed")
+      .otherwise("Neutral")
+  }
+
   /** Full demo classifier with the filler short-circuit
     * (survey_analysis.py:284-285 routing + :138-141 compose):
     * returns struct(sentiment, category). The CASE WHEN guard keeps the

@@ -31,6 +31,21 @@ object DemoAnswerClassifier extends AnswerClassifier {
         col("_cls.sentiment").as("sentiment"), col("_cls.category").as("category"))
 }
 
+/** VADER-branch demo classifier (survey_analysis.py:118-127): sentiment
+  * from the ported VADER compound score (functions.Vader), category from
+  * the same keyword table as the fallback path. Pure expressions — flows
+  * through the distinct-key join like every classifier, so the 7.5k-word
+  * lexicon scores each distinct answer once, not each row. */
+final class VaderDemoClassifier(lex: graft.functions.Vader.Lexicon)
+    extends AnswerClassifier {
+  override def classify(keys: DataFrame): DataFrame =
+    keys.select(col("industry"), col("question"), col("answer"),
+      when(TextExprs.isFiller(col("answer")), "Neutral")
+        .otherwise(TextExprs.demoSentimentVader(col("answer"), lex)).as("sentiment"),
+      when(TextExprs.isFiller(col("answer")), "No Feedback")
+        .otherwise(TextExprs.demoCategory(col("answer"))).as("category"))
+}
+
 /** The memo-cache rewrite (survey_analysis.py:257-273 → dataflow):
   * distinct keys → hits (inner join vs cache) ∥ misses (left-anti → inner
   * classifier) → union. The cache table is expected small relative to the

@@ -139,6 +139,40 @@ class XlsxSpec extends SparkSpec {
     assert(c.contains("AY9"), "second question block must start at row 9")
   }
 
+  test("VADER-scored report matches the golden workbook on EVERY Summary cell") {
+    // the shipped workbook was produced by the reference's VADER demo
+    // branch; with the ported scorer the sentiment COUNTS must now agree
+    // cell-for-cell, not just structurally
+    val lex = graft.functions.Vader.loadLexicon(
+      "/root/reference/.venv/lib/python3.9/site-packages/vaderSentiment/vader_lexicon.txt")
+    val out = "target/tmp/report_vader.xlsx"
+    val wide = SurveyPipeline.analyzeWide(
+      SurveyPipeline.readSurveyCsv(spark, csv), "Apparel",
+      clf = new graft.operators.VaderDemoClassifier(lex),
+      faithfulIds = true, pandasNa = true)
+    SurveyPipeline.writeExcelReport(wide, out)
+    val names = XlsxRead.sheetNames(out)
+    assert(names == XlsxRead.sheetNames(golden))
+    val summaryIdx = names.indexOf("Summary") + 1
+    val ours = XlsxRead.cells(out, summaryIdx)
+    val gold = XlsxRead.cells(golden, summaryIdx)
+    Seq("A", "B", "C", "D", "E", "F").foreach { c =>
+      assert(XlsxRead.column(ours, c) == XlsxRead.column(gold, c), s"Summary column $c")
+    }
+    // data sheets: sentiment columns now also match the golden workbook
+    val dataOurs = XlsxRead.cells(out, 1)
+    val dataGold = XlsxRead.cells(golden, 1)
+    Seq("A", "C", "D").foreach { c => // ResponseID, Q1_Answer, Q1_Sentiment
+      assert(XlsxRead.column(dataOurs, c) == XlsxRead.column(dataGold, c), s"data column $c")
+    }
+    // chart helper VALUES match golden too
+    val chartOurs = XlsxRead.cells(out, names.indexWhere(_.startsWith("Charts")) + 1)
+    val chartGold = XlsxRead.cells(golden, 8)
+    Seq("AY", "AZ").foreach { c =>
+      assert(XlsxRead.column(chartOurs, c) == XlsxRead.column(chartGold, c), s"chart column $c")
+    }
+  }
+
   test("sink refuses frames beyond the xlsx row limit instead of truncating") {
     val wide = Seq(("1", "P", "a", "Neutral", "General"))
       .toDF("ResponseID", "Product", "Q1_Answer", "Q1_Sentiment", "Q1_Category")
