@@ -3,18 +3,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: near-dup dedup on a synthetically replicated corpus — the
-  * scale-stress datapoint for BASELINE.md. Each source doc is copied `rep`
-  * times (fresh ids); odd copies get a perturbing suffix token so they are
-  * NEAR-dups (jaccard just under 1), not byte dups. Every source doc thus
-  * induces a dense near-dup cluster — the worst case for candidate-pair
-  * volume — and the probe reports docs/pairs/clusters plus wall-clock for
-  * signature+LSH+verify and for connected components.
+/** Dev probe: scale-stress datapoints for BASELINE.md.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [rep]
+  * Dedup mode (default): near-dup dedup on a synthetically replicated
+  * corpus. Each source doc is copied `rep` times (fresh ids); odd copies
+  * get a perturbing suffix token so they are NEAR-dups (jaccard just under
+  * 1), not byte dups. Every source doc thus induces a dense near-dup
+  * cluster — the worst case for candidate-pair volume — and the probe
+  * reports docs/pairs/clusters plus wall-clock for signature+LSH+verify
+  * and for connected components.
+  *
+  * Rank mode: stresses the GlobalRank / Percentiles rank dataflows (the
+  * replacements for single-partition windows and per-group-buffering
+  * percentile aggregates) on a replicated `orders` table, and VERIFIES
+  * them against the built-ins at the same scale: max row number == n,
+  * ntile bucket sizes within 1, per-group exact percentiles equal to
+  * Spark's `percentile` aggregate bit-for-bit.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
+  *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rank")) { rankProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -52,6 +63,67 @@ object ScaleProbe {
     val nClusters = timed("connected components")(
       cc.select("component").distinct().count())
     println(s"[probe] clusters: $nClusters")
+    spark.stop()
+  }
+
+  private def rankProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(80)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    import graft.operators.{GlobalRank, Percentiles}
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    val big = orders.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("o_orderkey") * rep + col("_r")).as("k"),
+        (col("o_totalprice") + col("_r") * 0.01).as("v"),
+        col("o_orderpriority").as("g"))
+      .repartition(64).cache()
+    val n = big.count()
+    println(s"[probe] rank corpus: $n rows (rep=$rep)")
+
+    val rn = timed("GlobalRank.withRowNumber")(
+      GlobalRank.withRowNumber(big, Seq(col("v").asc, col("k").asc), "rn")
+        .agg(max("rn"), count(lit(1))).head())
+    assert(rn.getLong(0) == n && rn.getLong(1) == n,
+      s"rank must be a total order 1..$n, got max=${rn.getLong(0)}")
+
+    val tiles = timed("GlobalRank.withNtile(100)")(
+      GlobalRank.withNtile(big, 100, Seq(col("v").asc, col("k").asc), "t")
+        .groupBy("t").count().agg(min("count"), max("count"), count(lit(1))).head())
+    assert(tiles.getLong(2) == 100 && tiles.getLong(1) - tiles.getLong(0) <= 1,
+      s"ntile buckets must differ by <= 1 row: $tiles")
+
+    val ps = Seq(0.25, 0.5, 0.95, 0.99)
+    val names = Seq("p25", "p50", "p95", "p99")
+    val ours = timed("Percentiles.exactByGroup")(
+      Percentiles.exactByGroup(big, col("g"), col("v"), ps, names)
+        .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap)
+    // reference: Spark's buffering percentile aggregate at the SAME scale
+    val ref = timed("builtin percentile aggregate (reference)")(
+      big.groupBy("g")
+        .agg(expr(s"percentile(v, array(${ps.mkString("D,")}D))").as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap)
+    val diffs = ours.flatMap { case (g, vs) =>
+      vs.zip(ref(g)).zipWithIndex.collect {
+        case ((a, b), i) if math.abs(a - b) > 1e-6 => s"$g ${names(i)}: $a vs $b"
+      }
+    }
+    assert(diffs.isEmpty, s"percentile mismatch:\n${diffs.mkString("\n")}")
+    println(s"[probe] percentiles match the buffering aggregate on ${ours.size} groups")
     spark.stop()
   }
 }
