@@ -14,6 +14,12 @@ import graft.operators.{AnswerClassifier, CacheJoinClassifier, DemoAnswerClassif
   *
   *   runMain graft.SurveyMain --input survey.csv --industry retail
   *     [--output analysis_output] [--cache .analysis_cache.parquet]
+  *     [--xlsx report.xlsx] [--vader-lexicon vader_lexicon.txt]
+  *
+  * `--xlsx` additionally renders the reference's Excel report (O18 — data
+  * sheets per product, Summary, chart helper sheets) via the OOXML sink;
+  * `--vader-lexicon` switches demo sentiment to the ported VADER scorer
+  * (the branch that produced the reference's shipped artifacts).
   *
   * Cache: a parquet table (industry, question, answer, sentiment, category)
   * probed via the anti-join rewrite of the reference's memo dict, and
@@ -28,6 +34,8 @@ object SurveyMain {
     val industry = opts.getOrElse("industry", sys.error("--industry is required"))
     val output = opts.getOrElse("output", "analysis_output")
     val cachePath = opts.getOrElse("cache", ".analysis_cache.parquet")
+    val xlsx = opts.get("xlsx")
+    val vaderLex = opts.get("vader-lexicon")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-survey")
@@ -35,13 +43,15 @@ object SurveyMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, input, industry, output, cachePath)
+    run(spark, input, industry, output, cachePath, xlsx, vaderLex)
     spark.stop()
   }
 
   /** Programmatic entry (also the test surface). Returns (wide, summary). */
   def run(spark: SparkSession, input: String, industry: String,
-      output: String, cachePath: String): (DataFrame, DataFrame) = {
+      output: String, cachePath: String,
+      xlsxPath: Option[String] = None,
+      vaderLexicon: Option[String] = None): (DataFrame, DataFrame) = {
     val df = SurveyPipeline.readSurveyCsv(spark, input)
     val qcols = SurveyPipeline.questionColumns(df)
 
@@ -52,10 +62,16 @@ object SurveyMain {
     }
 
     val cache = loadCache(spark, cachePath)
-    val clf = new CacheJoinClassifier(cache, DemoAnswerClassifier)
+    val demo: AnswerClassifier = vaderLexicon match {
+      case Some(path) => new graft.operators.VaderDemoClassifier(
+        graft.functions.Vader.loadLexicon(path))
+      case None => DemoAnswerClassifier
+    }
+    val clf = new CacheJoinClassifier(cache, demo)
     val wide = SurveyPipeline.analyzeWide(df, industry, clf)
     val summary = SurveyPipeline.buildSummary(wide)
     SurveyPipeline.writeReport(wide, summary, output)
+    xlsxPath.foreach(p => SurveyPipeline.writeExcelReport(wide, p))
 
     // write-behind: the full (hits ∪ newly classified) mapping becomes the
     // next run's cache — written to a sibling path then swapped, because

@@ -22,6 +22,13 @@ class SurveyMainSpec extends SparkSpec {
     assert(summary.columns.toSeq ==
       Seq("Product", "Question", "Positive", "Neutral", "Negative", "Mixed"))
 
+    // --xlsx flag renders the O18 report alongside the parquet sink
+    val report = s"$base/report.xlsx"
+    SurveyMain.run(spark, csvDir, "retail", out, cache, xlsxPath = Some(report))
+    val sheets = XlsxRead.sheetNames(report)
+    assert(sheets.contains("Summary") && sheets.exists(_.startsWith("Charts - ")))
+    assert(XlsxRead.cells(report, sheets.indexOf("Summary") + 1)("A1") == "Product")
+
     val cached = spark.read.parquet(cache)
     // distinct (question, answer) pairs across 2 questions x 2 rows
     assert(cached.count() == 4)
