@@ -458,13 +458,26 @@ object SparkEntry {
       // reports whether it lands within 5% of ITS OWN exact answer. The
       // sketches never have to agree bit-for-bit — only the accuracy
       // verdict and the exact columns are compared, which is the portable
-      // contract an approximate operator actually offers.
-      t(s, dir, "events").groupBy("event_type").agg(
-          count_distinct(col("user_id")).as("exact_users"),
+      // contract an approximate operator actually offers. The exact median
+      // comes from the rank-dataflow percentile (no per-group buffering —
+      // the buffering `percentile` aggregate was the slowest query in the
+      // whole suite at sf0.1 and collapses entirely at 100 TB).
+      // Three SEPARATE aggregations joined on the tiny group key: mixing a
+      // DISTINCT aggregate with imperative sketch buffers in one groupBy
+      // plans Expand + a sort-aggregate fallback (measured 4.2 s vs 1.1 s
+      // summed for the split at sf0.1) — each piece alone stays a hash agg.
+      val ev = t(s, dir, "events")
+      val p50x = graft.operators.Percentiles
+        .exactByGroup(ev, col("event_type"), col("value"), Seq(0.5), Seq("_p50x"))
+        .withColumnRenamed("group", "event_type")
+      val exactUsers = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      ev.groupBy("event_type").agg(
           approx_count_distinct(col("user_id")).as("_au"),
-          expr("percentile(value, 0.5D)").as("_p50x"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("_p50a"),
           count(lit(1)).as("n"))
+        .join(broadcast(exactUsers), "event_type") // one row per group
+        .join(broadcast(p50x), "event_type")
         .select(col("event_type"), col("exact_users"),
           (abs(col("_au") - col("exact_users"))
             <= col("exact_users").cast("double") * 0.05).as("users_within_5pct"),
