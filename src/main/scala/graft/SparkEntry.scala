@@ -1029,6 +1029,25 @@ object SparkEntry {
           col("_last.value").as("last_value"))
     }),
 
+    "q93_seq_pack" -> ((s, dir) => {
+      // sequence packing for pretraining exports: documents in a stable
+      // global order are assigned to fixed-token-budget packs,
+      // pack = floor(tokens_before_this_doc / budget) — the greedy
+      // "sequence rolls over where the budget ran out" rule. The global
+      // cumulative token count comes from GlobalRank.withRunningSum (range
+      // exchange + per-partition value offsets), NOT a single-partition
+      // `sum OVER (ORDER BY)` window — at 100 TB the prefix sum is the
+      // whole job, and this dataflow keeps it partition-parallel.
+      val budget = 2048.0
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      graft.operators.GlobalRank
+        .withRunningSum(docs, Seq(col("doc_id").asc), col("n_toks"), "cum_toks")
+        .select(col("doc_id"), col("n_toks"), col("cum_toks"),
+          floor((col("cum_toks") - col("n_toks")).cast("double") / budget)
+            .cast("long").as("pack_id"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -1994,6 +2013,17 @@ object SparkEntry {
           |      ELSE '20000000' END""".stripMargin,
 
       "q87_lateral" -> lateralSql,
+
+      "q93_seq_pack" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |c AS (SELECT doc_id, n_toks,
+           |   sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_toks
+           |  FROM d)
+           |SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+           | CAST(floor((cum_toks - n_toks) / 2048.0) AS BIGINT) AS pack_id
+           |FROM c""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

@@ -50,6 +50,37 @@ object GlobalRank {
     rowNumbered.withColumn(out, (tile + 1).cast("long")).drop("_grank")
   }
 
+  /** Appends the GLOBAL running total of `valueCol` (inclusive of the
+    * current row) under the total order `sortCols` — the distributed
+    * prefix-sum: `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`
+    * without the single-partition window. Same two-pass shape as
+    * [[withRowNumber]]: range exchange + per-partition VALUE sums to the
+    * driver (#partitions longs) + per-partition local prefix + offset.
+    * Foundation for sequence packing, size-balanced sharding, and any
+    * cumulative cut-point assignment over a 100 TB order. */
+  def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      out: String, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val tagged = df.withColumn("_gsum_v", coalesce(valueCol.cast("long"), lit(0L)))
+    val sorted = tagged.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("_gsum_v")
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withSum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    spark.createDataFrame(withSum, schema).drop("_gsum_v")
+  }
+
   /** Shared core: returns (df + rank column, total row count). */
   private def ranked(df: DataFrame, sortCols: Seq[Column], out: String,
       numPartitions: Option[Int]): (DataFrame, Long) = {

@@ -31,6 +31,29 @@ class Round3OpsSpec extends SparkSpec {
     assert(viaOp == viaWindow)
   }
 
+  test("GlobalRank.withRunningSum matches the global window prefix sum") {
+    val orders = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_custkey")
+    val viaOp = GlobalRank.withRunningSum(orders,
+      Seq(col("o_orderkey").asc), col("o_custkey"), "cum")
+    val viaWindow = orders.withColumn("cum",
+      sum(col("o_custkey")).over(
+        Window.orderBy(col("o_orderkey").asc).rowsBetween(Window.unboundedPreceding, 0)))
+    assert(viaOp.except(viaWindow).count() == 0 && viaWindow.except(viaOp).count() == 0)
+  }
+
+  test("q93 packing: packs respect the token budget (overflow doc rolls the pack)") {
+    val packed = SparkEntry.queries("q93_seq_pack")(spark, sf())
+    // within a pack, tokens BEFORE each doc stay under the budget — a pack
+    // only exceeds 2048 by its final (overflowing) document
+    val bad = packed
+      .withColumn("before", col("cum_toks") - col("n_toks"))
+      .groupBy("pack_id")
+      .agg(min("before").as("start"), max("before").as("last_before"))
+      .where(col("last_before") - col("start") >= 2048)
+    assert(bad.count() == 0)
+    assert(packed.select("pack_id").distinct().count() > 1)
+  }
+
   test("GlobalRank.withNtile with fewer rows than buckets gives one row per leading bucket") {
     val out = GlobalRank.withNtile((1 to 3).toDF("x"), 5, Seq(col("x").asc), "t")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
