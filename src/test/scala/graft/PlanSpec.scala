@@ -134,6 +134,20 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the corpus-total broadcast hint, found ${hints.size}")
   }
 
+  test("q39: no Expand and no sort-aggregate fallback (split-aggregate shape)") {
+    // count_distinct combined with imperative percentile buffers in ONE
+    // groupBy plans Expand + SortAggregate (measured 3.6x slower) — the
+    // query keeps them in separate hash aggregations joined on the group key
+    val p = executed("q39_sketches")
+    assert(!p.contains("Expand"), s"distinct agg must not Expand:\n${p.take(600)}")
+    assert(!p.contains("SortAggregate"), s"all aggregates must stay hash-based:\n${p.take(600)}")
+  }
+
+  test("q93: global prefix sum plans no Window operator") {
+    val p = executed("q93_seq_pack")
+    assert(!p.contains("Window"), s"packing must not fall back to a global window:\n${p.take(600)}")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

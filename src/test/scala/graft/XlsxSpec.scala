@@ -171,6 +171,17 @@ class XlsxSpec extends SparkSpec {
     Seq("AY", "AZ").foreach { c =>
       assert(XlsxRead.column(chartOurs, c) == XlsxRead.column(chartGold, c), s"chart column $c")
     }
+    // maximal parity: EVERY cell of EVERY data sheet (6 products x 17
+    // columns: ResponseID, Product, 5 x Answer/Sentiment/Category)
+    (1 to 6).foreach { sheet =>
+      val o = XlsxRead.cells(out, sheet)
+      val g = XlsxRead.cells(golden, sheet)
+      val cols = (0 until 17).map(graft.sources.Xlsx.colLetters)
+      cols.foreach { c =>
+        assert(XlsxRead.column(o, c) == XlsxRead.column(g, c),
+          s"sheet ${names(sheet - 1)} column $c")
+      }
+    }
   }
 
   test("sink refuses frames beyond the xlsx row limit instead of truncating") {
