@@ -211,9 +211,9 @@ object SurveyPipeline {
     * :385-394), a `Summary` sheet (widths clamped 10..40 — :396-402), and a
     * `Charts - <product>` sheet per product carrying each question's
     * sentiment helper block at the reference's exact cell positions
-    * (:417-423). The chart DRAWING parts (pie graphics) are presentation
-    * XML that no query reads — the helper cells the reference's own charts
-    * reference ARE written; the graphic itself is out of scope.
+    * (:417-423) AND the pie charts themselves (DrawingML chart parts
+    * referencing the helper blocks, category+percentage data labels,
+    * reference grid placement — :427-444).
     *
     * Scale contract: a single .xlsx is a driver-side artifact by format
     * (one zip stream, 2^20-row sheet limit) — this collects, and REFUSES
@@ -253,19 +253,37 @@ object SurveyPipeline {
 
     // chart helper blocks: labels at col 50, values at col 51, one 6-row
     // block per question starting at row 2 (0-based) — survey_analysis.py:417
+    // — plus the pie itself (DrawingML part referencing the block), placed
+    // on the reference's 2-charts-per-row grid (:439-444)
     val chartSheets = summaryRows.groupBy(_.head.asInstanceOf[String]).toSeq.sortBy(_._1)
       .map { case (prod, prodRows) =>
+        val sheetName = TextExprs.sanitizeSheetName(s"Charts - $prod")
         val title = (0, 0, s"Sentiment Mix per Question — $prod", Xlsx.StyleBold)
-        val blocks = prodRows.sortBy(_(1).asInstanceOf[String]).zipWithIndex.flatMap {
-          case (row, i) =>
-            val startR = 2 + i * 6
-            Lexicons.SentimentOrder.zipWithIndex.flatMap { case (snt, k) =>
-              Seq(
-                (startR + k, 50, snt: Any, Xlsx.StyleDefault),
-                (startR + k, 51, row(2 + k), Xlsx.StyleDefault))
-            }
+        val sortedRows = prodRows.sortBy(_(1).asInstanceOf[String])
+        val blocks = sortedRows.zipWithIndex.flatMap { case (row, i) =>
+          val startR = 2 + i * 6
+          Lexicons.SentimentOrder.zipWithIndex.flatMap { case (snt, k) =>
+            Seq(
+              (startR + k, 50, snt: Any, Xlsx.StyleDefault),
+              (startR + k, 51, row(2 + k), Xlsx.StyleDefault))
+          }
         }
-        Xlsx.Sparse(TextExprs.sanitizeSheetName(s"Charts - $prod"), title +: blocks.toSeq)
+        val pies = sortedRows.zipWithIndex.map { case (row, i) =>
+          val base = row(1).asInstanceOf[String]
+          val display = baseToDisplay.getOrElse(base, base)
+          val values = Lexicons.SentimentOrder.indices.map(k =>
+            row(2 + k).asInstanceOf[Long])
+          Xlsx.Pie(
+            title = s"$display – Sentiment Mix (n=${values.sum})",
+            seriesName = s"$display – Sentiment Mix",
+            sheetRef = sheetName,
+            firstRow = 3 + i * 6,
+            labels = Lexicons.SentimentOrder,
+            values = values,
+            fromCol = 1 + (i % 2) * 9,
+            fromRow = 2 + (i / 2) * 20)
+        }
+        Xlsx.Sparse(sheetName, title +: blocks.toSeq, pies.toSeq)
       }
 
     Xlsx.write(outPath, (dataSheets :+ summarySheet) ++ chartSheets)

@@ -44,10 +44,28 @@ object Xlsx {
       wrapCols: Set[Int] = Set.empty) extends SheetSpec
 
   /** Sparse cells at explicit (0-based row, 0-based col) positions — the
-    * chart-sheet helper-block layout (survey_analysis.py:417-423). */
+    * chart-sheet helper-block layout (survey_analysis.py:417-423) — plus
+    * optional pie charts anchored on the sheet. */
   final case class Sparse(
       name: String,
-      cells: Seq[(Int, Int, Any, Int)]) extends SheetSpec
+      cells: Seq[(Int, Int, Any, Int)],
+      charts: Seq[Pie] = Nil) extends SheetSpec
+
+  /** One pie chart: categories/values reference a 4-cell helper block on
+    * `sheetRef` starting at 1-based row `firstRow` (labels col AY, values
+    * col AZ — the reference's helper geometry, survey_analysis.py:417-423),
+    * with the cached copies OOXML requires embedded; anchored at the
+    * 0-based cell (fromCol, fromRow) spanning the reference's 480×320 px
+    * block (:427-444). */
+  final case class Pie(
+      title: String,
+      seriesName: String,
+      sheetRef: String,
+      firstRow: Int,
+      labels: Seq[String],
+      values: Seq[Long],
+      fromCol: Int,
+      fromRow: Int)
 
   /** xlsx rows-per-sheet hard limit (2^20). */
   val MaxRows: Int = 1 << 20
@@ -66,7 +84,19 @@ object Xlsx {
         zos.write(content.getBytes(StandardCharsets.UTF_8))
         zos.closeEntry()
       }
-      part("[Content_Types].xml", contentTypes(sheets.length))
+      // sheets with charts get one drawing part each; chart parts number
+      // globally across the workbook (chart1.xml, chart2.xml, ...)
+      val drawingOfSheet = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      var nCharts = 0
+      val chartsOfDrawing = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[(Int, Pie)]]
+      sheets.zipWithIndex.foreach {
+        case (sp: Sparse, i) if sp.charts.nonEmpty =>
+          val d = drawingOfSheet.size + 1
+          drawingOfSheet(i) = d
+          chartsOfDrawing(d) = sp.charts.map { c => nCharts += 1; (nCharts, c) }
+        case _ =>
+      }
+      part("[Content_Types].xml", contentTypes(sheets.length, drawingOfSheet.size, nCharts))
       part("_rels/.rels", rootRels)
       part("xl/workbook.xml", workbook(sheets.map(_.name)))
       part("xl/_rels/workbook.xml.rels", workbookRels(sheets.length))
@@ -74,9 +104,26 @@ object Xlsx {
       sheets.zipWithIndex.foreach { case (s, i) =>
         zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
         val w = new java.io.OutputStreamWriter(zos, StandardCharsets.UTF_8)
-        writeWorksheet(w, s)
+        writeWorksheet(w, s, hasDrawing = drawingOfSheet.contains(i))
         w.flush()
         zos.closeEntry()
+        drawingOfSheet.get(i).foreach { d =>
+          part(s"xl/worksheets/_rels/sheet${i + 1}.xml.rels",
+            """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+              """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+              s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/drawing" Target="../drawings/drawing$d.xml"/>""" +
+              "</Relationships>")
+        }
+      }
+      chartsOfDrawing.foreach { case (d, charts) =>
+        part(s"xl/drawings/drawing$d.xml", drawingXml(charts))
+        part(s"xl/drawings/_rels/drawing$d.xml.rels",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+            charts.zipWithIndex.map { case ((cid, _), k) =>
+              s"""<Relationship Id="rId${k + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/chart" Target="../charts/chart$cid.xml"/>"""
+            }.mkString + "</Relationships>")
+        charts.foreach { case (cid, pie) => part(s"xl/charts/chart$cid.xml", chartXml(pie)) }
       }
     } finally zos.close()
   }
@@ -130,9 +177,10 @@ object Xlsx {
     }
   }
 
-  private def writeWorksheet(w: java.io.Writer, spec: SheetSpec): Unit = {
+  private def writeWorksheet(w: java.io.Writer, spec: SheetSpec,
+      hasDrawing: Boolean = false): Unit = {
     w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""")
     spec match {
       case Table(_, header, rows, widths, wrapCols) =>
         if (widths.nonEmpty) {
@@ -156,7 +204,7 @@ object Xlsx {
           r += 1
         }
         w.write("</sheetData>")
-      case Sparse(_, cells) =>
+      case Sparse(_, cells, _) =>
         w.write("<sheetData>")
         cells.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (row0, cs) =>
           w.write(s"""<row r="${row0 + 1}">""")
@@ -167,14 +215,20 @@ object Xlsx {
         }
         w.write("</sheetData>")
     }
+    if (hasDrawing)
+      w.write("""<drawing r:id="rId1"/>""")
     w.write("</worksheet>")
   }
 
   // ---- fixed parts ----
 
-  private def contentTypes(nSheets: Int): String = {
+  private def contentTypes(nSheets: Int, nDrawings: Int, nCharts: Int): String = {
     val overrides = (1 to nSheets).map(i =>
-      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+      (1 to nDrawings).map(i =>
+        s"""<Override PartName="/xl/drawings/drawing$i.xml" ContentType="application/vnd.openxmlformats-officedocument.drawing+xml"/>""").mkString +
+      (1 to nCharts).map(i =>
+        s"""<Override PartName="/xl/charts/chart$i.xml" ContentType="application/vnd.openxmlformats-officedocument.drawingml.chart+xml"/>""").mkString
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
       """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
@@ -207,6 +261,52 @@ object Xlsx {
       rels +
       s"""<Relationship Id="rId${nSheets + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
       "</Relationships>"
+  }
+
+  /** DrawingML pie chart (c:pieChart): categories/values reference the
+    * helper block (with the sheet-local caches OOXML requires), data
+    * labels show category + percentage, legend right — the reference's
+    * XlsxWriter chart configuration (survey_analysis.py:427-437). */
+  private def chartXml(p: Pie): String = {
+    val ref = s"'${esc(p.sheetRef).replace("'", "''")}'"
+    val catF = s"$ref!$$AY$$${p.firstRow}:$$AY$$${p.firstRow + p.labels.size - 1}"
+    val valF = s"$ref!$$AZ$$${p.firstRow}:$$AZ$$${p.firstRow + p.values.size - 1}"
+    val catPts = p.labels.zipWithIndex.map { case (l, i) =>
+      s"""<c:pt idx="$i"><c:v>${esc(l)}</c:v></c:pt>"""
+    }.mkString
+    val valPts = p.values.zipWithIndex.map { case (v, i) =>
+      s"""<c:pt idx="$i"><c:v>$v</c:v></c:pt>"""
+    }.mkString
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<c:lang val="en-US"/><c:chart>""" +
+      s"""<c:title><c:tx><c:rich><a:bodyPr/><a:lstStyle/><a:p><a:pPr><a:defRPr/></a:pPr><a:r><a:rPr lang="en-US"/><a:t>${esc(p.title)}</a:t></a:r></a:p></c:rich></c:tx><c:layout/></c:title>""" +
+      """<c:plotArea><c:layout/><c:pieChart><c:varyColors val="1"/>""" +
+      s"""<c:ser><c:idx val="0"/><c:order val="0"/><c:tx><c:v>${esc(p.seriesName)}</c:v></c:tx>""" +
+      """<c:dLbls><c:showCatName val="1"/><c:showPercent val="1"/></c:dLbls>""" +
+      s"""<c:cat><c:strRef><c:f>$catF</c:f><c:strCache><c:ptCount val="${p.labels.size}"/>$catPts</c:strCache></c:strRef></c:cat>""" +
+      s"""<c:val><c:numRef><c:f>$valF</c:f><c:numCache><c:formatCode>General</c:formatCode><c:ptCount val="${p.values.size}"/>$valPts</c:numCache></c:numRef></c:val>""" +
+      """</c:ser><c:firstSliceAng val="0"/></c:pieChart></c:plotArea>""" +
+      """<c:legend><c:legendPos val="r"/><c:layout/></c:legend>""" +
+      """<c:plotVisOnly val="1"/></c:chart></c:chartSpace>"""
+  }
+
+  /** One twoCellAnchor per chart: the reference's 480×320 px block spans 7
+    * columns + 304800 EMU by 16 rows from the insertion cell
+    * (survey_analysis.py:436,439-444). */
+  private def drawingXml(charts: Seq[(Int, Pie)]): String = {
+    val anchors = charts.zipWithIndex.map { case ((_, p), k) =>
+      s"""<xdr:twoCellAnchor><xdr:from><xdr:col>${p.fromCol}</xdr:col><xdr:colOff>0</xdr:colOff><xdr:row>${p.fromRow}</xdr:row><xdr:rowOff>0</xdr:rowOff></xdr:from>""" +
+        s"""<xdr:to><xdr:col>${p.fromCol + 7}</xdr:col><xdr:colOff>304800</xdr:colOff><xdr:row>${p.fromRow + 16}</xdr:row><xdr:rowOff>0</xdr:rowOff></xdr:to>""" +
+        s"""<xdr:graphicFrame macro=""><xdr:nvGraphicFramePr><xdr:cNvPr id="${k + 2}" name="Chart ${k + 1}"/><xdr:cNvGraphicFramePr/></xdr:nvGraphicFramePr>""" +
+        """<xdr:xfrm><a:off x="0" y="0"/><a:ext cx="0" cy="0"/></xdr:xfrm>""" +
+        """<a:graphic><a:graphicData uri="http://schemas.openxmlformats.org/drawingml/2006/chart">""" +
+        s"""<c:chart xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" r:id="rId${k + 1}"/>""" +
+        """</a:graphicData></a:graphic></xdr:graphicFrame><xdr:clientData/></xdr:twoCellAnchor>"""
+    }.mkString
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<xdr:wsDr xmlns:xdr="http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing" xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+      anchors + "</xdr:wsDr>"
   }
 
   /** cellXfs: 0 default, 1 wrap+top (StyleWrapTop), 2 bold (StyleBold). */

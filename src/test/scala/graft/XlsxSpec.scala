@@ -182,6 +182,35 @@ class XlsxSpec extends SparkSpec {
           s"sheet ${names(sheet - 1)} column $c")
       }
     }
+    // pie chart parts: same count as golden; chart1 matches semantically
+    // (title, series ranges, cached categories and values)
+    def chartInfo(path: String): (String, Seq[String], Seq[String]) = {
+      val zf = new ZipFile(path)
+      try {
+        val d = {
+          val e = zf.getEntry("xl/charts/chart1.xml")
+          assert(e != null, s"$path missing chart1.xml")
+          val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          val in = zf.getInputStream(e)
+          try f.newDocumentBuilder().parse(in) finally in.close()
+        }
+        def texts(tag: String) = {
+          val nl = d.getElementsByTagName(tag)
+          (0 until nl.getLength).map(nl.item(_).getTextContent)
+        }
+        (texts("a:t").mkString, texts("c:f"), texts("c:v"))
+      } finally zf.close()
+    }
+    val (tO, fO, vO) = chartInfo(out)
+    val (tG, fG, vG) = chartInfo(golden)
+    assert(tO == tG, s"chart title: $tO vs $tG")
+    assert(fO == fG, s"chart ranges: $fO vs $fG")
+    assert(vO == vG, s"chart cached series/values: $vO vs $vG")
+    def nCharts(path: String): Int = {
+      val zf = new ZipFile(path)
+      try zf.entries().asScala.count(_.getName.startsWith("xl/charts/")) finally zf.close()
+    }
+    assert(nCharts(out) == nCharts(golden))
   }
 
   test("sink refuses frames beyond the xlsx row limit instead of truncating") {
