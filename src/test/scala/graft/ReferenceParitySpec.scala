@@ -13,9 +13,11 @@ import graft.operators.SurveyPipeline
   *  - 429 of 2500 answers route through the filler short-circuit;
   *  - 278 distinct non-filler cleaned (question, answer) classifier keys —
   *    the reference's shipped memo cache has exactly 278 entries.
-  * (Sentiment VALUES are not compared: the shipped golden xlsx is
-  * VADER-scored and the offline engine implements the reference's own
-  * fallback-lexicon branch — divergence documented in SURVEY.md §7.5.)
+  * (Sentiment VALUES are covered elsewhere since round 8: VaderSpec
+  * reproduces all 278 shipped cache entries with the ported VADER scorer
+  * and XlsxSpec matches the golden workbook cell-for-cell; this suite
+  * checks the structural dataflow with the default fallback-lexicon
+  * branch.)
   */
 class ReferenceParitySpec extends SparkSpec {
 
