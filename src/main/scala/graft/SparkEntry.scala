@@ -909,14 +909,31 @@ object SparkEntry {
 
     "q76_agg_suite" -> ((s, dir) => {
       // aggregate-function surface: conditional counts, boolean aggregates,
-      // exact median, deterministic mode (ties -> lowest value)
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      // exact median, deterministic mode (ties -> lowest value).
+      // Scale posture: the built-in median()/mode() aggregates are
+      // TypedImperativeAggregate buffers — grouped by l_returnflag (3
+      // groups), a 100 TB lineitem puts ~1/3 of the table in one task's
+      // buffer. Median routes through the q91 rank dataflow
+      // (Percentiles.exactByGroup) and mode through the two-pass exact
+      // argmax (ExactMode); the plan carries no imperative aggregate
+      // (PlanSpec-asserted: no ObjectHashAggregate / SortAggregate).
+      val li = t(s, dir, "lineitem")
+      val base = li.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
         count_if(col("l_discount") > 0.05).as("n_disc"),
         bool_or(col("l_quantity") >= 49.0).as("any_q49"),
-        bool_and(col("l_quantity") > 0.0).as("all_qpos"),
-        round(median(col("l_extendedprice")), 4).as("med_price"),
-        expr("mode(l_quantity, true)").as("mode_qty"))
+        bool_and(col("l_quantity") > 0.0).as("all_qpos"))
+      val med = graft.operators.Percentiles.exactByGroup(li,
+          col("l_returnflag"), col("l_extendedprice"), Seq(0.5), Seq("_med"))
+        .select(col("group").as("l_returnflag"),
+          round(col("_med"), 4).as("med_price"))
+      val mode = graft.operators.ExactMode.byGroup(li,
+          col("l_returnflag"), col("l_quantity"), "mode_qty")
+        .withColumnRenamed("group", "l_returnflag")
+      base.join(broadcast(med), "l_returnflag")
+        .join(broadcast(mode), "l_returnflag")
+        .select("l_returnflag", "n", "n_disc", "any_q49", "all_qpos",
+          "med_price", "mode_qty")
     }),
 
     "q77_array_funcs" -> ((s, dir) => {

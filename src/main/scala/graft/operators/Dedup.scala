@@ -151,6 +151,12 @@ object Dedup {
       maxHamming: Int = 7, shingleLen: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       "band blocking is only exact for maxHamming < 8 (pigeonhole over 8 bands)")
+    // Cache posture: sigs is referenced three times in the returned plan
+    // (banding + both sides of the verify join) and is SKETCH-SIZED — one
+    // (id, long) pair per doc, ~16 bytes/doc ≈ 16 GB per trillion docs
+    // spread across the cluster — so the persisted footprint is acceptable,
+    // unlike a full-corpus persist. ContextCleaner reclaims it once the
+    // returned DataFrame is unreferenced.
     val sigs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
       .where(size(split(col("cln"), " ")) >= shingleLen)
       .select(col("id"),

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
 
 /** Total-order ranking without the single-partition window collapse.
   *
@@ -20,8 +19,24 @@ import org.apache.spark.storage.StorageLevel
   *  3. per-partition rank = partition offset + local position.
   *
   * The data never converges on one node; the only driver traffic is the
-  * per-partition counts. The caller must supply a TOTAL order (tie-broken
-  * to uniqueness) for a deterministic result.
+  * per-partition counts.
+  *
+  * '''Total-order requirement.''' The caller MUST supply `sortCols` that
+  * form a total order (tie-broken to uniqueness, e.g. by appending a unique
+  * id). Both passes run over ONE RDD object, so Spark's shuffle-stage reuse
+  * pins the range bounds and the row→partition assignment — but within a
+  * partition, rows that compare EQUAL under `sortCols` have no defined
+  * relative order, and a task recomputed after executor loss may legally
+  * emit them in a different order than the first pass observed. With a total
+  * order the intra-partition sort is bitwise deterministic and the two
+  * passes (and any recompute) agree exactly.
+  *
+  * '''Cache posture.''' The sorted stream is deliberately NOT persisted:
+  * the second pass re-reads the (already written) shuffle files and redoes
+  * the partition-local sort, which at 100 TB is far cheaper than
+  * materializing the whole corpus to executor memory/disk for one extra
+  * pass — and it leaves no persisted footprint behind the operator
+  * (PlanSpec-asserted via `getPersistentRDDs`).
   */
 object GlobalRank {
 
@@ -65,7 +80,11 @@ object GlobalRank {
     val tagged = df.withColumn("_gsum_v", coalesce(valueCol.cast("long"), lit(0L)))
     val sorted = tagged.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex("_gsum_v")
-    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE RDD object for both passes: the second job skips the shuffle-write
+    // stage and re-reads the same map output, so both passes see identical
+    // range bounds and partition contents (no persist needed — see the
+    // object scaladoc's cache-posture note).
+    val rdd = sorted.rdd
     val sums = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
@@ -87,10 +106,12 @@ object GlobalRank {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
-    // Freeze the sorted row stream as an RDD so the count pass and the
-    // rank-assignment pass see the SAME partitioning (a re-optimized second
-    // DataFrame execution could legally choose different range bounds).
-    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE RDD object for both passes: a re-optimized second DataFrame
+    // execution could legally sample different range bounds, but two jobs
+    // over the SAME RDD reuse the shuffle-write stage (it is skipped, the
+    // map output re-read), so the count pass and the rank-assignment pass
+    // see identical partitioning without persisting anything.
+    val rdd = sorted.rdd
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c

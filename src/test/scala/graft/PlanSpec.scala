@@ -143,6 +143,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"all aggregates must stay hash-based:\n${p.take(600)}")
   }
 
+  test("q76: median/mode plan carries no imperative aggregate buffer") {
+    // built-in median()/mode() are TypedImperativeAggregate — planned as
+    // ObjectHashAggregate (or SortAggregate fallback) holding a whole
+    // group's values/value-map in one task. q76 routes through the rank
+    // dataflow + two-pass argmax instead; every aggregate must stay a
+    // declarative HashAggregate.
+    val p = executed("q76_agg_suite")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"no imperative buffering aggregate allowed:\n${p.take(600)}")
+    assert(!p.contains("SortAggregate"),
+      s"all aggregates must stay hash-based:\n${p.take(600)}")
+  }
+
   test("q93: global prefix sum plans no Window operator") {
     val p = executed("q93_seq_pack")
     assert(!p.contains("Window"), s"packing must not fall back to a global window:\n${p.take(600)}")

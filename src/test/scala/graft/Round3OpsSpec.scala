@@ -60,6 +60,20 @@ class Round3OpsSpec extends SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
   }
 
+  test("GlobalRank leaves no persisted RDD footprint after the action") {
+    // the rank/prefix-sum dataflows deliberately do NOT persist the sorted
+    // stream (shuffle-stage reuse pins the partitioning) — consecutive rank
+    // queries in a long-lived session must not stack persisted footprints
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val orders = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
+    GlobalRank.withRowNumber(orders,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rn").count()
+    GlobalRank.withRunningSum(orders,
+      Seq(col("o_orderkey").asc), col("o_totalprice"), "cum").count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"GlobalRank persisted RDDs it never released: $added")
+  }
+
   test("GlobalRank plans no Window operator") {
     val orders = Tables.table(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
     val plan = GlobalRank.withNtile(orders, 4,
