@@ -455,7 +455,12 @@ object SparkEntry {
       // approximate sketches (HLL++ distinct, KLL-style quantile), made
       // oracle-checkable via engine-neutral VERDICT rows: each engine runs
       // ITS OWN sketch (Spark HLL++ here, DuckDB HLL in the twin) and
-      // reports whether it lands within 5% of ITS OWN exact answer. The
+      // reports whether it lands within a band of ITS OWN exact answer. The
+      // distinct-count band is 15% = 3x Spark's default HLL++ rsd (5%, one
+      // sigma): at 1 sigma a near-threshold group could legally land inside
+      // the band in one engine and outside in the other; at 3 sigma both
+      // engines' estimates sit comfortably inside. The quantile band stays
+      // 5%: percentile_approx at accuracy 10000 has ~1e-4 rank error. The
       // sketches never have to agree bit-for-bit — only the accuracy
       // verdict and the exact columns are compared, which is the portable
       // contract an approximate operator actually offers. The exact median
@@ -480,7 +485,7 @@ object SparkEntry {
         .join(broadcast(p50x), "event_type")
         .select(col("event_type"), col("exact_users"),
           (abs(col("_au") - col("exact_users"))
-            <= col("exact_users").cast("double") * 0.05).as("users_within_5pct"),
+            <= col("exact_users").cast("double") * 0.15).as("users_within_15pct"),
           (abs(col("_p50a") - col("_p50x"))
             <= abs(col("_p50x")) * 0.05).as("p50_within_5pct"),
           col("n"))
@@ -1545,7 +1550,7 @@ object SparkEntry {
         """SELECT event_type,
           | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
           | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-          |   <= count(DISTINCT user_id) * 0.05 AS users_within_5pct,
+          |   <= count(DISTINCT user_id) * 0.15 AS users_within_15pct,
           | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
           |   <= abs(quantile_cont(value, 0.5)) * 0.05 AS p50_within_5pct,
           | count(*) AS n

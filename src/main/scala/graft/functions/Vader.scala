@@ -27,8 +27,13 @@ import scala.collection.mutable.ArrayBuffer
   * the but-rescale resolves each value to its FIRST occurrence index, so
   * duplicate valences rescale the first duplicate repeatedly; the
   * "never so/this" check at distance 3 fires on "so"/"this" at distance 1
-  * regardless of "never". Emoji→description conversion is NOT ported: the
-  * pipeline's clean_text strips astral codepoints before sentiment runs.
+  * regardless of "never". The emoji→description pass (vaderSentiment.py:
+  * 238-252) is ported for the keys that can actually fire: the Python loop
+  * probes the emoji dict one CODEPOINT at a time, so only single-codepoint
+  * keys ever match (1212 of 3569 entries; the multi-codepoint rest are
+  * dead). The pipeline's clean_text strips astral codepoints before
+  * sentiment runs, but 169 single-codepoint keys are BMP (☺ ❤ ✌ …) and
+  * survive it — those convert exactly as the reference does.
   *
   * The LEXICON is data, not code: 7.5k published (word → mean-valence)
   * ratings loaded at runtime via [[loadLexicon]] and shipped to executors
@@ -76,15 +81,22 @@ object Vader {
     "bus stop" -> 0.0, "yeah right" -> -2, "kiss of death" -> -1.5,
     "to die for" -> 3, "beating heart" -> 3.5)
 
-  /** word → mean valence; serializable, shipped inside the expression. */
-  final class Lexicon(val valence: java.util.HashMap[String, java.lang.Double])
+  /** word → mean valence (plus the single-codepoint emoji → description
+    * dict); serializable, shipped inside the expression. */
+  final class Lexicon(val valence: java.util.HashMap[String, java.lang.Double],
+      val emoji: java.util.HashMap[String, String])
       extends Serializable {
+    def this(valence: java.util.HashMap[String, java.lang.Double]) =
+      this(valence, new java.util.HashMap[String, String]())
     @inline def get(w: String): java.lang.Double = valence.get(w)
     @inline def contains(w: String): Boolean = valence.containsKey(w)
-    override def toString: String = s"VaderLexicon(${valence.size} words)"
+    override def toString: String =
+      s"VaderLexicon(${valence.size} words, ${emoji.size} emojis)"
   }
 
-  /** Parse the published lexicon format: `word\tmeasure\t...` per line. */
+  /** Parse the published lexicon format: `word\tmeasure\t...` per line.
+    * If a sibling `emoji_utf8_lexicon.txt` exists next to the word lexicon
+    * (it ships in the same package directory), its emoji dict loads too. */
   def loadLexicon(path: String): Lexicon = {
     val m = new java.util.HashMap[String, java.lang.Double]()
     val src = scala.io.Source.fromFile(path, "UTF-8")
@@ -95,7 +107,58 @@ object Vader {
         if (parts.length >= 2) m.put(parts(0), parts(1).toDouble)
       }
     } finally src.close()
-    new Lexicon(m)
+    val sibling = new java.io.File(
+      new java.io.File(path).getParentFile, "emoji_utf8_lexicon.txt")
+    val e = if (sibling.isFile) loadEmojiLexicon(sibling.getPath)
+            else new java.util.HashMap[String, String]()
+    new Lexicon(m, e)
+  }
+
+  /** Parse `emoji\tdescription` per line, keeping only SINGLE-CODEPOINT
+    * keys: the reference's conversion loop (vaderSentiment.py:241-242)
+    * probes the dict one codepoint at a time, so multi-codepoint entries
+    * can never match and are dead weight. */
+  def loadEmojiLexicon(path: String): java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().foreach { line =>
+      val l = line.trim
+      if (l.nonEmpty) {
+        val parts = l.split("\t")
+        if (parts.length >= 2 && parts(0).codePointCount(0, parts(0).length) == 1)
+          m.put(parts(0), parts(1).trim)
+      }
+    } finally src.close()
+    m
+  }
+
+  /** The reference's emoji→description pass (vaderSentiment.py:238-252):
+    * each codepoint with a dict entry is replaced by its description, a
+    * space inserted before it unless the previous emitted char is a space;
+    * `prev_space` is reset to false after a description, so back-to-back
+    * emojis come out space-separated. Mirrored per codepoint (Python
+    * strings iterate codepoints, not UTF-16 units). */
+  private def convertEmojis(text: String, emoji: java.util.HashMap[String, String]): String = {
+    if (emoji.isEmpty) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var prevSpace = true
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val n = Character.charCount(cp)
+      val key = text.substring(i, i + n)
+      val desc = emoji.get(key)
+      if (desc != null) {
+        if (!prevSpace) sb.append(' ')
+        sb.append(desc)
+        prevSpace = false
+      } else {
+        sb.append(key)
+        prevSpace = cp == ' '
+      }
+      i += n
+    }
+    sb.toString
   }
 
   private val Punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
@@ -264,7 +327,7 @@ object Vader {
   /** The compound polarity in [-1, 1]; 0.0 for empty/valence-free text. */
   def compound(textIn: String, lex: Lexicon): Double = {
     if (textIn == null) return 0.0
-    val text = textIn.trim
+    val text = convertEmojis(textIn, lex.emoji).trim
     val wes = wordsAndEmoticons(text)
     if (wes.isEmpty) return 0.0
     val low = wes.map(_.toLowerCase(Locale.ROOT))

@@ -16,6 +16,14 @@ class VaderSpec extends SparkSpec {
     "/root/reference/.venv/lib/python3.9/site-packages/vaderSentiment/vader_lexicon.txt"
   private lazy val lex = Vader.loadLexicon(lexPath)
 
+  /** Every test reads runtime fixtures from the read-only reference mount
+    * (lexicon, memo cache, survey csv) — skip cleanly, don't fail, on a
+    * checkout without it. */
+  private def assumeRef(): Unit =
+    assume(new java.io.File(lexPath).isFile &&
+      new java.io.File("/root/reference/.analysis_cache.json").isFile,
+      "reference mount /root/reference absent — fixture-dependent test skipped")
+
   private lazy val cacheEntries: Seq[(String, String, String, String, String)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(new java.io.File("/root/reference/.analysis_cache.json"))
@@ -30,11 +38,13 @@ class VaderSpec extends SparkSpec {
   }
 
   test("lexicon loads the published ratings") {
+    assumeRef()
     assert(lex.valence.size > 7000)
     assert(math.abs(lex.get("excellent") - 2.7) < 1e-9)
   }
 
   test("compound: hand-checked rule behaviors") {
+    assumeRef()
     def c(s: String) = Vader.compound(s, lex)
     assert(c("") == 0.0)
     assert(c("the the the") == 0.0) // no lexicon hits
@@ -48,7 +58,22 @@ class VaderSpec extends SparkSpec {
     assert(math.abs(c("excellent excellent excellent excellent excellent")) <= 1.0)
   }
 
+  test("BMP emoji convert to their descriptions before scoring (reference emoji pass)") {
+    assumeRef()
+    // only single-codepoint keys can ever fire (the reference probes the
+    // dict one codepoint at a time); 1212 of the file's 3569 entries
+    assert(lex.emoji.size == 1212)
+    def c(s: String) = Vader.compound(s, lex)
+    // U+263A "smiling face", U+2764 "red heart" — BMP codepoints that
+    // survive clean_text's astral strip
+    assert(c("I ☺ this") == c("I smiling face this"))
+    assert(c("❤❤") == c("red heart red heart"))   // back-to-back get a separator
+    assert(c("it☺") == c("it smiling face"))           // space inserted mid-token
+    assert(c("service was ☺") > 0.0)                   // "smiling" carries valence
+  }
+
   test("ALL 278 shipped memo-cache entries reproduce exactly (sentiment AND category)") {
+    assumeRef()
     val keys = cacheEntries.map { case (i, q, a, _, _) => (i, q, a) }
       .toDF("industry", "question", "answer")
     val got = new VaderDemoClassifier(lex).classify(keys)
@@ -65,6 +90,7 @@ class VaderSpec extends SparkSpec {
   }
 
   test("VaderCompound expression survives codegen and matches direct eval") {
+    assumeRef()
     val texts = cacheEntries.take(50).map(_._3).toDF("t")
     val viaExpr = texts.select(graft.plans.VaderCompound.compound(col("t"), lex))
       .collect().map(_.getDouble(0))
@@ -73,6 +99,7 @@ class VaderSpec extends SparkSpec {
   }
 
   test("full demo pipeline with the VADER classifier matches the cache on the corpus") {
+    assumeRef()
     // end-to-end: the reference corpus through analyzeWide with the VADER
     // classifier — every classified (question, answer) must agree with the
     // shipped cache (filler rows short-circuit and are not in the cache)

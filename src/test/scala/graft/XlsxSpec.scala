@@ -71,6 +71,12 @@ class XlsxSpec extends SparkSpec {
   private val golden = "/root/reference/Example analysis output.xlsx"
   private val csv = "/root/reference/example_survey_large.csv"
 
+  /** The golden workbook, survey csv and VADER lexicon live on the
+    * read-only reference mount — skip cleanly, don't fail, without it. */
+  private def assumeRef(): Unit =
+    assume(new java.io.File(golden).isFile && new java.io.File(csv).isFile,
+      "reference mount /root/reference absent — fixture-dependent test skipped")
+
   private def writtenReport: String = {
     val out = "target/tmp/report.xlsx"
     new java.io.File("target/tmp").mkdirs()
@@ -99,10 +105,12 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("report sheet names match the golden workbook exactly") {
+    assumeRef()
     assert(XlsxRead.sheetNames(writtenReport) == XlsxRead.sheetNames(golden))
   }
 
   test("Summary sheet layout matches the golden workbook (header + row labels)") {
+    assumeRef()
     val ours = XlsxRead.cells(writtenReport, 7)
     val gold = XlsxRead.cells(golden, 7)
     // header row identical
@@ -117,6 +125,7 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("data sheets carry the golden workbook's rows: ResponseID and answers align") {
+    assumeRef()
     val ours = XlsxRead.cells(writtenReport, 1) // Alpha Jacket
     val gold = XlsxRead.cells(golden, 1)
     Seq("A1", "B1", "C1").foreach(r => assert(ours(r) == gold(r), r)) // header starts ResponseID, Product, Q1_Answer
@@ -127,6 +136,7 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("chart sheets carry the reference's helper blocks at the exact cells") {
+    assumeRef()
     val out = writtenReport
     val names = XlsxRead.sheetNames(out)
     val chartIdx = names.indexWhere(_.startsWith("Charts - ")) + 1
@@ -140,6 +150,7 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("VADER-scored report matches the golden workbook on EVERY Summary cell") {
+    assumeRef()
     // the shipped workbook was produced by the reference's VADER demo
     // branch; with the ported scorer the sentiment COUNTS must now agree
     // cell-for-cell, not just structurally
