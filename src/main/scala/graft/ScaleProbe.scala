@@ -107,6 +107,28 @@ object ScaleProbe {
     assert(tiles.getLong(2) == 100 && tiles.getLong(1) - tiles.getLong(0) <= 1,
       s"ntile buckets must differ by <= 1 row: $tiles")
 
+    // prefix sum (q93's engine): stress at probe scale and verify BIT-EQUAL
+    // against the single-partition window on the same total order. k is
+    // unique, so equal counts + empty one-direction except == equality.
+    val vexpr = (col("k") % 1000).cast("long")
+    val cum = timed("GlobalRank.withRunningSum")(
+      GlobalRank.withRunningSum(big, Seq(col("v").asc, col("k").asc), vexpr, "cum")
+        .select(col("k"), col("cum")).cache())
+    val total = cum.agg(max("cum"), count(lit(1))).head()
+    val expectTotal = big.agg(sum(vexpr)).head().getLong(0)
+    assert(total.getLong(0) == expectTotal && total.getLong(1) == n,
+      s"running sum must end at sum(v)=$expectTotal over $n rows, got $total")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("k").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val winCum = timed("single-partition window prefix sum (reference)")(
+      big.select(col("k"), sum(vexpr).over(w).as("cum")).cache())
+    assert(winCum.count() == n && timed("prefix-sum equality check")(
+      cum.except(winCum).count()) == 0,
+      "withRunningSum must equal the window prefix sum bit-for-bit")
+    cum.unpersist(); winCum.unpersist()
+    println(s"[probe] prefix sum matches the single-partition window on $n rows")
+
     val ps = Seq(0.25, 0.5, 0.95, 0.99)
     val names = Seq("p25", "p50", "p95", "p99")
     val ours = timed("Percentiles.exactByGroup")(
