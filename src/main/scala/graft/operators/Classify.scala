@@ -120,6 +120,71 @@ final class RemoteBatchClassifier(
   }
 }
 
+/** The wire-level transport for [[RemoteBatchClassifier]]: a
+  * chat-completions-style JSON POST over plain `HttpURLConnection` (JDK
+  * only — executors need no extra client library), mirroring the
+  * reference's request shape verbatim (survey_analysis.py:182-203): same
+  * system/user prompts, model, temperature 0.1, max_tokens 40,
+  * response_format json_object; the response's
+  * `choices[0].message.content` is parsed as JSON `{sentiment, category}`.
+  * Raw strings are returned — [[RemoteBatchClassifier]] owns normalization
+  * and the retry/degrade policy; any non-2xx status or malformed body
+  * throws, which is what arms that retry.
+  *
+  * A case class, not a lambda: instances ship to executors inside the
+  * mapPartitions closure, and the Jackson mapper is rebuilt per executor
+  * via @transient lazy.
+  */
+final case class OpenAiChatTransport(
+    endpoint: String,
+    apiKey: String,
+    model: String = "gpt-4o-mini",
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000,
+) extends ((String, String, String) => (String, String)) with Serializable {
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def apply(industry: String, question: String, answer: String): (String, String) = {
+    val sysPrompt = "You are an expert CRM assistant that analyzes online customer feedback."
+    val userPrompt =
+      "Respond ONLY as JSON with keys 'sentiment' and 'category'.\n" +
+        s"Industry: $industry\nQuestion: $question\nAnswer: $answer\n" +
+        "Sentiment must be one of: Positive, Neutral, Negative, Mixed. Category should be 1 to 3 words."
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", 0.1)
+    root.put("max_tokens", 40)
+    root.putObject("response_format").put("type", "json_object")
+    val msgs = root.putArray("messages")
+    msgs.addObject().put("role", "system").put("content", sysPrompt)
+    msgs.addObject().put("role", "user").put("content", userPrompt)
+    val body = mapper.writeValueAsBytes(root)
+
+    val conn = java.net.URI.create(endpoint).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestProperty("Content-Type", "application/json")
+      if (apiKey.nonEmpty) conn.setRequestProperty("Authorization", s"Bearer $apiKey")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"HTTP $code from $endpoint")
+      val bytes = conn.getInputStream.readAllBytes()
+      val content = mapper.readTree(bytes)
+        .path("choices").path(0).path("message").path("content").asText("{}")
+      val payload = mapper.readTree(content)
+      (payload.path("sentiment").asText("Neutral"),
+        payload.path("category").asText(""))
+    } finally conn.disconnect()
+  }
+}
+
 object Classify {
   private val keyCols = Seq("industry", "question", "answer")
 
