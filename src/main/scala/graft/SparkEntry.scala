@@ -1070,6 +1070,38 @@ object SparkEntry {
             .cast("long").as("pack_id"))
     }),
 
+    "q94_seq_pack_split" -> ((s, dir) => {
+      // sequence packing, first-fit-WITH-splitting: every pack holds
+      // EXACTLY `budget` tokens (except the trailing one) — a document
+      // whose global token span [start, end) crosses pack boundaries is
+      // split into one segment per pack it touches, the real pretraining
+      // packer contract (q93 is the roll-over variant where docs stay
+      // whole). On top of the same distributed prefix sum: each doc's
+      // touched packs are start DIV B .. (end-1) DIV B — one sequence()
+      // + explode, no second shuffle; segment arithmetic is pure
+      // projection. Integer division throughout (DIV here, // in the
+      // DuckDB twin) so the math is exact at any corpus size.
+      val budget = 2048L
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      val spans = graft.operators.GlobalRank
+        .withRunningSum(docs, Seq(col("doc_id").asc), col("n_toks"), "cum_toks")
+        .where(col("n_toks") > 0) // 0-token doc touches no pack (and would
+                                  // make sequence() descend — see guard note)
+        .select(col("doc_id"),
+          (col("cum_toks") - col("n_toks")).as("_beg"), col("cum_toks").as("_end"))
+        .withColumn("_first", expr(s"_beg DIV $budget"))
+        .withColumn("_last", expr(s"(_end - 1) DIV $budget"))
+      spans
+        .select(col("doc_id"), col("_beg"), col("_end"), col("_first"),
+          explode(sequence(col("_first"), col("_last"))).as("pack_id"))
+        .select(col("doc_id"), col("pack_id"),
+          (col("pack_id") - col("_first")).as("seg_idx"),
+          (greatest(col("_beg"), col("pack_id") * budget) - col("_beg")).as("tok_offset"),
+          (least(col("_end"), (col("pack_id") + 1) * budget)
+            - greatest(col("_beg"), col("pack_id") * budget)).as("seg_toks"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2046,6 +2078,25 @@ object SparkEntry {
            |SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
            | CAST(floor((cum_toks - n_toks) / 2048.0) AS BIGINT) AS pack_id
            |FROM c""".stripMargin,
+
+      "q94_seq_pack_split" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |c AS (SELECT doc_id, n_toks,
+           |   CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM d),
+           |s AS (SELECT doc_id, cum - n_toks AS beg, cum AS fin,
+           |   (cum - n_toks) // 2048 AS first_pack, (cum - 1) // 2048 AS last_pack
+           |  FROM c WHERE n_toks > 0),
+           |e AS (SELECT doc_id, beg, fin, first_pack,
+           |   unnest(generate_series(first_pack, last_pack)) AS pack_id FROM s)
+           |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+           | CAST(pack_id - first_pack AS BIGINT) AS seg_idx,
+           | CAST(greatest(beg, pack_id * 2048) - beg AS BIGINT) AS tok_offset,
+           | CAST(least(fin, (pack_id + 1) * 2048)
+           |   - greatest(beg, pack_id * 2048) AS BIGINT) AS seg_toks
+           |FROM e""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

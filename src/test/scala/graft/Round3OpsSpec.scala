@@ -54,6 +54,27 @@ class Round3OpsSpec extends SparkSpec {
     assert(packed.select("pack_id").distinct().count() > 1)
   }
 
+  test("q94 packing with splitting: packs fill EXACTLY to budget; segments reassemble docs") {
+    val segs = SparkEntry.queries("q94_seq_pack_split")(spark, sf()).cache()
+    val totals = segs.groupBy("pack_id").agg(sum("seg_toks").as("t")).collect()
+    val lastPack = totals.map(_.getLong(0)).max
+    assert(totals.forall(_.getLong(1) <= 2048L), "no pack may exceed the budget")
+    assert(totals.filter(_.getLong(0) != lastPack).forall(_.getLong(1) == 2048L),
+      "every non-trailing pack is filled exactly (that is what splitting buys)")
+    // each doc's segments cover it: contiguous offsets, sum == token count
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select(col("doc_id"),
+      size(split(graft.functions.TextExprs.cleanText(col("text")), " "))
+        .cast("long").as("n_toks"))
+    val bad = segs.groupBy("doc_id")
+      .agg(sum("seg_toks").as("covered"), min("tok_offset").as("off0"),
+        count(lit(1)).as("nseg"), max(col("seg_idx")).as("maxseg"))
+      .join(docs, "doc_id")
+      .where(col("covered") =!= col("n_toks") || col("off0") =!= 0L
+        || col("maxseg") =!= col("nseg") - 1)
+    assert(bad.count() == 0, "segments must exactly tile each document")
+    segs.unpersist()
+  }
+
   test("GlobalRank.withNtile with fewer rows than buckets gives one row per leading bucket") {
     val out = GlobalRank.withNtile((1 to 3).toDF("x"), 5, Seq(col("x").asc), "t")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
