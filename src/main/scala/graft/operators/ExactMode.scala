@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * rejected: struct-typed aggregation buffers are immutable in UnsafeRow,
   * so Spark plans it as a SortAggregate. The duplicated `counts` subtree in
   * steps 1–3 is collapsed by Catalyst's exchange reuse (one scan + one
-  * shuffle, the second occurrence reads the same exchange). A Misra-Gries
+  * shuffle, the second occurrence reads the same exchange — asserted on
+  * the FINAL adaptive plan in PlanSpec, since AQE only materializes the
+  * reuse at execution). A Misra-Gries
   * candidate pass (see [[HeavyHitters]]) was also considered and rejected:
   * MG only guarantees the mode survives when its frequency exceeds
   * N/(capacity+1), which the mode of a long-tailed column need not satisfy.

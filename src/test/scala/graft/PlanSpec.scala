@@ -154,6 +154,14 @@ class PlanSpec extends SparkSpec {
       s"no imperative buffering aggregate allowed:\n${p.take(600)}")
     assert(!p.contains("SortAggregate"),
       s"all aggregates must stay hash-based:\n${p.take(600)}")
+    // ExactMode references its counts aggregation twice (probe + argmax);
+    // the heavy scan+partial-count stage must be computed ONCE. AQE only
+    // shows the reuse in the FINAL plan, so execute on this QueryExecution.
+    val df = SparkEntry.queries("q76_agg_suite")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true") && fin.contains("ReusedExchange"),
+      s"counts exchange must be reused, not recomputed:\n${fin.take(800)}")
   }
 
   test("q93: global prefix sum plans no Window operator") {
