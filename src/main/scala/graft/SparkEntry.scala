@@ -1102,6 +1102,30 @@ object SparkEntry {
             - greatest(col("_beg"), col("pack_id") * budget)).as("seg_toks"))
     }),
 
+    "q95_chunk" -> ((s, dir) => {
+      // RAG/embedding-export chunking: fixed-size token windows (64) with
+      // stride overlap (48) — one row per (doc, chunk), the export unit an
+      // embedding index or context-window packer consumes. Pure PER-DOC
+      // computation: split → sequence-of-starts → explode → slice, no
+      // shuffle anywhere; the whole operator is one codegen'd stage, so at
+      // 100 TB it runs at scan speed and partitions stay wherever the
+      // source put them. sequence(0, n-1, S) is safe: n = size(split) >= 1
+      // (the 0-token descending-sequence trap cannot fire).
+      val W = 64L; val S = 48L
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+      toks
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(S))).as("tok_start"))
+        .select(col("doc_id"),
+          expr(s"tok_start DIV $S").as("chunk_idx"),
+          col("tok_start"),
+          least(lit(W), col("n") - col("tok_start")).as("chunk_toks"),
+          concat_ws(" ", slice(col("toks"),
+            (col("tok_start") + 1).cast("int"), lit(W.toInt))).as("chunk_text"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2097,6 +2121,19 @@ object SparkEntry {
            | CAST(least(fin, (pack_id + 1) * 2048)
            |   - greatest(beg, pack_id * 2048) AS BIGINT) AS seg_toks
            |FROM e""".stripMargin,
+
+      "q95_chunk" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+           |s AS (SELECT doc_id, toks, n,
+           |   unnest(generate_series(0, n - 1, 48)) AS tok_start FROM n)
+           |SELECT doc_id, CAST(tok_start // 48 AS BIGINT) AS chunk_idx,
+           | CAST(tok_start AS BIGINT) AS tok_start,
+           | CAST(least(64, n - tok_start) AS BIGINT) AS chunk_toks,
+           | array_to_string(list_slice(toks, tok_start + 1,
+           |   least(tok_start + 64, n)), ' ') AS chunk_text
+           |FROM s""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

@@ -75,6 +75,31 @@ class Round3OpsSpec extends SparkSpec {
     segs.unpersist()
   }
 
+  test("q95 chunking: stride-64/48 windows tile every doc; plan has zero exchanges") {
+    val chunks = SparkEntry.queries("q95_chunk")(spark, sf()).cache()
+    val docs = spark.read.parquet(sf() + "/documents.parquet").select(col("doc_id"),
+      size(split(graft.functions.TextExprs.cleanText(col("text")), " "))
+        .cast("long").as("n_toks"))
+    // every chunk: start a multiple of 48, len = min(64, n - start); per
+    // doc: first start 0, last chunk reaches exactly n
+    val bad = chunks.join(docs, "doc_id")
+      .where(col("tok_start") % 48 =!= 0
+        || col("chunk_toks") =!= least(lit(64L), col("n_toks") - col("tok_start")))
+    assert(bad.count() == 0)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(min("tok_start").as("first"),
+        max(col("tok_start") + col("chunk_toks")).as("reach"),
+        count(lit(1)).as("nchunks"))
+      .join(docs, "doc_id")
+    assert(perDoc.where(col("first") =!= 0 || col("reach") =!= col("n_toks")).count() == 0,
+      "chunks must start at 0 and reach exactly the doc's last token")
+    // the operator is per-doc narrow work: no shuffle may appear
+    val p = SparkEntry.queries("q95_chunk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must plan zero exchanges:\n${p.take(600)}")
+    chunks.unpersist()
+  }
+
   test("GlobalRank.withNtile with fewer rows than buckets gives one row per leading bucket") {
     val out = GlobalRank.withNtile((1 to 3).toDF("x"), 5, Seq(col("x").asc), "t")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
