@@ -1126,6 +1126,42 @@ object SparkEntry {
             (col("tok_start") + 1).cast("int"), lit(W.toInt))).as("chunk_text"))
     }),
 
+    "q96_temperature_mix" -> ((s, dir) => {
+      // Temperature-based dataset mixing (the multilingual-pretraining
+      // sampler: per-language quota ∝ count^(1/T), T=2, which upsamples
+      // tail languages relative to proportional sampling), with the
+      // WHICH-docs choice made by an md5 draw so the selected set is
+      // deterministic and engine-neutral. Every number is integer:
+      // w = floor(sqrt(cnt)) is the same correctly-rounded IEEE sqrt in
+      // any engine, quota = K*w DIV sum(w) is integer division — no
+      // float-boundary can flip a doc in or out of the sample.
+      // Scale shape: per-language rank comes from the GlobalRank range
+      // exchange over (lang, draw, doc_id) — NOT a per-group window,
+      // whose dominant language would concentrate in ONE task at 100 TB.
+      // Each language's rank base is its predecessors' cumulative count
+      // (counts is language-cardinality-sized; its window is driver-tiny),
+      // and the lang→(base, quota) table is broadcast.
+      val K = 200L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("doc_id").cast("string")).as("_draw"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
+      val quota = counts
+        .withColumn("prev_cum", coalesce(sum("cnt").over(
+          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .crossJoin(broadcast(counts.agg(sum("w").as("wsum"))))
+        .withColumn("quota", expr(s"($K * w) DIV wsum"))
+        .select("lang", "prev_cum", "quota")
+      GlobalRank.withRowNumber(docs,
+          Seq(col("lang").asc, col("_draw").asc, col("doc_id").asc), "_grn")
+        .join(broadcast(quota), "lang")
+        .withColumn("lrank", col("_grn") - col("prev_cum"))
+        .where(col("lrank") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("source"), col("lrank"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2134,6 +2170,22 @@ object SparkEntry {
            | array_to_string(list_slice(toks, tok_start + 1,
            |   least(tok_start + 64, n)), ' ') AS chunk_text
            |FROM s""".stripMargin,
+
+      "q96_temperature_mix" ->
+        """WITH d AS (SELECT doc_id, lang, source,
+          |   md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+          |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+          |   CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY lang),
+          |q AS (SELECT lang,
+          |   CAST((200 * w) // (SELECT sum(w) FROM c) AS BIGINT) AS quota,
+          |   CAST(coalesce(sum(cnt) OVER (ORDER BY lang
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |     AS BIGINT) AS prev_cum
+          |  FROM c),
+          |r AS (SELECT doc_id, lang, source, row_number()
+          |   OVER (PARTITION BY lang ORDER BY draw, doc_id) AS lrank FROM d)
+          |SELECT r.doc_id, r.lang, r.source, CAST(r.lrank AS BIGINT) AS lrank
+          |FROM r JOIN q USING (lang) WHERE r.lrank <= q.quota""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

@@ -100,6 +100,41 @@ class Round3OpsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("q96 temperature mix: sqrt-weighted quotas, draw-minimal selection, contiguous ranks") {
+    val out = SparkEntry.queries("q96_temperature_mix")(spark, sf()).cache()
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("draw"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the quota contract independently: w = floor(sqrt(cnt)),
+    // quota = 200*w DIV sum(w) — pure integer arithmetic
+    val w = counts.map { case (l, c) => l -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val wsum = w.values.sum
+    val quota = w.map { case (l, x) => l -> 200L * x / wsum }
+    val got = out.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == quota.filter(_._2 > 0L), s"per-language take must equal the quota: $got vs $quota")
+    // the take is the quota SMALLEST md5 draws per language: every selected
+    // draw sorts strictly below every unselected draw of the same language
+    val selMax = out.join(docs, Seq("doc_id", "lang")).groupBy("lang").agg(max("draw").as("mx"))
+    val unselMin = docs.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(min("draw").as("mn"))
+    assert(selMax.join(unselMin, "lang").where(col("mx") >= col("mn")).count() == 0,
+      "selection must be the per-language md5-minimal prefix")
+    // temperature property: the dominant language's acceptance rate sits
+    // strictly below the rarest language's (integer cross-multiplication)
+    val (big, bigC) = counts.maxBy(_._2)
+    val (small, smallC) = counts.minBy(_._2)
+    assert(quota(big) * smallC < quota(small) * bigC,
+      s"T=2 must downsample '$big' relative to '$small'")
+    // lrank is contiguous 1..take within each language
+    assert(out.groupBy("lang")
+      .agg(min("lrank").as("lo"), max("lrank").as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 1L || col("hi") =!= col("n")).count() == 0,
+      "lrank must be the contiguous per-language prefix 1..quota")
+    out.unpersist()
+  }
+
   test("GlobalRank.withNtile with fewer rows than buckets gives one row per leading bucket") {
     val out = GlobalRank.withNtile((1 to 3).toDF("x"), 5, Seq(col("x").asc), "t")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
