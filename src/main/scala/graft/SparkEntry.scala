@@ -1162,6 +1162,45 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("lrank"))
     }),
 
+    "q97_span_dedup" -> ((s, dir) => {
+      // Exact duplicated-substring detection (the Lee et al. 2022
+      // "Deduplicating Training Data Makes Language Models Better"
+      // dataflow): every L=30-token window is content-hashed; a span is
+      // duplicated when its hash occurs in >= 2 DISTINCT documents; each
+      // affected doc reports its duplicated-window share — the signal a
+      // curation pipeline uses to trim or drop cross-doc boilerplate.
+      // md5-of-content keeps the DuckDB twin engine-neutral; a Rabin-Karp
+      // rolling hash would only remove the O(L) per-window re-hash
+      // constant, not change the dataflow. Scale shape: TWO passes over
+      // the window stream, recomputed from the columnar scan each time
+      // rather than persisted (the HeavyHitters posture — a corpus-sized
+      // window table is the one thing this operator must never pin):
+      // pass 1 shuffles window hashes once to find the >= 2-distinct-doc
+      // spans; pass 2's semi-join is pushed BELOW the per-doc aggregate
+      // by Catalyst, so after AQE broadcasts (or shuffles) the dup-hash
+      // set, the only pass-2 shuffle carries DUPLICATED windows — rare by
+      // construction. Per-doc self-repetition is q80's job; nd >= 2 docs.
+      val L = 30
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= L)
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), col("n") - L)).as("pos"), col("toks"))
+        .select(col("doc_id"), col("n"),
+          md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(L)))).as("h"))
+      val dup = wins.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      wins.join(dup.select("h"), Seq("h"), "left_semi")
+        .groupBy("doc_id", "n")
+        .agg(count(lit(1)).as("dup_windows"))
+        .select(col("doc_id"),
+          (col("n") - (L - 1)).cast("long").as("n_windows"),
+          col("dup_windows"),
+          round(col("dup_windows") / (col("n") - (L - 1)).cast("double"), 4)
+            .as("dup_ratio"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2186,6 +2225,21 @@ object SparkEntry {
           |   OVER (PARTITION BY lang ORDER BY draw, doc_id) AS lrank FROM d)
           |SELECT r.doc_id, r.lang, r.source, CAST(r.lrank AS BIGINT) AS lrank
           |FROM r JOIN q USING (lang) WHERE r.lrank <= q.quota""".stripMargin,
+
+      "q97_span_dedup" ->
+        s"""WITH t AS (SELECT doc_id,
+           |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+           |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 30),
+           |w AS (SELECT doc_id, n, toks,
+           |   unnest(generate_series(0, CAST(n - 30 AS BIGINT))) AS pos FROM nn),
+           |h AS (SELECT doc_id, n, md5(array_to_string(list_slice(toks,
+           |   CAST(pos + 1 AS BIGINT), CAST(pos + 30 AS BIGINT)), ' ')) AS h FROM w),
+           |d AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+           |SELECT doc_id, CAST(n - 29 AS BIGINT) AS n_windows,
+           | CAST(count(*) AS BIGINT) AS dup_windows,
+           | round(count(*) / CAST(n - 29 AS DOUBLE), 4) AS dup_ratio
+           |FROM h JOIN d USING (h)
+           |GROUP BY doc_id, n""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

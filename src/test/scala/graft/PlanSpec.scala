@@ -164,6 +164,19 @@ class PlanSpec extends SparkSpec {
       s"counts exchange must be reused, not recomputed:\n${fin.take(800)}")
   }
 
+  test("q97: span dedup persists nothing and keeps the semi-join filter") {
+    // two-pass recompute posture (the HeavyHitters stance): the corpus-sized
+    // window stream must never be pinned, and the second pass must filter
+    // through the dup-hash semi-join so its shuffle carries only duplicated
+    // windows; all aggregates stay declarative hash aggregates
+    val p = executed("q97_span_dedup")
+    assert(p.contains("LeftSemi"), s"dup-hash semi-join missing:\n${p.take(600)}")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      s"window stream must be recomputed, not persisted:\n${p.take(600)}")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"aggregates must stay hash-based:\n${p.take(600)}")
+  }
+
   test("q93: global prefix sum plans no Window operator") {
     val p = executed("q93_seq_pack")
     assert(!p.contains("Window"), s"packing must not fall back to a global window:\n${p.take(600)}")

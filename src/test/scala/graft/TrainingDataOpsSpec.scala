@@ -226,6 +226,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(cand.contains("a") && cand.contains("b"))
   }
 
+  // ---- q97 exact substring-span dedup ----
+
+  test("q97 span dedup: md5 grouping agrees with grouping by the raw span text") {
+    // recompute with the span TEXT itself as the group key — if md5
+    // collided (or the slice/concat drifted), the two disagree
+    val out = SparkEntry.queries("q97_span_dedup")(spark, sf()).cache()
+    val L = 30
+    val wins = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), split(graft.functions.TextExprs.cleanText(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") >= L)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("n") - L)).as("pos"), col("toks"))
+      .select(col("doc_id"), col("n"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(L))).as("span"))
+    val dupTxt = wins.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+    val expect = wins.join(dupTxt.select("span"), Seq("span"), "left_semi")
+      .groupBy("doc_id", "n").agg(count(lit(1)).as("dup_windows"))
+      .select(col("doc_id"), (col("n") - (L - 1)).cast("long").as("n_windows"),
+        col("dup_windows"))
+    val got = out.select("doc_id", "n_windows", "dup_windows")
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+    // bounds: every reported doc has 1 <= dup_windows <= n_windows, ratio in (0, 1]
+    assert(out.where(col("dup_windows") < 1 || col("dup_windows") > col("n_windows")
+      || col("dup_ratio") <= 0.0 || col("dup_ratio") > 1.0).count() == 0)
+    assert(out.count() > 0, "synthetic corpus must contain cross-doc spans")
+    out.unpersist()
+  }
+
   // ---- oracle-query smoke at sf0.001 (the driver checks sf0.01) ----
 
   test("q70/q72/q74 run and return rows at sf0.001") {
