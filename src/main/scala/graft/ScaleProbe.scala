@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
   * ntile bucket sizes within 1, per-group exact percentiles equal to
   * Spark's `percentile` aggregate bit-for-bit.
   *
+  * Span mode: stresses the SpanDedup (exact duplicated-substring)
+  * dataflow on a purely replicated corpus — the ADVERSARIAL case where
+  * every window is cross-doc duplicated, so the pass-2 semi-join carries
+  * 100% of the window stream instead of the rare-duplicate real-world
+  * share — and VERIFIES the exact expectation that replication induces:
+  * every doc with >= L tokens reports dup_ratio == 1.0, and exactly
+  * rep × base such docs report.
+  *
   * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
   *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
+  *        runMain graft.ScaleProbe span [sfDir] [rep]   — span mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("rank")) { rankProbe(args.drop(1)); return }
+    if (args.headOption.contains("span")) { spanProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -63,6 +73,57 @@ object ScaleProbe {
     val nClusters = timed("connected components")(
       cc.select("component").distinct().count())
     println(s"[probe] clusters: $nClusters")
+    spark.stop()
+  }
+
+  private def spanProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(40)
+    require(rep >= 2, "span probe needs rep >= 2 so every window is duplicated")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    val L = 30
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // pure replication (fresh ids, text UNCHANGED): every L-token window of
+    // every copy also occurs in the other rep-1 copies → the exact expected
+    // output is known in closed form at any scale
+    val big = docs.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"), col("text"))
+      .repartition(64).cache()
+    val nDocs = big.count()
+    val base = docs.where(size(split(
+      graft.functions.TextExprs.cleanText(col("text")), " ")) >= L).count()
+    val wins = big.select((size(split(
+      graft.functions.TextExprs.cleanText(col("text")), " ")) - (L - 1)).as("w"))
+      .where(col("w") >= 1).agg(sum("w")).head().getLong(0)
+    println(s"[probe] span corpus: $nDocs docs (rep=$rep), $wins windows of $L tokens")
+
+    val out = graft.operators.SpanDedup
+      .perDocDupShare(big, col("doc_id"), col("text"), L).cache()
+    val rows = timed("SpanDedup.perDocDupShare (all-dup worst case)")(out.count())
+    assert(rows == base * rep,
+      s"every replicated doc with >= $L tokens must report: got $rows, want ${base * rep}")
+    val agg = out.agg(min("dup_ratio"), sum("dup_windows")).head()
+    assert(agg.getDouble(0) == 1.0,
+      s"pure replication must make every window duplicated, min ratio ${agg.getDouble(0)}")
+    assert(agg.getLong(1) == wins,
+      s"dup windows must equal ALL windows: ${agg.getLong(1)} vs $wins")
+    println(s"[probe] verified: $rows docs all at dup_ratio=1.0, ${agg.getLong(1)} dup windows")
+    out.unpersist(); big.unpersist()
     spark.stop()
   }
 

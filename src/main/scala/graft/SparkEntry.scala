@@ -1163,42 +1163,14 @@ object SparkEntry {
     }),
 
     "q97_span_dedup" -> ((s, dir) => {
-      // Exact duplicated-substring detection (the Lee et al. 2022
-      // "Deduplicating Training Data Makes Language Models Better"
-      // dataflow): every L=30-token window is content-hashed; a span is
-      // duplicated when its hash occurs in >= 2 DISTINCT documents; each
-      // affected doc reports its duplicated-window share — the signal a
-      // curation pipeline uses to trim or drop cross-doc boilerplate.
-      // md5-of-content keeps the DuckDB twin engine-neutral; a Rabin-Karp
-      // rolling hash would only remove the O(L) per-window re-hash
-      // constant, not change the dataflow. Scale shape: TWO passes over
-      // the window stream, recomputed from the columnar scan each time
-      // rather than persisted (the HeavyHitters posture — a corpus-sized
-      // window table is the one thing this operator must never pin):
-      // pass 1 shuffles window hashes once to find the >= 2-distinct-doc
-      // spans; pass 2's semi-join is pushed BELOW the per-doc aggregate
-      // by Catalyst, so after AQE broadcasts (or shuffles) the dup-hash
-      // set, the only pass-2 shuffle carries DUPLICATED windows — rare by
-      // construction. Per-doc self-repetition is q80's job; nd >= 2 docs.
-      val L = 30
-      val wins = t(s, dir, "documents")
-        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .where(col("n") >= L)
-        .select(col("doc_id"), col("n"),
-          explode(sequence(lit(0), col("n") - L)).as("pos"), col("toks"))
-        .select(col("doc_id"), col("n"),
-          md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(L)))).as("h"))
-      val dup = wins.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
-      wins.join(dup.select("h"), Seq("h"), "left_semi")
-        .groupBy("doc_id", "n")
-        .agg(count(lit(1)).as("dup_windows"))
-        .select(col("doc_id"),
-          (col("n") - (L - 1)).cast("long").as("n_windows"),
-          col("dup_windows"),
-          round(col("dup_windows") / (col("n") - (L - 1)).cast("double"), 4)
-            .as("dup_ratio"))
+      // Exact duplicated-substring detection (Lee et al. 2022) — see
+      // operators/SpanDedup.scala for the full design rationale (two
+      // recompute passes, pushed-down semi-join, no persisted footprint;
+      // PlanSpec-locked). ScaleProbe's span mode stress-verifies the
+      // dataflow on a replicated corpus where EVERY window is duplicated.
+      graft.operators.SpanDedup
+        .perDocDupShare(t(s, dir, "documents"), col("doc_id"), col("text"), 30)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
