@@ -88,6 +88,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SpanDedup ≡ brute force on random small corpora (L=3, tiny vocab)") {
+    // a 4-token vocabulary forces heavy span sharing; random lengths cover
+    // the < L (excluded), == L (one window), and within-doc-only-repeat
+    // (NOT counted — cross-doc requires >= 2 distinct docs) boundaries
+    val L = 3
+    val docGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    trials(Gen.listOfN(12, docGen), 5).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.SpanDedup
+        .perDocDupShare(rows.toDF("id", "text"), col("id"), col("text"), L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val toks = rows.map { case (i, t) => i -> t.split(" ").filter(_.nonEmpty).toSeq }
+      val dupSet = toks
+        .flatMap { case (i, ts) =>
+          if (ts.size >= L) ts.sliding(L).map(w => (w.mkString(" "), i)) else Iterator.empty }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expect = toks.collect { case (i, ts) if ts.size >= L =>
+        i -> (((ts.size - (L - 1)).toLong,
+          ts.sliding(L).count(w => dupSet(w.mkString(" "))).toLong))
+      }.filter(_._2._2 > 0).toMap
+      assert(got == expect, s"corpus=$texts")
+    }
+  }
+
   test("cache-join classifier ≡ direct classify for any cache subset") {
     trials(Gen.zip(Gen.listOfN(15, textGen), Gen.choose(0, 15)), 5).foreach {
       case (answers, take) =>
