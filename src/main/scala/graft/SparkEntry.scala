@@ -1173,6 +1173,28 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "q98_canonical_pick" -> ((s, dir) => {
+      // Canonical-representative selection per near-dup cluster: within
+      // each q53 cluster keep the LONGEST copy (token count; tie → lowest
+      // doc_id) — the curation refinement over an id-greedy drop, since
+      // near-dup copies often differ by truncation and the longest is the
+      // most complete. Deterministic two-pass argmax (per-cluster max
+      // joined back, min id among ties) instead of max_by, whose tie
+      // choice is arbitrary across runs/partitionings; the integer token
+      // count keeps the oracle comparison float-free. The per-cluster
+      // tables are cluster-cardinality-sized; both aggs are hash aggs.
+      val clusters = queries("q53_dedup_clusters")(s, dir)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      val j = clusters.join(toks, "doc_id")
+      val best = j.groupBy("cluster_id").agg(max("n_toks").as("canonical_toks"))
+      j.join(best, "cluster_id")
+        .where(col("n_toks") === col("canonical_toks"))
+        .groupBy("cluster_id", "cluster_size", "canonical_toks")
+        .agg(min("doc_id").as("canonical_id"))
+        .select("cluster_id", "cluster_size", "canonical_id", "canonical_toks")
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2197,6 +2219,33 @@ object SparkEntry {
           |   OVER (PARTITION BY lang ORDER BY draw, doc_id) AS lrank FROM d)
           |SELECT r.doc_id, r.lang, r.source, CAST(r.lrank AS BIGINT) AS lrank
           |FROM r JOIN q USING (lang) WHERE r.lrank <= q.quota""".stripMargin,
+
+      "q98_canonical_pick" -> {
+        s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |  UNION SELECT id_a, id_a FROM pairs
+           |  UNION SELECT id_b, id_b FROM pairs),
+           |reach AS (SELECT src, dst FROM e
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+           |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM comp GROUP BY cluster_id),
+           |tq AS (SELECT doc_id,
+           |  CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |j AS (SELECT c.doc_id, c.cluster_id, sz.cluster_size, tq.n_toks
+           |  FROM comp c JOIN sz USING (cluster_id) JOIN tq USING (doc_id)),
+           |m AS (SELECT cluster_id, max(n_toks) AS canonical_toks FROM j GROUP BY 1)
+           |SELECT j.cluster_id, j.cluster_size, min(j.doc_id) AS canonical_id,
+           | m.canonical_toks
+           |FROM j JOIN m ON j.cluster_id = m.cluster_id
+           |  AND j.n_toks = m.canonical_toks
+           |GROUP BY j.cluster_id, j.cluster_size, m.canonical_toks""".stripMargin
+      },
 
       "q97_span_dedup" ->
         s"""WITH t AS (SELECT doc_id,
