@@ -4,8 +4,8 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{Lexicons, TextExprs}
-import graft.operators.{Dedup, GlobalRank, JoinOps, Profiler, Retrieval, Similarity, SurveyPipeline, TextAnalysis}
+import graft.functions.{Lexicons, TextExprs, VectorExprs}
+import graft.operators.{Dedup, GlobalRank, JoinOps, Profiler, Retrieval, Similarity, SurveyPipeline, TextAnalysis, TopKAgg}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -1195,6 +1195,103 @@ object SparkEntry {
         .select("cluster_id", "cluster_size", "canonical_id", "canonical_toks")
     }),
 
+    "q99_pmi_cooccur" -> ((s, dir) => {
+      // Pointwise mutual information over document-level token
+      // co-occurrence — the collocation / phrase-mining primitive
+      // (PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with doc-level events).
+      // Scale shape: the pair explosion is BOUNDED by restricting to the
+      // top-K corpus tokens (K=20, deterministic df-desc/token-asc cutoff)
+      // before pairing, so the pair stream is ≤ K²/2 rows per doc no
+      // matter how large the corpus — the unrestricted form is O(L²) per
+      // doc and unshippable. The top-K table is K rows → broadcast to
+      // both the per-doc semi-filter and the final count joins; the only
+      // full-corpus shuffles are the df hash-agg and the pair hash-agg
+      // (both map-side combined). The self-join runs on doc_id with both
+      // sides ≤ K rows per key. All counts integer; the single float op
+      // (ln) happens once per surviving pair, rounded 6dp.
+      val docToks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(TextExprs.cleanText(col("text")), " ")).as("ts"))
+      val nDocs = docToks.agg(count(lit(1)).as("n_docs"))
+      val tok = docToks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      val topk = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(20)
+      val tf = tok.join(broadcast(topk.select("tok")), "tok")
+      val pairs = tf.select(col("doc_id"), col("tok").as("tok_a"))
+        .join(tf.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+        .where(col("tok_a") < col("tok_b"))
+      pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 5)
+        .join(broadcast(topk.select(col("tok").as("tok_a"), col("n").as("n_a"))), "tok_a")
+        .join(broadcast(topk.select(col("tok").as("tok_b"), col("n").as("n_b"))), "tok_b")
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          round(log(col("n_ab").cast("double") * col("n_docs") /
+            (col("n_a") * col("n_b"))), 6).as("pmi"))
+    }),
+
+    "q100_strat_split" -> ((s, dir) => {
+      // Deterministic stratified train/val/test split: within each
+      // language, EXACTLY floor(0.8·n) docs go to train and floor(0.1·n)
+      // to val (remainder test) — the split-manifest op every training
+      // pipeline needs, with integer quotas (no float-boundary can move a
+      // doc) and an md5 draw so membership is a pure function of doc_id,
+      // stable across runs, engines, and partitionings. Scale shape is
+      // q96's: the per-language rank comes from the GlobalRank range
+      // exchange over (lang, draw, doc_id) — NOT a per-group window whose
+      // dominant language would serialize through one task at 100 TB —
+      // and the lang→(base, quotas) table is language-cardinality-sized,
+      // broadcast.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("_draw"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val quota = counts
+        .withColumn("prev_cum", coalesce(sum("cnt").over(
+          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("lang"), col("prev_cum"),
+          expr("(cnt * 8) DIV 10").as("n_train"),
+          expr("cnt DIV 10").as("n_val"))
+      GlobalRank.withRowNumber(docs,
+          Seq(col("lang").asc, col("_draw").asc, col("doc_id").asc), "_grn")
+        .join(broadcast(quota), "lang")
+        .withColumn("lrank", col("_grn") - col("prev_cum"))
+        .select(col("doc_id"), col("lang"),
+          when(col("lrank") <= col("n_train"), lit("train"))
+            .when(col("lrank") <= col("n_train") + col("n_val"), lit("val"))
+            .otherwise(lit("test")).as("split"))
+    }),
+
+    "q101_embed_outlier" -> ((s, dir) => {
+      // Embedding-space outlier detection for curation: per-label centroid
+      // (the label's mean vector), cosine of every member to its centroid,
+      // and the 5 LEAST-cohesive members per label — the "probably
+      // mislabeled / junk" review queue. Centroids come from one
+      // posexplode + hash-agg (label×dim rows — tiny) and are rounded to
+      // 6dp BEFORE the cosine so both engines score from identical
+      // doubles (q78's convention); the label→centroid table is broadcast.
+      // The bottom-k is the bounded TopKAgg on the negated score — the
+      // shuffle carries labels×k rows, never a per-label window partition
+      // (which would serialize a label's full membership through one task
+      // at 100 TB). Ranking on the ROUNDED cosine keeps the tie-break
+      // (vec_id asc) engine-neutral.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos").agg(round(avg(col("col")), 6).as("cv"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+        .select(col("label"), expr("transform(ps, x -> x.cv)").as("centroid"))
+      val scored = emb.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(VectorExprs.cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+      TopKAgg.perKey(scored, col("label"), -col("cos_c"), col("vec_id"), 5)
+        .select(col("_k").as("label"), col("id").as("vec_id"),
+          round(-col("score"), 6).as("cos_c"), col("rank").cast("long").as("rnk"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2246,6 +2343,52 @@ object SparkEntry {
            |  AND j.n_toks = m.canonical_toks
            |GROUP BY j.cluster_id, j.cluster_size, m.canonical_toks""".stripMargin
       },
+
+      "q99_pmi_cooccur" ->
+        s"""WITH docs AS (SELECT doc_id,
+           |   list_distinct(string_split(${cleanSql("text")}, ' ')) AS ts FROM documents),
+           |tok AS (SELECT doc_id, unnest(ts) AS tok FROM docs),
+           |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+           |topk AS (SELECT tok, n FROM dfc ORDER BY n DESC, tok ASC LIMIT 20),
+           |tf AS (SELECT t.doc_id, t.tok FROM tok t JOIN topk USING (tok)),
+           |pc AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+           |   CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs)
+           |SELECT tok_a, tok_b, n_ab,
+           | round(ln(n_ab * 1.0 * n_docs / (ka.n * kb.n)), 6) AS pmi
+           |FROM pc JOIN topk ka ON pc.tok_a = ka.tok
+           | JOIN topk kb ON pc.tok_b = kb.tok CROSS JOIN nn""".stripMargin,
+
+      "q100_strat_split" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |   md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+          |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY lang),
+          |r AS (SELECT doc_id, lang, row_number()
+          |   OVER (PARTITION BY lang ORDER BY draw, doc_id) AS lrank FROM d)
+          |SELECT r.doc_id, r.lang,
+          | CASE WHEN r.lrank <= (c.cnt * 8) // 10 THEN 'train'
+          |      WHEN r.lrank <= (c.cnt * 8) // 10 + c.cnt // 10 THEN 'val'
+          |      ELSE 'test' END AS split
+          |FROM r JOIN c USING (lang)""".stripMargin,
+
+      "q101_embed_outlier" ->
+        """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |   embedding::DOUBLE[] AS v FROM embeddings),
+          |u AS (SELECT label, unnest(v) AS x,
+          |   generate_subscripts(v, 1) AS pos FROM e),
+          |c AS (SELECT label, pos, round(avg(x), 6) AS cv FROM u GROUP BY 1, 2),
+          |cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM c GROUP BY label),
+          |s AS (SELECT e.vec_id, e.label,
+          |   round(list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i])) /
+          |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+          |     sqrt(list_sum(list_transform(range(1, 65), i -> centroid[i] * centroid[i])))), 6) AS cos_c
+          |  FROM e JOIN cent USING (label))
+          |SELECT label, vec_id, cos_c,
+          | CAST(row_number() OVER (PARTITION BY label
+          |   ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk
+          |FROM s QUALIFY rnk <= 5""".stripMargin,
 
       "q97_span_dedup" ->
         s"""WITH t AS (SELECT doc_id,

@@ -182,6 +182,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"packing must not fall back to a global window:\n${p.take(600)}")
   }
 
+  test("q99: top-K table broadcasts to the filter and count joins; no cartesian blowup") {
+    val p = executed("q99_pmi_cooccur")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected the semi-filter + two count joins broadcast, got $bhj:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "the only cross join is the broadcast one-row n_docs")
+  }
+
+  test("q100: doc-stream rank comes from the range exchange, not a per-language window") {
+    val p = executed("q100_strat_split")
+    // the ONE Window is prev_cum over the language-cardinality counts agg;
+    // the per-doc rank must come from GlobalRank's RDD boundary
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly the tiny counts window, got $windows:\n${p.take(1200)}")
+    assert(p.contains("Scan ExistingRDD"), "per-doc rank must ride the GlobalRank dataflow")
+  }
+
+  test("q101: bottom-k is the bounded aggregate — no Window anywhere") {
+    val p = executed("q101_embed_outlier")
+    assert(!p.contains("Window"), s"outlier pick must not plan a per-label window:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), "TopKAgg buffer should ride object hash aggregation")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
