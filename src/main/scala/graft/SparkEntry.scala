@@ -1292,6 +1292,29 @@ object SparkEntry {
           round(-col("score"), 6).as("cos_c"), col("rank").cast("long").as("rnk"))
     }),
 
+    "q102_zipf" -> ((s, dir) => {
+      // Zipf-law fit over the corpus unigram distribution: slope/intercept
+      // of ln(freq) on ln(rank) — the one-number corpus-health diagnostic
+      // (natural text ≈ -1; synthetic/templated text diverges). The only
+      // full-corpus work is the explode + hash-agg to type frequencies;
+      // everything after runs on the VOCAB-sized table (the rank window is
+      // vocab-bounded, not corpus-bounded — fine at any corpus size, since
+      // type counts grow sub-linearly and the agg output fits one task).
+      // regr_slope/regr_intercept are the built-in one-pass moments aggs;
+      // 6dp rounding absorbs merge-order float jitter on both engines.
+      val freq = t(s, dir, "documents")
+        .select(explode(split(TextExprs.cleanText(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      freq
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
+        .agg(
+          round(expr("regr_slope(ln(freq), ln(rnk))"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(ln(freq), ln(rnk))"), 6).as("zipf_intercept"),
+          count(lit(1)).as("n_types"),
+          sum("freq").as("n_tokens"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2389,6 +2412,18 @@ object SparkEntry {
           | CAST(row_number() OVER (PARTITION BY label
           |   ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk
           |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+      "q102_zipf" ->
+        s"""WITH tok AS (SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS tok
+           |  FROM documents),
+           |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok),
+           |r AS (SELECT freq, CAST(row_number()
+           |   OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rnk FROM f)
+           |SELECT round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           | round(regr_intercept(ln(freq), ln(rnk)), 6) AS zipf_intercept,
+           | CAST(count(*) AS BIGINT) AS n_types,
+           | CAST(sum(freq) AS BIGINT) AS n_tokens
+           |FROM r""".stripMargin,
 
       "q97_span_dedup" ->
         s"""WITH t AS (SELECT doc_id,

@@ -74,6 +74,15 @@ class Round9OpsSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("q102 zipf: one row; type/token counts exact; slope negative (freq falls with rank)") {
+    val row = SparkEntry.queries("q102_zipf")(spark, sf()).head()
+    val tok = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(explode(split(graft.functions.TextExprs.cleanText(col("text")), " ")).as("tok"))
+    assert(row.getLong(2) == tok.select("tok").distinct().count())
+    assert(row.getLong(3) == tok.count())
+    assert(row.getDouble(0) < 0.0, s"zipf slope should be negative, got ${row.getDouble(0)}")
+  }
+
   test("q101 outliers: 5 per label, ranked ascending by cosine, genuinely the least cohesive") {
     val out = SparkEntry.queries("q101_embed_outlier")(spark, sf()).cache()
     val perLabel = out.groupBy("label").agg(count(lit(1)).as("c"),
