@@ -1315,6 +1315,52 @@ object SparkEntry {
           sum("freq").as("n_tokens"))
     }),
 
+    "q103_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): semantic dedup INSIDE embedding
+      // clusters — pairwise cosine is computed only within a k-means cell,
+      // never across the corpus, which is the whole point of the method:
+      // k scales with n (the paper runs 50k clusters over 5B docs) so the
+      // per-cell pair count stays bounded and the self-join co-partitions
+      // on the cluster id. Drop rule: a vector is dropped when ANY
+      // lower-id cell-mate sits above the similarity threshold — a pure
+      // EXISTS, deterministic under any partitioning (unlike greedy
+      // sequential sweeps whose outcome depends on visit order). The
+      // threshold compares the 6dp-ROUNDED cosine so both engines make
+      // the identical keep/drop call. 0.40 is tuned to this synthetic
+      // table's similarity range (max pairwise cos ≈ 0.51); production
+      // text dedup runs 0.95+.
+      val asg = queries("q78_kmeans")(s, dir).select(col("vec_id"), col("cluster"))
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val v = asg.join(emb, "vec_id")
+      val dropped = v.as("a").join(v.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .where(round(VectorExprs.cosine(col("a.embedding"), col("b.embedding")), 6)
+          >= 0.40)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      asg.join(dropped.withColumn("_drp", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("_drp").isNull.as("keep"))
+    }),
+
+    "q104_shuffle_pack" -> ((s, dir) => {
+      // Deterministic global training-order shuffle + packing: docs are
+      // ordered by an md5 draw (a pure function of doc_id — the epoch
+      // shuffle every training pipeline needs, reproducible across runs
+      // and engines), then packed by fixed token-budget boundaries over
+      // the running token sum IN THAT ORDER. Exercises the distributed
+      // prefix sum under a non-identity total order: the range exchange
+      // partitions by draw, so the shuffled order never funnels through a
+      // single-partition window. Boundary rule is q94's arithmetic one
+      // (pack = start DIV B), kept here without splitting.
+      val B = 2048L
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("_draw"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      GlobalRank.withRunningSum(docs,
+          Seq(col("_draw").asc, col("doc_id").asc), col("n_toks"), "cum_toks")
+        .select(col("doc_id"), col("n_toks"), col("cum_toks"),
+          expr(s"(cum_toks - n_toks) DIV $B").as("pack_id"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2412,6 +2458,31 @@ object SparkEntry {
           | CAST(row_number() OVER (PARTITION BY label
           |   ORDER BY cos_c ASC, vec_id ASC) AS BIGINT) AS rnk
           |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+      "q103_semdedup" ->
+        s"""WITH asg AS (SELECT vec_id, cluster FROM (
+           |${graft.operators.KMeansOp.oracleSql("embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64)}
+           |)),
+           |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |j AS (SELECT b.vec_id AS vec_id,
+           |   round(list_inner_product(ea.v, eb.v) /
+           |    (sqrt(list_inner_product(ea.v, ea.v)) *
+           |     sqrt(list_inner_product(eb.v, eb.v))), 6) AS cos
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  JOIN ev ea ON ea.vec_id = a.vec_id
+           |  JOIN ev eb ON eb.vec_id = b.vec_id),
+           |drp AS (SELECT DISTINCT vec_id FROM j WHERE cos >= 0.40)
+           |SELECT asg.vec_id, asg.cluster, (drp.vec_id IS NULL) AS keep
+           |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,
+
+      "q104_shuffle_pack" ->
+        s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_toks, sum(n_toks) OVER (ORDER BY draw, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks FROM d)
+           |SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+           | CAST((cum_toks - n_toks) // 2048 AS BIGINT) AS pack_id FROM r""".stripMargin,
 
       "q102_zipf" ->
         s"""WITH tok AS (SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS tok

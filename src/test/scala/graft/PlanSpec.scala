@@ -204,6 +204,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopKAgg buffer should ride object hash aggregation")
   }
 
+  test("q104: shuffled-order prefix sum plans no Window operator") {
+    val p = executed("q104_shuffle_pack")
+    assert(!p.contains("Window"), s"shuffle+pack must ride the range exchange:\n${p.take(600)}")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

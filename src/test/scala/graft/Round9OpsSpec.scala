@@ -74,6 +74,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("q103 semdedup: total partition; every drop has a kept-or-dropped lower-id witness; keeps have none") {
+    val out = SparkEntry.queries("q103_semdedup")(spark, sf()).cache()
+    val emb = graft.sources.Tables.table(spark, sf(), "embeddings")
+    assert(out.count() == emb.count())
+    assert(out.where(!col("keep")).count() > 0, "threshold should exercise the drop path")
+    // recompute the witness relation independently: within-cluster pairs
+    // above the rounded-cosine threshold
+    val v = out.select(col("vec_id"), col("cluster"), col("keep"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val witnesses = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .where(round(graft.functions.VectorExprs.cosine(
+        col("a.embedding"), col("b.embedding")), 6) >= 0.40)
+      .select(col("b.vec_id").as("vec_id")).distinct().withColumn("_w", lit(true))
+    val flagged = out.join(witnesses, Seq("vec_id"), "left")
+    assert(flagged.where(col("keep") === col("_w").isNotNull).count() == 0,
+      "keep must be exactly the absence of a lower-id witness")
+    out.unpersist()
+  }
+
   test("q102 zipf: one row; type/token counts exact; slope negative (freq falls with rank)") {
     val row = SparkEntry.queries("q102_zipf")(spark, sf()).head()
     val tok = graft.sources.Tables.table(spark, sf(), "documents")
