@@ -41,6 +41,13 @@ object SparkEntry {
   private def isFillerSql(e: String): String =
     s"lower(trim(coalesce($e, ''))) IN ($fillerList)"
 
+  /** DuckDB twin of Spark's `conv(substring(h, 1, 13), 16, 10)`: decode the
+    * first 13 hex nibbles of column `h` positionally (the q28 strpos-on-hex
+    * pattern). 13 nibbles = 52 bits, exactly representable as DOUBLE. */
+  private val hexNum13: String = (1 to 13).map(i =>
+    s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (13 - i))}")
+    .mkString(" + ")
+
   private def sentimentSql(filler: String, low: String): String =
     s"CASE WHEN $filler THEN 'Neutral' " +
       s"WHEN regexp_matches($low, '${Lexicons.positiveAlt}') AND regexp_matches($low, '${Lexicons.negativeAlt}') THEN 'Mixed' " +
@@ -1361,6 +1368,88 @@ object SparkEntry {
           expr(s"(cum_toks - n_toks) DIV $B").as("pack_id"))
     }),
 
+    "q105_dsir" -> ((s, dir) => {
+      // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling"): score every raw doc
+      // by its log importance ratio under two bag-of-hashed-ngram unigram
+      // models — the target distribution (here: the English slice) vs the
+      // raw corpus. Features are HASHED into 256 buckets exactly as the
+      // paper does (bucket = first md5 byte, engine-neutral as a 2-hex-char
+      // string), so the model tables are CONSTANT-sized regardless of
+      // corpus vocabulary: at 100 TB both models are still 256 rows and
+      // the stream-model joins broadcast. Laplace-smoothed with the bucket
+      // count as the literal; corpus totals ride one-row broadcast cross
+      // joins (the BM25 N/avgdl pattern — no driver collect). The weight
+      // is the per-token MEAN log ratio (bounded magnitude → stable 4dp
+      // rounding); `+ 0.0` collapses IEEE -0.0 onto 0.0 identically in
+      // both engines so near-zero weights hash-match.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), col("lang"), substring(md5(col("tok")), 1, 2).as("b"))
+      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = toks.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val nr = raw.agg(sum("cr").as("nr"))
+      val nt = toks.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
+      toks.join(raw, "b").join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          (round(avg(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + 256))
+            - log((col("cr") + 1.0) / (col("nr") + 256))), 4) + 0.0).as("dsir_w"))
+    }),
+
+    "q106_bigram_lm" -> ((s, dir) => {
+      // CCNet-style LM quality scoring upgraded from q89's unigram to a
+      // bigram model with Laplace smoothing: per-doc cross-entropy of
+      // P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) under the self-trained corpus
+      // bigram model. The bigram stream is one codegen'd per-doc stage
+      // (transform over sequence — no self-join on position); the model
+      // tables are vocab- and bigram-type-sized and join UNHINTED exactly
+      // like q89's (a web-scale bigram table exceeds any broadcast
+      // threshold; AQE still broadcasts while it measures small). Only
+      // the one-row vocabulary size rides a broadcast cross join.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+      val v = docs.select(explode(col("toks")).as("tok"))
+        .where(col("tok") =!= "").agg(countDistinct("tok").as("v"))
+      val bg = docs.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val m2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val m1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.join(m2, Seq("w1", "w2")).join(m1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))), 4).as("xent"),
+          round(exp(avg(-log((col("c12") + 1.0) / (col("c1") + col("v"))))), 4).as("ppl"))
+    }),
+
+    "q107_weighted_sample" -> ((s, dir) => {
+      // Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+      // Spirakis 2006): each doc draws u from its md5 (first 13 hex
+      // digits / 16^13 — exactly representable, engine-neutral) and the
+      // k docs with the largest u^(1/w) win, scored in log space as
+      // ln(u)/w with w = n_chars (long docs proportionally likelier —
+      // quality- or length-weighted corpus subsampling). Reproducible
+      // across runs, engines, and partitionings; the 6dp-rounded key with
+      // doc_id tie-break makes both engines cut the same 200. Scale
+      // shape: orderBy+limit plans TakeOrderedAndProject — per-partition
+      // top-k then a k-sized driver merge, never a global sort.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+          / lit(4503599627370496.0)).as("u"))
+      d.select(col("doc_id"), col("n_chars"),
+          round(log(greatest(col("u"), lit(2.220446049250313e-16))) / col("n_chars"), 6)
+            .as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(200)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2483,6 +2572,50 @@ object SparkEntry {
            |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks FROM d)
            |SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
            | CAST((cum_toks - n_toks) // 2048 AS BIGINT) AS pack_id FROM r""".stripMargin,
+
+      "q105_dsir" ->
+        s"""WITH toks AS (SELECT doc_id, lang,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+           |t2 AS (SELECT doc_id, lang, substring(md5(tok), 1, 2) AS b
+           |  FROM toks WHERE tok <> ''),
+           |raw AS (SELECT b, count(*) AS cr FROM t2 GROUP BY 1),
+           |tgt AS (SELECT b, count(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY 1),
+           |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM t2 WHERE lang = 'en')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           | round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + 256))
+           |        - ln((cr + 1.0) / (nr + 256))), 4) + 0.0 AS dsir_w
+           |FROM t2 JOIN raw USING (b) LEFT JOIN tgt USING (b)
+           | CROSS JOIN nr CROSS JOIN nt
+           |GROUP BY doc_id""".stripMargin,
+
+      "q106_bigram_lm" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+           |bg AS (SELECT doc_id, toks[CAST(pos AS BIGINT)] AS w1,
+           |   toks[CAST(pos + 1 AS BIGINT)] AS w2
+           |  FROM (SELECT doc_id, toks,
+           |   unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS pos FROM nn)),
+           |m2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           |m1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+           |   SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |   FROM documents) WHERE tok <> '')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           | round(avg(-ln((c12 + 1.0) / (c1 + v))), 4) AS xent,
+           | round(exp(avg(-ln((c12 + 1.0) / (c1 + v)))), 4) AS ppl
+           |FROM bg JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN v
+           |GROUP BY doc_id""".stripMargin,
+
+      "q107_weighted_sample" ->
+        s"""WITH d AS (SELECT doc_id, n_chars,
+           |   md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+           |u AS (SELECT doc_id, n_chars,
+           |   CAST($hexNum13 AS DOUBLE) / 4503599627370496.0 AS u FROM d)
+           |SELECT doc_id, n_chars,
+           | round(ln(greatest(u, 2.220446049250313e-16)) / n_chars, 6) AS es_key
+           |FROM u ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
 
       "q102_zipf" ->
         s"""WITH tok AS (SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS tok
