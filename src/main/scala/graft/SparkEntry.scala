@@ -1450,6 +1450,136 @@ object SparkEntry {
         .limit(200)
     }),
 
+    "q108_source_overlap" -> ((s, dir) => {
+      // Cross-source contamination matrix (the Dolma/RedPajama corpus
+      // diagnostic): exact Jaccard overlap of each source pair's 5-token
+      // shingle SETS — which feeds/dumps are re-crawls of each other, and
+      // how much a "new" source really adds before it is mixed in. The
+      // distinct (shingle-hash, source) table is the only corpus-sized
+      // stream; it is shuffled once on h and SELF-JOINED — output per hash
+      // is bounded by C(|sources|, 2) pairs (sources is a small enum), so
+      // the join cannot go quadratic in the corpus, and Catalyst reuses
+      // the one distinct-exchange for both sides (ReusedExchange,
+      // PlanSpec-locked). Per-source set sizes ride a tiny (|sources|-row)
+      // join. 16-hex-char hashes (64 bits): collision-negligible and
+      // engine-neutral.
+      val sh = t(s, dir, "documents")
+        .select(col("source"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 5)
+        .select(col("source"),
+          explode(sequence(lit(0), col("n") - 5)).as("pos"), col("toks"))
+        .select(col("source"),
+          substring(md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(5)))), 1, 16)
+            .as("h"))
+        .distinct()
+      val ns = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("source").as("src_a"), col("h"))
+      val b = sh.select(col("source").as("src_b"), col("h"))
+      a.join(b, "h").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(ns.select(col("source").as("src_a"), col("n_sh").as("na")), "src_a")
+        .join(ns.select(col("source").as("src_b"), col("n_sh").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
+    "q109_embed_quantize" -> ((s, dir) => {
+      // Int8 scalar quantization of the embedding store — the memory lever
+      // that makes a 100 TB ANN index fit RAM (4x smaller than float32,
+      // per-dimension affine codes a la FAISS SQ8) — with its cost
+      // measured: per-label reconstruction MSE and worst absolute error
+      // after dequantization. Per-dimension min/max is a dim-sized (64-row)
+      // aggregate joined back onto the exploded stream (never collected);
+      // codes use floor(x + 0.5) — engine-neutral rounding, unlike
+      // HALF_UP/HALF_EVEN round() divergence. MSE at 10dp is safe: values
+      // are order-independent up to ~1e-22 absolute summation noise.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val st = e.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      e.join(st, "pos")
+        .select(col("vec_id"), col("label"), col("x"),
+          (col("lo") + floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)
+            / 255.0 * (col("hi") - col("lo"))).as("xr"))
+        .groupBy("label")
+        .agg(countDistinct("vec_id").as("n_vecs"),
+          round(avg((col("x") - col("xr")) * (col("x") - col("xr"))), 10).as("mse"),
+          round(max(abs(col("x") - col("xr"))), 8).as("max_err"))
+    }),
+
+    "q110_curriculum" -> ((s, dir) => {
+      // Curriculum ordering (easy→hard scheduling a la Bengio 2009 /
+      // competence-based curricula): per-doc difficulty = mean token
+      // surprisal -ln(p(tok)) under the corpus unigram model, then four
+      // equal-depth phases. The unigram table is vocab-sized, the corpus
+      // total rides a one-row broadcast cross join, and the phase split is
+      // GlobalRank.withNtile's range exchange over (difficulty, doc_id) —
+      // never a single-partition ntile window, so the phase assignment
+      // scales with partitions, not one task. 6dp rounding before the
+      // ntile keeps the order identical in both engines.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val f = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val n = toks.agg(count(lit(1)).as("total"))
+      val diff = toks.join(f, "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("freq") / col("total").cast("double"))), 6)
+          .as("difficulty"))
+      GlobalRank.withNtile(diff, 4,
+          Seq(col("difficulty").asc, col("doc_id").asc), "phase")
+    }),
+
+    "q112_curation_funnel" -> ((s, dir) => {
+      // The curation attrition funnel — per-stage surviving doc and token
+      // counts for the standard filter chain (language → length → lexical
+      // diversity → benchmark decontamination), the accounting every
+      // dataset card reports. ONE pass computes every per-doc flag and ONE
+      // hash aggregate folds all cumulative stages (conditional sums) —
+      // never a re-scan per stage, so a 10-stage funnel over 100 TB still
+      // costs one corpus read; the 1-row aggregate unstacks driver-side
+      // for free. The contamination flag is operators.Decontaminate (q71's
+      // operator: distinct 8-grams, benchmark gram set broadcast).
+      val d = t(s, dir, "documents")
+        .where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+      val all = t(s, dir, "documents")
+      val contaminated = graft.operators.Decontaminate.report(
+          train = all.where(col("doc_id") % 20 =!= 0),
+          bench = all.where(col("doc_id") % 20 === 0),
+          id = col("doc_id"), text = col("text"), n = 8)
+        .select(col("id").as("doc_id"))
+      val flags = d.join(contaminated.withColumn("_hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          (col("lang") === "en").as("f1"),
+          (col("n_chars") >= 100).as("f2"),
+          (size(array_distinct(col("toks"))) / size(col("toks")).cast("double") >= 0.3)
+            .as("f3"),
+          col("_hit").isNull.as("f4"))
+      val one = flags.agg(
+        count(lit(1)).as("d0"), sum("n_toks").as("t0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("f1"), col("n_toks")).otherwise(0L)).as("t1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("f1") && col("f2"), col("n_toks")).otherwise(0L)).as("t2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("f1") && col("f2") && col("f3"), col("n_toks")).otherwise(0L)).as("t3"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L).otherwise(0L)).as("d4"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), col("n_toks")).otherwise(0L)).as("t4"))
+      one.select(expr(
+        """stack(5,
+          | 0L, 'all', d0, t0,
+          | 1L, 'lang_en', d1, t1,
+          | 2L, 'min_length', d2, t2,
+          | 3L, 'lexical_diversity', d3, t3,
+          | 4L, 'decontaminated', d4, t4) AS (stage, name, docs, tokens)""".stripMargin))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2616,6 +2746,81 @@ object SparkEntry {
            |SELECT doc_id, n_chars,
            | round(ln(greatest(u, 2.220446049250313e-16)) / n_chars, 6) AS es_key
            |FROM u ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
+
+      "q108_source_overlap" ->
+        s"""WITH t AS (SELECT source,
+           |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+           |nn AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 5),
+           |w AS (SELECT source, toks,
+           |   unnest(generate_series(0, CAST(n - 5 AS BIGINT))) AS pos FROM nn),
+           |sh AS (SELECT DISTINCT source, substring(md5(array_to_string(list_slice(toks,
+           |   CAST(pos + 1 AS BIGINT), CAST(pos + 5 AS BIGINT)), ' ')), 1, 16) AS h FROM w),
+           |ns AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+           |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+           |   CAST(count(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b USING (h) WHERE a.source < b.source GROUP BY 1, 2)
+           |SELECT src_a, src_b, inter,
+           | round(inter / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6) AS jaccard
+           |FROM ix JOIN ns na ON na.source = src_a JOIN ns nb ON nb.source = src_b""".stripMargin,
+
+      "q109_embed_quantize" ->
+        """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |   embedding::DOUBLE[] AS v FROM embeddings),
+          |u AS (SELECT vec_id, label, unnest(v) AS x,
+          |   generate_subscripts(v, 1) AS pos FROM e),
+          |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM u GROUP BY 1),
+          |dq AS (SELECT vec_id, label, x,
+          |   lo + floor((x - lo) / (hi - lo) * 255.0 + 0.5) / 255.0 * (hi - lo) AS xr
+          |  FROM u JOIN st USING (pos))
+          |SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+          | round(avg((x - xr) * (x - xr)), 10) AS mse,
+          | round(max(abs(x - xr)), 8) AS max_err
+          |FROM dq GROUP BY label""".stripMargin,
+
+      "q110_curriculum" ->
+        s"""WITH t AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+           |t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+           |f AS (SELECT tok, count(*) AS freq FROM t2 GROUP BY 1),
+           |n AS (SELECT count(*) AS total FROM t2),
+           |d AS (SELECT doc_id, round(avg(-ln(freq / CAST(total AS DOUBLE))), 6) AS difficulty
+           |  FROM t2 JOIN f USING (tok) CROSS JOIN n GROUP BY doc_id)
+           |SELECT doc_id, difficulty,
+           | CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS phase
+           |FROM d""".stripMargin,
+
+      "q112_curation_funnel" ->
+        s"""WITH d AS (SELECT doc_id, lang, n_chars,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents
+           |  WHERE doc_id % 20 <> 0),
+           |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+           |  FROM d WHERE len(toks) >= 8),
+           |bgrams AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           |   range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+           |  FROM (SELECT string_split(lower(${cleanSql("text")}), ' ') AS toks
+           |        FROM documents WHERE doc_id % 20 = 0) WHERE len(toks) >= 8),
+           |hit AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams USING (gram)),
+           |fl AS (SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+           |   (lang = 'en') AS f1, (n_chars >= 100) AS f2,
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3) AS f3,
+           |   (hit.doc_id IS NULL) AS f4
+           |  FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id),
+           |one AS (SELECT CAST(count(*) AS BIGINT) AS d0, CAST(sum(n_toks) AS BIGINT) AS t0,
+           |   CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           |   CAST(sum(CASE WHEN f1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+           |   CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           |   CAST(sum(CASE WHEN f1 AND f2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+           |   CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           |   CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+           |   CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+           |   CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4
+           |  FROM fl)
+           |SELECT CAST(0 AS BIGINT) AS stage, 'all' AS name, d0 AS docs, t0 AS tokens FROM one
+           |UNION ALL SELECT 1, 'lang_en', d1, t1 FROM one
+           |UNION ALL SELECT 2, 'min_length', d2, t2 FROM one
+           |UNION ALL SELECT 3, 'lexical_diversity', d3, t3 FROM one
+           |UNION ALL SELECT 4, 'decontaminated', d4, t4 FROM one""".stripMargin,
 
       "q102_zipf" ->
         s"""WITH tok AS (SELECT unnest(string_split(${cleanSql("text")}, ' ')) AS tok

@@ -209,6 +209,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"shuffle+pack must ride the range exchange:\n${p.take(600)}")
   }
 
+  test("q107: weighted sample plans TakeOrderedAndProject, never a global sort") {
+    val p = executed("q107_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must collapse to per-partition top-k:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort must not appear:\n${p.take(800)}")
+  }
+
+  test("q108: source-overlap self-join reuses the one distinct-shingle exchange") {
+    // the corpus-sized distinct (h, source) stream feeds BOTH self-join
+    // sides; the shingle scan + distinct exchange must be computed once.
+    // AQE only surfaces the reuse in the FINAL plan, so execute first.
+    val df = SparkEntry.queries("q108_source_overlap")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true") && fin.contains("ReusedExchange"),
+      s"both self-join sides must share the distinct (h, source) exchange:\n${fin.take(1200)}")
+  }
+
+  test("q106: bigram model joins carry no broadcast hint (scale posture)") {
+    val lp = SparkEntry.queries("q106_bigram_lm")(spark, sf())
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(lp).length
+    assert(hints == 1,
+      s"only the one-row vocab scalar may be hinted; model joins stay unhinted, got $hints")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

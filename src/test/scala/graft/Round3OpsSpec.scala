@@ -248,4 +248,52 @@ class Round3OpsSpec extends SparkSpec {
       assert(members.keys.min == cid)
     }
   }
+
+  // ---- round-9 curation queries: analytic invariants ----
+
+  test("q105 DSIR: English docs score higher than non-English on average") {
+    // the target model IS the English slice, so importance weights must
+    // separate the slices — the operator's whole point
+    val docs = Tables.table(spark, sf(), "documents").select("doc_id", "lang")
+    val w = SparkEntry.queries("q105_dsir")(spark, sf()).join(docs, "doc_id")
+    val Array(other, en) = w
+      .groupBy(col("lang") === "en").agg(avg("dsir_w").as("m"))
+      .orderBy(col("lang") === "en").collect().map(_.getDouble(1))
+    assert(en > other, s"mean weight en=$en must exceed non-en=$other")
+  }
+
+  test("q107 weighted sample: exactly k rows, keys non-positive and descending") {
+    val rows = SparkEntry.queries("q107_weighted_sample")(spark, sf()).collect()
+    assert(rows.length == 200)
+    val keys = rows.map(_.getDouble(2))
+    assert(keys.forall(_ <= 0.0), "ln(u)/w with u in (0,1] must be <= 0")
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "must arrive sorted")
+  }
+
+  test("q108 source overlap: jaccard in (0,1], pairs ordered, symmetric-free") {
+    val rows = SparkEntry.queries("q108_source_overlap")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered src_a < src_b")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
+  test("q109 quantization: error bounded by half an int8 step per dimension") {
+    // affine SQ8: |x - dequant(quant(x))| <= (hi - lo) / (2 * 255) for the
+    // widest dimension — the bound that makes int8 codes usable for ANN
+    val e = Tables.table(spark, sf(), "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val maxSpan = e.groupBy("pos").agg((max("x") - min("x")).as("span"))
+      .agg(max("span")).collect()(0).getDouble(0)
+    val rows = SparkEntry.queries("q109_embed_quantize")(spark, sf()).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val maxErr = r.getDouble(3)
+      assert(maxErr <= maxSpan / 510.0 + 1e-9,
+        s"max_err $maxErr exceeds the SQ8 bound ${maxSpan / 510.0}")
+    }
+  }
 }
