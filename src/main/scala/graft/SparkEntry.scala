@@ -1533,6 +1533,29 @@ object SparkEntry {
           Seq(col("difficulty").asc, col("doc_id").asc), "phase")
     }),
 
+    "q111_product_quant" -> ((s, dir) => {
+      // Product quantization (Jégou et al. 2011) — the 100 TB ANN
+      // compression step beyond q109's SQ8: the 64-dim space splits into
+      // 4 orthogonal 16-dim subspaces, each learns its own k=4 codebook
+      // (operators.KMeansOp — broadcast centroid literals, one declarative
+      // per-dimension-sum groupBy per iteration), and every vector is
+      // stored as 4 sub-codes plus its total quantization error. The four
+      // subspace passes share q78's bounded scale shape (driver state =
+      // k×subdim centroids each); the code tables are one-row-per-id and
+      // equi-join on vec_id — a co-partitioned shuffle join at scale.
+      val e = t(s, dir, "embeddings")
+      val subs = (0 until 4).map { m =>
+        graft.operators.KMeansOp.kmeans(
+            e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16),
+            k = 4, iters = 2)
+          .select(col("id").as("vec_id"), col("cluster").as(s"code$m"),
+            col("sq_dist").as(s"_e$m"))
+      }
+      subs.reduce(_.join(_, "vec_id"))
+        .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+          round(col("_e0") + col("_e1") + col("_e2") + col("_e3"), 4).as("pq_err"))
+    }),
+
     "q112_curation_funnel" -> ((s, dir) => {
       // The curation attrition funnel — per-stage surviving doc and token
       // counts for the standard filter chain (language → length → lexical
@@ -2788,6 +2811,18 @@ object SparkEntry {
            |SELECT doc_id, difficulty,
            | CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS phase
            |FROM d""".stripMargin,
+
+      "q111_product_quant" -> {
+        def sub(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+          "embeddings", "vec_id",
+          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) s$m"
+        s"""SELECT s0.vec_id, s0.cluster AS code0, s1.cluster AS code1,
+           | s2.cluster AS code2, s3.cluster AS code3,
+           | round(s0.sq_dist + s1.sq_dist + s2.sq_dist + s3.sq_dist, 4) AS pq_err
+           |FROM ${sub(0)} JOIN ${sub(1)} USING (vec_id)
+           | JOIN ${sub(2)} USING (vec_id) JOIN ${sub(3)} USING (vec_id)""".stripMargin
+      },
 
       "q112_curation_funnel" ->
         s"""WITH d AS (SELECT doc_id, lang, n_chars,
