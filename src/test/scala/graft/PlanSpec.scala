@@ -236,6 +236,12 @@ class PlanSpec extends SparkSpec {
       s"only the one-row vocab scalar may be hinted; model joins stay unhinted, got $hints")
   }
 
+  test("q110: curriculum phase split plans no Window operator") {
+    val p = executed("q110_curriculum")
+    assert(!p.contains("Window"),
+      s"phases must come from the GlobalRank range exchange, not ntile():\n${p.take(600)}")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
