@@ -281,6 +281,45 @@ class Round3OpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
   }
 
+  test("q110 curriculum: four balanced phases, difficulty non-decreasing across them") {
+    val rows = SparkEntry.queries("q110_curriculum")(spark, sf()).collect()
+    val byPhase = rows.groupBy(_.getLong(2))
+    assert(byPhase.keySet == Set(1L, 2L, 3L, 4L))
+    val sizes = byPhase.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes must differ by <= 1: $sizes")
+    val maxByPhase = (1L to 4L).map(p => byPhase(p).map(_.getDouble(1)).max)
+    val minByPhase = (1L to 4L).map(p => byPhase(p).map(_.getDouble(1)).min)
+    (0 until 3).foreach { i =>
+      assert(maxByPhase(i) <= minByPhase(i + 1),
+        s"phase ${i + 1} must be uniformly easier than phase ${i + 2}")
+    }
+  }
+
+  test("q111 PQ: codes in [0,4), error strictly positive, one row per vector") {
+    val rows = SparkEntry.queries("q111_product_quant")(spark, sf()).collect()
+    val n = Tables.table(spark, sf(), "embeddings").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      (1 to 4).foreach { c =>
+        val code = r.getLong(c)
+        assert(code >= 0 && code < 4, s"code $code out of codebook range")
+      }
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("q112 funnel: doc and token counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q112_curation_funnel")(spark, sf())
+      .orderBy("stage").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("all", "lang_en", "min_length", "lexical_diversity", "decontaminated"))
+    val docs = rows.map(_.getLong(2)); val toks = rows.map(_.getLong(3))
+    docs.zip(docs.tail).foreach { case (a, b) => assert(a >= b, "docs must shrink") }
+    toks.zip(toks.tail).foreach { case (a, b) => assert(a >= b, "tokens must shrink") }
+    assert(docs.head > docs.last, "the funnel must actually filter something")
+  }
+
   test("q109 quantization: error bounded by half an int8 step per dimension") {
     // affine SQ8: |x - dequant(quant(x))| <= (hi - lo) / (2 * 255) for the
     // widest dimension — the bound that makes int8 codes usable for ANN
