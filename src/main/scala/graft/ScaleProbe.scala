@@ -28,14 +28,24 @@ import org.apache.spark.sql.functions._
   * every doc with >= L tokens reports dup_ratio == 1.0, and exactly
   * rep × base such docs report.
   *
+  * Overlap mode: stresses the CorpusOverlap (cross-source contamination
+  * matrix) self-join in its ADVERSARIAL case — pure replication with one
+  * synthetic source per copy puts EVERY shingle in EVERY source, so each
+  * distinct hash fans out to the full C(rep, 2) pair set (the bounded
+  * maximum) — and VERIFIES the closed form: exactly C(rep, 2) pairs, every
+  * jaccard exactly 1.0, every intersection equal to the per-source
+  * distinct-shingle count.
+  *
   * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
   *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
   *        runMain graft.ScaleProbe span [sfDir] [rep]   — span mode
+  *        runMain graft.ScaleProbe overlap [sfDir] [rep] — overlap mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("rank")) { rankProbe(args.drop(1)); return }
     if (args.headOption.contains("span")) { spanProbe(args.drop(1)); return }
+    if (args.headOption.contains("overlap")) { overlapProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -123,6 +133,64 @@ object ScaleProbe {
     assert(agg.getLong(1) == wins,
       s"dup windows must equal ALL windows: ${agg.getLong(1)} vs $wins")
     println(s"[probe] verified: $rows docs all at dup_ratio=1.0, ${agg.getLong(1)} dup windows")
+    out.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  private def overlapProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
+    require(rep >= 2, "overlap probe needs rep >= 2 sources")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    val n = 5
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // pure replication, one synthetic source per copy (text UNCHANGED):
+    // every source carries the identical shingle set, so every hash joins
+    // across all rep sources — the bounded worst case for the self-join
+    val big = docs.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"),
+        concat(lit("s"), col("_r").cast("string")).as("source"), col("text"))
+      .repartition(64).cache()
+    val nDocs = big.count()
+    val baseShingles = docs
+      .select(split(graft.functions.TextExprs.cleanText(col("text")), " ").as("toks"))
+      .withColumn("_n", size(col("toks"))).where(col("_n") >= n)
+      .select(explode(sequence(lit(0), col("_n") - n)).as("pos"), col("toks"))
+      .select(substring(md5(concat_ws(" ",
+        slice(col("toks"), col("pos") + 1, lit(n)))), 1, 16).as("h"))
+      .distinct().count()
+    println(s"[probe] overlap corpus: $nDocs docs, $rep sources, " +
+      s"$baseShingles distinct shingles/source, candidate stream = " +
+      s"${baseShingles * rep.toLong * (rep - 1) / 2} pair-rows")
+
+    val out = graft.operators.CorpusOverlap
+      .sourceOverlap(big, col("source"), col("text"), n).cache()
+    val pairs = timed("CorpusOverlap.sourceOverlap (all-shared worst case)")(out.count())
+    assert(pairs == rep.toLong * (rep - 1) / 2,
+      s"expected C($rep,2) pairs, got $pairs")
+    val agg = out.agg(min("jaccard"), max("jaccard"),
+      min("inter"), max("inter")).head()
+    assert(agg.getDouble(0) == 1.0 && agg.getDouble(1) == 1.0,
+      s"pure replication must give jaccard 1.0 on every pair: $agg")
+    assert(agg.getLong(2) == baseShingles && agg.getLong(3) == baseShingles,
+      s"every intersection must be the full shingle set: $agg vs $baseShingles")
+    println(s"[probe] verified: $pairs pairs all at jaccard=1.0, " +
+      s"intersections all $baseShingles")
     out.unpersist(); big.unpersist()
     spark.stop()
   }

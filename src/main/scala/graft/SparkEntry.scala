@@ -1451,38 +1451,11 @@ object SparkEntry {
     }),
 
     "q108_source_overlap" -> ((s, dir) => {
-      // Cross-source contamination matrix (the Dolma/RedPajama corpus
-      // diagnostic): exact Jaccard overlap of each source pair's 5-token
-      // shingle SETS — which feeds/dumps are re-crawls of each other, and
-      // how much a "new" source really adds before it is mixed in. The
-      // distinct (shingle-hash, source) table is the only corpus-sized
-      // stream; it is shuffled once on h and SELF-JOINED — output per hash
-      // is bounded by C(|sources|, 2) pairs (sources is a small enum), so
-      // the join cannot go quadratic in the corpus, and Catalyst reuses
-      // the one distinct-exchange for both sides (ReusedExchange,
-      // PlanSpec-locked). Per-source set sizes ride a tiny (|sources|-row)
-      // join. 16-hex-char hashes (64 bits): collision-negligible and
-      // engine-neutral.
-      val sh = t(s, dir, "documents")
-        .select(col("source"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .where(col("n") >= 5)
-        .select(col("source"),
-          explode(sequence(lit(0), col("n") - 5)).as("pos"), col("toks"))
-        .select(col("source"),
-          substring(md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(5)))), 1, 16)
-            .as("h"))
-        .distinct()
-      val ns = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("source").as("src_a"), col("h"))
-      val b = sh.select(col("source").as("src_b"), col("h"))
-      a.join(b, "h").where(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
-        .join(ns.select(col("source").as("src_a"), col("n_sh").as("na")), "src_a")
-        .join(ns.select(col("source").as("src_b"), col("n_sh").as("nb")), "src_b")
-        .select(col("src_a"), col("src_b"), col("inter"),
-          round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
-            .as("jaccard"))
+      // operators.CorpusOverlap — see its scaladoc for the bounded
+      // self-join scale argument; ScaleProbe's overlap mode stresses the
+      // adversarial every-shingle-in-every-source case.
+      graft.operators.CorpusOverlap.sourceOverlap(
+        t(s, dir, "documents"), col("source"), col("text"), n = 5)
     }),
 
     "q109_embed_quantize" -> ((s, dir) => {
