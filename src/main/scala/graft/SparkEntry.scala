@@ -1576,6 +1576,22 @@ object SparkEntry {
           | 4L, 'decontaminated', d4, t4) AS (stage, name, docs, tokens)""".stripMargin))
     }),
 
+    "q113_incremental_dedup" -> ((s, dir) => {
+      // the daily-ingest dedup: which docs of the "new crawl" slice
+      // (doc_id % 10 == 0) near-duplicate the existing corpus — an A×B
+      // banded LSH join (operators.Dedup.minhashNearDupsAgainst), never a
+      // self-join over corpus ∪ batch; q27's parameters so the brute
+      // exact-Jaccard twin stays the oracle
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.minhashNearDupsAgainst(
+          corpus = docs.where(col("doc_id") % 10 =!= 0),
+          batch = docs.where(col("doc_id") % 10 === 0),
+          id = col("doc_id"), text = col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2772,6 +2788,14 @@ object SparkEntry {
           | round(avg((x - xr) * (x - xr)), 10) AS mse,
           | round(max(abs(x - xr)), 8) AS max_err
           |FROM dq GROUP BY label""".stripMargin,
+
+      "q113_incremental_dedup" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+           |    ${jaccardSql("b.s", "a.s")} AS j
+           |  FROM sh b JOIN sh a ON b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0)
+           |SELECT batch_id, corpus_id, round(j, 6) AS jaccard
+           |FROM pairs WHERE j >= 0.7""".stripMargin,
 
       "q110_curriculum" ->
         s"""WITH t AS (SELECT doc_id,

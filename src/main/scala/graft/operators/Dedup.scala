@@ -98,6 +98,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup dedup: NEW-batch docs that near-duplicate any
+    * EXISTING-corpus doc — the daily-ingest operation (dedupe a fresh
+    * crawl against the already-curated store) where running the self-join
+    * form over corpus ∪ batch would redundantly re-pair the corpus with
+    * itself. Same LSH shape as [[minhashNearDups]] — cached signature
+    * projections, ids-only candidates, dedupe before the exact verify —
+    * but the banded join is strictly batch×corpus; at real scale the
+    * batch side is orders of magnitude smaller than the corpus, AQE
+    * broadcasts its banded form, and the corpus never shuffles for
+    * candidate generation. Returns (batch_id, corpus_id, jaccard). */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
+      shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.plans.MinHashExprs
+    val numPerm = numBands * rowsPerBand
+    def prep(df: DataFrame): DataFrame = df
+      .select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+      .select(col("id"), MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"))
+      .where(size(col("shh")) > 0)
+      .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm))
+      .cache()
+    def banded(d: DataFrame): DataFrame = {
+      val bandHashes = (0 until numBands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      d.select(col("id"), posexplode(array(bandHashes: _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    }
+    val c = prep(corpus)
+    val b = prep(batch)
+    val candidates = banded(b).as("l").join(banded(c).as("r"), Seq("band", "band_hash"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(b.select(col("id").as("batch_id"), col("shh").as("shh_a")), "batch_id")
+      .join(c.select(col("id").as("corpus_id"), col("shh").as("shh_b")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash (64-bit) via the native codegen'd expression
     * (graft.plans.SimHash) over the cleaned text. */
   def simhash(text: Column): Column =
