@@ -1576,6 +1576,48 @@ object SparkEntry {
           | 4L, 'decontaminated', d4, t4) AS (stage, name, docs, tokens)""".stripMargin))
     }),
 
+    "q114_pq_adc_search" -> ((s, dir) => {
+      // PQ asymmetric distance computation (ADC, Jégou et al. 2011 §III) —
+      // the search half of q111's compression: corpus vectors exist ONLY
+      // as 4 sub-codes; each query scans codes with per-subspace
+      // lookup-table distances ||q_m − c_{m,code}||², never touching raw
+      // corpus floats. The LUT is a k×m CASE expression over broadcast
+      // centroid literals (codegen'd — at 100 TB the scan reads 4 bytes of
+      // codes per vector instead of 256 bytes of floats); Σ_m|q_m|² folds
+      // to |q|² once per query. Top-5 per query via the per-query window
+      // (8 query partitions — q30's shape).
+      val e = t(s, dir, "embeddings")
+      val fits = (0 until 4).map { m =>
+        val (cents, base) = graft.operators.KMeansOp.fit(
+          e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16), k = 4, iters = 2)
+        val (cl, _) = graft.operators.KMeansOp.argmin(col("v"), cents)
+        (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
+      }
+      val codes = fits.map(_._2).reduce(_.join(_, "vec_id"))
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val lutSum = (0 until 4).map { m =>
+        val qsub = slice(col("qv"), m * 16 + 1, 16)
+        val cents = fits(m)._1
+        cents.zipWithIndex.tail.foldLeft(
+          lit(cents.head.map(x => x * x).sum)
+            - lit(2.0) * VectorExprs.dot(qsub, array(cents.head.map(lit): _*))) {
+          case (acc, (c, i)) =>
+            when(col(s"code$m") === i,
+              lit(c.map(x => x * x).sum) - lit(2.0) * VectorExprs.dot(qsub, array(c.map(lit): _*)))
+              .otherwise(acc)
+        }
+      }.reduce(_ + _)
+      q.crossJoin(codes)
+        .select(col("query_id"), col("vec_id").as("corpus_id"),
+          round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
+          .cast("long"))
+        .where(col("rnk") <= 5)
+    }),
+
     "q113_incremental_dedup" -> ((s, dir) => {
       // the daily-ingest dedup: which docs of the "new crawl" slice
       // (doc_id % 10 == 0) near-duplicate the existing corpus — an A×B
@@ -2788,6 +2830,39 @@ object SparkEntry {
           | round(avg((x - xr) * (x - xr)), 10) AS mse,
           | round(max(abs(x - xr)), 8) AS max_err
           |FROM dq GROUP BY label""".stripMargin,
+
+      "q114_pq_adc_search" -> {
+        def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+          "embeddings", "vec_id",
+          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) a$m"
+        def cb(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+          "embeddings", "vec_id",
+          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) cb$m"
+        val lut = (0 until 4).map { m =>
+          s"""(list_inner_product(cb$m.c, cb$m.c)
+             |  - 2 * list_inner_product(list_slice(q.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
+        }.mkString(" + ")
+        s"""WITH q AS (SELECT vec_id AS query_id,
+           |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 8)
+           |SELECT query_id, corpus_id, adc,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
+           |FROM (
+           |  SELECT q.query_id, a0.vec_id AS corpus_id,
+           |   round(list_inner_product(q.qv, q.qv) + $lut, 6) AS adc
+           |  FROM q CROSS JOIN ${asg(0)}
+           |   JOIN ${asg(1)} ON a1.vec_id = a0.vec_id
+           |   JOIN ${asg(2)} ON a2.vec_id = a0.vec_id
+           |   JOIN ${asg(3)} ON a3.vec_id = a0.vec_id
+           |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
+           |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
+           |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
+           |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
+           |QUALIFY rnk <= 5""".stripMargin
+      },
 
       "q113_incremental_dedup" ->
         s"""$shingleCte,

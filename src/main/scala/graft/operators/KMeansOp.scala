@@ -33,8 +33,9 @@ import graft.functions.VectorExprs
 object KMeansOp {
 
   /** (clusterIdx, score) pair as two Columns, strict-< fold so ties keep
-    * the earliest (lowest) centroid index. */
-  private def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) = {
+    * the earliest (lowest) centroid index. score = |c|² − 2·v·c (add |v|²
+    * for the true squared distance). */
+  def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) = {
     val scores = centroids.map { c =>
       val cnorm = c.foldLeft(0.0)((acc, x) => acc + x * x)
       lit(cnorm) - lit(2.0) * VectorExprs.dot(v, array(c.map(lit): _*))
@@ -49,10 +50,12 @@ object KMeansOp {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Runs `iters` centroid updates then a final assignment.
-    * Returns (id, cluster, sq_dist) with sq_dist rounded to 4 dp. */
-  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int = 4,
-      iters: Int = 2): DataFrame = {
+  /** Runs `iters` centroid updates; returns the learned k×dim codebook AND
+    * the cached (id, v) projection it was fit on, so callers can derive
+    * assignments, distances, or (PQ) asymmetric lookups without re-running
+    * Lloyd. */
+  def fit(df: DataFrame, id: Column, vec: Column, k: Int = 4,
+      iters: Int = 2): (Seq[Array[Double]], DataFrame) = {
     val base = df.select(id.as("id"), VectorExprs.toDouble(vec).as("v")).cache()
     val dim = base.select(size(col("v"))).head().getInt(0)
     var centroids: Seq[Array[Double]] = base.orderBy("id").limit(k).collect()
@@ -73,16 +76,22 @@ object KMeansOp {
         }.getOrElse(centroids(c)) // empty cluster keeps its previous centroid
       }
     }
+    (centroids, base)
+  }
+
+  /** Runs `iters` centroid updates then a final assignment.
+    * Returns (id, cluster, sq_dist) with sq_dist rounded to 4 dp. */
+  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val (centroids, base) = fit(df, id, vec, k, iters)
     val (cl, sc) = argmin(col("v"), centroids)
     base.select(col("id"), cl.cast("long").as("cluster"),
       round(VectorExprs.dot(col("v"), col("v")) + sc, 4).as("sq_dist"))
   }
 
-  /** DuckDB twin, generated for the same (k, iters) so engine and oracle
-    * cannot drift: the iteration chain is unrolled into CTEs. `table` must
-    * expose (idCol, vecCol list<float>). */
-  def oracleSql(table: String, idCol: String, vecCol: String, k: Int = 4,
-      iters: Int = 2, dim: Int = 64): String = {
+  /** The shared unrolled-CTE Lloyd chain for the DuckDB twins below. */
+  private def oracleChain(table: String, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): StringBuilder = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT $idCol AS id,
               |  list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),
@@ -102,6 +111,15 @@ object KMeansOp {
                 |c$i AS (SELECT cid, list(mv ORDER BY i) AS c FROM m$i GROUP BY cid),
                 |""".stripMargin
     }
+    sb
+  }
+
+  /** DuckDB twin of [[kmeans]], generated for the same (k, iters) so engine
+    * and oracle cannot drift: the iteration chain is unrolled into CTEs.
+    * `table` must expose (idCol, vecCol list<float>). */
+  def oracleSql(table: String, idCol: String, vecCol: String, k: Int = 4,
+      iters: Int = 2, dim: Int = 64): String = {
+    val sb = oracleChain(table, idCol, vecCol, k, iters, dim)
     val last = s"c$iters"
     sb ++= s"""scf AS (SELECT e.id, $last.cid,
               |  list_inner_product($last.c, $last.c)
@@ -112,6 +130,19 @@ object KMeansOp {
               | round(vnorm + score, 4) AS sq_dist
               |FROM scf
               |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score, cid) = 1""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB twin of [[fit]]'s learned codebook: the same unrolled chain,
+    * ending with the final (cid, centroid list) table — for oracles that
+    * need the centroid VALUES (e.g. PQ asymmetric-distance lookups). */
+  def oracleCentroidsSql(table: String, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, dim: Int = 64): String = {
+    val sb = oracleChain(table, idCol, vecCol, k, iters, dim)
+    // the chain leaves a trailing "...),\n" — close the WITH with a dummy
+    // terminal CTE so the SELECT can read c$iters directly
+    sb ++= s"""_t AS (SELECT 1)
+              |SELECT CAST(cid AS BIGINT) AS cid, c FROM c$iters""".stripMargin
     sb.toString
   }
 }

@@ -320,6 +320,17 @@ class Round3OpsSpec extends SparkSpec {
     assert(docs.head > docs.last, "the funnel must actually filter something")
   }
 
+  test("q114 PQ ADC search: 5 hits per query, each query's own vector ranks first") {
+    val rows = SparkEntry.queries("q114_pq_adc_search")(spark, sf()).collect()
+    assert(rows.length == 8 * 5)
+    rows.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"query ${r.getLong(0)}'s nearest ADC code must be its own (got ${r.getLong(1)})")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 2.0,
+        s"self-ADC must be the (small) quantization error, got ${r.getDouble(2)}")
+    }
+  }
+
   test("q109 quantization: error bounded by half an int8 step per dimension") {
     // affine SQ8: |x - dequant(quant(x))| <= (hi - lo) / (2 * 255) for the
     // widest dimension — the bound that makes int8 codes usable for ANN
