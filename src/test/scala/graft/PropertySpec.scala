@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.functions.TextExprs
 import graft.operators.{DemoAnswerClassifier, SurveyPipeline}
+import graft.sources.Tables
 
 /** Property-based invariants (SURVEY.md §5): clean_text idempotence, explode
   * fan-out arithmetic, summary count conservation, row-order independence. */
@@ -110,6 +111,29 @@ class PropertySpec extends SparkSpec {
       }.filter(_._2._2 > 0).toMap
       assert(got == expect, s"corpus=$texts")
     }
+  }
+
+  test("incremental dedup ≡ self-join near-dups restricted to cross-slice pairs") {
+    // the A×B banded join must find exactly the corpus∪batch self-join's
+    // pairs that cross the slice boundary — same LSH params, same verify
+    val docs = Tables.table(spark, sf(), "documents")
+    val isBatch: Long => Boolean = _ % 10 == 0
+    val got = graft.operators.Dedup.minhashNearDupsAgainst(
+        corpus = docs.where(col("doc_id") % 10 =!= 0),
+        batch = docs.where(col("doc_id") % 10 === 0),
+        id = col("doc_id"), text = col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = graft.operators.Dedup.minhashNearDups(
+        docs, col("doc_id"), col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if isBatch(a) && !isBatch(b) => (a, b)
+        case (a, b) if isBatch(b) && !isBatch(a) => (b, a)
+      }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "the slice boundary must cut through some near-dup pairs")
   }
 
   test("cache-join classifier ≡ direct classify for any cache subset") {
