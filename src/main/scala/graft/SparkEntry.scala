@@ -1618,6 +1618,66 @@ object SparkEntry {
         .where(col("rnk") <= 5)
     }),
 
+    "q115_ivfpq_search" -> ((s, dir) => {
+      // The composed 100 TB ANN index — IVFADC (Jégou et al. 2011 §IV,
+      // the non-residual form): a coarse k-means quantizer routes each
+      // query to its nProbe=2 nearest cells, and ADC over q111's PQ codes
+      // scores ONLY vectors in probed cells — the scan touches nProbe/k of
+      // the code table (cell-partitioned at scale) and reads 4 bytes of
+      // codes per candidate. Composes the engine's own parts: KMeansOp.fit
+      // for both quantizer levels, q114's LUT expression for ADC, the
+      // per-query window for top-k. Approximation is BY CONSTRUCTION
+      // identical in the oracle (same probed cells, same codes), so the
+      // driver hash-checks the full approximate result.
+      val e = t(s, dir, "embeddings")
+      val (coarse, base64) = graft.operators.KMeansOp.fit(
+        e, col("vec_id"), col("embedding"), k = 4, iters = 2)
+      val (cellCol, _) = graft.operators.KMeansOp.argmin(col("v"), coarse)
+      val cells = base64.select(col("id").as("vec_id"), cellCol.cast("int").as("cell"))
+      val fits = (0 until 4).map { m =>
+        val (cents, base) = graft.operators.KMeansOp.fit(
+          e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16), k = 4, iters = 2)
+        val (cl, _) = graft.operators.KMeansOp.argmin(col("v"), cents)
+        (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
+      }
+      val codes = (fits.map(_._2) :+ cells).reduce(_.join(_, "vec_id"))
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      // probe table: the 2 coarse cells nearest each query (unrounded
+      // scores — both engines fold the same 6dp centroid literals)
+      val cellDists = coarse.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (c, i)) =>
+        when(col("cell") === i,
+          lit(c.map(x => x * x).sum) - lit(2.0) * VectorExprs.dot(col("qv"), array(c.map(lit): _*)))
+          .otherwise(acc)
+      }
+      val probed = q.crossJoin(s.range(4).select(col("id").cast("int").as("cell")))
+        .select(col("query_id"), col("qv"), col("cell"), cellDists.as("cd"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell").asc)))
+        .where(col("crnk") <= 2)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val lutSum = (0 until 4).map { m =>
+        val qsub = slice(col("qv"), m * 16 + 1, 16)
+        val cents = fits(m)._1
+        cents.zipWithIndex.tail.foldLeft(
+          lit(cents.head.map(x => x * x).sum)
+            - lit(2.0) * VectorExprs.dot(qsub, array(cents.head.map(lit): _*))) {
+          case (acc, (c, i)) =>
+            when(col(s"code$m") === i,
+              lit(c.map(x => x * x).sum) - lit(2.0) * VectorExprs.dot(qsub, array(c.map(lit): _*)))
+              .otherwise(acc)
+        }
+      }.reduce(_ + _)
+      probed.join(codes, "cell")
+        .select(col("query_id"), col("vec_id").as("corpus_id"),
+          round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
+          .cast("long"))
+        .where(col("rnk") <= 5)
+    }),
+
     "q113_incremental_dedup" -> ((s, dir) => {
       // the daily-ingest dedup: which docs of the "new crawl" slice
       // (doc_id % 10 == 0) near-duplicate the existing corpus — an A×B
@@ -2857,6 +2917,51 @@ object SparkEntry {
            |   JOIN ${asg(1)} ON a1.vec_id = a0.vec_id
            |   JOIN ${asg(2)} ON a2.vec_id = a0.vec_id
            |   JOIN ${asg(3)} ON a3.vec_id = a0.vec_id
+           |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
+           |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
+           |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
+           |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
+           |QUALIFY rnk <= 5""".stripMargin
+      },
+
+      "q115_ivfpq_search" -> {
+        def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+          "embeddings", "vec_id",
+          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) a$m"
+        def cb(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+          "embeddings", "vec_id",
+          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) cb$m"
+        val asgFull = "(" + graft.operators.KMeansOp.oracleSql(
+          "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) ac"
+        val cbFull = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+          "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) cc"
+        val cd = "list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c)"
+        val lut = (0 until 4).map { m =>
+          s"""(list_inner_product(cb$m.c, cb$m.c)
+             |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
+        }.mkString(" + ")
+        s"""WITH q AS (SELECT vec_id AS query_id,
+           |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 8),
+           |probed AS (SELECT query_id, qv, cell FROM (
+           |  SELECT q.query_id, q.qv, cc.cid AS cell,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |     ORDER BY $cd ASC, cc.cid ASC) AS crnk
+           |  FROM q CROSS JOIN $cbFull) WHERE crnk <= 2)
+           |SELECT query_id, corpus_id, adc,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
+           |FROM (
+           |  SELECT p.query_id, ac.vec_id AS corpus_id,
+           |   round(list_inner_product(p.qv, p.qv) + $lut, 6) AS adc
+           |  FROM probed p
+           |   JOIN $asgFull ON ac.cluster = p.cell
+           |   JOIN ${asg(0)} ON a0.vec_id = ac.vec_id
+           |   JOIN ${asg(1)} ON a1.vec_id = ac.vec_id
+           |   JOIN ${asg(2)} ON a2.vec_id = ac.vec_id
+           |   JOIN ${asg(3)} ON a3.vec_id = ac.vec_id
            |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
            |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
            |   JOIN ${cb(2)} ON cb2.cid = a2.cluster

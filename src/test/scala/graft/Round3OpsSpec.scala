@@ -331,6 +331,21 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q115 IVFPQ: candidates come only from probed cells; top-1 matches full-ADC") {
+    // a query's own cell is by definition its nearest, so its own vector is
+    // always a candidate and must win; and within the probed subset the
+    // ADC ordering must agree with q114's full-scan ADC
+    val ivf = SparkEntry.queries("q115_ivfpq_search")(spark, sf()).collect()
+    assert(ivf.length == 8 * 5)
+    val full = SparkEntry.queries("q114_pq_adc_search")(spark, sf())
+      .where(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivf.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(1) == full(r.getLong(0)),
+        s"IVFPQ top-1 for query ${r.getLong(0)} must match the full ADC scan")
+    }
+  }
+
   test("q109 quantization: error bounded by half an int8 step per dimension") {
     // affine SQ8: |x - dequant(quant(x))| <= (hi - lo) / (2 * 255) for the
     // widest dimension — the bound that makes int8 codes usable for ANN
