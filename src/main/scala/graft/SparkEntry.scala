@@ -1,6 +1,9 @@
 package graft
 
 import scala.collection.immutable.ListMap
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1517,13 +1520,16 @@ object SparkEntry {
       // k×subdim centroids each); the code tables are one-row-per-id and
       // equi-join on vec_id — a co-partitioned shuffle join at scale.
       val e = t(s, dir, "embeddings")
-      val subs = (0 until 4).map { m =>
+      // the four subspace Lloyd chains are independent — fit them on
+      // concurrent driver threads (Spark's scheduler is thread-safe; the
+      // per-fit driver state is its own k×16 matrix), ~3x on wall time
+      val subs = Await.result(Future.sequence((0 until 4).map { m => Future {
         graft.operators.KMeansOp.kmeans(
             e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16),
             k = 4, iters = 2)
           .select(col("id").as("vec_id"), col("cluster").as(s"code$m"),
             col("sq_dist").as(s"_e$m"))
-      }
+      }}), Duration.Inf)
       subs.reduce(_.join(_, "vec_id"))
         .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
           round(col("_e0") + col("_e1") + col("_e2") + col("_e3"), 4).as("pq_err"))
@@ -1587,12 +1593,13 @@ object SparkEntry {
       // to |q|² once per query. Top-5 per query via the per-query window
       // (8 query partitions — q30's shape).
       val e = t(s, dir, "embeddings")
-      val fits = (0 until 4).map { m =>
+      // independent subspace fits on concurrent driver threads (q111's note)
+      val fits = Await.result(Future.sequence((0 until 4).map { m => Future {
         val (cents, base) = graft.operators.KMeansOp.fit(
           e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16), k = 4, iters = 2)
         val (cl, _) = graft.operators.KMeansOp.argmin(col("v"), cents)
         (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
-      }
+      }}), Duration.Inf)
       val codes = fits.map(_._2).reduce(_.join(_, "vec_id"))
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
@@ -1630,16 +1637,20 @@ object SparkEntry {
       // identical in the oracle (same probed cells, same codes), so the
       // driver hash-checks the full approximate result.
       val e = t(s, dir, "embeddings")
-      val (coarse, base64) = graft.operators.KMeansOp.fit(
-        e, col("vec_id"), col("embedding"), k = 4, iters = 2)
-      val (cellCol, _) = graft.operators.KMeansOp.argmin(col("v"), coarse)
-      val cells = base64.select(col("id").as("vec_id"), cellCol.cast("int").as("cell"))
-      val fits = (0 until 4).map { m =>
+      // all five quantizer fits (coarse + 4 subspace) are independent —
+      // run them on concurrent driver threads; wall ≈ one fit
+      val coarseF = Future(graft.operators.KMeansOp.fit(
+        e, col("vec_id"), col("embedding"), k = 4, iters = 2))
+      val fitsF = Future.sequence((0 until 4).map { m => Future {
         val (cents, base) = graft.operators.KMeansOp.fit(
           e, col("vec_id"), slice(col("embedding"), m * 16 + 1, 16), k = 4, iters = 2)
         val (cl, _) = graft.operators.KMeansOp.argmin(col("v"), cents)
         (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
-      }
+      }})
+      val (coarse, base64) = Await.result(coarseF, Duration.Inf)
+      val (cellCol, _) = graft.operators.KMeansOp.argmin(col("v"), coarse)
+      val cells = base64.select(col("id").as("vec_id"), cellCol.cast("int").as("cell"))
+      val fits = Await.result(fitsF, Duration.Inf)
       val codes = (fits.map(_._2) :+ cells).reduce(_.join(_, "vec_id"))
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
