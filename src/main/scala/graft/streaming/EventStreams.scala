@@ -10,6 +10,9 @@ case class TypeState(n: Long, sum: Double)
 /** Open-session accumulator for [[EventStreams.closedSessions]]. */
 case class SessionState(n: Long, sum: Double, t0: Long, t1: Long)
 
+/** Per-bucket signature memory for [[EventStreams.nearDupDocStream]]. */
+case class BucketSigs(sigs: Seq[Long])
+
 /** Structured-Streaming shapes over the events table. Every transform here
   * works identically on a batch DataFrame and a readStream DataFrame — the
   * engine's streaming story is "same declarative plan, streaming source"
@@ -133,6 +136,57 @@ object EventStreams {
           }
       }
       .toDF("user_id", "n_events", "session_value", "first_ts_ms", "last_ts_ms")
+  }
+
+  /** Streaming near-duplicate detection over a document stream — the batch
+    * SimHash band blocking ([[graft.operators.Dedup.simhashNearDups]]) as
+    * a stateful stream, for dedup-on-ingest ahead of an ever-growing
+    * curated store. Each doc fans out to its 4 (band, 16-bit slice) bucket
+    * keys; ONE flatMapGroupsWithState keyed on the bucket remembers the
+    * most recent `maxSigsPerBucket` signatures and votes when an arriving
+    * sig is within `maxHamming` of any remembered one; the downstream
+    * per-doc max(vote) ORs the band votes (append-mode
+    * flatMapGroupsWithState followed by an aggregation is the supported
+    * chain). State is DOUBLY bounded with NoTimeout: the keyspace is ≤
+    * 4 × 2¹⁶ buckets by construction and each bucket caps at
+    * `maxSigsPerBucket` sigs — no clock-based expiry needed (and
+    * processing-time timeouts stall `processAllAvailable`-style
+    * drain-and-assert testing). Pigeonhole over 4 bands keeps blocking
+    * recall for hamming ≤ 3 exactly as in batch — the streaming compromise
+    * is only the bounded per-bucket memory window.
+    * Output: (doc_id, is_dup 0/1), update-mode per micro-batch. */
+  def nearDupDocStream(docs: DataFrame, maxHamming: Int = 3, shingleLen: Int = 3,
+      maxSigsPerBucket: Int = 64): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.plans.SimHash.simhashShingled(
+          graft.functions.TextExprs.cleanText(col("text")), shingleLen).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bval"))
+      .as[(Long, Long, Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, bval) => (band, bval) }
+      .flatMapGroupsWithState[BucketSigs, (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketSigs]) =>
+          var seen = state.getOption.map(_.sigs).getOrElse(Seq.empty)
+          // materialize before touching state: the rows iterator is lazy
+          val out = rows.map { case (docId, sig, _, _) =>
+            val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sig) <= maxHamming)
+            seen = (sig +: seen).take(maxSigsPerBucket)
+            (docId, if (dup) 1 else 0)
+          }.toList
+          state.update(BucketSigs(seen))
+          out.iterator
+      }
+      .toDF("doc_id", "vote")
+      .groupBy("doc_id").agg(max("vote").as("is_dup"))
   }
 
   /** SURVEY.md §7.6 made real: the reference's classify-then-aggregate

@@ -255,6 +255,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out("fail answer") == ("Neutral", "No Feedback"))
   }
 
+  test("nearDupDocStream flags a near-identical later doc, passes distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the warm window sill every single day"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.nearDupDocStream(df)
+      .writeStream.outputMode("update").format("memory").queryName("ndd").start()
+    try {
+      mem.addData((1L, base), (2L, "completely different content about spark " +
+        "catalyst plans and shuffle exchanges at massive corpus scale today"))
+      q.processAllAvailable()
+      // batch 2: a near-copy of doc 1 — raw text differs (extra whitespace)
+      // but cleanText normalizes it, so its simhash is within the hamming
+      // threshold deterministically — and a fresh doc
+      mem.addData((3L, "  " + base.replace(" the ", "  the ") + " "),
+        (4L, "yet another unrelated document with its own vocabulary entirely"))
+      q.processAllAvailable()
+      val verdicts = spark.table("ndd").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(verdicts(1L) == 0 && verdicts(2L) == 0, s"first arrivals are not dups: $verdicts")
+      assert(verdicts(3L) == 1, s"the near-copy must be flagged: $verdicts")
+      assert(verdicts(4L) == 0, s"distinct content must pass: $verdicts")
+    } finally q.stop()
+  }
+
   test("RemoteBatchClassifier truncates the transport answer to maxChars, key keeps full text") {
     // transport echoes what it was given via the category field
     val t: (String, String, String) => (String, String) = (_, _, a) => ("neutral", a)
