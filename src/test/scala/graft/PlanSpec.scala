@@ -236,6 +236,28 @@ class PlanSpec extends SparkSpec {
       s"only the one-row vocab scalar may be hinted; model joins stay unhinted, got $hints")
   }
 
+  test("q105: the constant-sized DSIR model tables broadcast to the token stream") {
+    // raw/tgt are 256-row hashed-ngram models — AQE must pick broadcast
+    // joins for both in the final plan, never a sort-merge of the stream
+    val df = SparkEntry.queries("q105_dsir")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"))
+    assert(!fin.contains("SortMergeJoin"),
+      s"model joins must broadcast, not sort-merge:\n${fin.take(1000)}")
+  }
+
+  test("q112: the funnel reads documents 3 times total, never once per stage") {
+    // one scan feeds every flag + the single cumulative aggregate; the
+    // other two are Decontaminate's train/bench gram sides — a 10-stage
+    // funnel would still cost the same three reads
+    // formatted mode prints each scan twice (tree + detail block); count
+    // the detail blocks, one ReadSchema per physical scan
+    val p = formatted("q112_curation_funnel")
+    val scans = "ReadSchema:".r.findAllIn(p).length
+    assert(scans == 3, s"expected 3 document scans, got $scans")
+  }
+
   test("q110: curriculum phase split plans no Window operator") {
     val p = executed("q110_curriculum")
     assert(!p.contains("Window"),
