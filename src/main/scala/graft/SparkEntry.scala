@@ -1689,6 +1689,26 @@ object SparkEntry {
         .where(col("rnk") <= 5)
     }),
 
+    "q116_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer fertility accounting per language slice — the metric
+      // that converts a mixture's BYTE budget into its TOKEN budget
+      // (fertility varies by language/script, so equal bytes never means
+      // equal tokens; the data card line every multilingual pretraining
+      // mix reports). ONE scan: the per-doc counts are three codegen'd
+      // byte-scan expressions (CleanText length, whitespace tokens, the
+      // BPE-proxy regex count), and the per-language rollup is a
+      // lang-cardinality-sized hash aggregate.
+      val d = t(s, dir, "documents").select(col("lang"),
+        length(TextExprs.cleanText(col("text"))).cast("long").as("nc"),
+        TextExprs.tokenCountWs(col("text")).cast("long").as("nw"),
+        TextExprs.tokenCountBpe(col("text")).cast("long").as("nb"))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars"), sum("nw").as("n_words"), sum("nb").as("n_bpe"),
+        round(sum("nc") / sum("nb").cast("double"), 4).as("chars_per_bpe"),
+        round(sum("nb") / sum("nw").cast("double"), 4).as("fertility"))
+    }),
+
     "q113_incremental_dedup" -> ((s, dir) => {
       // the daily-ingest dedup: which docs of the "new crawl" slice
       // (doc_id % 10 == 0) near-duplicate the existing corpus — an A×B
@@ -2978,6 +2998,20 @@ object SparkEntry {
            |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
            |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
            |QUALIFY rnk <= 5""".stripMargin
+      },
+
+      "q116_tokenizer_fertility" -> {
+        val c = cleanSql("text")
+        s"""WITH f AS (SELECT lang, length($c) AS nc,
+           |  CASE WHEN $c = '' THEN 0 ELSE len(string_split($c, ' ')) END AS nw,
+           |  len(regexp_extract_all(coalesce(text, ''), '${TextExprs.BpeTokenRegex}')) AS nb
+           | FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(nc) AS BIGINT) AS n_chars, CAST(sum(nw) AS BIGINT) AS n_words,
+           | CAST(sum(nb) AS BIGINT) AS n_bpe,
+           | round(sum(nc) / CAST(sum(nb) AS DOUBLE), 4) AS chars_per_bpe,
+           | round(sum(nb) / CAST(sum(nw) AS DOUBLE), 4) AS fertility
+           |FROM f GROUP BY lang""".stripMargin
       },
 
       "q113_incremental_dedup" ->
