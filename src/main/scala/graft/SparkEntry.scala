@@ -1689,6 +1689,41 @@ object SparkEntry {
         .where(col("rnk") <= 5)
     }),
 
+    "q117_triplet_mining" -> ((s, dir) => {
+      // Hard-triplet mining for metric-learning / embedding fine-tuning
+      // (FaceNet-style): for each anchor, the nearest SAME-label vector
+      // (hardest positive is the FARTHEST same-label; here: nearest, the
+      // in-batch positive convention) and the nearest DIFFERENT-label
+      // vector (the hard negative), plus the triplet margin. One broadcast
+      // of the anchor set against the corpus (q30's shape: the corpus
+      // never shuffles for scoring), then per-anchor bounded picks via
+      // the anchor-partitioned window; emits one training triplet per
+      // anchor. At 100 TB the anchor batch is the small side by
+      // construction — it is a training BATCH.
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("av"))
+      val corpus = emb.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("embedding").as("cv"))
+      val scored = corpus.join(broadcast(anchors))
+        .where(col("cand_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("cand_id"),
+          (col("c_label") === col("a_label")).as("same"),
+          VectorExprs.cosine(col("av"), col("cv")).as("cos"))
+      val w = Window.partitionBy("anchor_id", "same")
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      val best = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      val pos = best.where(col("same"))
+        .select(col("anchor_id"), col("cand_id").as("pos_id"), col("cos").as("_cp"))
+      val neg = best.where(!col("same"))
+        .select(col("anchor_id"), col("cand_id").as("neg_id"), col("cos").as("_cn"))
+      pos.join(neg, "anchor_id")
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+          round(col("_cp"), 6).as("cos_pos"), round(col("_cn"), 6).as("cos_neg"),
+          round(col("_cp") - col("_cn"), 6).as("margin"))
+    }),
+
     "q116_tokenizer_fertility" -> ((s, dir) => {
       // Tokenizer fertility accounting per language slice — the metric
       // that converts a mixture's BYTE budget into its TOKEN budget
@@ -2999,6 +3034,25 @@ object SparkEntry {
            |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
            |QUALIFY rnk <= 5""".stripMargin
       },
+
+      "q117_triplet_mining" ->
+        """WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+          |   embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 16),
+          |c AS (SELECT vec_id AS cand_id, label AS c_label,
+          |   embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT anchor_id, cand_id, (c_label = a_label) AS same,
+          |   list_sum(list_transform(range(1, 65), i -> av[i] * cv[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, 65), i -> av[i] * av[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))) AS cos
+          |  FROM a, c WHERE cand_id <> anchor_id),
+          |best AS (SELECT anchor_id, cand_id, same, cos FROM s
+          |  QUALIFY row_number() OVER (PARTITION BY anchor_id, same
+          |    ORDER BY cos DESC, cand_id ASC) = 1),
+          |p AS (SELECT anchor_id, cand_id AS pos_id, cos AS cp FROM best WHERE same),
+          |n AS (SELECT anchor_id, cand_id AS neg_id, cos AS cn FROM best WHERE NOT same)
+          |SELECT anchor_id, pos_id, neg_id, round(cp, 6) AS cos_pos,
+          | round(cn, 6) AS cos_neg, round(cp - cn, 6) AS margin
+          |FROM p JOIN n USING (anchor_id)""".stripMargin,
 
       "q116_tokenizer_fertility" -> {
         val c = cleanSql("text")
