@@ -346,6 +346,36 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q116 fertility: totals conserve the corpus; ratios consistent with sums") {
+    val rows = SparkEntry.queries("q116_tokenizer_fertility")(spark, sf()).collect()
+    val docs = Tables.table(spark, sf(), "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "per-lang doc counts must conserve")
+    rows.foreach { r =>
+      val (nc, nw, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb >= nw, s"BPE-proxy tokens can only split words further: $r")
+      assert(math.abs(r.getDouble(5) - nc.toDouble / nb) < 1e-4, s"chars_per_bpe: $r")
+      assert(math.abs(r.getDouble(6) - nb.toDouble / nw) < 1e-4, s"fertility: $r")
+      assert(r.getDouble(6) >= 1.0, s"fertility is >= 1 by construction: $r")
+    }
+  }
+
+  test("q117 triplets: one per anchor, positive shares the label, negative does not") {
+    val labels = Tables.table(spark, sf(), "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = SparkEntry.queries("q117_triplet_mining")(spark, sf()).collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getLong(0)).distinct.length == 16)
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(p != a && n != a)
+      assert(labels(p) == labels(a), s"positive must share the anchor label: $r")
+      assert(labels(n) != labels(a), s"negative must differ in label: $r")
+      // margin may be negative (a hard negative closer than the positive is
+      // exactly what mining surfaces) but must be consistent with the cosines
+      assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) < 2e-6, s"margin: $r")
+    }
+  }
+
   test("q109 quantization: error bounded by half an int8 step per dimension") {
     // affine SQ8: |x - dequant(quant(x))| <= (hi - lo) / (2 * 255) for the
     // widest dimension — the bound that makes int8 codes usable for ANN
