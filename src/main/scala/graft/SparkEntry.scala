@@ -1689,6 +1689,54 @@ object SparkEntry {
         .where(col("rnk") <= 5)
     }),
 
+    "q118_mmr_rerank" -> ((s, dir) => {
+      // MMR diversified reranking (Carbonell & Goldstein 1998) — the
+      // second stage of the standard two-stage retrieval architecture:
+      // the DISTRIBUTED pass scores the whole corpus and keeps top-20
+      // (TakeOrderedAndProject, broadcast query vector); the greedy
+      // λ·relevance − (1−λ)·max-sim-to-selected rerank then runs on the
+      // BOUNDED 20-candidate pool driver-side (k² = 400 sims — the same
+      // bounded-collect license as k-means centroids; reranking is O(k²)
+      // by definition, the corpus scan is not). Every cosine is rounded
+      // to 6dp BEFORE the greedy loop in both engines, so pick order is
+      // engine-exact; the DuckDB twin unrolls the 5 greedy steps as CTEs.
+      val lam = 0.7
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val pool = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          round(VectorExprs.cosine(col("qv"), col("embedding")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+        .collect()
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      val cand = pool.map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (picked.length < 5) {
+        val chosen = cand.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
+          val score =
+            if (picked.isEmpty) c._3
+            else lam * c._3 - (1 - lam) * picked.map { p =>
+              cos(c._2, cand.find(_._1 == p._1).get._2)
+            }.max
+          (c._1, score)
+        }.minBy { case (id, sc) => (-sc, id) }
+        picked += chosen
+      }
+      val sp = s
+      import sp.implicits._
+      picked.zipWithIndex
+        .map { case ((id, sc), i) => ((i + 1).toLong, id, r6(sc)) }.toSeq
+        .toDF("rnk", "vec_id", "mmr_score")
+    }),
+
     "q117_triplet_mining" -> ((s, dir) => {
       // Hard-triplet mining for metric-learning / embedding fine-tuning
       // (FaceNet-style): for each anchor, the nearest SAME-label vector
@@ -3033,6 +3081,45 @@ object SparkEntry {
            |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
            |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
            |QUALIFY rnk <= 5""".stripMargin
+      },
+
+      "q118_mmr_rerank" -> {
+        val lam = 0.7
+        def cosSql(a: String, b: String): String =
+          s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+             | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+             |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+        val sb = new StringBuilder
+        sb ++= s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+                  |cand AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  |   ${cosSql("qv", "(embedding::DOUBLE[])")} AS rel
+                  |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+                  |  ORDER BY rel DESC, vec_id LIMIT 20),
+                  |sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  |   ${cosSql("a.v", "b.v")} AS sim
+                  |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+                  |s1 AS (SELECT vec_id, rel AS score FROM cand
+                  |  ORDER BY rel DESC, vec_id LIMIT 1),
+                  |sel1 AS (SELECT vec_id FROM s1),
+                  |""".stripMargin
+        for (i <- 2 to 5) {
+          // the (1 - lam) literal is interpolated from the SAME Scala double
+          // the engine-side greedy uses, so the coefficients are bit-equal
+          sb ++= s"""m$i AS (SELECT c.vec_id, $lam * c.rel - ${1 - lam} * max(p.sim) AS score
+                    |  FROM cand c JOIN sims p ON p.id_a = c.vec_id
+                    |  WHERE p.id_b IN (SELECT vec_id FROM sel${i - 1})
+                    |   AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                    |  GROUP BY c.vec_id, c.rel),
+                    |s$i AS (SELECT vec_id, score FROM m$i
+                    |  ORDER BY score DESC, vec_id LIMIT 1),
+                    |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i),
+                    |""".stripMargin
+        }
+        sb ++= "_t AS (SELECT 1)\n" // close the WITH list (sel5 is unreferenced)
+        sb ++= (1 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, round(score, 6) AS mmr_score FROM s$i")
+          .mkString("", "\nUNION ALL ", "")
+        sb.toString
       },
 
       "q117_triplet_mining" ->
