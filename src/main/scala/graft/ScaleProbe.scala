@@ -73,11 +73,20 @@ object ScaleProbe {
       a
     }
 
-    val pairs = graft.operators.Dedup.minhashNearDups(
+    val preCached = spark.sparkContext.getPersistentRDDs.keySet
+    val (rawPairs, release) = graft.operators.Dedup.minhashNearDupsManaged(
       big, col("doc_id"), col("text"), shingleLen = 3,
-      numBands = 16, rowsPerBand = 2, threshold = 0.7).cache()
+      numBands = 16, rowsPerBand = 2, threshold = 0.7)
+    val pairs = rawPairs.cache()
     val nPairs = timed("minhash LSH + verify")(pairs.count())
     println(s"[probe] near-dup pairs: $nPairs")
+    // epilogue hygiene: the operator's signature cache must drain on
+    // release — a long-lived driver should not rely on ContextCleaner
+    release()
+    // only `pairs` (this probe's own cache) may remain beyond the baseline
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(preCached).size <= 1,
+      s"signature caches linger after release: ${spark.sparkContext.getPersistentRDDs.keys}")
+    println("[probe] signature caches released (persistent RDDs drained)")
 
     val cc = graft.operators.Dedup.connectedComponents(pairs.select("id_a", "id_b"))
     val nClusters = timed("connected components")(

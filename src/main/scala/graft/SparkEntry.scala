@@ -1237,7 +1237,7 @@ object SparkEntry {
         .crossJoin(broadcast(nDocs))
         .select(col("tok_a"), col("tok_b"), col("n_ab"),
           round(log(col("n_ab").cast("double") * col("n_docs") /
-            (col("n_a") * col("n_b"))), 6).as("pmi"))
+            (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
     }),
 
     "q100_strat_split" -> ((s, dir) => {
@@ -1655,15 +1655,15 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"))
-      // probe table: the 2 coarse cells nearest each query (unrounded
-      // scores — both engines fold the same 6dp centroid literals)
+      // probe table: the 2 coarse cells nearest each query (6dp-rounded
+      // BEFORE the rank window, same convention as every other ranked score)
       val cellDists = coarse.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (c, i)) =>
         when(col("cell") === i,
           lit(c.map(x => x * x).sum) - lit(2.0) * VectorExprs.dot(col("qv"), array(c.map(lit): _*)))
           .otherwise(acc)
       }
       val probed = q.crossJoin(s.range(4).select(col("id").cast("int").as("cell")))
-        .select(col("query_id"), col("qv"), col("cell"), cellDists.as("cd"))
+        .select(col("query_id"), col("qv"), col("cell"), round(cellDists, 6).as("cd"))
         .withColumn("crnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell").asc)))
         .where(col("crnk") <= 2)
@@ -1758,7 +1758,10 @@ object SparkEntry {
         .where(col("cand_id") =!= col("anchor_id"))
         .select(col("anchor_id"), col("cand_id"),
           (col("c_label") === col("a_label")).as("same"),
-          VectorExprs.cosine(col("av"), col("cv")).as("cos"))
+          // 6dp BEFORE the ranking window (repo convention, q101/q107):
+          // both engines pick from identical rounded scores, so parity
+          // never depends on either engine's float-sum association order
+          round(VectorExprs.cosine(col("av"), col("cv")), 6).as("cos"))
       val w = Window.partitionBy("anchor_id", "same")
         .orderBy(col("cos").desc, col("cand_id").asc)
       val best = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
@@ -2873,7 +2876,7 @@ object SparkEntry {
            |  GROUP BY 1, 2 HAVING count(*) >= 5),
            |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs)
            |SELECT tok_a, tok_b, n_ab,
-           | round(ln(n_ab * 1.0 * n_docs / (ka.n * kb.n)), 6) AS pmi
+           | round(ln(n_ab * 1.0 * n_docs / (ka.n * 1.0 * kb.n)), 6) AS pmi
            |FROM pc JOIN topk ka ON pc.tok_a = ka.tok
            | JOIN topk kb ON pc.tok_b = kb.tok CROSS JOIN nn""".stripMargin,
 
@@ -3051,7 +3054,7 @@ object SparkEntry {
           "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) ac"
         val cbFull = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
           "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) cc"
-        val cd = "list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c)"
+        val cd = "round(list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c), 6)"
         val lut = (0 until 4).map { m =>
           s"""(list_inner_product(cb$m.c, cb$m.c)
              |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
@@ -3128,9 +3131,9 @@ object SparkEntry {
           |c AS (SELECT vec_id AS cand_id, label AS c_label,
           |   embedding::DOUBLE[] AS cv FROM embeddings),
           |s AS (SELECT anchor_id, cand_id, (c_label = a_label) AS same,
-          |   list_sum(list_transform(range(1, 65), i -> av[i] * cv[i])) /
+          |   round(list_sum(list_transform(range(1, 65), i -> av[i] * cv[i])) /
           |   (sqrt(list_sum(list_transform(range(1, 65), i -> av[i] * av[i]))) *
-          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))) AS cos
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))), 6) AS cos
           |  FROM a, c WHERE cand_id <> anchor_id),
           |best AS (SELECT anchor_id, cand_id, same, cos FROM s
           |  QUALIFY row_number() OVER (PARTITION BY anchor_id, same

@@ -67,7 +67,21 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    minhashNearDupsManaged(df, id, text, shingleLen, numBands, rowsPerBand,
+      threshold)._1
+
+  /** [[minhashNearDups]] plus an explicit cache-release epilogue: the second
+    * element unpersists the signature cache the operator created. Call it
+    * AFTER the returned frame has materialized (written/collected/counted) —
+    * a long-lived session (notebook, streaming driver, multi-query job)
+    * should not leave sketch caches to the ContextCleaner's GC schedule.
+    * ScaleProbe's dedup mode asserts `getPersistentRDDs` drains to its
+    * pre-operator state after release. */
+  def minhashNearDupsManaged(
+      df: DataFrame, id: Column, text: Column,
+      shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): (DataFrame, () => Unit) = {
     import graft.plans.MinHashExprs
     val numPerm = numBands * rowsPerBand
     // Cached: the signature projection feeds both sides of the candidate
@@ -90,12 +104,13 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct() // same pair collides in multiple bands — dedupe BEFORE verify
     // Exact-Jaccard verify: join the (cached) sorted hash sets back per side.
-    candidates
+    val verified = candidates
       .join(docs.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (verified, () => { docs.unpersist(blocking = false); () })
   }
 
   /** Incremental near-dup dedup: NEW-batch docs that near-duplicate any
@@ -107,11 +122,32 @@ object Dedup {
     * but the banded join is strictly batch×corpus; at real scale the
     * batch side is orders of magnitude smaller than the corpus, AQE
     * broadcasts its banded form, and the corpus never shuffles for
-    * candidate generation. Returns (batch_id, corpus_id, jaccard). */
+    * candidate generation. Returns (batch_id, corpus_id, jaccard).
+    *
+    * RECALL CAVEAT (applies to [[minhashNearDups]] identically): candidate
+    * generation is banded LSH, so a pair with exact Jaccard s ≥ threshold
+    * is missed with probability (1 − s^r)^b (b bands × r rows/band) —
+    * e.g. ~1.4% at s = 0.7 with the 16×2 q113/q27 parameters, falling
+    * fast as s grows. The driver's exact-all-pairs DuckDB oracle therefore
+    * hash-matches only when no just-above-threshold pair lands in the
+    * miss probability — a data-dependent (and at sf0.01, empirically
+    * held) property, not a guarantee. DedupSimilaritySpec pins it on the
+    * fixtures: every exact-Jaccard ≥ threshold pair must also be emitted
+    * by the banded join. If a future data refresh trips it, raise bands
+    * (recall → 1) rather than loosening the oracle. */
   def minhashNearDupsAgainst(
       corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    minhashNearDupsAgainstManaged(corpus, batch, id, text, shingleLen,
+      numBands, rowsPerBand, threshold)._1
+
+  /** [[minhashNearDupsAgainst]] with the explicit cache-release epilogue
+    * (see [[minhashNearDupsManaged]]); releases BOTH signature caches. */
+  def minhashNearDupsAgainstManaged(
+      corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
+      shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): (DataFrame, () => Unit) = {
     import graft.plans.MinHashExprs
     val numPerm = numBands * rowsPerBand
     def prep(df: DataFrame): DataFrame = df
@@ -131,12 +167,15 @@ object Dedup {
     val candidates = banded(b).as("l").join(banded(c).as("r"), Seq("band", "band_hash"))
       .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(b.select(col("id").as("batch_id"), col("shh").as("shh_a")), "batch_id")
       .join(c.select(col("id").as("corpus_id"), col("shh").as("shh_b")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (verified, () => {
+      b.unpersist(blocking = false); c.unpersist(blocking = false); ()
+    })
   }
 
   /** SimHash (64-bit) via the native codegen'd expression

@@ -144,17 +144,25 @@ object EventStreams {
     * curated store. Each doc fans out to its 4 (band, 16-bit slice) bucket
     * keys; ONE flatMapGroupsWithState keyed on the bucket remembers the
     * most recent `maxSigsPerBucket` signatures and votes when an arriving
-    * sig is within `maxHamming` of any remembered one; the downstream
-    * per-doc max(vote) ORs the band votes (append-mode
-    * flatMapGroupsWithState followed by an aggregation is the supported
-    * chain). State is DOUBLY bounded with NoTimeout: the keyspace is ≤
-    * 4 × 2¹⁶ buckets by construction and each bucket caps at
-    * `maxSigsPerBucket` sigs — no clock-based expiry needed (and
-    * processing-time timeouts stall `processAllAvailable`-style
-    * drain-and-assert testing). Pigeonhole over 4 bands keeps blocking
-    * recall for hamming ≤ 3 exactly as in batch — the streaming compromise
-    * is only the bounded per-bucket memory window.
-    * Output: (doc_id, is_dup 0/1), update-mode per micro-batch. */
+    * sig is within `maxHamming` of any remembered one. The band votes are
+    * then OR-folded per doc by a SECOND append-mode flatMapGroupsWithState
+    * keyed on doc_id that emits max(vote) and never calls `state.update`
+    * — all 4 of a doc's band rows are produced by the same explode in the
+    * same micro-batch, so the fold needs no cross-batch memory and the
+    * operator holds ZERO rows of state between batches. (A plain
+    * `groupBy(doc_id).agg(max)` here would be a global streaming
+    * aggregation keeping one state-store row per doc_id FOREVER — on the
+    * ever-growing ingest stream this operator targets, that unbounded
+    * state is exactly the failure mode the bucket stage is designed to
+    * avoid.) State is therefore bounded end-to-end with NoTimeout: the
+    * bucket keyspace is ≤ 4 × 2¹⁶ by construction, each bucket caps at
+    * `maxSigsPerBucket` sigs, and the vote fold keeps nothing — no
+    * clock-based expiry needed (and processing-time timeouts stall
+    * `processAllAvailable`-style drain-and-assert testing). Pigeonhole
+    * over 4 bands keeps blocking recall for hamming ≤ 3 exactly as in
+    * batch — the streaming compromise is only the bounded per-bucket
+    * memory window.
+    * Output: (doc_id, is_dup 0/1), append-mode per micro-batch. */
   def nearDupDocStream(docs: DataFrame, maxHamming: Int = 3, shingleLen: Int = 3,
       maxSigsPerBucket: Int = 64): DataFrame = {
     val sp = docs.sparkSession
@@ -185,8 +193,16 @@ object EventStreams {
           state.update(BucketSigs(seen))
           out.iterator
       }
-      .toDF("doc_id", "vote")
-      .groupBy("doc_id").agg(max("vote").as("is_dup"))
+      // per-doc OR of the 4 band votes, stateless by construction: the
+      // group's rows all arrive in this micro-batch (same upstream explode),
+      // so emit the fold and leave the state store untouched
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketSigs, (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (docId, rows, _: GroupState[BucketSigs]) =>
+          Iterator((docId, rows.map(_._2).max))
+      }
+      .toDF("doc_id", "is_dup")
   }
 
   /** SURVEY.md §7.6 made real: the reference's classify-then-aggregate

@@ -136,6 +136,38 @@ class PropertySpec extends SparkSpec {
     assert(got.nonEmpty, "the slice boundary must cut through some near-dup pairs")
   }
 
+  test("banded LSH recall: every exact-Jaccard ≥ 0.7 cross-slice pair is produced (q113 oracle precondition)") {
+    // The q113 DuckDB oracle is exact all-pairs Jaccard while the engine
+    // generates candidates via 16×2 banded minhash — miss probability
+    // (1−s²)^16 > 0 for pairs just above threshold. This pins the
+    // data-dependent assumption the hash match rests on: on the shipped
+    // fixture, brute-force exact Jaccard and the banded join agree.
+    import graft.plans.MinHashExprs
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), MinHashExprs.shingleHashes(
+        TextExprs.cleanText(col("text")), 3).as("shh"))
+      .where(size(col("shh")) > 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("batch_id"), col("shh").as("shh_a"))
+    val corp = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("shh").as("shh_b"))
+    val brute = batch.crossJoin(corp)
+      .select(col("batch_id"), col("corpus_id"),
+        MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("j"))
+      .where(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Tables.table(spark, sf(), "documents")
+    val banded = graft.operators.Dedup.minhashNearDupsAgainst(
+        corpus = full.where(col("doc_id") % 10 =!= 0),
+        batch = full.where(col("doc_id") % 10 === 0),
+        id = col("doc_id"), text = col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain cross-slice near-dups")
+    assert(banded == brute,
+      s"LSH missed ${(brute -- banded).take(5)} / extra ${(banded -- brute).take(5)}")
+  }
+
   test("cache-join classifier ≡ direct classify for any cache subset") {
     trials(Gen.zip(Gen.listOfN(15, textGen), Gen.choose(0, 15)), 5).foreach {
       case (answers, take) =>

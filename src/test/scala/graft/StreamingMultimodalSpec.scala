@@ -262,7 +262,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val df = mem.toDF().toDF("doc_id", "text")
     val q = EventStreams.nearDupDocStream(df)
-      .writeStream.outputMode("update").format("memory").queryName("ndd").start()
+      .writeStream.outputMode("append").format("memory").queryName("ndd").start()
     try {
       mem.addData((1L, base), (2L, "completely different content about spark " +
         "catalyst plans and shuffle exchanges at massive corpus scale today"))
@@ -278,6 +278,11 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(verdicts(1L) == 0 && verdicts(2L) == 0, s"first arrivals are not dups: $verdicts")
       assert(verdicts(3L) == 1, s"the near-copy must be flagged: $verdicts")
       assert(verdicts(4L) == 0, s"distinct content must pass: $verdicts")
+      // the per-doc vote fold must hold ZERO state between batches (the
+      // unbounded-state fix: no state-store row per ever-seen doc_id)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal)
+      assert(stateRows.exists(_ == 0L),
+        s"vote-fold operator must keep no state rows, got ${stateRows.mkString(",")}")
     } finally q.stop()
   }
 
