@@ -38,6 +38,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails, passes, rows_only = [], [], []
+# Verify catches per-query errors and keeps going, so an erroring query
+# simply has no output dir — surface those as hard FAILs (a fixture-schema
+# refresh once silently dropped 18 event queries this way).
+written = {p.name for p in Path(OUT).iterdir() if p.is_dir()}
+for q in sorted(set(oracle) - written):
+    fails.append(q)
+    print(f"{q:24s} MISSING (query errored during Verify — see its stderr)")
 for name in sorted(Path(OUT).iterdir()):
     if not name.is_dir():
         continue

@@ -36,16 +36,29 @@ import org.apache.spark.sql.functions._
   * jaccard exactly 1.0, every intersection equal to the per-source
   * distinct-shingle count.
   *
+  * Semdedup mode: pins SemDeDup's k ∝ n contract — replicating the
+  * corpus must raise the cell count so within-cell pair volume stays
+  * linear in n (asserted against both a linear bound and the fixed-k
+  * quadratic regime), and perturbed replicas (cos ≈ 1) must drop.
+  *
+  * Pq mode: ADC scan at k=256 codebooks — compiles the generated code and
+  * asserts method bytecode stays under the JVM 64 KB limit (the LUT rides
+  * as data in a native expression), then times the top-5 scan.
+  *
   * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
   *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
   *        runMain graft.ScaleProbe span [sfDir] [rep]   — span mode
   *        runMain graft.ScaleProbe overlap [sfDir] [rep] — overlap mode
+  *        runMain graft.ScaleProbe semdedup [sfDir] [rep] — semdedup mode
+  *        runMain graft.ScaleProbe pq [sfDir] [rep]      — pq mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("rank")) { rankProbe(args.drop(1)); return }
     if (args.headOption.contains("span")) { spanProbe(args.drop(1)); return }
     if (args.headOption.contains("overlap")) { overlapProbe(args.drop(1)); return }
+    if (args.headOption.contains("semdedup")) { semdedupProbe(args.drop(1)); return }
+    if (args.headOption.contains("pq")) { pqProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -201,6 +214,156 @@ object ScaleProbe {
     println(s"[probe] verified: $pairs pairs all at jaccard=1.0, " +
       s"intersections all $baseShingles")
     out.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  /** Pins SemDeDup's scale contract: replicating the corpus RAISES the cell
+    * count proportionally (k = n / targetCellSize), so the within-cell pair
+    * stream stays LINEAR in n instead of the quadratic blowup a fixed k
+    * produces. Perturbed replicas are near-identical (cos ≈ 1), so the probe
+    * also verifies the dedup finds them. */
+  private def semdedupProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(32)
+    require(rep >= 4, "semdedup probe wants rep >= 4 so most rows are near-dups")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    val target = 128L
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    // perturbed replication: copies of a vector are near-identical (tiny
+    // per-copy offset — cosine ≈ 1 ≥ threshold) so every copy family is a
+    // dense semantic-dup cluster, the densest realistic workload
+    val big = emb.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("vec_id") * rep + col("_r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + col("_r").cast("double") * 1e-4).as("embedding"))
+      .repartition(64).cache()
+    val n = big.count()
+    val k = graft.operators.SemDeDup.cellCount(n, target)
+    println(s"[probe] semdedup corpus: $n vectors (rep=$rep) -> k=$k cells " +
+      s"(fixed k=4 would put ~${n * (n - 1) / 2 / 4} pairs in play)")
+
+    val out = timed("SemDeDup.semdedup (fit + within-cell dedup)")(
+      graft.operators.SemDeDup.semdedup(big, col("vec_id"), col("embedding"),
+        threshold = 0.95, targetCellSize = target).cache())
+    val kept = out.where(col("keep")).count()
+    val dropped = n - kept
+    val cells = out.groupBy("cluster").count()
+      .agg(count(lit(1)).as("nc"), max("count").as("mx"),
+        sum(col("count") * (col("count") - 1) / 2).as("pairs")).head()
+    val (nCells, maxCell, pairs) = (cells.getLong(0), cells.getLong(1),
+      cells.getAs[Number](2).longValue())
+    println(s"[probe] cells=$nCells maxCell=$maxCell withinCellPairs=$pairs " +
+      s"kept=$kept dropped=$dropped")
+    assert(k == math.max(4L, n / target).toInt, s"cell count must scale: k=$k")
+    // the scale claim: pair volume LINEAR in n (vs ~n^2/8 at fixed k=4)
+    assert(pairs <= n * target * 4,
+      s"within-cell pairs $pairs exceed the linear bound ${n * target * 4} — cells too coarse")
+    assert(pairs < n * (n - 1) / 2 / 8,
+      s"pair volume $pairs is not meaningfully below the fixed-k quadratic regime")
+    // recall sanity: most replicas must land with their family and drop
+    assert(dropped >= (n - n / rep) / 2,
+      s"expected most of the ${n - n / rep} near-dup replicas dropped, got $dropped")
+    out.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  /** Times the ADC scan at the k=256 codebooks real PQ deployments run and
+    * asserts the generated code stays within JVM method limits (the LUT is
+    * a native expression carrying the codebook as data — an unrolled
+    * literal form dies at "Code grows beyond 64 KB" here). */
+  private def pqProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    val kCode = 256
+    val cents = (0 until 4).map { m =>
+      (0 until kCode).map(j =>
+        Array.tabulate(16)(i => math.sin(m * 100003 + j * 16 + i))).toSeq
+    }
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val big = emb.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("vec_id") * rep + col("_r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + col("_r").cast("double") * 1e-4).as("v"))
+      .repartition(64).cache()
+    val n = big.count()
+    println(s"[probe] pq corpus: $n vectors, 4 subspaces x $kCode codes")
+
+    // real k=256 assignment via the flat argmin (the fit's hot inner loop)
+    val codeCols = (0 until 4).map { m =>
+      graft.operators.KMeansOp.argmin(
+        org.apache.spark.sql.functions.slice(col("v"), m * 16 + 1, 16),
+        cents(m))._1.as(s"code$m")
+    }
+    val codes = big.select(col("vec_id") +: codeCols: _*).cache()
+    timed(s"k=$kCode argmin encode of $n vectors")(codes.count())
+
+    val q = emb.where(col("vec_id") < 8)
+      .select(Seq(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")) ++
+        (0 until 4).map(m =>
+          graft.functions.AnnExprs.adcLut(
+            col("embedding").cast("array<double>"), cents(m), m * 16).as(s"_lut$m")): _*)
+    val adc = (0 until 4).map(m =>
+      element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    def scan() = q.crossJoin(codes)
+      .select(col("query_id"), col("vec_id").as("corpus_id"), adc.as("adc"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc").asc, col("corpus_id").asc)))
+      .where(col("rnk") <= 5)
+
+    // bytecode proof, not a plan-string check: compile the generated code
+    // and read method sizes (AQE off so stages exist pre-execution)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.execution.debug._
+    val stats = codegenStringSeq(scan().queryExecution.executedPlan)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(stats.nonEmpty, "expected WholeStageCodegen subtrees in the ADC scan")
+    stats.foreach { case (subtree, _, bc) =>
+      assert(bc.maxMethodCodeSize > 0 && bc.maxMethodCodeSize < 65535,
+        s"ADC codegen method size ${bc.maxMethodCodeSize} out of bounds in:\n$subtree")
+    }
+    println(s"[probe] codegen ok: ${stats.size} subtrees, max method " +
+      s"${stats.map(_._3.maxMethodCodeSize).max} bytes")
+
+    scan().write.format("noop").mode("overwrite").save() // warm
+    val t0 = System.nanoTime()
+    scan().write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] ADC top-5, 8 queries x $n codes: $secs%.2f s " +
+      f"(${8 * n / secs / 1e6}%.1f M candidate-rows/s)")
+    codes.unpersist(); big.unpersist()
     spark.stop()
   }
 

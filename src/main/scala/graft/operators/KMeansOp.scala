@@ -32,20 +32,22 @@ import graft.functions.VectorExprs
   */
 object KMeansOp {
 
-  /** (clusterIdx, score) pair as two Columns, strict-< fold so ties keep
-    * the earliest (lowest) centroid index. score = |c|² − 2·v·c (add |v|²
-    * for the true squared distance). */
-  def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) = {
-    val scores = centroids.map { c =>
-      val cnorm = c.foldLeft(0.0)((acc, x) => acc + x * x)
-      lit(cnorm) - lit(2.0) * VectorExprs.dot(v, array(c.map(lit): _*))
-    }
-    scores.zipWithIndex.tail.foldLeft((lit(0), scores.head)) {
-      case ((bestIdx, bestScore), (sc, i)) =>
-        (when(sc < bestScore, lit(i)).otherwise(bestIdx),
-          when(sc < bestScore, sc).otherwise(bestScore))
-    }
-  }
+  /** (clusterIdx, score) pair as two Columns; ties keep the earliest
+    * (lowest) centroid index. score = |c|² − 2·v·c (add |v|² for the true
+    * squared distance).
+    *
+    * NATIVE single-pass expression (plans.ArgMinScoreExpr): the centroid
+    * matrix rides the generated code as a reference OBJECT, so code size
+    * is constant in k. Both expression encodings tried before it scale
+    * badly with the cell count the corpus forces (SemDeDup runs
+    * k = n/targetCellSize): a nested-CASE fold duplicates score
+    * expressions across branches, and even a flat k-entry score array
+    * still generates O(k) call sites — Janino's "Code grows beyond 64 KB"
+    * at k≈500. Arithmetic is bit-identical to the unrolled form
+    * (sequential double dot, Scala-side |c|² fold, strict-< first-wins
+    * tie-break), so every k=4 oracle hash is unchanged. */
+  def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) =
+    graft.plans.AnnNative.argminScore(v, centroids)
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

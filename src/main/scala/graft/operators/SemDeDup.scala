@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** SemDeDup (Abbas et al. 2023): semantic dedup INSIDE embedding-space
+  * k-means cells — pairwise cosine is computed only within a cell, never
+  * across the corpus. The method's scale contract is that THE CELL COUNT
+  * GROWS WITH THE CORPUS (the paper runs 50k clusters over 5B docs): the
+  * within-cell self-join is O(Σ_c |c|²), so holding k fixed while n grows
+  * 100× turns it into a quadratic blowup inside a few giant cells, while
+  * k = n / targetCellSize keeps the expected per-cell pair count at
+  * ~n·targetCellSize/2 — linear in n. ScaleProbe's semdedup mode measures
+  * exactly this: per-cell pair counts stay bounded as the corpus is
+  * replicated because k rises proportionally.
+  *
+  * ONE Lloyd fit serves both the assignment and the dedup (KMeansOp.fit
+  * returns the fitted centroids plus the cached projection it fit on, so
+  * no second fit and no re-read of the source for the vector payload).
+  *
+  * Drop rule: a vector drops when ANY lower-id cell-mate sits at or above
+  * the similarity threshold — a pure EXISTS, deterministic under any
+  * partitioning (greedy sequential sweeps depend on visit order). The
+  * threshold compares the 6dp-ROUNDED cosine so engine and oracle make
+  * identical keep/drop calls.
+  *
+  * Returns (id, cluster, keep).
+  */
+object SemDeDup {
+
+  /** `k = max(kMin, n / targetCellSize)` — `kMin` doubles as the fixed
+    * cell count the sf0.01 oracle is generated for (500 vectors /
+    * targetCellSize 128 → k = 4 exactly). */
+  def cellCount(n: Long, targetCellSize: Long = 128L, kMin: Int = 4): Int =
+    math.max(kMin.toLong, n / targetCellSize).toInt
+
+  def semdedup(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      targetCellSize: Long = 128L, iters: Int = 2): DataFrame = {
+    // metadata-only count: picks k before the single Lloyd fit
+    val n = df.select(id).count()
+    val k = cellCount(n, targetCellSize)
+    val (cents, base) = KMeansOp.fit(df, id, vec, k = k, iters = iters)
+    val (cl, _) = KMeansOp.argmin(col("v"), cents)
+    val v = base.select(col("id"), cl.cast("long").as("cluster"), col("v"))
+    val dropped = v.as("a")
+      .join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(round(VectorExprs.cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    v.join(dropped.withColumn("_drp", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("_drp").isNull.as("keep"))
+  }
+}

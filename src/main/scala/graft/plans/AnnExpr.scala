@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd ADC lookup-table builder (PQ search, Jégou et al. 2011
+  * §III): for one subspace, emit the k-entry array
+  * `lut[j] = |c_j|² − 2 · q_sub · c_j` from the query vector.
+  *
+  * The codebook rides the expression as a REFERENCE OBJECT
+  * (`ctx.addReferenceObj`), i.e. data — not unrolled literal code. The
+  * k=4 oracle queries originally unrolled the table as array/CASE
+  * expressions over per-coordinate literals; that generated O(k·subdim)
+  * code and blew Janino's 64 KB method limit near the k=256 codebooks
+  * every real PQ deployment runs (observed: "Code grows beyond 64 KB" at
+  * 4×256×16 literals). This form generates ONE static call regardless of
+  * codebook size and stays inside whole-stage codegen (Round10Spec
+  * compiles it at k=256 and reads the bytecode stats).
+  *
+  * Bit-exactness contract with the DuckDB oracle: |c_j|² is the same
+  * Scala left-to-right fold the literal form embedded, and the dot is the
+  * same strictly sequential double accumulation as [[VectorNativeImpl.dot]]
+  * — so values are bit-identical to
+  * `lit(|c|²) − 2·vec_dot(slice(qv), array(c literals))` and to DuckDB's
+  * `list_inner_product(c, c) − 2 · list_inner_product(q_sub, c)`.
+  */
+object AnnNativeImpl {
+  /** Nearest-centroid assignment: returns (bestIdx, bestScore) with
+    * score_j = |c_j|² − 2·v·c_j and strict-< tracking, so the FIRST index
+    * holding the minimum wins — the same tie-break as the expression fold
+    * it replaces, and per-entry arithmetic bit-identical to the unrolled
+    * `lit(|c|²) − 2·vec_dot(v, c)` form (sequential double accumulation,
+    * Scala-side |c|² fold). */
+  def argminScore(v: ArrayData, cents: Array[Array[Double]],
+      cnorms: Array[Double], isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    var bestIdx = 0
+    var best = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(if (isFloat) v.numElements() else v.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += q * c(i)
+        i += 1
+      }
+      val score = cnorms(j) - 2.0 * s
+      if (j == 0 || score < best) { best = score; bestIdx = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestIdx, best))
+  }
+
+  def adcLut(qv: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
+      offset: Int, isFloat: Boolean): ArrayData = {
+    val out = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val q = if (isFloat) qv.getFloat(offset + i).toDouble else qv.getDouble(offset + i)
+        s += q * c(i)
+        i += 1
+      }
+      out(j) = cnorms(j) - 2.0 * s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class AdcLutExpr(child: Expression, cents: Array[Array[Double]], offset: Int)
+    extends UnaryExpression {
+  // the same Scala fold the unrolled-literal form used for lit(|c|²)
+  private lazy val cnorms: Array[Double] = cents.map(_.map(x => x * x).sum)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.adcLut(a.asInstanceOf[ArrayData], cents, cnorms, offset, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("adcCents", cents, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("adcCnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.adcLut($q, $centsRef, $cnormsRef, $offset, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AdcLutExpr =
+    copy(child = newChild)
+  override def prettyName: String = "adc_lut"
+}
+
+/** Nearest-centroid (index, score) as ONE native pass over the centroid
+  * table — the k-means assignment hot loop. The flat `array_min` +
+  * `array_position` expression form already beat the nested-CASE fold, but
+  * a CreateArray of k score expressions still generates O(k) call sites and
+  * breaks Janino's 64 KB method limit near k=500 (observed in the semdedup
+  * scale probe, where k scales with the corpus). Here the centroid matrix
+  * is a reference object and the generated code is one static call at any
+  * k. */
+case class ArgMinScoreExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  private lazy val cnorms: Array[Double] = cents.map(_.map(x => x * x).sum)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("score", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.argminScore(a.asInstanceOf[ArrayData], cents, cnorms, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("amCents", cents, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("amCnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.argminScore($v, $centsRef, $cnormsRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMinScoreExpr =
+    copy(child = newChild)
+  override def prettyName: String = "argmin_score"
+}
+
+object AnnNative {
+  import org.apache.spark.sql.graft.ColumnBridge
+  /** k-entry ADC table for the subspace starting at 0-based `offset` with
+    * width = each centroid's length. */
+  def adcLut(qv: Column, cents: Seq[Array[Double]], offset: Int): Column =
+    ColumnBridge.column(AdcLutExpr(ColumnBridge.expression(qv), cents.toArray, offset))
+
+  /** (nearest centroid index, its |c|²−2·v·c score) columns from one
+    * native pass; the shared struct is CSE'd inside whole-stage codegen. */
+  def argminScore(v: Column, cents: Seq[Array[Double]]): (Column, Column) = {
+    val st = ColumnBridge.column(ArgMinScoreExpr(ColumnBridge.expression(v), cents.toArray))
+    (st.getField("idx"), st.getField("score"))
+  }
+}

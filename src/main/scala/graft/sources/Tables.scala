@@ -13,15 +13,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read natively;
-    * the legacy conf surfaces it as LongType nanos, converted here to a
-    * proper timestamp. Integer `div` (not `/`): an epoch-nanos long exceeds
-    * the 2^53 exact-double range, and the fixture data is µs-precision so
-    * the ns→µs truncation is lossless. */
+  /** events.ts normalization — the fixture generator has shipped this column
+    * as parquet TIMESTAMP(NANOS) in some refreshes and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) in others, so the reader dispatches on the
+    * surfaced Spark type instead of assuming one physical layout:
+    *  - NANOS (legacy conf surfaces it as LongType nanos): integer `div`
+    *    1000 (not `/`: epoch-nanos exceeds the 2^53 exact-double range; the
+    *    data is µs-precision so ns→µs truncation is lossless) then
+    *    timestamp_micros.
+    *  - MICROS without UTC adjustment (Spark reads TIMESTAMP_NTZ): cast to
+    *    session-local TimestampType — the session is pinned to UTC
+    *    everywhere (builder configs), so the wall-clock micros are
+    *    preserved bit-for-bit and downstream unix_micros/window arithmetic
+    *    matches the DuckDB oracle, which also reads the column naively. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
