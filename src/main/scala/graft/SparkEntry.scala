@@ -1791,6 +1791,79 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q119_ivfpq_recall" -> ((s, dir) => {
+      // Recall@5 of the IVFADC index (q115) against the exact L2 top-5 —
+      // the one number every ANN deployment reports, and the natural
+      // oracle-checkable composition of existing parts: both sides are
+      // fully deterministic (fixed seeds, 6dp-rounded scores before every
+      // rank window), so DuckDB replicates the approximate result exactly
+      // and the driver hash-checks the recall itself, not just "rows>0".
+      // Ground truth is exact L2 (the metric ADC approximates), not
+      // cosine, so the number isolates quantization + probe loss. At
+      // scale the exact side is the one-off offline evaluation scan every
+      // deployment runs on a query sample; the approximate side touches
+      // nProbe/k of the code table as in q115.
+      val e = t(s, dir, "embeddings")
+      val approx = queries("q115_ivfpq_search")(s, dir)
+        .select(col("query_id"), col("corpus_id"))
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val c = e.select(col("vec_id").as("corpus_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val exact = q.crossJoin(c)
+        .select(col("query_id"), col("corpus_id"),
+          round(VectorExprs.dot(col("qv"), col("qv"))
+            + VectorExprs.dot(col("cv"), col("cv"))
+            - lit(2.0) * VectorExprs.dot(col("qv"), col("cv")), 6).as("d2"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2").asc, col("corpus_id").asc)))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      q.select(col("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n"), lit(0L)) / 5.0, 4).as("recall"))
+    }),
+
+    "q120_residual_pq" -> ((s, dir) => {
+      // Residual-form IVFADC encoding (Jégou et al. 2011 §IV — the form
+      // FAISS ships as IndexIVFPQ): PQ codebooks are fit on the RESIDUAL
+      // r = v − c_cell (vector minus its coarse centroid), not on raw
+      // vectors. Residuals concentrate near the origin with far less
+      // spread than the raw space, so the same 4-subspace × k codebook
+      // budget quantizes them with strictly lower error than q111's
+      // non-residual codes (Round10Spec asserts the inequality on this
+      // table). Scale shape: the coarse fit + 4 residual sub-fits are the
+      // same bounded driver state as q115 (k×dim matrices), the residual
+      // column derives in one pass from the cached base (no second scan),
+      // and the code table stays one row per vector, equi-joined on id.
+      val e = t(s, dir, "embeddings")
+      val (coarse, base) = graft.operators.KMeansOp.fit(
+        e, col("vec_id"), col("embedding"), k = 4, iters = 2)
+      val (cellCol, _) = graft.operators.KMeansOp.argmin(col("v"), coarse)
+      val res = base.select(col("id"), cellCol.cast("int").as("cell"), col("v"))
+        .select(col("id"), col("cell"),
+          zip_with(col("v"), AnnExprs.centroidAt(coarse, col("cell")),
+            (a, b) => a - b).as("rv"))
+      // 4 independent residual sub-fits on concurrent driver threads
+      // (q111's pattern; wall ≈ one fit)
+      val fits = Await.result(Future.sequence((0 until 4).map { m => Future {
+        graft.operators.KMeansOp.kmeans(
+            res, col("id"), slice(col("rv"), m * 16 + 1, 16), k = 4, iters = 2)
+          .select(col("id"), col("cluster").as(s"code$m"),
+            col("sq_dist").as(s"_e$m"))
+      }}), Duration.Inf)
+      val codes = fits.reduce(_.join(_, "id"))
+      res.select(col("id"), col("cell").cast("long").as("cell"))
+        .join(codes, "id")
+        .select(col("id").as("vec_id"), col("cell"),
+          col("code0"), col("code1"), col("code2"), col("code3"),
+          round(col("_e0") + col("_e1") + col("_e2") + col("_e3"), 4).as("rpq_err"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -1948,6 +2021,53 @@ object SparkEntry {
     val classifiedCte =
       s"""WITH c1 AS (SELECT *, ${cleanSql("text")} AS $cln FROM documents),
          |c2 AS (SELECT *, lower($cln) AS $low FROM c1)""".stripMargin
+
+    // q115's full twin, factored out so q119 (recall@k) can embed the
+    // IDENTICAL approximate result as a derived table
+    val q115Oracle: String = {
+      def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+        "embeddings", "vec_id",
+        s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+        k = 4, iters = 2, dim = 16) + s"\n) a$m"
+      def cb(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+        "embeddings", "vec_id",
+        s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+        k = 4, iters = 2, dim = 16) + s"\n) cb$m"
+      val asgFull = "(" + graft.operators.KMeansOp.oracleSql(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) ac"
+      val cbFull = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+        "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) cc"
+      val cd = "round(list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c), 6)"
+      val lut = (0 until 4).map { m =>
+        s"""(list_inner_product(cb$m.c, cb$m.c)
+           |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |probed AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, cc.cid AS cell,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |     ORDER BY $cd ASC, cc.cid ASC) AS crnk
+         |  FROM q CROSS JOIN $cbFull) WHERE crnk <= 2)
+         |SELECT query_id, corpus_id, adc,
+         | CAST(row_number() OVER (PARTITION BY query_id
+         |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
+         |FROM (
+         |  SELECT p.query_id, ac.vec_id AS corpus_id,
+         |   round(list_inner_product(p.qv, p.qv) + $lut, 6) AS adc
+         |  FROM probed p
+         |   JOIN $asgFull ON ac.cluster = p.cell
+         |   JOIN ${asg(0)} ON a0.vec_id = ac.vec_id
+         |   JOIN ${asg(1)} ON a1.vec_id = ac.vec_id
+         |   JOIN ${asg(2)} ON a2.vec_id = ac.vec_id
+         |   JOIN ${asg(3)} ON a3.vec_id = ac.vec_id
+         |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
+         |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
+         |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
+         |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
+         |QUALIFY rnk <= 5""".stripMargin
+    }
 
     ListMap(
       "q01_agg_pricing" ->
@@ -3021,49 +3141,55 @@ object SparkEntry {
            |QUALIFY rnk <= 5""".stripMargin
       },
 
-      "q115_ivfpq_search" -> {
-        def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
-          "embeddings", "vec_id",
-          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
-          k = 4, iters = 2, dim = 16) + s"\n) a$m"
-        def cb(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
-          "embeddings", "vec_id",
-          s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
-          k = 4, iters = 2, dim = 16) + s"\n) cb$m"
+      "q115_ivfpq_search" -> q115Oracle,
+
+      "q119_ivfpq_recall" ->
+        s"""WITH approx AS (
+           |$q115Oracle
+           |),
+           |qq AS (SELECT vec_id AS query_id,
+           |   embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+           |cx AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |exact AS (SELECT query_id, corpus_id FROM (
+           |   SELECT query_id, corpus_id,
+           |    round(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+           |     - 2 * list_inner_product(qv, cv), 6) AS d2
+           |   FROM qq CROSS JOIN cx)
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY d2 ASC, corpus_id ASC) <= 5),
+           |hits AS (SELECT e.query_id, count(*) AS n FROM exact e
+           |  JOIN approx a ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+           |  GROUP BY 1)
+           |SELECT qq.query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+           | round(coalesce(n, 0) / 5.0, 4) AS recall
+           |FROM qq LEFT JOIN hits USING (query_id)""".stripMargin,
+
+      "q120_residual_pq" -> {
         val asgFull = "(" + graft.operators.KMeansOp.oracleSql(
           "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) ac"
         val cbFull = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
           "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) cc"
-        val cd = "round(list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c), 6)"
-        val lut = (0 until 4).map { m =>
-          s"""(list_inner_product(cb$m.c, cb$m.c)
-             |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
-        }.mkString(" + ")
-        s"""WITH q AS (SELECT vec_id AS query_id,
-           |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-           |  FROM embeddings WHERE vec_id < 8),
-           |probed AS (SELECT query_id, qv, cell FROM (
-           |  SELECT q.query_id, q.qv, cc.cid AS cell,
-           |   row_number() OVER (PARTITION BY q.query_id
-           |     ORDER BY $cd ASC, cc.cid ASC) AS crnk
-           |  FROM q CROSS JOIN $cbFull) WHERE crnk <= 2)
-           |SELECT query_id, corpus_id, adc,
-           | CAST(row_number() OVER (PARTITION BY query_id
-           |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
-           |FROM (
-           |  SELECT p.query_id, ac.vec_id AS corpus_id,
-           |   round(list_inner_product(p.qv, p.qv) + $lut, 6) AS adc
-           |  FROM probed p
-           |   JOIN $asgFull ON ac.cluster = p.cell
-           |   JOIN ${asg(0)} ON a0.vec_id = ac.vec_id
-           |   JOIN ${asg(1)} ON a1.vec_id = ac.vec_id
-           |   JOIN ${asg(2)} ON a2.vec_id = ac.vec_id
-           |   JOIN ${asg(3)} ON a3.vec_id = ac.vec_id
-           |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
-           |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
-           |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
-           |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
-           |QUALIFY rnk <= 5""".stripMargin
+        // the residual table: v − its coarse centroid (centroids 6dp-rounded
+        // by the Lloyd chain on BOTH engines, subtraction exact)
+        val resTable =
+          s"""(SELECT ev.vec_id, ac.cluster AS cell,
+             |  list_transform(range(1, 65), i -> ev.v[i] - cc.c[i]) AS rv
+             | FROM (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |   FROM embeddings) ev
+             | JOIN $asgFull ON ac.vec_id = ev.vec_id
+             | JOIN $cbFull ON cc.cid = ac.cluster)""".stripMargin
+        def sub(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+          s"$resTable rt$m", "vec_id",
+          s"list_slice(rv, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n) r$m"
+        s"""SELECT r0.vec_id, rc.cell, r0.cluster AS code0, r1.cluster AS code1,
+           | r2.cluster AS code2, r3.cluster AS code3,
+           | round(r0.sq_dist + r1.sq_dist + r2.sq_dist + r3.sq_dist, 4) AS rpq_err
+           |FROM ${sub(0)} JOIN ${sub(1)} USING (vec_id)
+           | JOIN ${sub(2)} USING (vec_id) JOIN ${sub(3)} USING (vec_id)
+           | JOIN (SELECT ac.vec_id, CAST(ac.cluster AS BIGINT) AS cell
+           |   FROM $asgFull) rc USING (vec_id)""".stripMargin
       },
 
       "q118_mmr_rerank" -> {

@@ -95,4 +95,26 @@ class Round10Spec extends SparkSpec {
     val picked = Seq(Seq(1.0, 0.0)).toDF("v").select(cl2).head().getInt(0)
     assert(picked == 0, s"tie must keep the lowest centroid index, got $picked")
   }
+
+  test("q119: IVFADC recall@5 clears the floor a usable index must hold") {
+    val rec = SparkEntry.queries("q119_ivfpq_recall")(spark, sf())
+    val rows = rec.collect()
+    assert(rows.length == 8, s"one recall row per query, got ${rows.length}")
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    // nProbe=2 of 4 cells with 4-entry codebooks is a deliberately coarse
+    // toy index (measured mean recall@5 = 0.30 on the sf0.001 table); the
+    // floor pins that it stays a working index — far above the 0.05 a
+    // random top-5 of 500 would score — without overfitting the fixture
+    assert(mean >= 0.25, s"mean recall@5 $mean below floor 0.25")
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 5))
+  }
+
+  test("q120: residual PQ codes quantize strictly better than q111's raw-space codes") {
+    val raw = SparkEntry.queries("q111_product_quant")(spark, sf())
+      .agg(avg("pq_err")).head().getDouble(0)
+    val res = SparkEntry.queries("q120_residual_pq")(spark, sf())
+      .agg(avg("rpq_err")).head().getDouble(0)
+    assert(res < raw,
+      s"residual encoding must cut quantization error: residual $res vs raw $raw")
+  }
 }
