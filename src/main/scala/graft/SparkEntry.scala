@@ -1864,6 +1864,70 @@ object SparkEntry {
           round(col("_e0") + col("_e1") + col("_e2") + col("_e3"), 4).as("rpq_err"))
     }),
 
+    "q121_curation_pipeline" -> ((s, dir) => {
+      // The END-TO-END curation pipeline in ONE oracle-checked plan:
+      // Gopher hard rules → benchmark decontamination → minhash near-dup
+      // dedup → temperature-mixed sampling → fixed-budget packing. Every
+      // stage is the engine's existing operator (q79/q71/q27/q96/q93
+      // respectively) — the point of the query is that they COMPOSE in a
+      // single dataflow without driver materialization between stages.
+      // Scale notes: the decontamination gram set broadcasts (q71), the
+      // near-dup candidate join is banded LSH with cached ids-only
+      // signatures (q27; exact-Jaccard-oracle recall caveat documented at
+      // Dedup.minhashNearDupsAgainst), and the ONLY cached intermediate is
+      // the post-dedup manifest — a slim (id, lang, n_toks, draw) columnar
+      // projection, exactly what a production pipeline checkpoints between
+      // its filter and sampling phases; the mix/rank/pack stages then read
+      // the manifest, not the corpus, so `documents` is scanned a bounded
+      // number of times regardless of how many downstream stages follow
+      // (PlanSpec pins the scan count).
+      val all = t(s, dir, "documents")
+      val train = all.where(col("doc_id") % 20 =!= 0)
+      val gopherPass = TextAnalysis.gopherRules(train, col("doc_id"), col("text"))
+        .where(col("passes")).select(col("id").as("doc_id"))
+      val contaminated = graft.operators.Decontaminate.report(
+          train = train, bench = all.where(col("doc_id") % 20 === 0),
+          id = col("doc_id"), text = col("text"), n = 8)
+        .select(col("id").as("doc_id"))
+      val clean = train
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+        .join(gopherPass, "doc_id")
+        .join(contaminated.withColumn("_hit", lit(true)), Seq("doc_id"), "left")
+        .where(col("_hit").isNull)
+      val dropped = Dedup.minhashNearDups(clean, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select(col("id_b").as("doc_id")).distinct()
+      val manifest = clean
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          md5(col("doc_id").cast("string")).as("_draw"))
+        .join(dropped.withColumn("_d", lit(true)), Seq("doc_id"), "left")
+        .where(col("_d").isNull)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("_draw"))
+        .cache()
+      // temperature mix (q96's integer-exact quota arithmetic, K=200)
+      val K = 200L
+      val counts = manifest.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
+      val quota = counts
+        .withColumn("prev_cum", coalesce(sum("cnt").over(
+          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .crossJoin(broadcast(counts.agg(sum("w").as("wsum"))))
+        .withColumn("quota", expr(s"($K * w) DIV wsum"))
+        .select("lang", "prev_cum", "quota")
+      val sampled = GlobalRank.withRowNumber(manifest,
+          Seq(col("lang").asc, col("_draw").asc, col("doc_id").asc), "_grn")
+        .join(broadcast(quota), "lang")
+        .where(col("_grn") - col("prev_cum") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("_draw"))
+      // epoch-shuffle-ordered packing (q104's order, q93's boundary rule)
+      GlobalRank.withRunningSum(sampled,
+          Seq(col("_draw").asc, col("doc_id").asc), col("n_toks"), "cum_toks")
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"),
+          expr("(cum_toks - n_toks) DIV 2048").as("pack_id"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3355,6 +3419,54 @@ object SparkEntry {
            | round(count(*) / CAST(n - 29 AS DOUBLE), 4) AS dup_ratio
            |FROM h JOIN d USING (h)
            |GROUP BY doc_id, n""".stripMargin,
+
+      "q121_curation_pipeline" -> {
+        val gopher = "(" + graft.operators.TextAnalysis.gopherRulesOracleSql(
+          "(SELECT * FROM documents WHERE doc_id % 20 <> 0) tr",
+          "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')") + "\n) gf"
+        s"""WITH tok8 AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+           |  FROM tok8 WHERE len(toks) >= 8),
+           |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+           |hit AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+           |  WHERE g.doc_id % 20 <> 0),
+           |clean AS (SELECT d.doc_id, d.lang,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks,
+           |   ${cleanSql("text")} AS ctext
+           |  FROM documents d
+           |  JOIN $gopher ON gf.doc_id = d.doc_id AND gf.passes
+           |  LEFT JOIN hit ON hit.doc_id = d.doc_id
+           |  WHERE d.doc_id % 20 <> 0 AND hit.doc_id IS NULL),
+           |csh AS (SELECT doc_id, list_distinct(list_transform(
+           |    range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS s
+           |  FROM (SELECT doc_id, string_split(ctext, ' ') AS toks FROM clean)
+           |  WHERE len(toks) >= 3),
+           |dropped AS (SELECT DISTINCT b.doc_id FROM csh a JOIN csh b
+           |  ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |manifest AS (SELECT c.doc_id, c.lang, c.n_toks,
+           |   md5(CAST(c.doc_id AS VARCHAR)) AS draw
+           |  FROM clean c LEFT JOIN dropped dr ON dr.doc_id = c.doc_id
+           |  WHERE dr.doc_id IS NULL),
+           |mc AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+           |   CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM manifest GROUP BY lang),
+           |mq AS (SELECT lang,
+           |   CAST((200 * w) // (SELECT sum(w) FROM mc) AS BIGINT) AS quota,
+           |   CAST(coalesce(sum(cnt) OVER (ORDER BY lang
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |     AS BIGINT) AS prev_cum
+           |  FROM mc),
+           |samp AS (SELECT m.doc_id, m.lang, m.n_toks, m.draw FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY lang
+           |     ORDER BY draw, doc_id) AS lrank FROM manifest) m
+           |  JOIN mq USING (lang) WHERE m.lrank <= mq.quota)
+           |SELECT doc_id, lang, n_toks, CAST(cum AS BIGINT) AS cum_toks,
+           | CAST((cum - n_toks) // 2048 AS BIGINT) AS pack_id
+           |FROM (SELECT *, sum(n_toks) OVER (ORDER BY draw, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM samp)""".stripMargin
+      },
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,

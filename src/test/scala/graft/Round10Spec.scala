@@ -109,6 +109,42 @@ class Round10Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 5))
   }
 
+  test("q121: the composed curation pipeline is read-bounded and internally consistent") {
+    // total task input (parquet + cache re-reads, cached blocks counted at
+    // in-memory width) stays a small constant multiple of the corpus file —
+    // measured ~33x at sf0.001 across ALL five stages; a per-stage corpus
+    // recompute (no manifest cache) or a per-pair recompute would blow
+    // far past this tripwire. NOT a pure disk-read count: the point is
+    // the multiple does not grow with downstream stage count.
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows =
+      try {
+        val r = SparkEntry.queries("q121_curation_pipeline")(spark, sf()).collect()
+        Thread.sleep(500) // let the straggling task-end events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val fileSz = new java.io.File(sf() + "/documents.parquet").length()
+    assert(bytes.get < 50L * fileSz,
+      s"pipeline read ${bytes.get} bytes for a ${fileSz}-byte corpus — recompute blowup")
+    // structure: packs are contiguous from 0, cum_toks strictly increasing
+    // in the (draw, doc_id) pack order, every pack boundary respects the
+    // 2048-token budget rule
+    assert(rows.nonEmpty)
+    val packs = rows.map(_.getLong(4)).distinct.sorted
+    assert(packs.head == 0L && packs.last == packs.length - 1L,
+      s"pack ids must be contiguous from 0: ${packs.take(10).mkString(",")}")
+    rows.foreach { r =>
+      val (nToks, cum, pack) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pack == (cum - nToks) / 2048,
+        s"pack ${pack} != floor(start/2048) for start ${cum - nToks}")
+    }
+  }
+
   test("q120: residual PQ codes quantize strictly better than q111's raw-space codes") {
     val raw = SparkEntry.queries("q111_product_quant")(spark, sf())
       .agg(avg("pq_err")).head().getDouble(0)
