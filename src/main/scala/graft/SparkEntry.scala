@@ -1928,6 +1928,39 @@ object SparkEntry {
           expr("(cum_toks - n_toks) DIV 2048").as("pack_id"))
     }),
 
+    "q122_cached_api_classify" -> ((s, dir) => {
+      // The reference's API-classify dataflow under the driver's hash gate
+      // (previously spec-only): CacheJoinClassifier probes the reference's
+      // SHIPPED 278-entry memo cache (/root/reference/.analysis_cache.json,
+      // read as DATA and parsed driver-side — fixture-sized, the bounded-
+      // collect license) as a cache TABLE, with RemoteBatchClassifier as
+      // the on-miss path behind a transport that THROWS: zero network by
+      // construction. The run only hash-matches the oracle if the cache
+      // join produces ZERO misses — any miss would take the retry ladder
+      // to the (Neutral, No Feedback) degrade and change the output. At
+      // 100 TB the cache is a parquet table and the same anti-join/union
+      // dataflow degrades from broadcast to shuffled hash join (Classify
+      // scaladoc); the fixture keeps the full dataflow, shrunk.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rootNode = mapper.readTree(
+        new java.io.File("/root/reference/.analysis_cache.json"))
+      import scala.jdk.CollectionConverters._
+      val entries = rootNode.properties().asScala.map { e =>
+        val parts = e.getKey.split("\\Q|||\\E", 3)
+        (parts(0), parts(1), parts(2),
+          e.getValue.get(0).asText, e.getValue.get(1).asText)
+      }.toSeq
+      val sp = s
+      import sp.implicits._
+      val cache = entries.toDF("industry", "question", "answer", "sentiment", "category")
+      val keys = cache.select("industry", "question", "answer")
+      val noNetwork = new graft.operators.RemoteBatchClassifier(
+        transport = (_, _, _) =>
+          throw new java.io.IOException("no network in fixture mode"),
+        maxAttempts = 1, sleeper = _ => ())
+      new graft.operators.CacheJoinClassifier(cache, noNetwork).classify(keys)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3467,6 +3500,20 @@ object SparkEntry {
            |FROM (SELECT *, sum(n_toks) OVER (ORDER BY draw, doc_id
            |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM samp)""".stripMargin
       },
+
+      // the same JSON fixture parsed in SQL: JSON object -> MAP entries;
+      // the key splits on the reference's '|||' delimiter (answer keeps
+      // any further delimiters via the rejoin)
+      "q122_cached_api_classify" ->
+        """WITH raw AS (SELECT content
+          |  FROM read_text('/root/reference/.analysis_cache.json')),
+          |kv AS (SELECT unnest(map_entries(
+          |   content::JSON::MAP(VARCHAR, VARCHAR[]))) AS e FROM raw)
+          |SELECT string_split(e.key, '|||')[1] AS industry,
+          | string_split(e.key, '|||')[2] AS question,
+          | array_to_string(string_split(e.key, '|||')[3:], '|||') AS answer,
+          | e.value[1] AS sentiment, e.value[2] AS category
+          |FROM kv""".stripMargin,
 
       "q92_heavy_hitters_grouped" ->
         s"""WITH toks AS (SELECT lang,
