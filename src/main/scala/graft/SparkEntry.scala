@@ -1644,16 +1644,16 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"))
-      // probe table: the 2 coarse cells nearest each query (6dp-rounded
-      // BEFORE the rank window, same convention as every other ranked
-      // score). The per-cell distance is an array-literal gather (q114's
-      // codegen-shape note), not a CASE chain over cells.
-      val probed = q.crossJoin(s.range(4).select(col("id").cast("int").as("cell")))
-        .select(col("query_id"), col("qv"), col("cell"),
-          round(AnnExprs.scoreAt(col("qv"), coarse, col("cell")), 6).as("cd"))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell").asc)))
-        .where(col("crnk") <= 2)
+      // probe table: the nProbe=2 coarse cells nearest each query, selected
+      // INSIDE one native expression (plans.ArgTopMExpr: 6dp-rounded score
+      // + lowest-cell tie-break — identical selection to the round + rank
+      // window it replaces, so the oracle's window twin still matches).
+      // At a production coarse quantizer (10k+ cells for 100 TB) the old
+      // crossJoin(range(k)) + Window shape pushes k rows per query through
+      // an exchange; this is O(k·dim) inside the scan projection.
+      val probed = q
+        .select(col("query_id"), col("qv"),
+          explode(graft.plans.AnnNative.argTopM(col("qv"), coarse, 2)).as("cell"))
         .select(Seq(col("query_id"), col("qv"), col("cell")) ++
           (0 until 4).map { m =>
             AnnExprs.adcLut(col("qv"), fits(m)._1, m * 16).as(s"_lut$m")

@@ -58,6 +58,43 @@ object AnnNativeImpl {
       Array[Any](bestIdx, best))
   }
 
+  /** Top-m centroid indices by (6dp-HALF_UP-rounded score, index)
+    * ascending — see [[ArgTopMExpr]]. m is tiny (nProbe), so selection is
+    * a simple insertion pass over the k scores. */
+  def argTopM(v: ArrayData, cents: Array[Array[Double]],
+      cnorms: Array[Double], m: Int, isFloat: Boolean): ArrayData = {
+    val top = new Array[Int](m)
+    val topScore = new Array[Double](m)
+    var filled = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += q * c(i)
+        i += 1
+      }
+      val score = java.math.BigDecimal.valueOf(cnorms(j) - 2.0 * s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // insertion: strictly-better (score, idx) pairs displace from the tail
+      var pos = if (filled < m) filled else m - 1
+      val insert = filled < m || score < topScore(m - 1) ||
+        (score == topScore(m - 1) && j < top(m - 1))
+      if (insert) {
+        while (pos > 0 && (score < topScore(pos - 1) ||
+            (score == topScore(pos - 1) && j < top(pos - 1)))) {
+          topScore(pos) = topScore(pos - 1); top(pos) = top(pos - 1); pos -= 1
+        }
+        topScore(pos) = score; top(pos) = j
+        if (filled < m) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(top, filled).asInstanceOf[Array[Int]])
+  }
+
   def adcLut(qv: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
       offset: Int, isFloat: Boolean): ArrayData = {
     val out = new Array[Double](cents.length)
@@ -141,6 +178,42 @@ case class ArgMinScoreExpr(child: Expression, cents: Array[Array[Double]])
   override def prettyName: String = "argmin_score"
 }
 
+/** Top-m nearest centroids as ONE native pass: returns the m centroid
+  * indices ordered by (score ROUNDED to 6 dp, index) ascending — exactly
+  * the `round(cd, 6)` + `row_number().over(orderBy(cd, cell)) <= m`
+  * selection it replaces, so oracle hashes are unchanged, but the plan
+  * loses the k-row-per-query fan-out AND the rank window: the IVF coarse
+  * probe costs O(k·dim) inside the scan projection at any cell count
+  * (10k+ coarse cells is normal for a 100 TB IVFADC index; a
+  * crossJoin(range(k)) + Window there is k rows through an exchange per
+  * query). Rounding uses the same BigDecimal HALF_UP as Spark's `round`. */
+case class ArgTopMExpr(child: Expression, cents: Array[Array[Double]], m: Int)
+    extends UnaryExpression {
+  private lazy val cnorms: Array[Double] = cents.map(_.map(x => x * x).sum)
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.argTopM(a.asInstanceOf[ArrayData], cents, cnorms, m, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("atmCents", cents, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("atmCnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.argTopM($v, $centsRef, $cnormsRef, $m, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgTopMExpr =
+    copy(child = newChild)
+  override def prettyName: String = "arg_top_m"
+}
+
 object AnnNative {
   import org.apache.spark.sql.graft.ColumnBridge
   /** k-entry ADC table for the subspace starting at 0-based `offset` with
@@ -154,4 +227,9 @@ object AnnNative {
     val st = ColumnBridge.column(ArgMinScoreExpr(ColumnBridge.expression(v), cents.toArray))
     (st.getField("idx"), st.getField("score"))
   }
+
+  /** The m nearest centroid indices, ordered by (6dp-rounded score, index)
+    * — the IVF coarse probe in one expression. */
+  def argTopM(v: Column, cents: Seq[Array[Double]], m: Int): Column =
+    ColumnBridge.column(ArgTopMExpr(ColumnBridge.expression(v), cents.toArray, m))
 }

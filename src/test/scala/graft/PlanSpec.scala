@@ -288,6 +288,26 @@ class PlanSpec extends SparkSpec {
       s"phases must come from the GlobalRank range exchange, not ntile():\n${p.take(600)}")
   }
 
+  test("q115: the coarse probe is the arg_top_m expression — ONE window in the whole plan") {
+    // the probe used to be crossJoin(range(k)) + a rank window (k rows per
+    // query through an exchange — fatal at a 10k-cell production coarse
+    // quantizer); now only the final top-5 window remains
+    val p = executed("q115_ivfpq_search")
+    // count Window EXEC nodes ("Window ["); WindowGroupLimit is the rank-
+    // limit pushdown riding the same window — fine, not a second window
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly the top-k window, got $windows:\n${p.take(800)}")
+    assert(p.contains("arg_top_m"), "probe must come from the native arg_top_m expression")
+  }
+
+  test("q122: the cache probe joins broadcast the fixture-sized cache") {
+    val df = SparkEntry.queries("q122_cached_api_classify")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(!fin.contains("SortMergeJoin"),
+      s"the 278-entry cache sides must broadcast:\n${fin.take(800)}")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
