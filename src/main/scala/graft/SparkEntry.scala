@@ -1846,8 +1846,7 @@ object SparkEntry {
       val (cellCol, _) = graft.operators.KMeansOp.argmin(col("v"), coarse)
       val res = base.select(col("id"), cellCol.cast("int").as("cell"), col("v"))
         .select(col("id"), col("cell"),
-          zip_with(col("v"), AnnExprs.centroidAt(coarse, col("cell")),
-            (a, b) => a - b).as("rv"))
+          graft.plans.AnnNative.subCentroid(col("v"), col("cell"), coarse).as("rv"))
       // 4 independent residual sub-fits on concurrent driver threads
       // (q111's pattern; wall ≈ one fit)
       val fits = Await.result(Future.sequence((0 until 4).map { m => Future {

@@ -30,14 +30,4 @@ object AnnExprs {
   def adcLut(qv: Column, centroids: Seq[Array[Double]], offset: Int): Column =
     graft.plans.AnnNative.adcLut(qv, centroids, offset)
 
-  /** The centroid VECTOR selected by an index column, as an array-of-array
-    * literal gather — used by the residual encoder (q120) to subtract the
-    * coarse centroid without a join. Literal unroll is fine here: the
-    * COARSE codebook is the small one (its cell count is bounded by the
-    * partition fan-out you want, not the PQ entry count), and the gather
-    * is one `element_at` over k array literals. */
-  def centroidAt(centroids: Seq[Array[Double]], idx: Column): Column =
-    element_at(array(centroids.map(c =>
-      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)): _*),
-      idx + 1)
 }

@@ -59,13 +59,20 @@ object Similarity {
     }.toSeq
   }
 
-  /** Index side of IVF: nearest-centroid cell id per corpus vector. */
+  /** Index side of IVF: nearest-centroid cell id per corpus vector —
+    * argmax over centroid dot products (vectors ~unit norm; dot ≈ cosine)
+    * as ONE native expression (`argmax_dot`), the centroid matrix riding
+    * the generated code as data. The unrolled
+    * `array_max(array(struct(dot, cid)))` form it replaces generates
+    * O(nCells·dim) code and dies at Janino's 64 KB method limit near the
+    * cell counts a 100 TB index runs; tie-break (highest cid, as struct
+    * max picks) is preserved, so results are bit-identical. Assumes
+    * centroids are handed over in cid order 0..n-1 (sampleCentroids'
+    * contract). */
   def assignCells(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    // argmax over centroid dot products (vectors ~unit norm; dot ≈ cosine)
-    val scores = centroids.map { case (cid, cv) =>
-      struct(VectorExprs.dot(vec, array(cv.map(lit): _*)).as("score"), lit(cid).as("cid"))
-    }
-    array_max(array(scores: _*)).getField("cid")
+    require(centroids.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "assignCells expects centroids keyed 0..n-1 in order")
+    graft.plans.AnnNative.argMaxDot(vec, centroids.map(_._2.toArray))
   }
 
   /** IVF top-k: probe the nProbe nearest cells for each query. */
@@ -74,15 +81,12 @@ object Similarity {
     val centroids = sampleCentroids(corpus, nCells)
     val indexed = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
       .withColumn("cell", assignCells(col("cv"), centroids))
-    // per query: the nProbe closest cells
-    val probeCells = (q: Column) => {
-      val scores = centroids.map { case (cid, cv) =>
-        struct(VectorExprs.dot(q, array(cv.map(lit): _*)).as("score"), lit(cid).as("cid"))
-      }
-      slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
-    }
+    // per query: the nProbe closest cells, ordered (raw dot desc, cid desc)
+    // inside one native expression — same selection as the unrolled
+    // slice(reverse(array_sort(array(struct(dot, cid)))), 1, nProbe)
     val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv")).getField("cid")))
+      .withColumn("cell", explode(
+        graft.plans.AnnNative.topMByDot(col("qv"), centroids.map(_._2.toArray), nProbe)))
     val scored = indexed.join(broadcast(q), Seq("cell"))
       .select(col("query_id"), col("corpus_id"),
         VectorExprs.cosine(col("qv"), col("cv")).as("cos"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -93,6 +93,79 @@ object AnnNativeImpl {
       j += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(top, filled).asInstanceOf[Array[Int]])
+  }
+
+  /** Highest-dot-product centroid index; ties pick the HIGHEST index —
+    * replicating `array_max(array(struct(dot, cid)))`, whose lexicographic
+    * struct max takes the larger cid among equal scores (Similarity.
+    * assignCells' contract; its oracle replicates that tie direction). */
+  def argMaxDot(v: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    var bestIdx = 0
+    var best = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += q * c(i)
+        i += 1
+      }
+      if (j == 0 || s >= best) { best = s; bestIdx = j }
+      j += 1
+    }
+    bestIdx
+  }
+
+  /** Top-m centroid indices by (dot DESC, index DESC) on the RAW unrounded
+    * dot — replicating `slice(reverse(array_sort(array(struct(dot, cid)))),
+    * 1, m)` (Similarity.probeCells' contract). */
+  def topMByDot(v: ArrayData, cents: Array[Array[Double]], m: Int,
+      isFloat: Boolean): ArrayData = {
+    val top = new Array[Int](m)
+    val topScore = new Array[Double](m)
+    var filled = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += q * c(i)
+        i += 1
+      }
+      // (score desc, idx desc): a later equal-score index displaces earlier
+      val insert = filled < m || s >= topScore(m - 1)
+      if (insert) {
+        var pos = if (filled < m) filled else m - 1
+        while (pos > 0 && s >= topScore(pos - 1)) {
+          topScore(pos) = topScore(pos - 1); top(pos) = top(pos - 1); pos -= 1
+        }
+        topScore(pos) = s; top(pos) = j
+        if (filled < m) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(top, filled))
+  }
+
+  /** Residual vector v − c_idx for a pre-assigned centroid index — the
+    * corpus-side residual-PQ encode (q120) as one native call instead of a
+    * `zip_with` higher-order function (HOFs are interpreted; the encode is
+    * a full-corpus pass at 100 TB). */
+  def subCentroid(v: ArrayData, idx: Int, cents: Array[Array[Double]],
+      isFloat: Boolean): ArrayData = {
+    val c = cents(idx)
+    val out = new Array[Double](c.length)
+    var i = 0
+    while (i < c.length) {
+      val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = q - c(i)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def adcLut(qv: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
@@ -214,6 +287,92 @@ case class ArgTopMExpr(child: Expression, cents: Array[Array[Double]], m: Int)
   override def prettyName: String = "arg_top_m"
 }
 
+/** `array_max(array(struct(dot, cid)))` as one native call — code size
+  * constant in cell count (the unrolled struct-array form is O(k·dim) code,
+  * the 64 KB failure shape at production cell counts). Tie-break preserved:
+  * highest index wins, as lexicographic struct max does. */
+case class ArgMaxDotExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.argMaxDot(a.asInstanceOf[ArrayData], cents, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("amdCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.argMaxDot($v, $centsRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDotExpr =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_dot"
+}
+
+/** `slice(reverse(array_sort(array(struct(dot, cid)))), 1, m).cid` as one
+  * native call — (raw dot DESC, index DESC) ordering preserved. */
+case class TopMDotExpr(child: Expression, cents: Array[Array[Double]], m: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.topMByDot(a.asInstanceOf[ArrayData], cents, m, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("tmdCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.topMByDot($v, $centsRef, $m, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopMDotExpr =
+    copy(child = newChild)
+  override def prettyName: String = "top_m_dot"
+}
+
+/** Residual v − c_idx (corpus-side residual-PQ encode) — native replacement
+  * for `zip_with(v, element_at(<array-of-array literals>, idx+1), _ − _)`:
+  * the HOF pair is interpreted per row and the literal gather is O(k·dim)
+  * generated code. */
+case class SubCentroidExpr(left: Expression, right: Expression,
+    cents: Array[Array[Double]]) extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, int), got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AnnNativeImpl.subCentroid(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], cents, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("scCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, i) =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.subCentroid($v, $i, $centsRef, $isFloat);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubCentroidExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sub_centroid"
+}
+
 object AnnNative {
   import org.apache.spark.sql.graft.ColumnBridge
   /** k-entry ADC table for the subspace starting at 0-based `offset` with
@@ -232,4 +391,17 @@ object AnnNative {
     * — the IVF coarse probe in one expression. */
   def argTopM(v: Column, cents: Seq[Array[Double]], m: Int): Column =
     ColumnBridge.column(ArgTopMExpr(ColumnBridge.expression(v), cents.toArray, m))
+
+  /** Highest-dot cell id (ties → highest index, matching struct-max). */
+  def argMaxDot(v: Column, cents: Seq[Array[Double]]): Column =
+    ColumnBridge.column(ArgMaxDotExpr(ColumnBridge.expression(v), cents.toArray))
+
+  /** m cell ids by (raw dot desc, index desc) — the cosine-IVF probe. */
+  def topMByDot(v: Column, cents: Seq[Array[Double]], m: Int): Column =
+    ColumnBridge.column(TopMDotExpr(ColumnBridge.expression(v), cents.toArray, m))
+
+  /** v − centroid[idx] as array<double>. */
+  def subCentroid(v: Column, idx: Column, cents: Seq[Array[Double]]): Column =
+    ColumnBridge.column(SubCentroidExpr(
+      ColumnBridge.expression(v), ColumnBridge.expression(idx), cents.toArray))
 }

@@ -96,6 +96,35 @@ class Round10Spec extends SparkSpec {
     assert(picked == 0, s"tie must keep the lowest centroid index, got $picked")
   }
 
+  test("arg_top_m / top_m_dot replicate their window/sort forms at k=256 with bounded codegen") {
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings")
+    val cents = deterministicCodebook(3, 256, 64)
+    val qv = col("embedding").cast("array<double>")
+    val res = e.select(col("vec_id"),
+      graft.plans.AnnNative.argTopM(qv, cents, 3).as("near"),
+      graft.plans.AnnNative.topMByDot(qv, cents, 3).as("hot"))
+    import org.apache.spark.sql.execution.debug._
+    val stats = codegenStringSeq(res.queryExecution.executedPlan)
+    assert(stats.nonEmpty)
+    stats.foreach { case (t, _, bc) =>
+      assert(bc.maxMethodCodeSize > 0 && bc.maxMethodCodeSize < 65535,
+        s"probe codegen out of bounds (${bc.maxMethodCodeSize}):\n$t")
+    }
+    // brute-force both orderings driver-side for a sample row
+    val r = res.where(col("vec_id") === 5).head()
+    val v = e.where(col("vec_id") === 5).head().getSeq[Float](1).map(_.toDouble)
+    def dot(c: Array[Double]) = v.zip(c).map { case (a, b) => a * b }.sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDist = cents.zipWithIndex
+      .map { case (c, i) => (r6(c.map(x => x * x).sum - 2.0 * dot(c)), i) }
+      .sortBy { case (s, i) => (s, i) }.take(3).map(_._2)
+    val byDot = cents.zipWithIndex
+      .map { case (c, i) => (dot(c), i) }
+      .sortBy { case (s, i) => (-s, -i) }.take(3).map(_._2)
+    assert(r.getSeq[Int](1) == byDist, s"arg_top_m ${r.getSeq[Int](1)} != $byDist")
+    assert(r.getSeq[Int](2) == byDot, s"top_m_dot ${r.getSeq[Int](2)} != $byDot")
+  }
+
   test("q119: IVFADC recall@5 clears the floor a usable index must hold") {
     val rec = SparkEntry.queries("q119_ivfpq_recall")(spark, sf())
     val rows = rec.collect()
