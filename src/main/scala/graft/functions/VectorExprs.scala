@@ -32,15 +32,14 @@ object VectorExprs {
       lit(0.0), (acc, x) => acc + x))
 
   /** Sign-bit bucket for random-hyperplane LSH: for each plane (a fixed
-    * deterministic matrix), emit bit = dot(v, plane) >= 0; pack bits into an
-    * int bucket id. Planes are broadcast as literals (tiny). */
-  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
-      when(dot(v, planeArr) >= 0.0, lit(1 << i)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+    * deterministic matrix), bit = dot(v, plane) >= 0; bits packed into an
+    * int bucket id. Native expression — the plane matrix rides the
+    * generated code as data, so the signature width can grow to the
+    * 32–64 bits production LSH uses without the O(planes·dim) literal
+    * unroll that breaks the 64 KB codegen method limit. Bit-for-bit equal
+    * to the when-chain form it replaces (PropertySpec differential). */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    graft.plans.AnnNative.hyperplaneBucket(v, planes)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed — stable
     * across runs/partitions, required for LSH join correctness). */

@@ -151,6 +151,29 @@ object AnnNativeImpl {
     new GenericArrayData(java.util.Arrays.copyOf(top, filled))
   }
 
+  /** Sign-bit hyperplane LSH bucket: bit i set iff v · plane_i ≥ 0 —
+    * replicating the unrolled `when(dot ≥ 0, 1<<i).otherwise(0)` sum
+    * bit-for-bit (same sequential dots, same ≥ 0 cut, same bit weights). */
+  def hyperplaneBucket(v: ArrayData, planes: Array[Array[Double]],
+      isFloat: Boolean): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val q = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += q * p(i)
+        i += 1
+      }
+      if (s >= 0.0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Residual vector v − c_idx for a pre-assigned centroid index — the
     * corpus-side residual-PQ encode (q120) as one native call instead of a
     * `zip_with` higher-order function (HOFs are interpreted; the encode is
@@ -342,6 +365,35 @@ case class TopMDotExpr(child: Expression, cents: Array[Array[Double]], m: Int)
   override def prettyName: String = "top_m_dot"
 }
 
+/** Sign-bit hyperplane LSH bucket (random-projection LSH for cosine,
+  * Charikar 2002) — the plane matrix as data; the unrolled when-chain form
+  * is O(planes·dim) generated code, the familiar 64 KB failure at the
+  * 32–64-bit signatures production LSH runs. Bit-for-bit equal to the
+  * expression form (PropertySpec differential at 64 planes). */
+case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    AnnNativeImpl.hyperplaneBucket(a.asInstanceOf[ArrayData], planes, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AnnNativeImpl.hyperplaneBucket($v, $planesRef, $isFloat);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
 /** Residual v − c_idx (corpus-side residual-PQ encode) — native replacement
   * for `zip_with(v, element_at(<array-of-array literals>, idx+1), _ − _)`:
   * the HOF pair is interpreted per row and the literal gather is O(k·dim)
@@ -404,4 +456,9 @@ object AnnNative {
   def subCentroid(v: Column, idx: Column, cents: Seq[Array[Double]]): Column =
     ColumnBridge.column(SubCentroidExpr(
       ColumnBridge.expression(v), ColumnBridge.expression(idx), cents.toArray))
+
+  /** Sign-bit LSH bucket id over the given hyperplanes. */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(
+      ColumnBridge.expression(v), planes.map(_.toArray).toArray))
 }

@@ -168,6 +168,25 @@ class PropertySpec extends SparkSpec {
       s"LSH missed ${(brute -- banded).take(5)} / extra ${(banded -- brute).take(5)}")
   }
 
+  test("native hyperplane_bucket ≡ the unrolled when-chain form at 64 planes") {
+    // the width production LSH runs — the unrolled form would be
+    // O(planes·dim) generated code; values must match bit-for-bit
+    val planes = graft.functions.VectorExprs.deterministicPlanes(30, 64)
+    val unrolled = {
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        when(graft.functions.VectorExprs.dot(col("embedding"),
+          array(p.map(lit): _*)) >= 0.0, lit(1 << i)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val e = Tables.table(spark, sf(), "embeddings")
+    val diff = e.select(
+        graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), planes).as("a"),
+        unrolled.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff rows diverge between native and unrolled buckets")
+  }
+
   test("cache-join classifier ≡ direct classify for any cache subset") {
     trials(Gen.zip(Gen.listOfN(15, textGen), Gen.choose(0, 15)), 5).foreach {
       case (answers, take) =>
