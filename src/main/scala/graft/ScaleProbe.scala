@@ -332,7 +332,7 @@ object ScaleProbe {
       .select(Seq(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv")) ++
         (0 until 4).map(m =>
-          graft.functions.AnnExprs.adcLut(
+          graft.plans.AnnNative.adcLut(
             col("embedding").cast("array<double>"), cents(m), m * 16).as(s"_lut$m")): _*)
     val adc = (0 until 4).map(m =>
       element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)

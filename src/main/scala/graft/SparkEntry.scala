@@ -7,7 +7,7 @@ import scala.concurrent.ExecutionContext.Implicits.global
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{AnnExprs, Lexicons, TextExprs, VectorExprs}
+import graft.functions.{Lexicons, TextExprs, VectorExprs}
 import graft.operators.{Dedup, GlobalRank, JoinOps, Profiler, Retrieval, Similarity, SurveyPipeline, TextAnalysis, TopKAgg}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
@@ -1600,7 +1600,7 @@ object SparkEntry {
         .select(Seq(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv")) ++
           (0 until 4).map { m =>
-            AnnExprs.adcLut(col("embedding").cast("array<double>"),
+            graft.plans.AnnNative.adcLut(col("embedding").cast("array<double>"),
               fits(m)._1, m * 16).as(s"_lut$m")
           }: _*)
       val lutSum = (0 until 4).map(m =>
@@ -1656,7 +1656,7 @@ object SparkEntry {
           explode(graft.plans.AnnNative.argTopM(col("qv"), coarse, 2)).as("cell"))
         .select(Seq(col("query_id"), col("qv"), col("cell")) ++
           (0 until 4).map { m =>
-            AnnExprs.adcLut(col("qv"), fits(m)._1, m * 16).as(s"_lut$m")
+            graft.plans.AnnNative.adcLut(col("qv"), fits(m)._1, m * 16).as(s"_lut$m")
           }: _*)
       val lutSum = (0 until 4).map(m =>
         element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{AnnExprs, VectorExprs}
+import graft.functions.VectorExprs
+import graft.plans.AnnNative
 
 /** Round-10 invariants: the ANN stack at REALISTIC parameters.
   *
@@ -27,7 +28,7 @@ class Round10Spec extends SparkSpec {
       .select(Seq(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv")) ++
         (0 until 4).map(m =>
-          AnnExprs.adcLut(col("embedding").cast("array<double>"), cents(m), m * 16)
+          AnnNative.adcLut(col("embedding").cast("array<double>"), cents(m), m * 16)
             .as(s"_lut$m")): _*)
     val adc = (0 until 4).map(m =>
       element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
