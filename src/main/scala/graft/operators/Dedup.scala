@@ -131,7 +131,7 @@ object Dedup {
     * fast as s grows. The driver's exact-all-pairs DuckDB oracle therefore
     * hash-matches only when no just-above-threshold pair lands in the
     * miss probability — a data-dependent (and at sf0.01, empirically
-    * held) property, not a guarantee. DedupSimilaritySpec pins it on the
+    * held) property, not a guarantee. PropertySpec pins it on the
     * fixtures: every exact-Jaccard ≥ threshold pair must also be emitted
     * by the banded join. If a future data refresh trips it, raise bands
     * (recall → 1) rather than loosening the oracle. */

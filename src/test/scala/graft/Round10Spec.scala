@@ -9,10 +9,12 @@ import graft.plans.AnnNative
   * The round-9 verdict's two scale-realism defects were (a) ADC lookup
   * tables encoded as k-deep CASE chains that fall out of whole-stage
   * codegen at the k=256 codebooks real PQ deployments run, and (b) a
-  * fixed SemDeDup cell count. These tests pin the fixes: the array-form
-  * LUT and argmin must COMPILE (actual Janino bytecode, not just plan
-  * strings) with bounded method sizes at k=256, and SemDeDup's cell count
-  * must scale with the corpus.
+  * fixed SemDeDup cell count. These tests pin the fixes: the NATIVE
+  * expression forms (plans.AnnExpr — centroid matrices as reference
+  * objects, not unrolled literals) must COMPILE (actual Janino bytecode,
+  * not just plan strings) with bounded method sizes at k=256 and agree
+  * with driver-side brute computations, and SemDeDup's cell count must
+  * scale with the corpus.
   */
 class Round10Spec extends SparkSpec {
 
