@@ -128,6 +128,20 @@ class Round10Spec extends SparkSpec {
     assert(r.getSeq[Int](2) == byDot, s"top_m_dot ${r.getSeq[Int](2)} != $byDot")
   }
 
+  test("SemDeDup.cellCount: oracle precondition and proportional growth") {
+    import graft.operators.SemDeDup.cellCount
+    // the q103 DuckDB oracle is GENERATED for k=4: it stays valid only
+    // while the sf0.01 embeddings table (500 rows today) keeps
+    // n/targetCellSize <= 4. If a fixture refresh grows it past 640 rows,
+    // q103 will hash-FAIL loudly — regenerate the oracle k then.
+    assert(cellCount(500) == 4)
+    assert(cellCount(640) == 5, "the first n where the oracle k would move")
+    assert(cellCount(64000) == 500)
+    assert(cellCount(1) == 4, "kMin floors tiny corpora")
+    // proportionality: doubling n doubles k (beyond the floor)
+    assert(cellCount(256000) == 2 * cellCount(128000))
+  }
+
   test("q119: IVFADC recall@5 clears the floor a usable index must hold") {
     val rec = SparkEntry.queries("q119_ivfpq_recall")(spark, sf())
     val rows = rec.collect()
