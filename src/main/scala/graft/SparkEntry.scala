@@ -31,6 +31,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** The reference's shipped memo-cache fixture (q122). Overridable via
+    * GRAFT_REF_CACHE so the query is runnable outside this machine layout;
+    * the same resolved path feeds both the engine parse and the DuckDB
+    * oracle's read_text, so the two sides cannot diverge. */
+  private[graft] def refCachePath: String =
+    sys.env.getOrElse("GRAFT_REF_CACHE", "/root/reference/.analysis_cache.json")
+
   // ----------------------------------------------------------------
   // Oracle SQL fragments generated from the shared constants
   // ----------------------------------------------------------------
@@ -1306,18 +1313,18 @@ object SparkEntry {
       // Zipf-law fit over the corpus unigram distribution: slope/intercept
       // of ln(freq) on ln(rank) — the one-number corpus-health diagnostic
       // (natural text ≈ -1; synthetic/templated text diverges). The only
-      // full-corpus work is the explode + hash-agg to type frequencies;
-      // everything after runs on the VOCAB-sized table (the rank window is
-      // vocab-bounded, not corpus-bounded — fine at any corpus size, since
-      // type counts grow sub-linearly and the agg output fits one task).
+      // full-corpus work is the explode + hash-agg to type frequencies; the
+      // rank runs on the vocab-sized table — but a 100 TB web corpus has
+      // 10^8-10^9 types, so the rank is GlobalRank.withRowNumber (range
+      // exchange + per-partition offsets), NOT a partition-less window that
+      // would funnel the whole vocabulary through one task.
       // regr_slope/regr_intercept are the built-in one-pass moments aggs;
       // 6dp rounding absorbs merge-order float jitter on both engines.
       val freq = t(s, dir, "documents")
         .select(explode(split(TextExprs.cleanText(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
-      freq
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
+      GlobalRank.withRowNumber(freq,
+          Seq(col("freq").desc, col("tok").asc), "rnk")
         .agg(
           round(expr("regr_slope(ln(freq), ln(rnk))"), 6).as("zipf_slope"),
           round(expr("regr_intercept(ln(freq), ln(rnk))"), 6).as("zipf_intercept"),
@@ -1939,13 +1946,23 @@ object SparkEntry {
       // to the (Neutral, No Feedback) degrade and change the output. At
       // 100 TB the cache is a parquet table and the same anti-join/union
       // dataflow degrades from broadcast to shuffled hash join (Classify
-      // scaladoc); the fixture keeps the full dataflow, shrunk.
+      // scaladoc); the fixture keeps the full dataflow, shrunk. The path
+      // is a knob (GRAFT_REF_CACHE) and every entry's shape is validated
+      // up front, so a missing checkout or a malformed entry is a clear
+      // fixture error, not an AIOOBE from deep inside the parse.
+      val cacheFile = new java.io.File(refCachePath)
+      require(cacheFile.isFile,
+        s"q122 fixture cache not found at $cacheFile — set GRAFT_REF_CACHE " +
+          "to the reference's .analysis_cache.json")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val rootNode = mapper.readTree(
-        new java.io.File("/root/reference/.analysis_cache.json"))
+      val rootNode = mapper.readTree(cacheFile)
       import scala.jdk.CollectionConverters._
       val entries = rootNode.properties().asScala.map { e =>
         val parts = e.getKey.split("\\Q|||\\E", 3)
+        require(parts.length == 3,
+          s"q122 cache key lacks the industry|||question|||answer shape: '${e.getKey}'")
+        require(e.getValue.isArray && e.getValue.size() >= 2,
+          s"q122 cache value for '${e.getKey}' is not a [sentiment, category] array")
         (parts(0), parts(1), parts(2),
           e.getValue.get(0).asText, e.getValue.get(1).asText)
       }.toSeq
@@ -3504,8 +3521,8 @@ object SparkEntry {
       // the key splits on the reference's '|||' delimiter (answer keeps
       // any further delimiters via the rejoin)
       "q122_cached_api_classify" ->
-        """WITH raw AS (SELECT content
-          |  FROM read_text('/root/reference/.analysis_cache.json')),
+        s"""WITH raw AS (SELECT content
+          |  FROM read_text('$refCachePath')),
           |kv AS (SELECT unnest(map_entries(
           |   content::JSON::MAP(VARCHAR, VARCHAR[]))) AS e FROM raw)
           |SELECT string_split(e.key, '|||')[1] AS industry,

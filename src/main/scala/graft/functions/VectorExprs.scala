@@ -32,12 +32,14 @@ object VectorExprs {
       lit(0.0), (acc, x) => acc + x))
 
   /** Sign-bit bucket for random-hyperplane LSH: for each plane (a fixed
-    * deterministic matrix), bit = dot(v, plane) >= 0; bits packed into an
-    * int bucket id. Native expression — the plane matrix rides the
-    * generated code as data, so the signature width can grow to the
-    * 32–64 bits production LSH uses without the O(planes·dim) literal
-    * unroll that breaks the 64 KB codegen method limit. Bit-for-bit equal
-    * to the when-chain form it replaces (PropertySpec differential). */
+    * deterministic matrix), bit = dot(v, plane) >= 0; bits packed into a
+    * LONG bucket id (max 64 planes — enforced). Native expression — the
+    * plane matrix rides the generated code as data, so the signature width
+    * can grow to the 32–64 bits production LSH uses without the
+    * O(planes·dim) literal unroll that breaks the 64 KB codegen method
+    * limit, and without the Int `1 << j` mod-32 wrap that would silently
+    * alias planes ≥32 onto low bits. Bit-for-bit equal to the when-chain
+    * form it replaces (PropertySpec differentials at 30 and 40 planes). */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     graft.plans.AnnNative.hyperplaneBucket(v, planes)
 

@@ -168,14 +168,13 @@ class PropertySpec extends SparkSpec {
       s"LSH missed ${(brute -- banded).take(5)} / extra ${(banded -- brute).take(5)}")
   }
 
-  test("native hyperplane_bucket ≡ the unrolled when-chain form at 64 planes") {
-    // the width production LSH runs — the unrolled form would be
-    // O(planes·dim) generated code; values must match bit-for-bit
+  test("native hyperplane_bucket ≡ the unrolled when-chain form at 30 planes") {
+    // sub-Int-width regime: values must match the old Int packing widened
     val planes = graft.functions.VectorExprs.deterministicPlanes(30, 64)
     val unrolled = {
       val bits = planes.zipWithIndex.map { case (p, i) =>
         when(graft.functions.VectorExprs.dot(col("embedding"),
-          array(p.map(lit): _*)) >= 0.0, lit(1 << i)).otherwise(lit(0))
+          array(p.map(lit): _*)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)
     }
@@ -185,6 +184,36 @@ class PropertySpec extends SparkSpec {
         unrolled.as("b"))
       .where(col("a") =!= col("b")).count()
     assert(diff == 0, s"$diff rows diverge between native and unrolled buckets")
+  }
+
+  test("hyperplane_bucket packs planes ≥32 into distinct high Long bits") {
+    // the regime the old Int form silently wrapped: 1 << j aliases mod 32.
+    // 40 planes → bits 32..39 must be reachable and must match a Long
+    // unrolled form bit-for-bit.
+    val planes = graft.functions.VectorExprs.deterministicPlanes(40, 64)
+    val unrolled = {
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        when(graft.functions.VectorExprs.dot(col("embedding"),
+          array(p.map(lit): _*)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val e = Tables.table(spark, sf(), "embeddings")
+    val res = e.select(
+        graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), planes).as("a"),
+        unrolled.as("b"))
+    assert(res.where(col("a") =!= col("b")).count() == 0,
+      "native and unrolled Long buckets diverge")
+    // high bits actually used: with 40 gaussian planes, some vector lands
+    // on the positive side of at least one plane ≥32
+    assert(res.where(shiftright(col("a"), 32) =!= 0L).count() > 0,
+      "no bucket uses bits ≥32 — Int-wrap aliasing would be undetectable")
+    // >64 planes is a clear error, not silent aliasing
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.VectorExprs.hyperplaneBucket(col("embedding"),
+        graft.functions.VectorExprs.deterministicPlanes(65, 8))
+    }
+    assert(err.getMessage.contains("max 64"))
   }
 
   test("cache-join classifier ≡ direct classify for any cache subset") {
