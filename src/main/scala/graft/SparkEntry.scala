@@ -1977,6 +1977,44 @@ object SparkEntry {
       new graft.operators.CacheJoinClassifier(cache, noNetwork).classify(keys)
     }),
 
+    "q123_ann_index_query" -> ((s, dir) => {
+      // Build-once / query-many IVFADC (operators.AnnIndex): quantizers +
+      // codes are WRITTEN as a parquet artifact, then the query path loads
+      // the centroid table (bounded driver state, broadcast above the
+      // CentMatrix threshold) and serves top-5 from the stored codes —
+      // ZERO Lloyd iterations and no corpus-embedding scan on the query
+      // side (Round11Spec asserts the plan has no aggregate and no
+      // embeddings read). The build runs the same deterministic fits as
+      // q115, so the round trip reproduces q115's answers and the oracle
+      // is q115's twin verbatim.
+      val ixDir = s"target/ann_index/${new java.io.File(dir).getName}"
+      graft.operators.AnnIndex.build(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), ixDir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      graft.operators.AnnIndex.query(s, ixDir, q, k = 5, nProbe = 2)
+    }),
+
+    "q124_incremental_semdedup" -> ((s, dir) => {
+      // Incremental SemDeDup — the daily-ingest composition of q113's
+      // batch-vs-corpus shape with q103's cell routing: cells are fit on
+      // the CORPUS slice only, the batch is assigned to those standing
+      // cells, and the cosine verify join is strictly batch×corpus within
+      // a cell — corpus-internal pairs were adjudicated at their own
+      // ingest and never re-enter the join (Round11Spec pins this), so
+      // per-ingest cost is O(|batch|·cellSize) regardless of corpus age.
+      // k follows the corpus (450 rows at sf0.01 → k=4), matching the
+      // pinned oracle chain; threshold 0.40 is q103's, tuned to this
+      // table's similarity range.
+      val e = t(s, dir, "embeddings")
+      graft.operators.SemDeDup.semdedupIncremental(
+          corpus = e.where(col("vec_id") % 10 =!= 0),
+          batch = e.where(col("vec_id") % 10 === 0),
+          id = col("vec_id"), vec = col("embedding"), threshold = 0.40)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3255,6 +3293,44 @@ object SparkEntry {
       },
 
       "q115_ivfpq_search" -> q115Oracle,
+
+      // q123 is q115's build+query round trip through the stored artifact —
+      // same deterministic fits, so the SAME oracle must hash-match
+      "q123_ann_index_query" -> q115Oracle,
+
+      "q124_incremental_semdedup" -> {
+        // Lloyd chain pinned on the CORPUS slice (k=4 matches the engine's
+        // cellCount(450, 128) at sf0.01 — Round11Spec guards the boundary)
+        val corpusCb = graft.operators.KMeansOp.oracleCentroidsSql(
+          "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0) corp_src",
+          "vec_id", "embedding", k = 4, iters = 2, dim = 64)
+        s"""WITH cb AS (SELECT cid, c FROM (
+           |$corpusCb
+           |)),
+           |corp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 10 <> 0),
+           |bat AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |asgC AS (SELECT corp.id, cb.cid FROM corp CROSS JOIN cb
+           |  QUALIFY row_number() OVER (PARTITION BY corp.id
+           |    ORDER BY list_inner_product(cb.c, cb.c)
+           |      - 2 * list_inner_product(corp.v, cb.c), cb.cid) = 1),
+           |asgB AS (SELECT bat.id, cb.cid FROM bat CROSS JOIN cb
+           |  QUALIFY row_number() OVER (PARTITION BY bat.id
+           |    ORDER BY list_inner_product(cb.c, cb.c)
+           |      - 2 * list_inner_product(bat.v, cb.c), cb.cid) = 1),
+           |dup AS (SELECT b.id, CAST(count(*) AS BIGINT) AS n
+           |  FROM asgB b JOIN bat ON bat.id = b.id
+           |  JOIN asgC c ON c.cid = b.cid
+           |  JOIN corp ON corp.id = c.id
+           |  WHERE round(list_inner_product(bat.v, corp.v) /
+           |    (sqrt(list_inner_product(bat.v, bat.v)) *
+           |     sqrt(list_inner_product(corp.v, corp.v))), 6) >= 0.40
+           |  GROUP BY b.id)
+           |SELECT bat.id AS vec_id, coalesce(dup.n, 0) AS n_dups,
+           | coalesce(dup.n, 0) = 0 AS keep
+           |FROM bat LEFT JOIN dup ON dup.id = bat.id""".stripMargin
+      },
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

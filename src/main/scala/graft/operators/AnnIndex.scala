@@ -1,0 +1,105 @@
+package graft.operators
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** Persist-and-reuse IVFADC index (Jégou et al. 2011 §IV): a real 100 TB
+  * ANN deployment fits its quantizers ONCE, writes the artifact, and serves
+  * every query from the stored index — it never re-runs Lloyd per query
+  * batch (which is what the inline q114/q115 fixtures do for
+  * oracle-determinism). This operator splits the lifecycle:
+  *
+  *  - [[build]] fits the coarse quantizer + per-subspace PQ codebooks
+  *    (KMeansOp.fit, concurrent driver threads — q115's shape), encodes
+  *    the corpus, and writes TWO parquet tables under `dir`:
+  *      `centroids` (kind, cid, c)  — k×dim rows per quantizer, driver-tiny
+  *      `codes`     (vec_id, cell, code0..code{nSub-1}) — one row per
+  *                   corpus vector, the 100 TB-side artifact (nSub bytes of
+  *                   payload per vector; partition/bucket by `cell` at
+  *                   scale so a probe reads only its cells)
+  *  - [[query]] loads `centroids` (bounded collect: quantizer matrices are
+  *    driver-state by design), wraps them in [[graft.plans.CentMatrix]]
+  *    (broadcast above the size threshold), and runs the probe dataflow
+  *    against `codes` — ZERO Lloyd iterations, zero aggregates in the
+  *    plan (Round11Spec asserts this), and the corpus embeddings table is
+  *    never touched.
+  *
+  * Built from the same deterministic fits as q115, a build+query round
+  * trip reproduces q115's answers exactly — q123 puts that under the
+  * oracle hash gate.
+  */
+object AnnIndex {
+
+  /** Index geometry; defaults mirror the q115 oracle fixture. */
+  case class Params(nSub: Int = 4, subDim: Int = 16, kCoarse: Int = 4,
+      kCode: Int = 4, iters: Int = 2)
+
+  /** Fit quantizers on `e`, encode it, write `dir/centroids` + `dir/codes`. */
+  def build(e: DataFrame, id: Column, vec: Column, dir: String,
+      p: Params = Params()): Unit = {
+    val spark = e.sparkSession
+    val coarseF = Future(KMeansOp.fit(e, id, vec, k = p.kCoarse, iters = p.iters))
+    val fitsF = Future.sequence((0 until p.nSub).map { m => Future {
+      val (cents, base) = KMeansOp.fit(
+        e, id, slice(vec, m * p.subDim + 1, p.subDim), k = p.kCode, iters = p.iters)
+      val (cl, _) = KMeansOp.argmin(col("v"), cents)
+      (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
+    }})
+    val (coarse, base) = Await.result(coarseF, Duration.Inf)
+    val (cellCol, _) = KMeansOp.argmin(col("v"), coarse)
+    val cells = base.select(col("id").as("vec_id"), cellCol.cast("int").as("cell"))
+    val fits = Await.result(fitsF, Duration.Inf)
+
+    val centRows =
+      coarse.zipWithIndex.map { case (c, i) => Row("coarse", i, c.toSeq) } ++
+      fits.zipWithIndex.flatMap { case ((cents, _), m) =>
+        cents.zipWithIndex.map { case (c, i) => Row(s"sub$m", i, c.toSeq) } }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+
+    (fits.map(_._2) :+ cells).reduce(_.join(_, "vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load the stored quantizers and serve `queries` (query_id, qv) —
+    * top-k by ADC over the nProbe probed cells. No fit, no corpus scan. */
+  def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int, p: Params = Params()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stored = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def matOf(kind: String): graft.plans.CentMatrix =
+      graft.plans.AnnNative.matrix(spark,
+        stored.filter(_._1 == kind).sortBy(_._2).map(_._3).toSeq)
+    val coarse = matOf("coarse")
+    val subs = (0 until p.nSub).map(m => matOf(s"sub$m"))
+    require(coarse.numRows == p.kCoarse,
+      s"index at $dir has ${coarse.numRows} coarse cells, params say ${p.kCoarse}")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val probed = queries
+      .select(col("query_id"), col("qv"),
+        explode(graft.plans.AnnNative.argTopM(col("qv"), coarse, nProbe)).as("cell"))
+      .select(Seq(col("query_id"), col("qv"), col("cell")) ++
+        (0 until p.nSub).map { m =>
+          graft.plans.AnnNative.adcLut(col("qv"), subs(m), m * p.subDim).as(s"_lut$m")
+        }: _*)
+    val lutSum = (0 until p.nSub).map(m =>
+      element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    probed.join(codes, "cell")
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
+        .cast("long"))
+      .where(col("rnk") <= k)
+  }
+}

@@ -305,15 +305,13 @@ object Dedup {
     *    of 3 per propagation round — the iterative dataflow version spends
     *    seconds of pure scheduling on a graph that fits in one task.
     *
-    *  - **Large graph**: min-label propagation. Every node starts labeled
-    *    with its own id; each round a node adopts the minimum label in its
-    *    closed neighborhood (self-loops are pre-added, so one join + one
-    *    groupBy per round); fixpoint = components labeled by their minimum
-    *    member, detected by an unchanged one-row label sum (labels only
-    *    decrease). Rounds ≤ graph diameter; near-dup clusters are shallow
-    *    near-cliques, so 2-3 rounds in practice. No driver-side graph,
-    *    works at any scale. (For adversarially long chains, swap in the
-    *    large-star/small-star round structure; same join primitive.)
+    *  - **Large graph**: alternating large-star/small-star contraction
+    *    (Kiveris et al. 2014, [[starComponents]]) — O(log² n) rounds on ANY
+    *    topology, including the adversarially long near-dup chains where
+    *    plain min-label propagation pays one shuffle round per hop of
+    *    graph diameter. No driver-side graph, works at any scale.
+    *    ([[minLabelComponents]] keeps the one-hop-per-round propagation for
+    *    the probe's round-count comparison.)
     *
     * Returns (node, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
@@ -367,28 +365,128 @@ object Dedup {
       val slices = math.max(1, math.min(nodes.length / 100000, 64))
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, slices), schema)
     } else {
-      val nodes = edges.select(col("src")).distinct()
-      // self-loops make one join/groupBy cover the CLOSED neighborhood
-      val edgesPlus = edges.union(nodes.select(col("src"), col("src").as("dst"))).cache()
-      var labels = nodes.select(col("src").as("node"), col("src").as("component")).cache()
-      var prevSum = labels.agg(sum("component")).head().getLong(0)
-      var it = 0
-      var done = false
-      while (!done && it < maxIter) {
-        val next = edgesPlus.join(labels.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node")).agg(min("component").as("component"))
-          .cache()
-        val s = next.agg(sum("component")).head().getLong(0)
-        labels.unpersist()
-        labels = next
-        done = s == prevSum
-        prevSum = s
-        it += 1
-      }
+      val (labels, _) = starComponents(edges, maxIter)
       edges.unpersist()
-      edgesPlus.unpersist()
       labels
     }
+  }
+
+  /** Two-phase star contraction (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"): alternate
+    *
+    *  - '''large-star''' — every node strictly LARGER than its neighbor u
+    *    re-links to the minimum of u's closed neighborhood, and
+    *  - '''small-star''' — every node re-links its smaller-or-equal
+    *    neighbors (and itself) to that minimum,
+    *
+    * until the edge set is a fixed point: a forest of depth-1 stars, each
+    * node linked directly to its component's minimum id. Each phase is ONE
+    * hash aggregate (per-node min) + ONE equi-join — the same shuffle
+    * primitives as min-label propagation — but the contraction halves
+    * path lengths instead of walking them, so convergence is O(log² n)
+    * rounds on ANY topology where min-label pays one round per hop of
+    * graph diameter (a 10⁶-link near-dup chain: ~20 alternations vs 10⁶
+    * propagation rounds). ScaleProbe's ccchain mode pins the round count
+    * on a pure path graph.
+    *
+    * Fixpoint detection: a cheap (count, Σsrc, Σdst) signature — decimal
+    * sums, so id magnitude cannot overflow — gates an EXACT set-equality
+    * check (`except`-empty), which therefore runs once, on the converged
+    * round, not every round. Ids must be numeric (the same contract the
+    * label-sum check of the propagation variant had).
+    *
+    * Each round ends in an EAGER `localCheckpoint`: a star round references
+    * the previous edge set ~5 times (two unions, two joins), so the logical
+    * lineage grows exponentially with rounds — by round ~12 merely
+    * STRINGIFYING the plan OOMs the driver. The checkpoint truncates the
+    * lineage to the materialized partitions and doubles as the per-round
+    * cache. (On a multi-node cluster prefer `checkpoint` to a reliable dir
+    * if executor loss during the CC pass must be survivable; the edge list
+    * a near-dup pass produces is re-derivable, so local is the default.)
+    *
+    * `edges` must be the symmetrized distinct pair list. Returns
+    * ((node, component), roundsUsed). */
+  private[graft] def starComponents(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val sig38 = (c: String) => sum(col(c).cast("decimal(38,0)"))
+    // orient hi→lo once up front; drop self-loops
+    var cur = edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var prevSig = cur.agg(count(lit(1)), sig38("src"), sig38("dst")).head()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // large-star: for each center u (both orientations), min m of its
+      // closed neighborhood; every neighbor v > u re-links to m. Edges
+      // stay hi→lo because m <= u < v.
+      val sym = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mLarge = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val afterLarge = sym.join(mLarge, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: for each center u (hi end), min m of its smaller
+      // neighbors; those neighbors AND u itself re-link to m.
+      val mSmall = afterLarge.groupBy("src").agg(min("dst").as("m"))
+      val next = afterLarge.join(mSmall, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mSmall.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct().localCheckpoint(true)
+      val sig = next.agg(count(lit(1)), sig38("src"), sig38("dst")).head()
+      done = sig == prevSig && next.except(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      prevSig = sig
+      it += 1
+    }
+    // at the fixed point every edge is (node, componentMin); the min node
+    // of each component appears only on the dst side. groupBy-min guards
+    // the maxIter cutoff (where a node could still carry two links).
+    val labels = cur.select(col("src").as("node"), col("dst").as("component"))
+      .union(cur.select(col("dst").as("node"), col("dst").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+    (labels, it)
+  }
+
+  /** Min-label propagation: each round every node adopts the minimum label
+    * in its closed neighborhood — one join + one groupBy per round, rounds
+    * = graph diameter. Kept as the probe's baseline against
+    * [[starComponents]] (near-dup clusters are shallow near-cliques where
+    * 2-3 rounds win; chains are where it loses). `edges` must be the
+    * symmetrized distinct pair list. Returns ((node, component), rounds).
+    *
+    * Rounds end in an eager `localCheckpoint` (not a bare cache) for the
+    * same reason as [[starComponents]]: uncapped iterative lineage makes
+    * every post-round action re-stringify an ever-deeper plan, which at
+    * tens of rounds OOMs the driver before any data does. */
+  private[graft] def minLabelComponents(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val nodes = edges.select(col("src")).distinct()
+    // self-loops make one join/groupBy cover the CLOSED neighborhood
+    val edgesPlus = edges.union(nodes.select(col("src"), col("src").as("dst"))).cache()
+    var labels = nodes.select(col("src").as("node"), col("src").as("component"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val next = edgesPlus.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("component")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edgesPlus.unpersist()
+    (labels, it)
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS

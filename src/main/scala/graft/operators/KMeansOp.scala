@@ -21,9 +21,22 @@ import graft.functions.VectorExprs
   * form inflated every row ×dim before the partial agg; measured ~40%
   * slower per iteration at sf0.1), and the only driver-side state is the
   * k×dim centroid matrix. The shuffle carries k rows × (dim+1) columns.
-  * The (id, v) projection is cached deliberately: Lloyd re-reads it
-  * iters+1 times, the standard iterative-ML posture (MLlib does the same);
-  * ContextCleaner reclaims it once the result is unreferenced.
+  *
+  * The LLOYD ITERATIONS RUN ON A BOUNDED DETERMINISTIC SAMPLE, not the
+  * full corpus: the `max(fitSampleCap, 16·k)` rows with the lowest
+  * md5(id) draws (the q56 stratified-draw pattern — stable across runs,
+  * partitionings, and engines). Fitting on a sample is the standard
+  * production posture (FAISS trains quantizers on ~256 points/centroid;
+  * a codebook does not improve with the 10⁹th training point), and it is
+  * what makes the fit's per-iteration cost independent of corpus size —
+  * the old full-corpus iterations cached the whole (id, v) projection and
+  * re-scanned it iters+1 times, a 100 TB non-starter. Only the SAMPLE is
+  * cached; the returned full projection is uncached (callers doing one
+  * assignment pass re-read the source — recompute-over-persist, the
+  * repo-wide posture). When n ≤ the cap — every oracle fixture — the
+  * sample IS the full table and centroids are bit-identical to the
+  * full-corpus fit, which keeps the unrolled DuckDB Lloyd twins valid
+  * (Round11Spec pins this precondition at sf0.01).
   *
   * Assignment uses score_k = |c_k|² − 2·v·c_k (adding the row-constant
   * |v|² recovers the squared L2 distance), so nearest-centroid needs no
@@ -52,21 +65,35 @@ object KMeansOp {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Runs `iters` centroid updates; returns the learned k×dim codebook AND
-    * the cached (id, v) projection it was fit on, so callers can derive
-    * assignments, distances, or (PQ) asymmetric lookups without re-running
-    * Lloyd. */
+  /** Default fit-sample floor; the effective cap is `max(this, 16·k)` so
+    * the sample always offers ≥16 points per centroid (SemDeDup's k ∝ n
+    * rule can push k past any fixed cap). */
+  val DefaultFitSampleCap = 2048
+
+  /** Runs `iters` centroid updates on the bounded md5-draw sample (object
+    * scaladoc); returns the learned k×dim codebook AND the (uncached) full
+    * (id, v) projection, so callers can derive assignments, distances, or
+    * (PQ) asymmetric lookups without re-running Lloyd. */
   def fit(df: DataFrame, id: Column, vec: Column, k: Int = 4,
-      iters: Int = 2): (Seq[Array[Double]], DataFrame) = {
-    val base = df.select(id.as("id"), VectorExprs.toDouble(vec).as("v")).cache()
-    val dim = base.select(size(col("v"))).head().getInt(0)
-    var centroids: Seq[Array[Double]] = base.orderBy("id").limit(k).collect()
+      iters: Int = 2, fitSampleCap: Int = DefaultFitSampleCap): (Seq[Array[Double]], DataFrame) = {
+    val base = df.select(id.as("id"), VectorExprs.toDouble(vec).as("v"))
+    val cap = math.max(fitSampleCap, 16 * k)
+    // bounded deterministic draw: lowest md5(id) first, id tie-break — a
+    // TakeOrdered over the corpus (one pass, cap rows kept), never a sort
+    val sample = base
+      .withColumn("_draw", md5(col("id").cast("string")))
+      .orderBy(col("_draw").asc, col("id").asc).limit(cap)
+      .drop("_draw").cache()
+    val dim = sample.select(size(col("v"))).head().getInt(0)
+    var centroids: Seq[Array[Double]] = sample.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray).toSeq
+    require(centroids.length == k,
+      s"fit sample (${centroids.length} rows) smaller than k=$k — raise fitSampleCap")
     for (_ <- 1 to iters) {
       val (cl, _) = argmin(col("v"), centroids)
       val dimSums = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1)).as(s"_s$i"))
-      val sums = base.select(cl.as("cluster"), col("v"))
+      val sums = sample.select(cl.as("cluster"), col("v"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("_n"), dimSums: _*)
         .collect()
@@ -78,6 +105,7 @@ object KMeansOp {
         }.getOrElse(centroids(c)) // empty cluster keeps its previous centroid
       }
     }
+    sample.unpersist(false)
     (centroids, base)
   }
 
@@ -95,9 +123,13 @@ object KMeansOp {
   private def oracleChain(table: String, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int): StringBuilder = {
     val sb = new StringBuilder
+    // seeds = the k lowest ids PRESENT (row_number, not `id < k`): identical
+    // on the dense 0..n-1 fixtures, and correct for subset tables (q124's
+    // corpus slice) where the k lowest ids are not 0..k-1
     sb ++= s"""WITH e AS (SELECT $idCol AS id,
               |  list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),
-              |c0 AS (SELECT id AS cid, v AS c FROM e WHERE id < $k),
+              |c0 AS (SELECT id AS cid, v AS c FROM e
+              |  QUALIFY row_number() OVER (ORDER BY id) <= $k),
               |""".stripMargin
     for (i <- 1 to iters) {
       val prev = s"c${i - 1}"

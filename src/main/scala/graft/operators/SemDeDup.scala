@@ -63,4 +63,44 @@ object SemDeDup {
     v.join(dropped.withColumn("_drp", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("_drp").isNull.as("keep"))
   }
+
+  /** Incremental (daily-ingest) SemDeDup: dedup a NEW BATCH against an
+    * EXISTING corpus without ever re-verifying corpus-internal pairs —
+    * the q113 batch-vs-corpus shape composed with the cell routing above.
+    *
+    *  - cells are fit on the CORPUS (k = corpusSize/targetCellSize — the
+    *    standing index; a production pipeline loads these centroids from
+    *    the stored artifact, see [[AnnIndex]], instead of re-fitting);
+    *  - the batch is ASSIGNED to those cells (one native argmin pass over
+    *    the batch only);
+    *  - the cosine verify join is strictly batch×corpus WITHIN a cell —
+    *    corpus×corpus pairs never enter the join (they were adjudicated
+    *    when their rows were ingested), so the per-ingest cost is
+    *    O(|batch| · cellSize), independent of corpus history length.
+    *
+    * A batch row drops when ANY corpus cell-mate sits at or above the
+    * 6dp-rounded threshold. Returns one row per batch vector:
+    * (id, n_dups, keep). Cluster labels are deliberately not exposed —
+    * they are seed-indexing-dependent, while (n_dups, keep) are
+    * label-invariant and oracle-checkable. */
+  def semdedupIncremental(corpus: DataFrame, batch: DataFrame, id: Column,
+      vec: Column, threshold: Double, targetCellSize: Long = 128L,
+      iters: Int = 2): DataFrame = {
+    val n = corpus.select(id).count()
+    val k = cellCount(n, targetCellSize)
+    val (cents, corpusBase) = KMeansOp.fit(corpus, id, vec, k = k, iters = iters)
+    val (clC, _) = KMeansOp.argmin(col("v"), cents)
+    val corpusCells = corpusBase.select(
+      col("id").as("c_id"), clC.as("cell"), col("v").as("cv"))
+    val batchBase = batch.select(id.as("id"), VectorExprs.toDouble(vec).as("v"))
+    val (clB, _) = KMeansOp.argmin(col("v"), cents)
+    val batchCells = batchBase.select(col("id"), clB.as("cell"), col("v"))
+    val dups = batchCells.join(corpusCells, "cell")
+      .where(round(VectorExprs.cosine(col("v"), col("cv")), 6) >= threshold)
+      .groupBy("id").agg(count(lit(1)).as("n_dups"))
+    batchCells.select(col("id"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep"))
+  }
 }

@@ -204,6 +204,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopKAgg buffer should ride object hash aggregation")
   }
 
+  test("q102: vocab rank plans no Window; only partial-agg rows converge") {
+    val p = executed("q102_zipf")
+    assert(!p.contains("Window"),
+      s"type ranking must ride GlobalRank, not a partition-less window:\n${p.take(800)}")
+    // the one legitimate SinglePartition is the scalar moments aggregate:
+    // it receives ONE partial row per partition, never the vocabulary
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(sp <= 1, s"expected at most the final scalar-agg exchange, got $sp:\n${p.take(800)}")
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(spIdx < 0 || p.indexOf("partial_regr_slope", spIdx) > 0,
+      "the single-partition exchange must sit over the partial aggregate, not raw types")
+    assert(p.contains("Scan ExistingRDD"), "rank must come from the GlobalRank dataflow")
+  }
+
   test("q104: shuffled-order prefix sum plans no Window operator") {
     val p = executed("q104_shuffle_pack")
     assert(!p.contains("Window"), s"shuffle+pack must ride the range exchange:\n${p.take(600)}")
