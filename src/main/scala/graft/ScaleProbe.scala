@@ -45,12 +45,32 @@ import org.apache.spark.sql.functions._
   * asserts method bytecode stays under the JVM 64 KB limit (the LUT rides
   * as data in a native expression), then times the top-5 scan.
   *
+  * Ivf mode: the broadcast-centroid ceiling, lifted — a k=10,000-cell
+  * coarse quantizer (the 100 TB IVFADC regime) rides as a BROADCAST
+  * CentMatrix: the plan-side payload is a fixed-size handle (measured by
+  * serialized size vs the inline form), task deserialize time stays flat
+  * vs k=1,000 inline, results are identical to the inline form, and a
+  * 10k-query probe batch keeps the probed-cell join row count exactly at
+  * the closed form Σ_q Σ_{c∈probe(q)} |cell c| with no driver-side state
+  * beyond the one broadcast.
+  *
+  * Ccchain mode: star-contraction connected components on a pure PATH
+  * graph — the adversarial diameter case — asserting the round count is
+  * logarithmic while min-label propagation (capped) is still walking.
+  *
+  * Fitwall mode: the sampled Lloyd fit — doubling the corpus must leave
+  * the fit wall ~flat (iterations run on the capped md5-draw sample; only
+  * the one sample-extraction pass sees the corpus).
+  *
   * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
   *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
   *        runMain graft.ScaleProbe span [sfDir] [rep]   — span mode
   *        runMain graft.ScaleProbe overlap [sfDir] [rep] — overlap mode
   *        runMain graft.ScaleProbe semdedup [sfDir] [rep] — semdedup mode
   *        runMain graft.ScaleProbe pq [sfDir] [rep]      — pq mode
+  *        runMain graft.ScaleProbe ivf [sfDir] [rep]     — ivf mode
+  *        runMain graft.ScaleProbe ccchain [links]       — ccchain mode
+  *        runMain graft.ScaleProbe fitwall [sfDir] [rep] — fitwall mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -59,6 +79,9 @@ object ScaleProbe {
     if (args.headOption.contains("overlap")) { overlapProbe(args.drop(1)); return }
     if (args.headOption.contains("semdedup")) { semdedupProbe(args.drop(1)); return }
     if (args.headOption.contains("pq")) { pqProbe(args.drop(1)); return }
+    if (args.headOption.contains("ivf")) { ivfProbe(args.drop(1)); return }
+    if (args.headOption.contains("ccchain")) { ccChainProbe(args.drop(1)); return }
+    if (args.headOption.contains("fitwall")) { fitWallProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -364,6 +387,183 @@ object ScaleProbe {
     println(f"[probe] ADC top-5, 8 queries x $n codes: $secs%.2f s " +
       f"(${8 * n / secs / 1e6}%.1f M candidate-rows/s)")
     codes.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  /** The 100 TB coarse-quantizer regime: k=10,000 cells as a broadcast
+    * CentMatrix vs k=1,000 inline — plan payload flat, per-task deserialize
+    * flat, identical results, and a 10k-query probe batch whose
+    * probed-cell join is exactly the closed-form candidate count. */
+  private def ivfProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(26)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    val dim = 64
+    def synthCents(k: Int): Seq[Array[Double]] =
+      (0 until k).map(j => Array.tabulate(dim)(i => math.sin(j * dim + i)))
+
+    // 1) plan-side payload: serialized size of the matrix carrier
+    def serSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    val k1 = 1000; val k10 = 10000
+    val inline1 = graft.plans.InlineCents(synthCents(k1).map(_.toIndexedSeq))
+    val cm10 = graft.plans.AnnNative.matrix(spark, synthCents(k10))
+    assert(cm10.isInstanceOf[graft.plans.BcastCents],
+      s"k=$k10 x $dim must cross the broadcast threshold")
+    val (s1, s10) = (serSize(inline1), serSize(cm10))
+    println(s"[probe] plan payload: inline k=$k1 = $s1 B; BROADCAST k=$k10 = $s10 B")
+    assert(s10 < s1 / 100,
+      s"broadcast handle must be orders of magnitude below the inline matrix")
+
+    // 2) identical results broadcast vs inline at k=10k
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val big = emb.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("vec_id") * rep + col("_r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + col("_r").cast("double") * 1e-4).as("v"))
+      .repartition(64).cache()
+    val n = big.count()
+    val inline10 = graft.plans.InlineCents(synthCents(k10).map(_.toIndexedSeq))
+    def assign(cm: graft.plans.CentMatrix) = big.select(col("vec_id"),
+      graft.plans.AnnNative.argMaxDot(col("v"), cm).as("cell"))
+    val diff = assign(cm10).as("a").join(assign(inline10).as("b"), "vec_id")
+      .where(col("a.cell") =!= col("b.cell")).count()
+    assert(diff == 0, s"$diff of $n assignments diverge between broadcast and inline")
+    println(s"[probe] broadcast ≡ inline on all $n assignments at k=$k10")
+
+    // 3) per-task deserialize time, k=1k inline vs k=10k broadcast
+    val deser = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        deser.addAndGet(e.taskMetrics.executorDeserializeTime); tasks.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def meanDeser(cm: graft.plans.CentMatrix, label: String): Double = {
+      deser.set(0); tasks.set(0)
+      timed(s"argmax assign $label")(
+        assign(cm).write.format("noop").mode("overwrite").save())
+      Thread.sleep(1000) // let the listener bus drain (private API otherwise)
+      val m = deser.get.toDouble / math.max(tasks.get, 1)
+      println(f"[probe] mean task deserialize ($label): $m%.1f ms over ${tasks.get} tasks")
+      m
+    }
+    val d1 = meanDeser(graft.plans.AnnNative.matrix(spark, synthCents(k1)), s"k=$k1")
+    val d10 = meanDeser(cm10, s"k=$k10 broadcast")
+    spark.sparkContext.removeSparkListener(listener)
+    assert(d10 <= math.max(d1, 1.0) * 10 + 20,
+      f"10x the cells must not inflate task deserialize: $d1%.1f -> $d10%.1f ms")
+
+    // 4) 10k-query probe batch: the probed-cell join carries EXACTLY
+    //    Σ_q Σ_{c∈probe(q)} |cell c| candidate rows — bounded by
+    //    queries × nProbe × maxCell, with no driver collect anywhere
+    val nProbe = 2
+    val codes = assign(cm10).cache()
+    codes.count()
+    val queries = big.limit(10000)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")).cache()
+    val nq = queries.count()
+    val probed = queries.select(col("query_id"),
+      explode(graft.plans.AnnNative.topMByDot(col("qv"), cm10, nProbe)).as("cell"))
+    val joinRows = timed(s"probe join, $nq queries x nProbe=$nProbe vs $n codes")(
+      probed.join(codes, probed("cell") === codes("cell")).count())
+    val hist = codes.groupBy("cell").count()
+    val expected = probed.join(hist, "cell").agg(sum("count")).head().getLong(0)
+    assert(joinRows == expected,
+      s"probed-cell join must equal the closed form: $joinRows vs $expected")
+    val maxCell = hist.agg(max("count")).head().getLong(0)
+    println(s"[probe] probe join rows=$joinRows (closed form ok), bound=" +
+      s"${nq * nProbe * maxCell} (= queries x nProbe x maxCell $maxCell)")
+    spark.stop()
+  }
+
+  /** Star contraction on a pure path graph (worst-case diameter): round
+    * count must be logarithmic in chain length; capped min-label is still
+    * mid-walk at the same budget. */
+  private def ccChainProbe(args: Array[String]): Unit = {
+    val links = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    val pairs = spark.range(links)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    edges.count()
+    val (labels, rounds) = timed(s"starComponents on a $links-link chain")(
+      graft.operators.Dedup.starComponents(edges, 60))
+    val bad = labels.where(col("component") =!= 0L).count()
+    val logBound = 2 * math.ceil(math.log(links.toDouble) / math.log(2)).toInt + 3
+    println(s"[probe] star rounds=$rounds (log bound $logBound) badLabels=$bad")
+    assert(bad == 0 && rounds <= logBound,
+      s"star contraction must converge logarithmically: rounds=$rounds bad=$bad")
+    // the baseline at the same round budget: min-label has only walked
+    // `rounds` hops of a $links-hop diameter
+    val (ml, mlRounds) = timed(s"minLabel capped at ${rounds} rounds")(
+      graft.operators.Dedup.minLabelComponents(edges, rounds))
+    val mlBad = ml.where(col("component") =!= 0L).count()
+    println(s"[probe] min-label at the same budget: rounds=$mlRounds unresolved=$mlBad")
+    assert(mlBad > 0, "min-label should still be walking the chain at the star budget")
+    spark.stop()
+  }
+
+  /** Sampled Lloyd fit: doubling the corpus must leave the fit wall ~flat
+    * (iterations scan the capped sample; only the TakeOrdered draw pass
+    * sees the corpus). */
+  private def fitWallProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    def corpus(r: Int) = emb.crossJoin(spark.range(r).select(col("id").as("_r")))
+      .select((col("vec_id") * r + col("_r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + col("_r").cast("double") * 1e-4).as("v"))
+      .repartition(64).cache()
+    def fitWall(df: org.apache.spark.sql.DataFrame): Double = {
+      df.count() // corpus materialized; time the fit alone
+      val t0 = System.nanoTime()
+      graft.operators.KMeansOp.fit(df, col("vec_id"), col("v"), k = 16, iters = 4)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val small = corpus(rep); val nS = small.count(); val tSmall = fitWall(small)
+    val bigC = corpus(rep * 2); val nB = bigC.count(); val tBig = fitWall(bigC)
+    println(f"[probe] fit wall (k=16, iters=4): n=$nS t=$tSmall%.1f s; " +
+      f"n=$nB t=$tBig%.1f s (ratio ${tBig / tSmall}%.2f)")
+    assert(tBig <= tSmall * 2.0 + 2.0,
+      f"sampled fit must be ~flat as n doubles: $tSmall%.1f s -> $tBig%.1f s")
+    small.unpersist(); bigC.unpersist()
     spark.stop()
   }
 

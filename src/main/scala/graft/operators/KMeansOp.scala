@@ -62,6 +62,13 @@ object KMeansOp {
   def argmin(v: Column, centroids: Seq[Array[Double]]): (Column, Column) =
     graft.plans.AnnNative.argminScore(v, centroids)
 
+  /** [[argmin]] over a pre-wrapped [[graft.plans.CentMatrix]] — use with
+    * `AnnNative.matrix(spark, cents)` so a production-sized centroid table
+    * (SemDeDup's k ∝ n) rides as a broadcast variable instead of a
+    * plan-embedded payload. */
+  def argmin(v: Column, cm: graft.plans.CentMatrix): (Column, Column) =
+    graft.plans.AnnNative.argminScore(v, cm)
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

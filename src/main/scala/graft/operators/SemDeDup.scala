@@ -53,7 +53,10 @@ object SemDeDup {
     val n = df.select(id).count()
     val k = cellCount(n, targetCellSize)
     val (cents, base) = KMeansOp.fit(df, id, vec, k = k, iters = iters)
-    val (cl, _) = KMeansOp.argmin(col("v"), cents)
+    // k scales with the corpus → wrap the matrix so it broadcasts past the
+    // CentMatrix size threshold instead of riding every task closure
+    val (cl, _) = KMeansOp.argmin(col("v"),
+      graft.plans.AnnNative.matrix(df.sparkSession, cents))
     val v = base.select(col("id"), cl.cast("long").as("cluster"), col("v"))
     val dropped = v.as("a")
       .join(v.as("b"),
@@ -89,11 +92,15 @@ object SemDeDup {
     val n = corpus.select(id).count()
     val k = cellCount(n, targetCellSize)
     val (cents, corpusBase) = KMeansOp.fit(corpus, id, vec, k = k, iters = iters)
-    val (clC, _) = KMeansOp.argmin(col("v"), cents)
+    // ONE wrapped matrix (broadcast above the threshold) serves both the
+    // corpus and the batch assignment — and keeps the two expressions
+    // semanticEquals for subexpression/exchange reuse
+    val cm = graft.plans.AnnNative.matrix(corpus.sparkSession, cents)
+    val (clC, _) = KMeansOp.argmin(col("v"), cm)
     val corpusCells = corpusBase.select(
       col("id").as("c_id"), clC.as("cell"), col("v").as("cv"))
     val batchBase = batch.select(id.as("id"), VectorExprs.toDouble(vec).as("v"))
-    val (clB, _) = KMeansOp.argmin(col("v"), cents)
+    val (clB, _) = KMeansOp.argmin(col("v"), cm)
     val batchCells = batchBase.select(col("id"), clB.as("cell"), col("v"))
     val dups = batchCells.join(corpusCells, "cell")
       .where(round(VectorExprs.cosine(col("v"), col("cv")), 6) >= threshold)

@@ -79,14 +79,18 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val centroids = sampleCentroids(corpus, nCells)
+    // wrapped once: broadcasts past the CentMatrix threshold (a 100 TB
+    // coarse quantizer runs 10⁴⁺ cells), and assignment + probe share it
+    val cm = graft.plans.AnnNative.matrix(corpus.sparkSession,
+      centroids.map(_._2.toArray))
     val indexed = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
-      .withColumn("cell", assignCells(col("cv"), centroids))
+      .withColumn("cell", graft.plans.AnnNative.argMaxDot(col("cv"), cm))
     // per query: the nProbe closest cells, ordered (raw dot desc, cid desc)
     // inside one native expression — same selection as the unrolled
     // slice(reverse(array_sort(array(struct(dot, cid)))), 1, nProbe)
     val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
       .withColumn("cell", explode(
-        graft.plans.AnnNative.topMByDot(col("qv"), centroids.map(_._2.toArray), nProbe)))
+        graft.plans.AnnNative.topMByDot(col("qv"), cm, nProbe)))
     val scored = indexed.join(broadcast(q), Seq("cell"))
       .select(col("query_id"), col("corpus_id"),
         VectorExprs.cosine(col("qv"), col("cv")).as("cos"))

@@ -204,6 +204,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopKAgg buffer should ride object hash aggregation")
   }
 
+  test("scan-count tripwires: the 10 most expensive queries read their fact table a pinned number of times") {
+    // generalizes q121's input-bytes assertion: a re-scan regression on an
+    // expensive query should fail HERE, not surface as bench drift. Counts
+    // are FileScan occurrences in the final executed plan; queries whose
+    // dataflow ends behind a GlobalRank RDD boundary (q91, q121) pin 0 —
+    // their corpus scans run in earlier jobs and q121's are separately
+    // pinned by Round10Spec's input-bytes tripwire.
+    val pinned = Seq(
+      ("q76_agg_suite", "lineitem", 3),   // rank pass + 2 boundary-rank sides
+      ("q97_span_dedup", "documents", 2), // the two recompute md5 passes
+      ("q108_source_overlap", "documents", 4), // shingle sides; exchange reused (test above)
+      ("q88_fuzzy_match", "part", 2),     // both blocked join sides
+      ("q121_curation_pipeline", "documents", 0), // all scans pre-RDD-boundary
+      ("q112_curation_funnel", "documents", 3),   // pinned by its own test too
+      ("q103_semdedup", "embeddings", 3), // assign + both self-join sides
+      ("q91_scalable_percentile", "orders", 0),   // rank dataflow, pre-boundary
+      ("q119_ivfpq_recall", "embeddings", 9),     // q115 inline + exact side
+      ("q80_repetition", "documents", 2))
+    val diffs = pinned.flatMap { case (q, table, want) =>
+      val got = s"$table\\.parquet".r.findAllIn(executed(q)).length
+      if (got != want) Some(s"$q: $table scans $got != pinned $want") else None
+    }
+    assert(diffs.isEmpty, s"scan-count regressions:\n${diffs.mkString("\n")}")
+  }
+
   test("q102: vocab rank plans no Window; only partial-agg rows converge") {
     val p = executed("q102_zipf")
     assert(!p.contains("Window"),
