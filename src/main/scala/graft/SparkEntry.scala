@@ -31,6 +31,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Exclusive prefix sum (`prev_cum`) of `value` over `key` order for a
+    * KEY-CARDINALITY-sized table (language quotas: a handful of rows) —
+    * as a triangular self-join instead of a partition-less window. Same
+    * values as `sum(value) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING
+    * AND -1)`, but declarative: no `WindowExec` single-partition stage
+    * (and no its unbounded-data warning) anywhere in the plan. The L²
+    * pair fan-out is bounded by the key cardinality squared — trivial for
+    * any real language/source/phase dimension. */
+  private def prevCumByKey(counts: DataFrame, key: String, value: String): DataFrame =
+    counts.select(col(key), col(value)).as("a")
+      .join(counts.select(col(key).as("_bk"), col(value).as("_bv")).as("b"),
+        col("_bk") < col(key), "left")
+      .groupBy(col(key))
+      .agg(coalesce(sum(col("_bv")), lit(0L)).as("prev_cum"))
+
   /** The reference's shipped memo-cache fixture (q122). Overridable via
     * GRAFT_REF_CACHE so the query is runnable outside this machine layout;
     * the same resolved path feeds both the engine parse and the DuckDB
@@ -1165,9 +1180,7 @@ object SparkEntry {
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
         .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
       val quota = counts
-        .withColumn("prev_cum", coalesce(sum("cnt").over(
-          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        .join(prevCumByKey(counts, "lang", "cnt"), "lang")
         .crossJoin(broadcast(counts.agg(sum("w").as("wsum"))))
         .withColumn("quota", expr(s"($K * w) DIV wsum"))
         .select("lang", "prev_cum", "quota")
@@ -1264,9 +1277,7 @@ object SparkEntry {
           md5(col("doc_id").cast("string")).as("_draw"))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
       val quota = counts
-        .withColumn("prev_cum", coalesce(sum("cnt").over(
-          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        .join(prevCumByKey(counts, "lang", "cnt"), "lang")
         .select(col("lang"), col("prev_cum"),
           expr("(cnt * 8) DIV 10").as("n_train"),
           expr("cnt DIV 10").as("n_val"))
@@ -1916,9 +1927,7 @@ object SparkEntry {
       val counts = manifest.groupBy("lang").agg(count(lit(1)).as("cnt"))
         .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
       val quota = counts
-        .withColumn("prev_cum", coalesce(sum("cnt").over(
-          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        .join(prevCumByKey(counts, "lang", "cnt"), "lang")
         .crossJoin(broadcast(counts.agg(sum("w").as("wsum"))))
         .withColumn("quota", expr(s"($K * w) DIV wsum"))
         .select("lang", "prev_cum", "quota")

@@ -20,16 +20,16 @@ import graft.functions.VectorExprs
   * no second fit and no re-read of the source for the vector payload).
   *
   * HONEST BOUNDARY: the assignment carries the centroid matrix as a
-  * broadcast reference object (constant generated code at any k — see
-  * plans.ArgMinScoreExpr), so the practical ceiling is the k×dim matrix
-  * fitting comfortably in executor memory — roughly k ≤ 10⁶ at dim 64
-  * (~500 MB). The paper's extreme regime (50k cells over 5B docs is well
-  * inside this; hundreds of millions of cells is not) needs the next
-  * dataflow up: centroids as a TABLE, assignment as a cell-partitioned
-  * join against a coarse pre-route, and a mini-batch / sampled Lloyd
-  * update instead of full-corpus iterations. The operator keeps the
-  * broadcast form because it is the right plan for every k this engine's
-  * k = n/targetCellSize rule produces below ~10¹⁴ bytes of corpus.
+  * [[graft.plans.CentMatrix]] — plan-embedded below the size threshold,
+  * a BROADCAST VARIABLE above it (one copy per executor, fixed-size plan
+  * payload at any k; ScaleProbe ivf mode measures 688 B at k=10⁴ cells),
+  * and the Lloyd fit runs on a bounded md5-draw sample (KMeansOp
+  * scaladoc), so neither the fit nor the plan grows with the corpus. The
+  * remaining ceiling is the k×dim matrix fitting in EXECUTOR memory —
+  * roughly k ≤ 10⁶ at dim 64 (~500 MB). The paper's extreme regime (50k
+  * cells over 5B docs) is well inside this; hundreds of millions of
+  * cells needs the next dataflow up: centroids as a TABLE and assignment
+  * as a cell-partitioned join against a coarse pre-route.
   *
   * Drop rule: a vector drops when ANY lower-id cell-mate sits at or above
   * the similarity threshold — a pure EXISTS, deterministic under any

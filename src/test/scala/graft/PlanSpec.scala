@@ -189,12 +189,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the only cross join is the broadcast one-row n_docs")
   }
 
-  test("q100: doc-stream rank comes from the range exchange, not a per-language window") {
+  test("q100: doc-stream rank comes from the range exchange; NO window anywhere") {
     val p = executed("q100_strat_split")
-    // the ONE Window is prev_cum over the language-cardinality counts agg;
-    // the per-doc rank must come from GlobalRank's RDD boundary
+    // prev_cum is the triangular self-join over the language-cardinality
+    // counts (prevCumByKey); the per-doc rank rides GlobalRank's RDD
+    // boundary — so the plan carries no Window node at all
     val windows = "Window".r.findAllIn(p).length
-    assert(windows == 1, s"expected exactly the tiny counts window, got $windows:\n${p.take(1200)}")
+    assert(windows == 0, s"expected no Window node, got $windows:\n${p.take(1200)}")
     assert(p.contains("Scan ExistingRDD"), "per-doc rank must ride the GlobalRank dataflow")
   }
 
