@@ -2024,6 +2024,67 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    "q125_shard_manifest" -> ((s, dir) => {
+      // Balanced training-shard assignment: S fixed shards (one per
+      // data-parallel loader group), documents dealt in SNAKE order over
+      // the token-count-descending global rank — the folded LPT greedy
+      // that bounds per-shard token imbalance by roughly one document
+      // WITHOUT tracking bin loads (load-tracking greedy is inherently
+      // sequential; snake dealing is a pure function of rank, so the
+      // assignment is one projection over a distributed rank). The rank
+      // is GlobalRank.withRowNumber (range exchange + partition offsets,
+      // no single-partition window); output is the S-row shard manifest
+      // a loader consumes, with `balance` = shard tokens / ideal share
+      // proving the property in the result itself. The one-row corpus
+      // total rides a broadcast cross join (the BM25 N/avgdl pattern).
+      val S = 8L
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(docs,
+        Seq(col("n_toks").desc, col("doc_id").asc), "rnk")
+      val assigned = ranked.select(col("doc_id"), col("n_toks"),
+        expr(s"IF(((rnk - 1) DIV $S) % 2 = 0, (rnk - 1) % $S, $S - 1 - ((rnk - 1) % $S))")
+          .as("shard_id"))
+      val total = docs.agg(sum("n_toks").as("all_toks"))
+      assigned.groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"),
+          max("n_toks").as("max_doc_toks"))
+        .crossJoin(broadcast(total))
+        .select(col("shard_id"), col("n_docs"), col("shard_toks"),
+          col("max_doc_toks"),
+          round(col("shard_toks").cast("double") * S / col("all_toks"), 6)
+            .as("balance"))
+    }),
+
+    "q126_snapshot_diff" -> ((s, dir) => {
+      // Corpus snapshot diff — the incremental-processing primitive:
+      // compare two dataset versions BY CONTENT HASH and emit the change
+      // manifest (added / removed / changed) that incremental stages
+      // (q113/q124 ingest dedup, q123 index upserts) consume instead of
+      // reprocessing the corpus. Hashes are computed BEFORE the join, so
+      // the one full-outer shuffle carries (id, 32-byte digest) — never
+      // document payloads — and full-outer admits no broadcast side, so
+      // the sort-merge-on-id plan here is exactly the 100 TB plan.
+      // Snapshots are deterministic fixture slices: v1 lacks doc_id%7==3
+      // (later "added"), v2 lacks doc_id%13==5 ("removed") and revises
+      // text where doc_id%11==0 ("changed"); unchanged rows are filtered
+      // out — a diff scales with the CHANGE volume, not the corpus.
+      val d = t(s, dir, "documents")
+      val v1 = d.where(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h1"))
+      val v2 = d.where(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0,
+              concat(coalesce(col("text"), lit("")), lit(" rev2")))
+            .otherwise(coalesce(col("text"), lit("")))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed")).as("status"))
+        .where(col("status").isNotNull)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3340,6 +3401,39 @@ object SparkEntry {
            | coalesce(dup.n, 0) = 0 AS keep
            |FROM bat LEFT JOIN dup ON dup.id = bat.id""".stripMargin
       },
+
+      "q125_shard_manifest" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_toks,
+           |   row_number() OVER (ORDER BY n_toks DESC, doc_id ASC) - 1 AS rnk0
+           |  FROM d),
+           |a AS (SELECT doc_id, n_toks,
+           |   CAST(CASE WHEN (rnk0 // 8) % 2 = 0 THEN rnk0 % 8
+           |        ELSE 7 - rnk0 % 8 END AS BIGINT) AS shard_id
+           |  FROM r),
+           |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS all_toks FROM d)
+           |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_toks) AS BIGINT) AS shard_toks,
+           | CAST(max(n_toks) AS BIGINT) AS max_doc_toks,
+           | round(CAST(sum(n_toks) AS DOUBLE) * 8 / all_toks, 6) AS balance
+           |FROM a, tot GROUP BY shard_id, all_toks""".stripMargin,
+
+      "q126_snapshot_diff" ->
+        s"""WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h1
+           |  FROM documents WHERE doc_id % 7 <> 3),
+           |v2 AS (SELECT doc_id,
+           |   md5(CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' rev2'
+           |       ELSE coalesce(text, '') END) AS h2
+           |  FROM documents WHERE doc_id % 13 <> 5),
+           |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+           |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+           |SELECT doc_id,
+           | CASE WHEN h1 IS NULL THEN 'added'
+           |      WHEN h2 IS NULL THEN 'removed'
+           |      ELSE 'changed' END AS status
+           |FROM j WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

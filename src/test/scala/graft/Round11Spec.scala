@@ -163,6 +163,41 @@ class Round11Spec extends SparkSpec {
       s"batch dup of the corpus pair must drop with n_dups >= 2: ${out2.toSeq}")
   }
 
+  test("q125: snake sharding balances tokens; plan has no Window node") {
+    val out = SparkEntry.queries("q125_shard_manifest")(spark, sf())
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8 && rows.map(_._1).toSet == (0L until 8L).toSet)
+    assert(rows.map(_._2).sum == 500, "every doc lands in exactly one shard")
+    // snake dealing bounds the spread: after each full down-and-back round
+    // the loads differ by at most one round's doc-size delta; empirically
+    // the spread must stay far below one shard's share
+    val toks = rows.map(_._3)
+    val maxDoc = rows.map(_._4).max
+    assert(toks.max - toks.min <= 2 * maxDoc,
+      s"shard spread ${toks.max - toks.min} vs max doc $maxDoc — snake order broken")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "shard rank must use GlobalRank, not a window")
+  }
+
+  test("q126: statuses match the closed-form slice arithmetic; diff excludes unchanged") {
+    val out = SparkEntry.queries("q126_snapshot_diff")(spark, sf())
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = graft.sources.Tables.table(spark, sf(), "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val added = ids.count(i => i % 7 == 3 && i % 13 != 5)
+    val removed = ids.count(i => i % 13 == 5 && i % 7 != 3)
+    val changed = ids.count(i => i % 11 == 0 && i % 7 != 3 && i % 13 != 5)
+    assert(byStatus == Map("added" -> added.toLong, "removed" -> removed.toLong,
+      "changed" -> changed.toLong), s"got $byStatus")
+    // full-outer on the id admits no broadcast; the diff must plan the
+    // shuffle join on pre-hashed (id, digest) pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), "snapshot diff must be a full-outer join")
+    assert(!plan.contains("BroadcastHashJoin"), "full-outer cannot broadcast")
+  }
+
   test("sub_centroid rejects an out-of-range index with a clear error") {
     val sp = spark
     import sp.implicits._
