@@ -2035,8 +2035,11 @@ object SparkEntry {
       // is GlobalRank.withRowNumber (range exchange + partition offsets,
       // no single-partition window); output is the S-row shard manifest
       // a loader consumes, with `balance` = shard tokens / ideal share
-      // proving the property in the result itself. The one-row corpus
-      // total rides a broadcast cross join (the BM25 N/avgdl pattern).
+      // proving the property in the result itself. The corpus total is
+      // derived FROM the S-row manifest (broadcast cross join, the BM25
+      // N/avgdl pattern) — never a second corpus scan+tokenize; the only
+      // full-corpus work in the whole query is the rank's one range
+      // exchange, whose shuffle files both downstream branches re-read.
       val S = 8L
       val docs = t(s, dir, "documents").select(col("doc_id"),
         size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
@@ -2045,11 +2048,11 @@ object SparkEntry {
       val assigned = ranked.select(col("doc_id"), col("n_toks"),
         expr(s"IF(((rnk - 1) DIV $S) % 2 = 0, (rnk - 1) % $S, $S - 1 - ((rnk - 1) % $S))")
           .as("shard_id"))
-      val total = docs.agg(sum("n_toks").as("all_toks"))
-      assigned.groupBy("shard_id")
+      val manifest = assigned.groupBy("shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_toks"),
           max("n_toks").as("max_doc_toks"))
-        .crossJoin(broadcast(total))
+      val total = manifest.agg(sum("shard_toks").as("all_toks"))
+      manifest.crossJoin(broadcast(total))
         .select(col("shard_id"), col("n_docs"), col("shard_toks"),
           col("max_doc_toks"),
           round(col("shard_toks").cast("double") * S / col("all_toks"), 6)

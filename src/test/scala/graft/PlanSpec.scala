@@ -222,7 +222,11 @@ class PlanSpec extends SparkSpec {
       ("q103_semdedup", "embeddings", 3), // assign + both self-join sides
       ("q91_scalable_percentile", "orders", 0),   // rank dataflow, pre-boundary
       ("q119_ivfpq_recall", "embeddings", 9),     // q115 inline + exact side
-      ("q80_repetition", "documents", 2))
+      ("q80_repetition", "documents", 2),
+      ("q125_shard_manifest", "documents", 0),    // total derived from the
+                                                  // manifest, never a second
+                                                  // corpus scan (pre-boundary)
+      ("q126_snapshot_diff", "documents", 2))     // one scan per version side
     val diffs = pinned.flatMap { case (q, table, want) =>
       val got = s"$table\\.parquet".r.findAllIn(executed(q)).length
       if (got != want) Some(s"$q: $table scans $got != pinned $want") else None
