@@ -1614,9 +1614,12 @@ object SparkEntry {
         (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
       }}), Duration.Inf)
       val codes = fits.map(_._2).reduce(_.join(_, "vec_id"))
+      // ‖q‖² once per query row; the raw qv never crosses the join — the
+      // broadcast side is (query_id, 4 luts, one scalar)
       val q = e.where(col("vec_id") < 8)
         .select(Seq(col("vec_id").as("query_id"),
-          col("embedding").cast("array<double>").as("qv")) ++
+          VectorExprs.dot(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>")).as("_q2")) ++
           (0 until 4).map { m =>
             graft.plans.AnnNative.adcLut(col("embedding").cast("array<double>"),
               fits(m)._1, m * 16).as(s"_lut$m")
@@ -1625,7 +1628,7 @@ object SparkEntry {
         element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
       q.crossJoin(codes)
         .select(col("query_id"), col("vec_id").as("corpus_id"),
-          round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+          round(col("_q2") + lutSum, 6).as("adc"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
           .cast("long"))
@@ -1669,10 +1672,13 @@ object SparkEntry {
       // At a production coarse quantizer (10k+ cells for 100 TB) the old
       // crossJoin(range(k)) + Window shape pushes k rows per query through
       // an exchange; this is O(k·dim) inside the scan projection.
+      // ‖q‖² once per query row (pre-explode), qv dropped once the LUTs
+      // exist — the probe join input is (query_id, cell, luts, scalar)
       val probed = q
         .select(col("query_id"), col("qv"),
+          VectorExprs.dot(col("qv"), col("qv")).as("_q2"),
           explode(graft.plans.AnnNative.argTopM(col("qv"), coarse, 2)).as("cell"))
-        .select(Seq(col("query_id"), col("qv"), col("cell")) ++
+        .select(Seq(col("query_id"), col("_q2"), col("cell")) ++
           (0 until 4).map { m =>
             graft.plans.AnnNative.adcLut(col("qv"), fits(m)._1, m * 16).as(s"_lut$m")
           }: _*)
@@ -1680,7 +1686,7 @@ object SparkEntry {
         element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
       probed.join(codes, "cell")
         .select(col("query_id"), col("vec_id").as("corpus_id"),
-          round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+          round(col("_q2") + lutSum, 6).as("adc"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
           .cast("long"))
@@ -1749,17 +1755,22 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val anchors = emb.where(col("vec_id") < 16)
         .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
-          col("embedding").as("av"))
+          col("embedding").as("av"),
+          VectorExprs.normNative(col("embedding")).as("_an"))
       val corpus = emb.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
-        col("embedding").as("cv"))
+        col("embedding").as("cv"),
+        VectorExprs.normNative(col("embedding")).as("_cnn"))
       val scored = corpus.join(broadcast(anchors))
         .where(col("cand_id") =!= col("anchor_id"))
         .select(col("anchor_id"), col("cand_id"),
           (col("c_label") === col("a_label")).as("same"),
           // 6dp BEFORE the ranking window (repo convention, q101/q107):
           // both engines pick from identical rounded scores, so parity
-          // never depends on either engine's float-sum association order
-          round(VectorExprs.cosine(col("av"), col("cv")), 6).as("cos"))
+          // never depends on either engine's float-sum association order;
+          // norms hoisted per side — each corpus row scores against all
+          // 16 anchors, so the per-pair loop is the cross term only
+          round(VectorExprs.cosineHoisted(col("av"), col("cv"),
+            col("_an"), col("_cnn")), 6).as("cos"))
       val w = Window.partitionBy("anchor_id", "same")
         .orderBy(col("cos").desc, col("cand_id").asc)
       val best = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
@@ -1824,15 +1835,18 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val approx = queries("q115_ivfpq_search")(s, dir)
         .select(col("query_id"), col("corpus_id"))
+      // the per-row norms ‖q‖²/‖c‖² are computed ONCE per side before the
+      // cross join — only the cross term pays per-pair work
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"))
+        .withColumn("_q2", VectorExprs.dot(col("qv"), col("qv")))
       val c = e.select(col("vec_id").as("corpus_id"),
-        col("embedding").cast("array<double>").as("cv"))
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("_c2", VectorExprs.dot(col("cv"), col("cv")))
       val exact = q.crossJoin(c)
         .select(col("query_id"), col("corpus_id"),
-          round(VectorExprs.dot(col("qv"), col("qv"))
-            + VectorExprs.dot(col("cv"), col("cv"))
+          round(col("_q2") + col("_c2")
             - lit(2.0) * VectorExprs.dot(col("qv"), col("cv")), 6).as("d2"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("d2").asc, col("corpus_id").asc)))

@@ -27,6 +27,20 @@ object VectorExprs {
     * codegen'd single-call expression. */
   def cosine(a: Column, b: Column): Column = graft.plans.VectorNative.cosine(a, b)
 
+  /** ‖v‖ as the native fold: sqrt(dot(v, v)) — the exact sxx/syy pass
+    * [[cosine]] runs internally, exposed so joins can hoist it per ROW. */
+  def normNative(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from per-side precomputed norms: dot(a,b)/(na·nb) with
+    * [[cosine]]'s zero-norm guard. Bit-identical to `cosine(a, b)` when
+    * `na = normNative(a)` and `nb = normNative(b)` (same folds, same op
+    * order) — but each side's norm is computed once per INPUT row instead
+    * of once per joined PAIR, cutting a verify join's inner loop from
+    * three array passes to one. The scale lever for every bucketed/celled
+    * exact-verify join (LSH, SemDeDup, brute-force scans). */
+  def cosineHoisted(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))

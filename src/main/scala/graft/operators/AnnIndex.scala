@@ -85,10 +85,15 @@ object AnnIndex {
     require(coarse.numRows == p.kCoarse,
       s"index at $dir has ${coarse.numRows} coarse cells, params say ${p.kCoarse}")
     val codes = spark.read.parquet(s"$dir/codes")
+    // ‖q‖² is constant per query — computed ONCE on the query row, before
+    // the probe explode, never per candidate; and the probe side sheds the
+    // raw qv once the LUTs are built, so the (broadcast) join input is
+    // (query_id, cell, nSub luts, one scalar), not dim-wide vectors.
     val probed = queries
       .select(col("query_id"), col("qv"),
+        VectorExprs.dot(col("qv"), col("qv")).as("_q2"),
         explode(graft.plans.AnnNative.argTopM(col("qv"), coarse, nProbe)).as("cell"))
-      .select(Seq(col("query_id"), col("qv"), col("cell")) ++
+      .select(Seq(col("query_id"), col("_q2"), col("cell")) ++
         (0 until p.nSub).map { m =>
           graft.plans.AnnNative.adcLut(col("qv"), subs(m), m * p.subDim).as(s"_lut$m")
         }: _*)
@@ -96,7 +101,7 @@ object AnnIndex {
       element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
     probed.join(codes, "cell")
       .select(col("query_id"), col("vec_id").as("corpus_id"),
-        round(VectorExprs.dot(col("qv"), col("qv")) + lutSum, 6).as("adc"))
+        round(col("_q2") + lutSum, 6).as("adc"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc").asc, col("corpus_id").asc))
         .cast("long"))

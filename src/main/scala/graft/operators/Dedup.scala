@@ -534,13 +534,17 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.95, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
     val planes = VectorExprs.deterministicPlanes(nPlanes, dim)
-    val docs = df.select(id.as("id"), vec.as("v"))
+    val docs = df.select(id.as("id"), vec.as("v"),
+        VectorExprs.normNative(vec).as("_n"))
       .withColumn("bucket", VectorExprs.hyperplaneBucket(col("v"), planes))
-    val l = docs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = docs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val l = docs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
+      col("_n").as("_na"))
+    val r = docs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"),
+      col("_n").as("_nb"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), VectorExprs.cosine(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"), VectorExprs.cosineHoisted(
+        col("v_a"), col("v_b"), col("_na"), col("_nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -57,11 +57,15 @@ object SemDeDup {
     // CentMatrix size threshold instead of riding every task closure
     val (cl, _) = KMeansOp.argmin(col("v"),
       graft.plans.AnnNative.matrix(df.sparkSession, cents))
-    val v = base.select(col("id"), cl.cast("long").as("cluster"), col("v"))
+    // ‖v‖ hoisted to once per row — the within-cell pair loop (the
+    // quadratic part) pays only the cross-term array pass
+    val v = base.select(col("id"), cl.cast("long").as("cluster"), col("v"),
+      VectorExprs.normNative(col("v")).as("_n"))
     val dropped = v.as("a")
       .join(v.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .where(round(VectorExprs.cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .where(round(VectorExprs.cosineHoisted(col("a.v"), col("b.v"),
+        col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("b.id").as("id")).distinct()
     v.join(dropped.withColumn("_drp", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("_drp").isNull.as("keep"))
@@ -98,12 +102,15 @@ object SemDeDup {
     val cm = graft.plans.AnnNative.matrix(corpus.sparkSession, cents)
     val (clC, _) = KMeansOp.argmin(col("v"), cm)
     val corpusCells = corpusBase.select(
-      col("id").as("c_id"), clC.as("cell"), col("v").as("cv"))
+      col("id").as("c_id"), clC.as("cell"), col("v").as("cv"),
+      VectorExprs.normNative(col("v")).as("_cn"))
     val batchBase = batch.select(id.as("id"), VectorExprs.toDouble(vec).as("v"))
     val (clB, _) = KMeansOp.argmin(col("v"), cm)
-    val batchCells = batchBase.select(col("id"), clB.as("cell"), col("v"))
+    val batchCells = batchBase.select(col("id"), clB.as("cell"), col("v"),
+      VectorExprs.normNative(col("v")).as("_bn"))
     val dups = batchCells.join(corpusCells, "cell")
-      .where(round(VectorExprs.cosine(col("v"), col("cv")), 6) >= threshold)
+      .where(round(VectorExprs.cosineHoisted(col("v"), col("cv"),
+        col("_bn"), col("_cn")), 6) >= threshold)
       .groupBy("id").agg(count(lit(1)).as("n_dups"))
     batchCells.select(col("id"))
       .join(dups, Seq("id"), "left")

@@ -23,11 +23,15 @@ object Similarity {
     * Queries are broadcast (they are the small side by construction).
     * Deterministic tie-break on corpus id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
-    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+    // norms hoisted to once-per-row below the join; the O(|Q|·|C|) inner
+    // loop pays only the cross-term pass (bit-identical to cosine())
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"),
+      VectorExprs.normNative(col("v")).as("_qn"))
+    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"),
+      VectorExprs.normNative(col("v")).as("_cn"))
     val scored = c.join(broadcast(q))
       .select(col("query_id"), col("corpus_id"),
-        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+        VectorExprs.cosineHoisted(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -37,11 +41,13 @@ object Similarity {
     * exceeds k entries and partial aggregation combines map-side — at 100 TB
     * the shuffle carries |Q|·k rows instead of |Q|·|C| scores. */
   def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
-    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"),
+      VectorExprs.normNative(col("v")).as("_qn"))
+    val c = corpus.select(col("id").as("corpus_id"), col("v").as("cv"),
+      VectorExprs.normNative(col("v")).as("_cn"))
     val scored = c.join(broadcast(q))
       .select(col("query_id"), col("corpus_id"),
-        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+        VectorExprs.cosineHoisted(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
     TopKAgg.perKey(scored, col("query_id"), col("cos"), col("corpus_id"), k)
       .select(col("_k").as("query_id"), col("id").as("corpus_id"),
         col("score").as("cos"), col("rank"))
@@ -83,17 +89,19 @@ object Similarity {
     // coarse quantizer runs 10⁴⁺ cells), and assignment + probe share it
     val cm = graft.plans.AnnNative.matrix(corpus.sparkSession,
       centroids.map(_._2.toArray))
-    val indexed = corpus.select(col("id").as("corpus_id"), col("v").as("cv"))
+    val indexed = corpus.select(col("id").as("corpus_id"), col("v").as("cv"),
+        VectorExprs.normNative(col("v")).as("_cn"))
       .withColumn("cell", graft.plans.AnnNative.argMaxDot(col("cv"), cm))
     // per query: the nProbe closest cells, ordered (raw dot desc, cid desc)
     // inside one native expression — same selection as the unrolled
     // slice(reverse(array_sort(array(struct(dot, cid)))), 1, nProbe)
-    val q = queries.select(col("id").as("query_id"), col("v").as("qv"))
+    val q = queries.select(col("id").as("query_id"), col("v").as("qv"),
+        VectorExprs.normNative(col("v")).as("_qn"))
       .withColumn("cell", explode(
         graft.plans.AnnNative.topMByDot(col("qv"), cm, nProbe)))
     val scored = indexed.join(broadcast(q), Seq("cell"))
       .select(col("query_id"), col("corpus_id"),
-        VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+        VectorExprs.cosineHoisted(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -198,6 +198,25 @@ class Round11Spec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), "full-outer cannot broadcast")
   }
 
+  test("cosineHoisted ≡ native cosine bit-for-bit, incl. the zero-vector guard") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.VectorExprs
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val z = Seq((-1L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val both = e.union(z)
+    val l = both.select(col("embedding").as("va"),
+      VectorExprs.normNative(col("embedding")).as("na"))
+    val r = both.select(col("embedding").as("vb"),
+      VectorExprs.normNative(col("embedding")).as("nb"))
+    val diff = l.crossJoin(r).select(
+        VectorExprs.cosine(col("va"), col("vb")).as("c"),
+        VectorExprs.cosineHoisted(col("va"), col("vb"), col("na"), col("nb")).as("h"))
+      .where(not(col("c") === col("h")))
+    assert(diff.count() == 0, s"hoisted cosine diverges: ${diff.take(3).toSeq}")
+  }
+
   test("sub_centroid rejects an out-of-range index with a clear error") {
     val sp = spark
     import sp.implicits._
