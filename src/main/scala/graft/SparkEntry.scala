@@ -2102,6 +2102,41 @@ object SparkEntry {
         .where(col("status").isNotNull)
     }),
 
+    "q127_repeat_upsample" -> ((s, dir) => {
+      // Per-source repeat-factor upsampling — the data-constrained-scaling
+      // recipe (Muennighoff et al. 2023: repeat scarce sources for
+      // multiple epochs when unique data runs out): each source's epoch
+      // factor equalizes its token contribution to the LARGEST source,
+      // capped at 4.0 epochs (repetition beyond ~4 stops helping). Every
+      // doc emits floor(e) whole copies plus one more iff its md5 u-draw
+      // (q107's 13-hex-nibble convention — exactly representable, engine-
+      // neutral) lands below frac(e) — expected upsampled tokens hit the
+      // target exactly and membership is a pure function of doc_id.
+      // Scale: the factor table is |sources| rows (broadcast); the
+      // explode is the only fan-out, bounded by cap × corpus; the token
+      // recompute on the apply side is the q89 model/apply posture.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      val src = docs.groupBy("source").agg(sum("n_toks").as("src_toks"))
+      val maxT = src.agg(max("src_toks").as("max_toks"))
+      val eps = src.crossJoin(broadcast(maxT))
+        .select(col("source"), least(lit(4.0),
+          col("max_toks").cast("double") / greatest(col("src_toks"), lit(1L)))
+          .as("epochs"))
+      docs.join(broadcast(eps), "source")
+        .select(col("doc_id"), col("source"),
+          floor(col("epochs")).cast("long").as("_full"),
+          (col("epochs") - floor(col("epochs"))).as("_frac"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") / lit(4503599627370496.0)).as("_u"))
+        .select(col("doc_id"), col("source"),
+          (col("_full") + when(col("_u") < col("_frac"), 1L).otherwise(0L))
+            .as("n_copies"))
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3436,6 +3471,28 @@ object SparkEntry {
            | CAST(max(n_toks) AS BIGINT) AS max_doc_toks,
            | round(CAST(sum(n_toks) AS DOUBLE) * 8 / all_toks, 6) AS balance
            |FROM a, tot GROUP BY shard_id, all_toks""".stripMargin,
+
+      "q127_repeat_upsample" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks,
+           |   md5(CAST(doc_id AS VARCHAR)) AS h
+           |  FROM documents),
+           |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks
+           |  FROM d GROUP BY source),
+           |m AS (SELECT CAST(max(src_toks) AS BIGINT) AS max_toks FROM s),
+           |e AS (SELECT source, least(CAST(4.0 AS DOUBLE),
+           |   CAST(max_toks AS DOUBLE) / greatest(src_toks, 1)) AS epochs
+           |  FROM s, m),
+           |j AS (SELECT d.doc_id, d.source,
+           |   CAST(floor(epochs) AS BIGINT) AS fullc,
+           |   epochs - floor(epochs) AS frac,
+           |   CAST($hexNum13 AS DOUBLE) / 4503599627370496.0 AS u
+           |  FROM d JOIN e USING (source)),
+           |n AS (SELECT doc_id, source,
+           |   fullc + CASE WHEN u < frac THEN 1 ELSE 0 END AS n_copies FROM j)
+           |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           | CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+           |FROM n WHERE n_copies > 0""".stripMargin,
 
       "q126_snapshot_diff" ->
         s"""WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h1

@@ -198,6 +198,24 @@ class Round11Spec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), "full-outer cannot broadcast")
   }
 
+  test("q127: every doc kept ≥ once; copy_idx dense; copies bounded by ceil(epochs)") {
+    val out = SparkEntry.queries("q127_repeat_upsample")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.size == 500, s"all docs repeat >= 1 epoch, got ${byDoc.size}")
+    byDoc.foreach { case (doc, rows) =>
+      val n = rows.head._3
+      assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq,
+        s"doc $doc: copy_idx must be dense 0..${n - 1}")
+      assert(n >= 1 && n <= 4, s"doc $doc: $n copies outside [1, cap]")
+    }
+    // fractional-epoch draw must actually split a source's docs (factors
+    // here are non-integer for every non-max source)
+    val perSourceDistinct = out.groupBy(_._2).map(_._2.map(_._3).distinct.size)
+    assert(perSourceDistinct.exists(_ > 1),
+      "expected at least one source with both floor and floor+1 copy counts")
+  }
+
   test("cosineHoisted ≡ native cosine bit-for-bit, incl. the zero-vector guard") {
     val sp = spark
     import sp.implicits._
