@@ -66,8 +66,12 @@ object AnnIndex {
     spark.createDataFrame(spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
       .write.mode("overwrite").parquet(s"$dir/centroids")
 
+    // cell-partitioned layout: each coarse cell is its own directory, so
+    // the query path's probe join can DYNAMICALLY PRUNE to the probed
+    // cells — at a production k the probe reads nProbe/k of the artifact
+    // from storage instead of scanning every code file
     (fits.map(_._2) :+ cells).reduce(_.join(_, "vec_id"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
   }
 
   /** Load the stored quantizers and serve `queries` (query_id, qv) —
@@ -99,7 +103,14 @@ object AnnIndex {
         }: _*)
     val lutSum = (0 until p.nSub).map(m =>
       element_at(col(s"_lut$m"), col(s"code$m") + 1)).reduce(_ + _)
-    probed.join(codes, "cell")
+    // the CODES table is the 100 TB side — it must STREAM while the
+    // (queries × nProbe)-row probe set broadcasts; without the hint AQE
+    // broadcasts whichever measures smaller, which at fixture scale is
+    // the codes table (the wrong-at-scale shape). With the probe side
+    // broadcast, the join key IS the artifact's partition column, so
+    // dynamic partition pruning drops every unprobed cell directory from
+    // the scan (Round11Spec asserts the pruning subquery in the plan).
+    codes.join(broadcast(probed), "cell")
       .select(col("query_id"), col("vec_id").as("corpus_id"),
         round(col("_q2") + lutSum, 6).as("adc"))
       .withColumn("rnk", row_number().over(
