@@ -2137,6 +2137,38 @@ object SparkEntry {
           explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
     }),
 
+    "q128_export_pipeline" -> ((s, dir) => {
+      // Export-side composition — what q121 is to curation, this is to
+      // the training-run WRITER: one plan takes the corpus to the
+      // (shard, per-shard order, pack) manifest a 1000-GPU loader
+      // consumes. Stage 1: snake shard over the token-desc global rank
+      // (q125's arithmetic). Stage 2: per-shard epoch order by md5 draw
+      // (q104's deterministic shuffle) with per-shard token-budget packs
+      // — realized as ONE global running sum ordered (shard, draw, id)
+      // minus each shard's exclusive token prefix (prevCumByKey over the
+      // S-row manifest), the q100 global-minus-prefix trick: per-shard
+      // prefix sums out of a single range exchange, never a per-shard
+      // window that would pull a whole shard through one task at 100 TB.
+      val S = 8L; val B = 2048L
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
+      val sharded = graft.operators.GlobalRank.withRowNumber(docs,
+          Seq(col("n_toks").desc, col("doc_id").asc), "_rnk")
+        .select(col("doc_id"), col("n_toks"),
+          expr(s"IF(((_rnk - 1) DIV $S) % 2 = 0, (_rnk - 1) % $S, $S - 1 - ((_rnk - 1) % $S))")
+            .as("shard_id"),
+          md5(col("doc_id").cast("string")).as("_draw"))
+      val shardToks = sharded.groupBy("shard_id").agg(sum("n_toks").as("stoks"))
+      val prev = prevCumByKey(shardToks, "shard_id", "stoks")
+      graft.operators.GlobalRank.withRunningSum(sharded,
+          Seq(col("shard_id").asc, col("_draw").asc, col("doc_id").asc),
+          col("n_toks"), "_gcum")
+        .join(broadcast(prev), "shard_id")
+        .select(col("doc_id"), col("shard_id"),
+          (col("_gcum") - col("prev_cum")).as("cum_toks"),
+          expr(s"(_gcum - prev_cum - n_toks) DIV $B").as("pack_id"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3493,6 +3525,26 @@ object SparkEntry {
            |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
            | CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
            |FROM n WHERE n_copies > 0""".stripMargin,
+
+      "q128_export_pipeline" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   CAST(len(string_split(${cleanSql("text")}, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |r AS (SELECT doc_id, n_toks,
+           |   row_number() OVER (ORDER BY n_toks DESC, doc_id ASC) - 1 AS rnk0
+           |  FROM d),
+           |a AS (SELECT doc_id, n_toks,
+           |   CAST(CASE WHEN (rnk0 // 8) % 2 = 0 THEN rnk0 % 8
+           |        ELSE 7 - rnk0 % 8 END AS BIGINT) AS shard_id,
+           |   md5(CAST(doc_id AS VARCHAR)) AS dr
+           |  FROM r),
+           |c AS (SELECT doc_id, shard_id, n_toks,
+           |   CAST(sum(n_toks) OVER (PARTITION BY shard_id
+           |     ORDER BY dr, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+           |  FROM a)
+           |SELECT doc_id, shard_id, cum_toks,
+           | CAST((cum_toks - n_toks) // 2048 AS BIGINT) AS pack_id
+           |FROM c""".stripMargin,
 
       "q126_snapshot_diff" ->
         s"""WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h1

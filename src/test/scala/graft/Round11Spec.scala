@@ -227,6 +227,28 @@ class Round11Spec extends SparkSpec {
       "expected at least one source with both floor and floor+1 copy counts")
   }
 
+  test("q128: per-shard cum totals equal q125's manifest; packs dense; no Window") {
+    val out = SparkEntry.queries("q128_export_pipeline")(spark, sf())
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cross-query consistency: the composition's per-shard token totals
+    // must equal the standalone shard manifest's
+    val manifest = SparkEntry.queries("q125_shard_manifest")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val maxCum = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).max }
+    assert(maxCum == manifest, s"shard totals diverge: $maxCum vs $manifest")
+    // packs within a shard are dense from 0 and monotone in cum order
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val packs = rs.sortBy(_._3).map(_._4)
+      assert(packs.head == 0, s"shard $shard: first pack must be 0")
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a || b == a + 1 || b > a },
+        s"shard $shard: pack ids must be nondecreasing in stream order")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-shard prefix sums must ride the range exchange, not a window")
+  }
+
   test("cosineHoisted ≡ native cosine bit-for-bit, incl. the zero-vector guard") {
     val sp = spark
     import sp.implicits._
