@@ -62,6 +62,12 @@ import org.apache.spark.sql.functions._
   * the fit wall ~flat (iterations run on the capped md5-draw sample; only
   * the one sample-extraction pass sees the corpus).
   *
+  * Diff mode: the q126 snapshot-diff shape at replicated scale — both
+  * versions are rep× the corpus, the change manifold is carved by the
+  * same deterministic id slices, and the probe VERIFIES the closed-form
+  * added/removed/changed counts while timing the one full-outer
+  * sort-merge join over (id, digest) pairs.
+  *
   * Usage: runMain graft.ScaleProbe [sfDir] [rep]        — dedup mode
   *        runMain graft.ScaleProbe rank [sfDir] [rep]   — rank mode
   *        runMain graft.ScaleProbe span [sfDir] [rep]   — span mode
@@ -71,6 +77,7 @@ import org.apache.spark.sql.functions._
   *        runMain graft.ScaleProbe ivf [sfDir] [rep]     — ivf mode
   *        runMain graft.ScaleProbe ccchain [links]       — ccchain mode
   *        runMain graft.ScaleProbe fitwall [sfDir] [rep] — fitwall mode
+  *        runMain graft.ScaleProbe diff [sfDir] [rep]    — diff mode
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -82,6 +89,7 @@ object ScaleProbe {
     if (args.headOption.contains("ivf")) { ivfProbe(args.drop(1)); return }
     if (args.headOption.contains("ccchain")) { ccChainProbe(args.drop(1)); return }
     if (args.headOption.contains("fitwall")) { fitWallProbe(args.drop(1)); return }
+    if (args.headOption.contains("diff")) { diffProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -647,6 +655,54 @@ object ScaleProbe {
     }
     assert(diffs.isEmpty, s"percentile mismatch:\n${diffs.mkString("\n")}")
     println(s"[probe] percentiles match the buffering aggregate on ${ours.size} groups")
+    spark.stop()
+  }
+
+  /** q126's snapshot-diff dataflow at rep× the corpus: one full-outer
+    * sort-merge join over (id, digest); closed-form counts asserted. */
+  private def diffProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val big = docs.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"), col("text"))
+    val n = big.count()
+    println(s"[probe] diff corpus: $n docs per version side (rep=$rep)")
+    val v1 = big.where(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = big.where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h2"))
+    val t0 = System.nanoTime()
+    val byStatus = v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, lit("added"))
+        .when(col("h2").isNull, lit("removed"))
+        .when(col("h1") =!= col("h2"), lit("changed")).as("status"))
+      .where(col("status").isNotNull)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(f"[probe] full-outer diff: ${(System.nanoTime() - t0) / 1e9}%.1f s → $byStatus")
+    // closed form over the dense replicated id space [0, n·rep)
+    val ids = (0L until n).iterator
+    var add = 0L; var rem = 0L; var chg = 0L
+    ids.foreach { i =>
+      val in1 = i % 7 != 3; val in2 = i % 13 != 5
+      if (!in1 && in2) add += 1
+      else if (in1 && !in2) rem += 1
+      else if (in1 && in2 && i % 11 == 0) chg += 1
+    }
+    assert(byStatus == Map("added" -> add, "removed" -> rem, "changed" -> chg),
+      s"closed form (${(add, rem, chg)}) vs measured $byStatus")
+    println(s"[probe] closed-form counts verified (added=$add removed=$rem changed=$chg)")
     spark.stop()
   }
 }
