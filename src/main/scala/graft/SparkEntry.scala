@@ -2169,6 +2169,29 @@ object SparkEntry {
           expr(s"(_gcum - prev_cum - n_toks) DIV $B").as("pack_id"))
     }),
 
+    "q129_ann_index_upsert" -> ((s, dir) => {
+      // Index upsert — q124's incremental contract applied to q123's
+      // stored artifact: the index is BUILT on the standing corpus
+      // (vec_id % 10 != 0), the ingest batch is APPENDED by encoding it
+      // with the STORED quantizers (AnnIndex.append: one argmin pass,
+      // zero Lloyd iterations, no refit — at 100 TB a refit per ingest
+      // is the difference between an index and a batch job), and queries
+      // immediately rank over old + new rows from the cell-partitioned
+      // artifact. The oracle replays the slice-fit + assign-all chain,
+      // so the hash gate proves the appended rows are encoded bit-
+      // identically to a from-scratch encode under the same quantizers.
+      val ixDir = s"target/ann_index_upsert/${new java.io.File(dir).getName}"
+      val e = t(s, dir, "embeddings")
+      graft.operators.AnnIndex.build(
+        e.where(col("vec_id") % 10 =!= 0), col("vec_id"), col("embedding"), ixDir)
+      graft.operators.AnnIndex.append(
+        s, ixDir, e.where(col("vec_id") % 10 === 0), col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      graft.operators.AnnIndex.query(s, ixDir, q, k = 5, nProbe = 2)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3484,6 +3507,63 @@ object SparkEntry {
            |SELECT bat.id AS vec_id, coalesce(dup.n, 0) AS n_dups,
            | coalesce(dup.n, 0) = 0 AS keep
            |FROM bat LEFT JOIN dup ON dup.id = bat.id""".stripMargin
+      },
+
+      "q129_ann_index_upsert" -> {
+        // quantizers fit on the STANDING corpus slice only; ALL vectors
+        // (standing + appended batch) assigned/encoded under them — the
+        // hash gate proves AnnIndex.append's encode is bit-identical to
+        // a from-scratch encode with the same stored quantizers
+        val slice = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0) ix_src"
+        def cbs(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+          slice, "vec_id", s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+          k = 4, iters = 2, dim = 16) + s"\n)"
+        val cbf = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+          slice, "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n)"
+        val lut = (0 until 4).map { m =>
+          s"""(list_inner_product(cm$m.c, cm$m.c)
+             |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cm$m.c))""".stripMargin
+        }.mkString(" + ")
+        val codeCtes = (0 until 4).map { m =>
+          s"""code$m AS (SELECT av.vec_id, cs$m.cid AS code FROM av CROSS JOIN cs$m
+             |  QUALIFY row_number() OVER (PARTITION BY av.vec_id
+             |    ORDER BY list_inner_product(cs$m.c, cs$m.c)
+             |      - 2 * list_inner_product(list_slice(av.v, ${m * 16 + 1}, ${m * 16 + 16}), cs$m.c),
+             |      cs$m.cid) = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH av AS (SELECT vec_id,
+           |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |cf AS (SELECT cid, c FROM $cbf),
+           |${(0 until 4).map(m => s"cs$m AS (SELECT cid, c FROM ${cbs(m)})").mkString(",\n")},
+           |cells AS (SELECT av.vec_id, cf.cid AS cell FROM av CROSS JOIN cf
+           |  QUALIFY row_number() OVER (PARTITION BY av.vec_id
+           |    ORDER BY list_inner_product(cf.c, cf.c)
+           |      - 2 * list_inner_product(av.v, cf.c), cf.cid) = 1),
+           |$codeCtes,
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM av WHERE vec_id < 8),
+           |probed AS (SELECT query_id, qv, cell FROM (
+           |  SELECT q.query_id, q.qv, cf.cid AS cell,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |     ORDER BY round(list_inner_product(cf.c, cf.c)
+           |       - 2 * list_inner_product(q.qv, cf.c), 6) ASC, cf.cid ASC) AS crnk
+           |  FROM q CROSS JOIN cf) WHERE crnk <= 2)
+           |SELECT query_id, corpus_id, adc,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
+           |FROM (
+           |  SELECT p.query_id, cells.vec_id AS corpus_id,
+           |   round(list_inner_product(p.qv, p.qv) + $lut, 6) AS adc
+           |  FROM probed p
+           |   JOIN cells ON cells.cell = p.cell
+           |   JOIN code0 ON code0.vec_id = cells.vec_id
+           |   JOIN code1 ON code1.vec_id = cells.vec_id
+           |   JOIN code2 ON code2.vec_id = cells.vec_id
+           |   JOIN code3 ON code3.vec_id = cells.vec_id
+           |   JOIN cs0 cm0 ON cm0.cid = code0.code
+           |   JOIN cs1 cm1 ON cm1.cid = code1.code
+           |   JOIN cs2 cm2 ON cm2.cid = code2.code
+           |   JOIN cs3 cm3 ON cm3.cid = code3.code)
+           |QUALIFY rnk <= 5""".stripMargin
       },
 
       "q125_shard_manifest" ->

@@ -74,6 +74,34 @@ object AnnIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Append a NEW batch to an existing index using the STANDING
+    * quantizers — the ingest path: assign + encode with the stored
+    * centroids (ZERO Lloyd iterations; the batch never triggers a refit)
+    * and append the encoded rows to the cell-partitioned codes artifact.
+    * This is q124's incremental contract applied to the stored index:
+    * per-ingest cost is one argmin pass over the batch, independent of
+    * corpus history; queries immediately see old + new rows. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame, id: Column,
+      vec: Column, p: Params = Params()): Unit = {
+    val stored = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def centsOf(kind: String): Seq[Array[Double]] =
+      stored.filter(_._1 == kind).sortBy(_._2).map(_._3).toSeq
+    val base = batch.select(id.as("vec_id"), VectorExprs.toDouble(vec).as("v"))
+    val (cellCol, _) = KMeansOp.argmin(col("v"),
+      graft.plans.AnnNative.matrix(spark, centsOf("coarse")))
+    val encoded = (0 until p.nSub).foldLeft(
+        base.withColumn("cell", cellCol.cast("int"))) { (d, m) =>
+      val (cl, _) = KMeansOp.argmin(
+        slice(col("v"), m * p.subDim + 1, p.subDim),
+        graft.plans.AnnNative.matrix(spark, centsOf(s"sub$m")))
+      d.withColumn(s"code$m", cl.cast("int"))
+    }
+    encoded
+      .select(col("vec_id") +: (0 until p.nSub).map(m => col(s"code$m")) :+ col("cell"): _*)
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+  }
+
   /** Load the stored quantizers and serve `queries` (query_id, qv) —
     * top-k by ADC over the nProbe probed cells. No fit, no corpus scan. */
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,

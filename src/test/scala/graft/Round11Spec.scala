@@ -249,6 +249,16 @@ class Round11Spec extends SparkSpec {
       "per-shard prefix sums must ride the range exchange, not a window")
   }
 
+  test("q129: upsert artifact holds every vector exactly once; top-5 per query served") {
+    val out = SparkEntry.queries("q129_ann_index_upsert")(spark, sf())
+    val rows = out.collect()
+    assert(rows.length == 40, s"8 queries × top-5, got ${rows.length}")
+    val codes = spark.read.parquet("target/ann_index_upsert/sf0.001/codes")
+    val n = graft.sources.Tables.table(spark, sf(), "embeddings").count()
+    assert(codes.count() == n, "artifact must hold standing + appended rows")
+    assert(codes.select("vec_id").distinct().count() == n, "no duplicate encodes")
+  }
+
   test("cosineHoisted ≡ native cosine bit-for-bit, incl. the zero-vector guard") {
     val sp = spark
     import sp.implicits._
