@@ -2192,6 +2192,54 @@ object SparkEntry {
       graft.operators.AnnIndex.query(s, ixDir, q, k = 5, nProbe = 2)
     }),
 
+    "q130_textrank" -> ((s, dir) => {
+      // TextRank keyword ranking (Mihalcea & Tarau 2004): weighted
+      // PageRank over the corpus word co-occurrence graph — the
+      // unsupervised keyphrase primitive, and the engine's fixed-point
+      // GRAPH dataflow (q53's connected components converge to a label;
+      // this iterates a numeric rank to a damped stationary point).
+      // Scale shape (operators.PageRank): the edge list is one pass +
+      // one map-combined hash-agg; the 5 unrolled iterations re-reference
+      // the SAME edges/outw DataFrames so ReuseExchangeAndSubquery
+      // materializes their shuffles once (PlanSpec asserts the reuse);
+      // each iteration is join + hash-agg on well-spread token keys —
+      // no windows, no driver collect, no persist to leak. The symmetric
+      // graph has no dangling nodes, so damping mass is closed-form.
+      val toks = t(s, dir, "documents")
+        .select(split(lower(TextExprs.cleanText(col("text"))), " ").as("ts"))
+      val edges = graft.operators.PageRank.adjacencyEdges(toks)
+      graft.operators.PageRank.ranks(edges, iters = 5, damping = 0.85)
+        .select(col("tok"), round(col("pr"), 6).as("pr"))
+    }),
+
+    "q131_pca_power" -> ((s, dir) => {
+      // Top principal component of the embedding corpus — the whitening /
+      // drift-axis primitive. ONE distributed pass (operators.GramAgg, a
+      // fixed (d+1)²-double aggregation buffer with map-side partial
+      // merge) reduces the corpus to the augmented second-moment matrix
+      // [Σxxᵀ Σx; Σxᵀ n], so covariance needs no second scan and no
+      // per-element row explosion; the d×d power iteration then runs
+      // driver-side like a k-means centroid update — bounded by MODEL
+      // dimension, independent of corpus size. λ is the final ‖C·v‖
+      // eigenvalue estimate (same value on every row by construction).
+      graft.operators.Pca.topComponent(
+          t(s, dir, "embeddings"), col("embedding"), dim = 64, iters = 3)
+        .select(col("dim_idx"), round(col("loading"), 6).as("loading"),
+          round(col("lambda"), 6).as("lambda"))
+    }),
+
+    "q132_phrase_search" -> ((s, dir) => {
+      // Exact phrase search over positional postings (the inverted-index
+      // adjacency-anchor algorithm) with a bounded per-phrase top-k —
+      // the retrieval-side complement of q52's BM25 bag-of-words scoring.
+      // The phrase list is a shared Scala constant; the oracle SQL is
+      // generated from the SAME constant so the two sides cannot drift.
+      graft.operators.Retrieval.phraseSearch(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          phraseQueries, k = 20)
+        .select(col("phrase"), col("rank").as("rnk"), col("doc_id"), col("n_hits"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2315,6 +2363,12 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** q132: phrase queries — shared by the Spark operator call and the
+    * generated DuckDB oracle. Mixed 2- and 3-token phrases; a phrase with
+    * zero corpus occurrences simply contributes no rows (both sides). */
+  private val phraseQueries: Seq[String] =
+    Seq("hash join", "table scan", "merge sort", "fast key order")
 
   /** q87: correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
     * per high-balance customer. The identical string runs on both engines
@@ -3640,6 +3694,77 @@ object SparkEntry {
            |      WHEN h2 IS NULL THEN 'removed'
            |      ELSE 'changed' END AS status
            |FROM j WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2""".stripMargin,
+
+      "q130_textrank" -> {
+        // 5 unrolled PageRank iterations; damping constants written as
+        // (1.0 - 0.85)/0.85 so BOTH engines derive them by the same IEEE
+        // subtraction (PageRank.ranks uses lit(1.0 - damping)).
+        val base =
+          s"""WITH tk AS (SELECT string_split(lower(${cleanSql("text")}), ' ') AS ts FROM documents),
+             |a0 AS (SELECT unnest(ts[:len(ts)-1]) AS u, unnest(ts[2:]) AS v
+             |  FROM tk WHERE len(ts) >= 2),
+             |ad AS (SELECT u, v FROM a0 WHERE u <> '' AND v <> '' AND u <> v),
+             |ed AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM
+             |   (SELECT u, v FROM ad UNION ALL SELECT v AS u, u AS v FROM ad)
+             |  GROUP BY u, v),
+             |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY u),
+             |p0 AS (SELECT u AS tok, CAST(1.0 AS DOUBLE) AS pr FROM ow)""".stripMargin
+        val iters = (1 to 5).map { k =>
+          s""",
+             |p$k AS (SELECT o.u AS tok, (1.0 - 0.85) + 0.85 * coalesce(s.acc, 0.0) AS pr
+             |  FROM ow o LEFT JOIN (
+             |    SELECT e.v AS tok2, sum(e.w / o2.outw * p.pr) AS acc
+             |    FROM ed e JOIN ow o2 ON e.u = o2.u JOIN p${k - 1} p ON e.u = p.tok
+             |    GROUP BY e.v) s ON s.tok2 = o.u)""".stripMargin
+        }.mkString
+        base + iters + "\nSELECT tok, round(pr, 6) AS pr FROM p5"
+      },
+
+      "q131_pca_power" -> {
+        // Augmented-Gram PCA: one 65×65 second-moment pass, then 3 power
+        // iterations mirrored CTE-for-loop against the driver-side math
+        // (v0 = 1/sqrt(64) = 0.125 exactly; λ = final ‖C·v‖).
+        val gram =
+          """WITH aug AS (SELECT list_concat(embedding::DOUBLE[], [CAST(1.0 AS DOUBLE)]) AS xa
+            |  FROM embeddings),
+            |pe AS (SELECT unnest(flatten(list_transform(xa, x -> list_transform(xa, y -> x * y)))) AS p,
+            |              unnest(range(1, 4226)) AS idx FROM aug),
+            |g AS (SELECT CAST((idx - 1) // 65 AS BIGINT) AS i, CAST((idx - 1) % 65 AS BIGINT) AS j,
+            |             sum(p) AS g FROM pe GROUP BY 1, 2),
+            |nn AS (SELECT g AS n FROM g WHERE i = 64 AND j = 64),
+            |mu AS (SELECT i, g / n AS mu FROM g, nn WHERE j = 64 AND i < 64),
+            |c AS (SELECT g.i, g.j, g.g / nn.n - ma.mu * mb.mu AS c
+            |      FROM g, nn, mu ma, mu mb
+            |      WHERE g.i < 64 AND g.j < 64 AND ma.i = g.i AND mb.i = g.j),
+            |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM mu)""".stripMargin
+        val iters = (1 to 3).map { k =>
+          s""",
+             |w$k AS (SELECT c.i, sum(c.c * v.v) AS w FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+             |n$k AS (SELECT sqrt(sum(w * w)) AS l FROM w$k),
+             |v$k AS (SELECT i, w / l AS v FROM w$k, n$k)""".stripMargin
+        }.mkString
+        gram + iters +
+          "\nSELECT v.i AS dim_idx, round(v.v, 6) AS loading, round(n3.l, 6) AS lambda FROM v3 v, n3"
+      },
+
+      "q132_phrase_search" -> {
+        val qvals = phraseQueries.flatMap { p =>
+          val ts = p.split(" ")
+          ts.zipWithIndex.map { case (tok, i) => s"('$p', '$tok', $i, ${ts.length})" }
+        }.mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, string_split(lower(${cleanSql("text")}), ' ') AS ts FROM documents),
+           |po0 AS (SELECT doc_id, unnest(ts) AS token, unnest(range(0, len(ts))) AS pos FROM tk),
+           |po AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, token FROM po0 WHERE token <> ''),
+           |qt(phrase, token, qpos, plen) AS (SELECT * FROM (VALUES $qvals)),
+           |an AS (SELECT phrase, plen, doc_id, po.pos - qpos AS anchor, count(*) AS nt
+           |  FROM po JOIN qt USING (token) GROUP BY 1, 2, 3, 4),
+           |hits AS (SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM an WHERE nt = plen GROUP BY 1, 2)
+           |SELECT phrase, CAST(row_number() OVER (PARTITION BY phrase
+           |   ORDER BY n_hits DESC, doc_id ASC) AS BIGINT) AS rnk,
+           | doc_id, n_hits
+           |FROM hits QUALIFY rnk <= 20""".stripMargin
+      },
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

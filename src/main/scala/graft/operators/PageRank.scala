@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank as pure declarative dataflow — the fixed-point graph
+  * primitive behind TextRank keyword ranking (Mihalcea & Tarau 2004),
+  * CommonCrawl-style domain authority weighting, and citation scoring.
+  *
+  * Scale shape (the part that survives 100 TB):
+  *  - The rank update is `join(edges, ranks on u) → groupBy(v) → sum` — a
+  *    shuffle on the edge key per iteration, which IS PageRank's inherent
+  *    cost; nothing is collected to the driver and no window appears.
+  *  - Iterations are UNROLLED into one plan over the SAME `edges` /
+  *    `outw` DataFrame objects, so every iteration's scan lands on an
+  *    identical exchange subtree and Spark's ReuseExchangeAndSubquery
+  *    rewires them to ONE shuffle materialization (asserted in PlanSpec)
+  *    — the edge list is built once and re-read from shuffle files, the
+  *    lineage-safe alternative to `persist()` leaking executor memory
+  *    across queries.
+  *  - Per-node out-weight is pre-aggregated once and joined in, so the
+  *    normalized contribution `w/outw · pr(u)` is a projection, not a
+  *    correlated lookup.
+  *  - A symmetric graph (TextRank's case — see [[textRank]]) has no
+  *    dangling nodes, so the damping constant absorbs all teleport mass
+  *    and no dangling-mass driver collect is needed.
+  */
+object PageRank {
+
+  /** Iterated ranks over a weighted edge list `(u, v, w)`. Every node with
+    * at least one outgoing edge is ranked; pr₀ = 1 and
+    * pr(v) = (1−d) + d·Σ_{u→v} w(u,v)/outw(u) · pr(u), the undamped-sum
+    * form TextRank uses (ranks sum to |V|, not 1 — rescaling is a
+    * projection if needed). `iters` is fixed and small: unrolled plans
+    * keep the whole computation in one DAG with reused exchanges. */
+  def ranks(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val ed = edges.select(col("u"), col("v"), col("w"))
+    val outw = ed.groupBy("u").agg(sum("w").as("outw"))
+    val vocab = outw.select(col("u").as("tok"))
+    var pr = vocab.select(col("tok"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(outw, "u")
+        .join(pr.withColumnRenamed("tok", "u"), "u")
+        .groupBy(col("v").as("tok"))
+        .agg(sum(col("w") / col("outw") * col("pr")).as("_acc"))
+      pr = vocab.join(contrib, Seq("tok"), "left")
+        .select(col("tok"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("_acc"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
+  /** Symmetric adjacent-token co-occurrence edges from a token-array
+    * column `ts`: one edge per adjacent slot (both directions), weight =
+    * corpus-wide count. One pass, no shuffle until the edge hash-agg
+    * (map-side combined); self-loops and empty tokens dropped. */
+  def adjacencyEdges(toks: DataFrame): DataFrame = {
+    val adj = toks
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS u, ts[i] AS v))")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .where(col("u") =!= "" && col("v") =!= "" && col("u") =!= col("v"))
+    adj.union(adj.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+  }
+}

@@ -50,6 +50,45 @@ object Retrieval {
       .select(col("doc_id"), col("token"), col("score"), col("rnk"))
   }
 
+  /** Positional phrase search: exact multi-token phrase occurrence counts
+    * with per-phrase top-k, via the positional-postings adjacency trick —
+    * each phrase token at offset `qpos` matching a doc position `pos`
+    * votes for anchor `pos − qpos`; an anchor collecting all `plen` votes
+    * is one exact occurrence. This is how a positional inverted index
+    * answers phrase queries without ever re-reading text.
+    *
+    * Scale shape: the query-token table (Σ phrase lengths rows) broadcasts
+    * into the postings stream, so only positions whose TOKEN matches some
+    * phrase token survive to the anchor shuffle — the corpus long tail
+    * never leaves the scan stage. The anchor and hit aggregates are
+    * map-side combined, and the final cut is the bounded [[TopKAgg]] heap
+    * (at most k rows per phrase reach the driver-facing result), never a
+    * global sort. */
+  def phraseSearch(df: DataFrame, id: Column, text: Column,
+      phrases: Seq[String], k: Int): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch needs at least one phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = df
+      .select(id.as("doc_id"), lower(TextExprs.cleanText(text)).as("_cln"))
+      .select(col("doc_id"), posexplode(split(col("_cln"), " ")))
+      .where(col("col") =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+    val qtoks = phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (tok, i) => (p, tok, i.toLong, ts.length.toLong) }
+    }.toDF("phrase", "token", "qpos", "plen")
+    val anchors = postings.join(broadcast(qtoks), "token")
+      .groupBy(col("phrase"), col("plen"), col("doc_id"),
+        (col("pos") - col("qpos")).as("_anchor"))
+      .agg(count(lit(1)).as("_nt"))
+      .where(col("_nt") === col("plen"))
+    val hits = anchors.groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_hits"))
+    TopKAgg.perKey(hits, col("phrase"), col("n_hits").cast("double"), col("doc_id"), k)
+      .select(col("_k").as("phrase"), col("rank").cast("long").as("rank"),
+        col("id").as("doc_id"), col("score").cast("long").as("n_hits"))
+  }
+
   /** BM25 relevance of every matching document for a bag-of-words query.
     *
     * score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1 · (1 − b + b·|d|/avgdl))

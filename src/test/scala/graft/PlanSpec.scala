@@ -352,6 +352,33 @@ class PlanSpec extends SparkSpec {
       s"the 278-entry cache sides must broadcast:\n${fin.take(800)}")
   }
 
+  test("q130: unrolled PageRank reuses the edge exchange; no Window; no persist") {
+    // the 5 iterations reference the SAME edges/outw DataFrames — the
+    // edge-list shuffle must materialize once (ReusedExchange), never 5×;
+    // and the whole fixed-point loop is join+hash-agg, no window, nothing
+    // pinned in executor memory
+    val df = SparkEntry.queries("q130_textrank")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true") && fin.contains("ReusedExchange"),
+      s"edge/outw exchanges must be reused across iterations:\n${fin.take(800)}")
+    assert(!fin.contains("Window "), s"no window in the rank loop:\n${fin.take(600)}")
+    assert(!fin.contains("InMemoryRelation") && !fin.contains("InMemoryTableScan"),
+      "iteration state must ride reused shuffles, not persist()")
+  }
+
+  test("q132: query tokens broadcast into the postings stream; no Window") {
+    val df = SparkEntry.queries("q132_phrase_search")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"),
+      s"the phrase-token table must broadcast:\n${fin.take(800)}")
+    assert(!fin.contains("SortMergeJoin"),
+      s"no shuffled join anywhere in phrase search:\n${fin.take(800)}")
+    assert(!fin.contains("Window "),
+      "per-phrase top-k must be the bounded TopKAgg heap, not a window")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

@@ -288,4 +288,88 @@ class Round11Spec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("q130: damped PageRank conserves total rank mass on the symmetric graph") {
+    // with pr₀ = 1 and no dangling nodes, Σpr = (1−d)|V| + d·Σpr stays
+    // exactly |V| every iteration — a whole-dataflow invariant (any
+    // mis-normalized contribution or dropped node breaks it)
+    val df = SparkEntry.queries("q130_textrank")(spark, sf())
+    val rows = df.collect()
+    val total = rows.map(_.getDouble(1)).sum
+    assert(rows.nonEmpty)
+    assert(math.abs(total - rows.length) < 1e-3,
+      s"rank mass ${total} drifted from |V| = ${rows.length}")
+    assert(rows.forall(_.getDouble(1) > 0.15 - 1e-9),
+      "every ranked node holds at least the teleport share (1-d)")
+  }
+
+  test("PageRank ranks a hub above spokes and matches the closed form on a star") {
+    val sp = spark
+    import sp.implicits._
+    // star graph: hub h adjacent to s1..s4 (symmetric, weight 1)
+    val adj = Seq("s1", "s2", "s3", "s4").flatMap(s => Seq(("h", s, 1L), (s, "h", 1L)))
+      .toDF("u", "v", "w")
+    val pr = graft.operators.PageRank.ranks(adj, iters = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver replay of the same recurrence: hub collects all 4 spokes'
+    // full mass (outw_spoke = 1), each spoke gets hub/4 (outw_hub = 4)
+    val d = 0.85
+    var (h, spk) = (1.0, 1.0)
+    for (_ <- 1 to 5) {
+      val (hn, sn) = ((1 - d) + d * 4 * spk, (1 - d) + d * h / 4)
+      h = hn; spk = sn
+    }
+    assert(math.abs(pr("h") - h) < 1e-9, s"hub ${pr("h")} vs driver replay $h")
+    assert(math.abs(pr("s1") - spk) < 1e-9, s"spoke ${pr("s1")} vs driver replay $spk")
+    assert(pr("h") > pr("s1") * 2, "hub must dominate spokes")
+  }
+
+  test("GramAgg one-pass covariance ≡ driver brute force; PCA loading is a unit vector") {
+    val sp = spark
+    import sp.implicits._
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings").limit(200)
+    val vecs = e.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val dim = 64
+    val mu = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j))
+    // driver power iteration, same recipe as Pca.topComponent
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    val got = graft.operators.Pca.topComponent(e, col("embedding"), dim = 64, iters = 3)
+      .orderBy("dim_idx").collect()
+    val loadings = got.map(_.getDouble(1))
+    assert(math.abs(got.head.getDouble(2) - lambda) < 1e-9,
+      s"lambda ${got.head.getDouble(2)} vs driver $lambda")
+    loadings.zip(v).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-9, s"loading[$i] $a vs driver $b") }
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, s"loading must be unit-norm, got $norm")
+  }
+
+  test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val got = graft.operators.Retrieval.phraseSearch(
+        docs, col("doc_id"), col("text"), Seq("hash join", "merge sort"), k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val texts = docs.select(col("doc_id"),
+        lower(graft.functions.TextExprs.cleanText(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = scala.collection.mutable.Map[(String, Long), Long]()
+    for ((id, txt) <- texts; p <- Seq("hash join", "merge sort")) {
+      val toks = txt.split(" "); val pt = p.split(" ")
+      val hits = (0 to toks.length - pt.length)
+        .count(a => pt.indices.forall(q => toks(a + q) == pt(q)))
+      if (hits > 0) expect((p, id)) = hits.toLong
+    }
+    assert(got == expect.toMap,
+      s"phrase hits diverge: extra=${(got.keySet -- expect.keySet).take(3)} " +
+        s"missing=${(expect.keySet -- got.keySet).take(3)}")
+  }
 }
