@@ -90,6 +90,8 @@ object ScaleProbe {
     if (args.headOption.contains("ccchain")) { ccChainProbe(args.drop(1)); return }
     if (args.headOption.contains("fitwall")) { fitWallProbe(args.drop(1)); return }
     if (args.headOption.contains("diff")) { diffProbe(args.drop(1)); return }
+    if (args.headOption.contains("pagerank")) { pageRankProbe(args.drop(1)); return }
+    if (args.headOption.contains("gram")) { gramProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -703,6 +705,94 @@ object ScaleProbe {
     assert(byStatus == Map("added" -> add, "removed" -> rem, "changed" -> chg),
       s"closed form (${(add, rem, chg)}) vs measured $byStatus")
     println(s"[probe] closed-form counts verified (added=$add removed=$rem changed=$chg)")
+    spark.stop()
+  }
+
+  /** PageRank under pure corpus replication: texts unchanged, rep× rows.
+    * Every edge weight and out-weight scales by exactly rep, so each
+    * contribution (rep·w)/(rep·outw)·pr has the SAME real quotient as the
+    * base corpus — the rank vector is closed-form INVARIANT under
+    * replication, while the edge-build does rep× the streaming work. The
+    * probe verifies both: identical ranks (≤1e-9, summation-order noise
+    * only) and near-linear edge/iteration wall. */
+  private def pageRankProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    def ranksOf(d: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val toks = d.select(split(lower(
+        graft.functions.TextExprs.cleanText(col("text"))), " ").as("ts"))
+      graft.operators.PageRank.ranks(
+          graft.operators.PageRank.adjacencyEdges(toks), iters = 5, damping = 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val base = timed("pagerank 1x (edges + 5 iterations)")(ranksOf(docs))
+    val big = docs.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select(col("text")).repartition(64).cache()
+    println(s"[probe] pagerank corpus: ${big.count()} docs (rep=$rep), vocab ${base.size}")
+    val scaled = timed(s"pagerank ${rep}x (edges + 5 iterations)")(ranksOf(big))
+    assert(scaled.keySet == base.keySet,
+      s"replication must not change the vocabulary: ${scaled.size} vs ${base.size}")
+    val maxDiff = base.map { case (t, p) => math.abs(scaled(t) - p) }.max
+    assert(maxDiff < 1e-9,
+      s"rank vector must be replication-invariant (same w/outw quotients); max diff $maxDiff")
+    println(f"[probe] replication invariance verified: max |Δpr| = $maxDiff%.2e")
+    big.unpersist()
+    spark.stop()
+  }
+
+  /** One-pass Gram/PCA under replication: Σxxᵀ and Σx scale by rep and n
+    * by rep, so covariance — and therefore the power-iteration loadings
+    * and λ — are exactly invariant; the aggregate itself streams rep× the
+    * rows through the same fixed (d+1)² buffer. */
+  private def gramProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    def load(d: org.apache.spark.sql.DataFrame): Array[(Long, Double, Double)] =
+      graft.operators.Pca.topComponent(d, col("embedding"), dim = 64, iters = 3)
+        .orderBy("dim_idx").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select("embedding")
+    val base = timed("gram+pca 1x")(load(emb))
+    val big = emb.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select(col("embedding")).repartition(64).cache()
+    println(s"[probe] gram corpus: ${big.count()} vectors (rep=$rep)")
+    val scaled = timed(s"gram+pca ${rep}x")(load(big))
+    val maxDiff = base.zip(scaled).map { case ((_, l0, g0), (_, l1, g1)) =>
+      math.max(math.abs(l1 - l0), math.abs(g1 - g0)) }.max
+    assert(maxDiff < 1e-9,
+      s"covariance (hence loadings/lambda) must be replication-invariant; max diff $maxDiff")
+    println(f"[probe] replication invariance verified: max |Δ| = $maxDiff%.2e")
+    big.unpersist()
     spark.stop()
   }
 }

@@ -2240,6 +2240,18 @@ object SparkEntry {
         .select(col("phrase"), col("rank").as("rnk"), col("doc_id"), col("n_hits"))
     }),
 
+    "q133_hash_classifier" -> ((s, dir) => {
+      // Supervised hashed-feature NB quality filter (TextAnalysis
+      // .hashNbClassifier): seed positives = sources src0–src4; 4096
+      // md5-prefix buckets keep the model constant-sized at any corpus
+      // scale (the fastText hashing trick), so the model join onto the
+      // token stream broadcasts even at 100 TB.
+      val posSources = (0 to 4).map(i => s"src$i")
+      graft.operators.TextAnalysis.hashNbClassifier(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source").isin(posSources: _*))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3765,6 +3777,24 @@ object SparkEntry {
            | doc_id, n_hits
            |FROM hits QUALIFY rnk <= 20""".stripMargin
       },
+
+      "q133_hash_classifier" ->
+        s"""WITH tok0 AS (SELECT doc_id, source,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+           |tk AS (SELECT doc_id,
+           |   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END AS y,
+           |   substring(md5(tok), 1, 3) AS b
+           |  FROM tok0 WHERE tok <> ''),
+           |c AS (SELECT b, CAST(sum(y) AS BIGINT) AS cpos,
+           |   CAST(sum(1 - y) AS BIGINT) AS cneg FROM tk GROUP BY b),
+           |tt AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+           |   CAST(sum(cneg) AS BIGINT) AS tneg, CAST(count(*) AS BIGINT) AS nb FROM c),
+           |m AS (SELECT b, ln((cpos + 1.0) / (tpos + nb)) - ln((cneg + 1.0) / (tneg + nb)) AS w
+           |  FROM c, tt)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           | round(avg(w), 4) + 0.0 AS quality_w,
+           | (round(avg(w), 4) + 0.0) > 0.0 AS keep
+           |FROM tk JOIN m USING (b) GROUP BY doc_id""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

@@ -52,16 +52,20 @@ object PageRank {
 
   /** Symmetric adjacent-token co-occurrence edges from a token-array
     * column `ts`: one edge per adjacent slot (both directions), weight =
-    * corpus-wide count. One pass, no shuffle until the edge hash-agg
-    * (map-side combined); self-loops and empty tokens dropped. */
+    * corpus-wide count. The token stream is CANONICALIZED to unordered
+    * (least, greatest) pairs before the hash-agg, so the corpus-sized
+    * aggregation input is half of the mirror-then-aggregate form; the
+    * symmetric mirror happens on the aggregated vocab²-bounded table.
+    * One pass, no shuffle until the pair hash-agg (map-side combined);
+    * self-loops and empty tokens dropped. */
   def adjacencyEdges(toks: DataFrame): DataFrame = {
     val adj = toks
       .where(size(col("ts")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS u, ts[i] AS v))")).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(least(col("e.u"), col("e.v")).as("u"), greatest(col("e.u"), col("e.v")).as("v"))
       .where(col("u") =!= "" && col("v") =!= "" && col("u") =!= col("v"))
-    adj.union(adj.select(col("v").as("u"), col("u").as("v")))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val canon = adj.groupBy("u", "v").agg(count(lit(1)).as("w"))
+    canon.union(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
   }
 }

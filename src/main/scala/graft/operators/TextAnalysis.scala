@@ -133,4 +133,47 @@ object TextAnalysis {
         round(col("_bi"), 6).as("top_bi_frac"),
         (col("_bi") > repThreshold).as("repetitive"))
   }
+
+  /** Hashed-feature naive-Bayes quality classifier — the fastText/CCNet
+    * "quality filter" pattern: learn per-feature log-odds from a LABELED
+    * seed (isPos marks seed-positive rows), score every document by its
+    * mean token log-odds, keep where the score is positive.
+    *
+    * Tokens are HASHED to `16^hashChars` buckets (md5-prefix string, the
+    * q105 DSIR convention — engine-neutral, no numeric decode), so the
+    * model is CONSTANT-sized regardless of corpus vocabulary: at 100 TB
+    * the class-count table is still ≤4096 rows and the model join onto
+    * the token stream broadcasts — contrast q89's unhinted vocab-sized
+    * model join. Class counts are add-one smoothed over the observed
+    * bucket count; totals ride a broadcast cross join (the BM25 N/avgdl
+    * pattern, no driver collect). Distinct from q105 DSIR: DSIR weighs
+    * raw data against an unlabeled target DISTRIBUTION; this is the
+    * supervised two-class decision boundary.
+    *
+    * Output: (doc_id, n_toks, quality_w, keep); quality_w is the 4-dp
+    * rounded mean log-odds (`+ 0.0` collapses IEEE −0.0 for cross-engine
+    * hashing), keep = quality_w > 0 on the ROUNDED value so both engines
+    * cut identically. */
+  def hashNbClassifier(df: DataFrame, id: Column, text: Column, isPos: Column,
+      hashChars: Int = 3): DataFrame = {
+    val toks = df
+      .select(id.as("doc_id"), when(isPos, 1L).otherwise(0L).as("y"),
+        explode(split(lower(TextExprs.cleanText(text)), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), col("y"), substring(md5(col("tok")), 1, hashChars).as("b"))
+    val counts = toks.groupBy("b")
+      .agg(sum("y").as("cpos"), sum(lit(1L) - col("y")).as("cneg"))
+    val tot = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
+      count(lit(1)).as("nb"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("cpos") + 1.0) / (col("tpos") + col("nb")))
+          - log((col("cneg") + 1.0) / (col("tneg") + col("nb")))).as("w"))
+    toks.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (round(avg("w"), 4) + 0.0).as("quality_w"))
+      .select(col("doc_id"), col("n_toks"), col("quality_w"),
+        (col("quality_w") > 0.0).as("keep"))
+  }
 }

@@ -353,6 +353,36 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-12, s"loading must be unit-norm, got $norm")
   }
 
+  test("hashNbClassifier separates a vocab-disjoint seed and matches driver NB math") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "good", "excellent great wonderful"),
+      (2L, "good", "great wonderful excellent excellent"),
+      (3L, "bad", "terrible awful dreadful"),
+      (4L, "bad", "awful dreadful terrible terrible")).toDF("doc_id", "grp", "text")
+    val got = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("grp") === "good")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2 && got(2L)._2, "positive-vocab docs must be kept")
+    assert(!got(3L)._2 && !got(4L)._2, "negative-vocab docs must be dropped")
+    // driver NB replay: 6 distinct tokens → 6 occupied buckets (no md5
+    // 3-hex-prefix collisions among them — asserted), 7 occurrences per class
+    val toks = Map("excellent" -> 3L, "great" -> 2L, "wonderful" -> 2L,
+      "terrible" -> 3L, "awful" -> 2L, "dreadful" -> 2L)
+    val pref = toks.keys.map(t => java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3))
+    assert(pref.toSet.size == 6, "toy vocab must not collide in the 3-hex prefix")
+    val (tpos, tneg, nb) = (7.0, 7.0, 6.0)
+    def w(cp: Long, cn: Long): Double =
+      math.log((cp + 1.0) / (tpos + nb)) - math.log((cn + 1.0) / (tneg + nb))
+    // doc 2: tokens great, wonderful, excellent, excellent
+    val expect2 = BigDecimal((w(2, 0) + w(2, 0) + w(3, 0) + w(3, 0)) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(2L)._1 - expect2) < 5e-4,
+      s"doc 2 score ${got(2L)._1} vs driver NB $expect2")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
