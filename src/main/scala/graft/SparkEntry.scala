@@ -2252,6 +2252,29 @@ object SparkEntry {
         col("source").isin(posSources: _*))
     }),
 
+    "q134_source_authority" -> ((s, dir) => {
+      // Source-authority mixture weighting — PageRank over the INTER-
+      // SOURCE shared-content graph (q108's overlap matrix as symmetric
+      // edges, weight = shared distinct shingles): the CommonCrawl-style
+      // domain-authority recipe for weighting feeds in a mixture —
+      // sources whose content many other sources replicate rank higher.
+      // Operator COMPOSITION: CorpusOverlap builds the bounded edge list
+      // (corpus-sized work, |sources|²-bounded output), PageRank iterates
+      // on the tiny graph, and the normalization to mixture weights is a
+      // one-row broadcast cross join. All heavy lifting is q108's single
+      // reused distinct-shingle exchange.
+      val ov = graft.operators.CorpusOverlap.sourceOverlap(
+        t(s, dir, "documents"), col("source"), col("text"), n = 5)
+      val edges = ov.select(col("src_a").as("u"), col("src_b").as("v"),
+        col("inter").as("w"))
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val pr = graft.operators.PageRank.ranks(sym, iters = 5, damping = 0.85)
+      val tot = pr.agg(sum("pr").as("_tot"))
+      pr.crossJoin(broadcast(tot))
+        .select(col("tok").as("source"), round(col("pr"), 6).as("authority"),
+          round(col("pr") / col("_tot"), 6).as("mix_w"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2375,6 +2398,20 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** Unrolled PageRank iteration CTEs (q130/q134): expects CTEs `ed(u,v,w)`
+    * and `ow(u, outw)` plus `p0(tok, pr)` in scope; emits p1..p`iters`.
+    * Damping constants written as (1.0 - 0.85)/0.85 so BOTH engines derive
+    * them by the same IEEE subtraction (PageRank.ranks uses
+    * lit(1.0 - damping)). */
+  private def prIterCtes(iters: Int): String = (1 to iters).map { k =>
+    s""",
+       |p$k AS (SELECT o.u AS tok, (1.0 - 0.85) + 0.85 * coalesce(s.acc, 0.0) AS pr
+       |  FROM ow o LEFT JOIN (
+       |    SELECT e.v AS tok2, sum(e.w / o2.outw * p.pr) AS acc
+       |    FROM ed e JOIN ow o2 ON e.u = o2.u JOIN p${k - 1} p ON e.u = p.tok
+       |    GROUP BY e.v) s ON s.tok2 = o.u)""".stripMargin
+  }.mkString
 
   /** q132: phrase queries — shared by the Spark operator call and the
     * generated DuckDB oracle. Mixed 2- and 3-token phrases; a phrase with
@@ -3708,9 +3745,6 @@ object SparkEntry {
            |FROM j WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2""".stripMargin,
 
       "q130_textrank" -> {
-        // 5 unrolled PageRank iterations; damping constants written as
-        // (1.0 - 0.85)/0.85 so BOTH engines derive them by the same IEEE
-        // subtraction (PageRank.ranks uses lit(1.0 - damping)).
         val base =
           s"""WITH tk AS (SELECT string_split(lower(${cleanSql("text")}), ' ') AS ts FROM documents),
              |a0 AS (SELECT unnest(ts[:len(ts)-1]) AS u, unnest(ts[2:]) AS v
@@ -3721,15 +3755,7 @@ object SparkEntry {
              |  GROUP BY u, v),
              |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY u),
              |p0 AS (SELECT u AS tok, CAST(1.0 AS DOUBLE) AS pr FROM ow)""".stripMargin
-        val iters = (1 to 5).map { k =>
-          s""",
-             |p$k AS (SELECT o.u AS tok, (1.0 - 0.85) + 0.85 * coalesce(s.acc, 0.0) AS pr
-             |  FROM ow o LEFT JOIN (
-             |    SELECT e.v AS tok2, sum(e.w / o2.outw * p.pr) AS acc
-             |    FROM ed e JOIN ow o2 ON e.u = o2.u JOIN p${k - 1} p ON e.u = p.tok
-             |    GROUP BY e.v) s ON s.tok2 = o.u)""".stripMargin
-        }.mkString
-        base + iters + "\nSELECT tok, round(pr, 6) AS pr FROM p5"
+        base + prIterCtes(5) + "\nSELECT tok, round(pr, 6) AS pr FROM p5"
       },
 
       "q131_pca_power" -> {
@@ -3795,6 +3821,30 @@ object SparkEntry {
            | round(avg(w), 4) + 0.0 AS quality_w,
            | (round(avg(w), 4) + 0.0) > 0.0 AS keep
            |FROM tk JOIN m USING (b) GROUP BY doc_id""".stripMargin,
+
+      "q134_source_authority" -> {
+        val base =
+          s"""WITH t AS (SELECT source,
+             |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+             |nn AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 5),
+             |wi AS (SELECT source, toks,
+             |   unnest(generate_series(0, CAST(n - 5 AS BIGINT))) AS pos FROM nn),
+             |sh AS (SELECT DISTINCT source, substring(md5(array_to_string(list_slice(toks,
+             |   CAST(pos + 1 AS BIGINT), CAST(pos + 5 AS BIGINT)), ' ')), 1, 16) AS h FROM wi),
+             |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+             |   CAST(count(*) AS BIGINT) AS inter
+             |  FROM sh a JOIN sh b USING (h) WHERE a.source < b.source GROUP BY 1, 2),
+             |ed AS (SELECT src_a AS u, src_b AS v, inter AS w FROM ix
+             |   UNION ALL SELECT src_b AS u, src_a AS v, inter AS w FROM ix),
+             |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY u),
+             |p0 AS (SELECT u AS tok, CAST(1.0 AS DOUBLE) AS pr FROM ow)""".stripMargin
+        base + prIterCtes(5) +
+          """,
+            |tt AS (SELECT sum(pr) AS tot FROM p5)
+            |SELECT tok AS source, round(pr, 6) AS authority,
+            | round(pr / tot, 6) AS mix_w
+            |FROM p5, tt""".stripMargin
+      },
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

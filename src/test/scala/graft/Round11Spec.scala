@@ -383,6 +383,16 @@ class Round11Spec extends SparkSpec {
       s"doc 2 score ${got(2L)._1} vs driver NB $expect2")
   }
 
+  test("q134: authority mass = |V| and mixture weights sum to 1") {
+    val rows = SparkEntry.queries("q134_source_authority")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val prSum = rows.map(_.getDouble(1)).sum
+    val mixSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(prSum - rows.length) < 1e-3,
+      s"authority mass $prSum drifted from |V| = ${rows.length}")
+    assert(math.abs(mixSum - 1.0) < 1e-4, s"mixture weights must sum to 1, got $mixSum")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
