@@ -2275,6 +2275,42 @@ object SparkEntry {
           round(col("pr") / col("_tot"), 6).as("mix_w"))
     }),
 
+    "q135_margin_mining" -> ((s, dir) => {
+      // Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/
+      // CCMatrix parallel-corpus recipe): score candidate (x, y) pairs by
+      // cos(x,y) normalized by the MEAN of both sides' top-k neighborhood
+      // similarities (ratio margin), then keep each x's best y above a
+      // margin threshold — absolute-cosine thresholds are uncalibrated
+      // across embedding regions; the margin is the fix. Sides simulate
+      // two languages (vec_id parity). Neighborhood stats and the final
+      // best-match cut are bounded TopKAgg heaps (k=4 and k=1 — Q·k rows
+      // shuffle, never Q·C), ranking on 6-dp-ROUNDED scores so both
+      // engines cut identically. Brute-force candidate generation is the
+      // oracle-checkable baseline (q30's posture); at 100 TB the
+      // candidate pairs come from the q123 ANN index instead and the
+      // margin/mining dataflow here is UNCHANGED.
+      val e = t(s, dir, "embeddings")
+      val xs = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+      val ys = e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+      val sims = xs.crossJoin(ys)
+        .select(col("x_id"), col("y_id"),
+          round(VectorExprs.cosine(col("xv"), col("yv")), 6).as("cos"))
+      val fwd = TopKAgg.perKey(sims, col("x_id"), col("cos"), col("y_id"), 4)
+        .groupBy("_k").agg(avg("score").as("fwd_avg"))
+        .select(col("_k").as("x_id"), col("fwd_avg"))
+      val bwd = TopKAgg.perKey(sims, col("y_id"), col("cos"), col("x_id"), 4)
+        .groupBy("_k").agg(avg("score").as("bwd_avg"))
+        .select(col("_k").as("y_id"), col("bwd_avg"))
+      val margins = sims.join(fwd, "x_id").join(bwd, "y_id")
+        .select(col("x_id"), col("y_id"),
+          round(col("cos") / ((col("fwd_avg") + col("bwd_avg")) / 2.0), 6).as("margin"))
+      TopKAgg.perKey(margins, col("x_id"), col("margin"), col("y_id"), 1)
+        .where(col("score") > 1.02)
+        .select(col("_k").as("x_id"), col("id").as("y_id"), col("score").as("margin"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3845,6 +3881,33 @@ object SparkEntry {
             | round(pr / tot, 6) AS mix_w
             |FROM p5, tt""".stripMargin
       },
+
+      "q135_margin_mining" ->
+        """WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+          |  FROM embeddings WHERE vec_id % 2 = 0),
+          |y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
+          |  FROM embeddings WHERE vec_id % 2 = 1),
+          |s AS (SELECT x_id, y_id,
+          |   round(list_sum(list_transform(range(1, 65), i -> xv[i] * yv[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, 65), i -> xv[i] * xv[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> yv[i] * yv[i])))), 6) AS cos
+          |  FROM x CROSS JOIN y),
+          |f AS (SELECT x_id, avg(cos) AS fwd_avg FROM (
+          |   SELECT x_id, cos, row_number() OVER (PARTITION BY x_id
+          |     ORDER BY cos DESC, y_id ASC) AS rn FROM s)
+          |  WHERE rn <= 4 GROUP BY x_id),
+          |b AS (SELECT y_id, avg(cos) AS bwd_avg FROM (
+          |   SELECT y_id, cos, row_number() OVER (PARTITION BY y_id
+          |     ORDER BY cos DESC, x_id ASC) AS rn FROM s)
+          |  WHERE rn <= 4 GROUP BY y_id),
+          |m AS (SELECT s.x_id, s.y_id,
+          |   round(cos / ((fwd_avg + bwd_avg) / 2.0), 6) AS margin
+          |  FROM s JOIN f USING (x_id) JOIN b USING (y_id))
+          |SELECT x_id, y_id, margin FROM (
+          |  SELECT x_id, y_id, margin,
+          |   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn
+          |  FROM m)
+          |WHERE rn = 1 AND margin > 1.02""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

@@ -393,6 +393,17 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(mixSum - 1.0) < 1e-4, s"mixture weights must sum to 1, got $mixSum")
   }
 
+  test("q135: one best match per source vector, margins above the cut") {
+    val rows = SparkEntry.queries("q135_margin_mining")(spark, sf()).collect()
+    assert(rows.nonEmpty, "mining must surface pairs on the fixture")
+    val xs = rows.map(_.getLong(0))
+    assert(xs.distinct.length == xs.length, "at most one mined pair per x")
+    assert(rows.forall(_.getDouble(2) > 1.02), "every mined margin clears the threshold")
+    val ys = rows.map(_.getLong(1))
+    assert(xs.forall(_ % 2 == 0) && ys.forall(_ % 2 == 1),
+      "pairs must cross the two sides")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
