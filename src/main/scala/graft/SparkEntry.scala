@@ -2311,6 +2311,60 @@ object SparkEntry {
         .select(col("_k").as("x_id"), col("id").as("y_id"), col("score").as("margin"))
     }),
 
+    "q136_quantile_calibrate" -> ((s, dir) => {
+      // Cross-source quantile normalization — map each source's score
+      // distribution onto the GLOBAL distribution (the calibration step
+      // that makes one quality threshold comparable across domains: a
+      // "good" web doc and a "good" code file sit at the same percentile
+      // after mapping). ALL-INTEGER rank arithmetic: within-source rank r
+      // of n maps to global rank 1 + ((r−1)(N−1)) DIV (n−1), so no float
+      // boundary can move a doc (valid while n·N < 2^63 — ~3e9 docs; a
+      // deeper corpus upgrades the product to DECIMAL(38,0), nothing else
+      // changes). Scale shape: the within-source rank is a PARTITIONED
+      // window (real keys, no single-partition stage); the global rank is
+      // GlobalRank's range exchange; per-source sizes broadcast; the final
+      // value lookup is an equi-join on the well-spread global rank.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val w = Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+      val r = d.withColumn("_r", row_number().over(w).cast("long"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("_n"))
+      val tot = d.agg(count(lit(1)).as("_nn"))
+      val g = graft.operators.GlobalRank.withRowNumber(
+          d.select(col("n_chars"), col("doc_id")),
+          Seq(col("n_chars").asc, col("doc_id").asc), "_grank")
+        .select(col("_grank").as("_gidx"), col("n_chars").as("cal_chars"))
+      r.join(broadcast(ns), "source").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("_n") > 1,
+              lit(1L) + expr("((_r - 1) * (_nn - 1)) DIV (_n - 1)"))
+            .otherwise(lit(1L) + expr("(_nn - 1) DIV 2")).as("_gidx"))
+        .join(g, "_gidx")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cal_chars"))
+    }),
+
+    "q137_decayed_trend" -> ((s, dir) => {
+      // Exponentially time-decayed activity ranking (half-life weighting
+      // for "trending" detection): each event contributes
+      // exp((ts − t_max)/τ) with τ = 7 days, so last week's events count
+      // ~e times yesterday's don't — the standard freshness-weighted
+      // count that a streaming leaderboard materializes. One scan, one
+      // map-combined hash-agg; the corpus max timestamp rides a one-row
+      // broadcast cross join (the BM25 N/avgdl pattern); recency_ratio =
+      // decayed/n exposes which event types are ACCELERATING vs merely
+      // large.
+      val tau = 604800000000.0 // 7 days in microseconds
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("_us"))
+      val mx = ev.agg(max("_us").as("_mx"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(exp((col("_us") - col("_mx")).cast("double") / lit(tau))), 4)
+            .as("decayed"),
+          round(sum(exp((col("_us") - col("_mx")).cast("double") / lit(tau)))
+            / count(lit(1)), 6).as("recency_ratio"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3908,6 +3962,31 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn
           |  FROM m)
           |WHERE rn = 1 AND margin > 1.02""".stripMargin,
+
+      "q136_quantile_calibrate" ->
+        """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+          |r AS (SELECT doc_id, source, n_chars,
+          |   CAST(row_number() OVER (PARTITION BY source
+          |     ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r FROM d),
+          |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+          |g AS (SELECT n_chars AS cal_chars,
+          |   CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS grank
+          |  FROM d),
+          |i AS (SELECT r.doc_id, r.source, r.n_chars,
+          |   CASE WHEN n.n > 1 THEN 1 + ((r.r - 1) * (t.nn - 1)) // (n.n - 1)
+          |        ELSE 1 + (t.nn - 1) // 2 END AS gidx
+          |  FROM r JOIN n USING (source), t)
+          |SELECT i.doc_id, i.source, i.n_chars, g.cal_chars
+          |FROM i JOIN g ON g.grank = i.gidx""".stripMargin,
+
+      "q137_decayed_trend" ->
+        """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+          |m AS (SELECT max(us) AS mx FROM e)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | round(sum(exp((us - mx) / 604800000000.0)), 4) AS decayed,
+          | round(sum(exp((us - mx) / 604800000000.0)) / count(*), 6) AS recency_ratio
+          |FROM e, m GROUP BY event_type""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

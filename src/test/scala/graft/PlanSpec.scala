@@ -379,6 +379,15 @@ class PlanSpec extends SparkSpec {
       "per-phrase top-k must be the bounded TopKAgg heap, not a window")
   }
 
+  test("q136: only the per-source partitioned window; global rank stays range-based") {
+    val p = executed("q136_quantile_calibrate")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1,
+      s"expected exactly the partitioned within-source window, got $windows:\n${p.take(800)}")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "no partition-less window allowed")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

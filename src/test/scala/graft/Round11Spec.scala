@@ -404,6 +404,35 @@ class Round11Spec extends SparkSpec {
       "pairs must cross the two sides")
   }
 
+  test("q136: calibration is monotone per source and pins distribution extremes") {
+    val rows = SparkEntry.queries("q136_quantile_calibrate")(spark, sf()).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val globalMin = rows.map(_._2).min; val globalMax = rows.map(_._2).max
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.sortBy(x => (x._2, x._3))
+      // quantile mapping must be monotone within a source
+      sorted.sliding(2).foreach {
+        case Array((_, _, c1), (_, _, c2)) =>
+          assert(c1 <= c2, s"$src: calibrated values must be non-decreasing ($c1 > $c2)")
+        case _ =>
+      }
+      // each source's smallest/largest doc maps to the global extremes
+      assert(sorted.head._3 == globalMin, s"$src min must map to global min")
+      assert(sorted.last._3 == globalMax, s"$src max must map to global max")
+    }
+  }
+
+  test("q137: decay weights bounded by count; the newest event type is fully counted") {
+    val rows = SparkEntry.queries("q137_decayed_trend")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, dec, ratio) =>
+      assert(dec > 0 && dec <= n + 1e-9, s"$et: decayed $dec out of [0, $n]")
+      assert(ratio > 0 && ratio <= 1 + 1e-9, s"$et: recency ratio $ratio out of (0, 1]")
+    }
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
