@@ -2365,6 +2365,32 @@ object SparkEntry {
             / count(lit(1)), 6).as("recency_ratio"))
     }),
 
+    "q138_novelty" -> ((s, dir) => {
+      // Incremental novelty curve — per-doc share of distinct 3-gram
+      // shingles FIRST seen in that doc (ingest order = doc_id): the
+      // "how much new content does each increment add" diagnostic that
+      // decides when a source is mined out (complements q108's pairwise
+      // overlap and q113's incremental dedup). Dataflow: the shingle
+      // stream is shuffled ONCE on the shingle key — the first-occurrence
+      // min-agg and the join probe side land on the SAME exchange
+      // (ReusedExchange, PlanSpec-locked); the per-doc rollup is one more
+      // map-combined hash-agg. No sort, no window: "first seen" is
+      // min(doc_id), not an ordered scan.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val u = docs.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .as("h"))
+      val f = u.groupBy("h").agg(min("doc_id").as("_fd"))
+      u.join(f, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("_fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novel_share"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -3987,6 +4013,16 @@ object SparkEntry {
           | round(sum(exp((us - mx) / 604800000000.0)), 4) AS decayed,
           | round(sum(exp((us - mx) / 604800000000.0)) / count(*), 6) AS recency_ratio
           |FROM e, m GROUP BY event_type""".stripMargin,
+
+      "q138_novelty" ->
+        s"""$shingleCte,
+           |u AS (SELECT doc_id, unnest(s) AS h FROM sh),
+           |f AS (SELECT h, min(doc_id) AS fd FROM u GROUP BY h)
+           |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           | CAST(sum(CASE WHEN f.fd = u.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           | round(CAST(sum(CASE WHEN f.fd = u.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / count(*), 6) AS novel_share
+           |FROM u JOIN f USING (h) GROUP BY u.doc_id""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

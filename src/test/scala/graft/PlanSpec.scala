@@ -388,6 +388,24 @@ class PlanSpec extends SparkSpec {
       "no partition-less window allowed")
   }
 
+  test("q138: the shingle stream never shuffles twice for the same key") {
+    // at scale both the first-occurrence agg and the join probe hash by the
+    // shingle key and land on ONE reused exchange; at fixture scale AQE
+    // instead broadcasts the first-occurrence table into the probe — either
+    // shape avoids a second corpus-sized shuffle, and both are asserted
+    // against the 100 TB anti-pattern (two independent hash exchanges of
+    // the shingle stream)
+    val df = SparkEntry.queries("q138_novelty")(spark, sf())
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"))
+    assert(fin.contains("ReusedExchange") || fin.contains("BroadcastHashJoin"),
+      s"agg and probe must share the shingle exchange (or AQE-broadcast):\n${fin.take(800)}")
+    assert(!fin.contains("SortMergeJoin"),
+      s"fixture-scale probe must not sort-merge:\n${fin.take(800)}")
+    assert(!fin.contains("Window "), "no window: first-seen is min(doc_id), not an ordered scan")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString

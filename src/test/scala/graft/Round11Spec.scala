@@ -433,6 +433,26 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q138: first doc is all-novel; novel counts partition the distinct-shingle space") {
+    val rows = SparkEntry.queries("q138_novelty")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, s"the earliest doc must be 100% novel, got ${first._4}")
+    rows.foreach { case (id, n, nov, share) =>
+      assert(nov <= n, s"doc $id: novel $nov exceeds shingles $n")
+      assert(math.abs(share - nov.toDouble / n) < 1e-6) }
+    // every distinct shingle is novel in exactly one doc
+    val totalDistinct = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(split(graft.functions.TextExprs.cleanText(col("text")), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("h"))
+      .select("h").distinct().count()
+    assert(rows.map(_._3).sum == totalDistinct,
+      s"sum of novel counts ${rows.map(_._3).sum} must equal distinct shingles $totalDistinct")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
