@@ -2263,11 +2263,18 @@ object SparkEntry {
       // on the tiny graph, and the normalization to mixture weights is a
       // one-row broadcast cross join. All heavy lifting is q108's single
       // reused distinct-shingle exchange.
+      // the edge list is bounded by C(|sources|, 2) — a property of the
+      // source ENUM, not the corpus — so materialize it once to a local
+      // relation (the k-means-centroid posture) instead of letting five
+      // iteration subtrees re-reference the corpus-sized overlap pipeline
       val ov = graft.operators.CorpusOverlap.sourceOverlap(
         t(s, dir, "documents"), col("source"), col("text"), n = 5)
-      val edges = ov.select(col("src_a").as("u"), col("src_b").as("v"),
-        col("inter").as("w"))
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val edgeRows = ov.select(col("src_a"), col("src_b"), col("inter")).collect()
+      import s.implicits._
+      val sym = edgeRows.toSeq.flatMap { r =>
+        val (a, b, w) = (r.getString(0), r.getString(1), r.getLong(2))
+        Seq((a, b, w), (b, a, w))
+      }.toDF("u", "v", "w")
       val pr = graft.operators.PageRank.ranks(sym, iters = 5, damping = 0.85)
       val tot = pr.agg(sum("pr").as("_tot"))
       pr.crossJoin(broadcast(tot))
