@@ -2301,16 +2301,23 @@ object SparkEntry {
         .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
       val ys = e.where(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+      // candidates = each x's forward top-4 (the paper mines within the
+      // k-NN candidate set), so the margin/cut stage touches n·k rows and
+      // the corpus-sized similarity stream is consumed exactly TWICE (one
+      // bounded heap per direction); the forward heap's exchange serves
+      // both its average and the candidate rows (ReuseExchange)
       val sims = xs.crossJoin(ys)
         .select(col("x_id"), col("y_id"),
           round(VectorExprs.cosine(col("xv"), col("yv")), 6).as("cos"))
-      val fwd = TopKAgg.perKey(sims, col("x_id"), col("cos"), col("y_id"), 4)
-        .groupBy("_k").agg(avg("score").as("fwd_avg"))
+      val fTop = TopKAgg.perKey(sims, col("x_id"), col("cos"), col("y_id"), 4)
+      val fwd = fTop.groupBy("_k").agg(avg("score").as("fwd_avg"))
         .select(col("_k").as("x_id"), col("fwd_avg"))
       val bwd = TopKAgg.perKey(sims, col("y_id"), col("cos"), col("x_id"), 4)
         .groupBy("_k").agg(avg("score").as("bwd_avg"))
         .select(col("_k").as("y_id"), col("bwd_avg"))
-      val margins = sims.join(fwd, "x_id").join(bwd, "y_id")
+      val margins = fTop
+        .select(col("_k").as("x_id"), col("id").as("y_id"), col("score").as("cos"))
+        .join(fwd, "x_id").join(bwd, "y_id")
         .select(col("x_id"), col("y_id"),
           round(col("cos") / ((col("fwd_avg") + col("bwd_avg")) / 2.0), 6).as("margin"))
       TopKAgg.perKey(margins, col("x_id"), col("margin"), col("y_id"), 1)
@@ -3979,17 +3986,18 @@ object SparkEntry {
           |   (sqrt(list_sum(list_transform(range(1, 65), i -> xv[i] * xv[i]))) *
           |    sqrt(list_sum(list_transform(range(1, 65), i -> yv[i] * yv[i])))), 6) AS cos
           |  FROM x CROSS JOIN y),
-          |f AS (SELECT x_id, avg(cos) AS fwd_avg FROM (
-          |   SELECT x_id, cos, row_number() OVER (PARTITION BY x_id
-          |     ORDER BY cos DESC, y_id ASC) AS rn FROM s)
-          |  WHERE rn <= 4 GROUP BY x_id),
+          |f0 AS (SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY x_id
+          |     ORDER BY cos DESC, y_id ASC) AS rnf FROM s),
+          |f AS (SELECT x_id, avg(cos) AS fwd_avg FROM f0
+          |  WHERE rnf <= 4 GROUP BY x_id),
           |b AS (SELECT y_id, avg(cos) AS bwd_avg FROM (
           |   SELECT y_id, cos, row_number() OVER (PARTITION BY y_id
           |     ORDER BY cos DESC, x_id ASC) AS rn FROM s)
           |  WHERE rn <= 4 GROUP BY y_id),
-          |m AS (SELECT s.x_id, s.y_id,
+          |m AS (SELECT f0.x_id, f0.y_id,
           |   round(cos / ((fwd_avg + bwd_avg) / 2.0), 6) AS margin
-          |  FROM s JOIN f USING (x_id) JOIN b USING (y_id))
+          |  FROM f0 JOIN f USING (x_id) JOIN b USING (y_id)
+          |  WHERE rnf <= 4)
           |SELECT x_id, y_id, margin FROM (
           |  SELECT x_id, y_id, margin,
           |   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn
