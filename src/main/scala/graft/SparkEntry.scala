@@ -2384,25 +2384,26 @@ object SparkEntry {
       // shingles FIRST seen in that doc (ingest order = doc_id): the
       // "how much new content does each increment add" diagnostic that
       // decides when a source is mined out (complements q108's pairwise
-      // overlap and q113's incremental dedup). Dataflow: the shingle
-      // stream is shuffled ONCE on the shingle key — the first-occurrence
-      // min-agg and the join probe side land on the SAME exchange
-      // (ReusedExchange, PlanSpec-locked); the per-doc rollup is one more
-      // map-combined hash-agg. No sort, no window: "first seen" is
-      // min(doc_id), not an ordered scan.
+      // overlap and q113's incremental dedup). No sort, no window:
+      // "first seen" is min(doc_id), not an ordered scan.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
         .where(size(col("toks")) >= 3)
       val u = docs.select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
         .as("h"))
-      val f = u.groupBy("h").agg(min("doc_id").as("_fd"))
-      u.join(f, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("_fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novel_share"))
+      // both facts are AGGREGATES of the shingle stream — novel counts come
+      // from rolling the first-occurrence table up by its min-doc (never
+      // joining the corpus-sized stream back against it), so the only join
+      // is doc-count-sized
+      val counts = u.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = u.groupBy("h").agg(min("doc_id").as("_fd"))
+        .groupBy(col("_fd").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+      counts.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"), 6)
+            .as("novel_share"))
     }),
 
     "q92_heavy_hitters_grouped" -> ((s, dir) => {

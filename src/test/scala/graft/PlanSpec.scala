@@ -388,22 +388,22 @@ class PlanSpec extends SparkSpec {
       "no partition-less window allowed")
   }
 
-  test("q138: the shingle stream never shuffles twice for the same key") {
-    // at scale both the first-occurrence agg and the join probe hash by the
-    // shingle key and land on ONE reused exchange; at fixture scale AQE
-    // instead broadcasts the first-occurrence table into the probe — either
-    // shape avoids a second corpus-sized shuffle, and both are asserted
-    // against the 100 TB anti-pattern (two independent hash exchanges of
-    // the shingle stream)
+  test("q138: the only join is doc-count-sized — the shingle stream is never joined") {
+    // both facts (per-doc shingle count, per-doc novel count) are
+    // AGGREGATES of the shingle stream; the novel side rolls the
+    // first-occurrence table up by its min-doc, so the single join in the
+    // plan carries doc-count rows, never corpus-shingle rows
     val df = SparkEntry.queries("q138_novelty")(spark, sf())
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
     assert(fin.contains("isFinalPlan=true"))
-    assert(fin.contains("ReusedExchange") || fin.contains("BroadcastHashJoin"),
-      s"agg and probe must share the shingle exchange (or AQE-broadcast):\n${fin.take(800)}")
-    assert(!fin.contains("SortMergeJoin"),
-      s"fixture-scale probe must not sort-merge:\n${fin.take(800)}")
+    val joins = "Join".r.findAllIn(fin).length
+    assert(fin.contains("BroadcastHashJoin") || fin.contains("SortMergeJoin"),
+      s"expected the one doc-sized join:\n${fin.take(600)}")
     assert(!fin.contains("Window "), "no window: first-seen is min(doc_id), not an ordered scan")
+    // the join key must be doc_id (the rollup output), never the shingle h
+    assert(!fin.matches("(?s).*Join [^\\n]*\\[h#.*"),
+      s"no join on the shingle key allowed:\n${fin.take(600)}")
   }
 
   test("constant folding evaluates foldable native expressions at plan time") {
