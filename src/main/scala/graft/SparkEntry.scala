@@ -2406,6 +2406,29 @@ object SparkEntry {
             .as("novel_share"))
     }),
 
+    "q139_dup_attribution" -> ((s, dir) => {
+      // Cross-source duplication ATTRIBUTION: roll q27's verified
+      // near-dup pairs up to the source level — which feeds duplicate
+      // into which (off-diagonal cells say "dedupe these two against
+      // each other first"; the diagonal ranks internal duplication).
+      // Complements q108 (shingle-set overlap ignores pair structure)
+      // and q138 (novelty is temporal, this is pairwise). The rollup
+      // input is the PAIR list — already a vanishing fraction of the
+      // corpus — joined twice against the slim (id, source) projection;
+      // cells are canonical (least, greatest) so the matrix is upper-
+      // triangular regardless of id order.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+        .groupBy(least(col("_sa"), col("_sb")).as("src_a"),
+          greatest(col("_sa"), col("_sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"), round(avg("jaccard"), 6).as("avg_jaccard"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4039,6 +4062,21 @@ object SparkEntry {
            | round(CAST(sum(CASE WHEN f.fd = u.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
            |   / count(*), 6) AS novel_share
            |FROM u JOIN f USING (h) GROUP BY u.doc_id""".stripMargin,
+
+      "q139_dup_attribution" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    ${jaccardSql("a.s", "b.s")} AS j
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |kept AS (SELECT id_a, id_b, j FROM pairs WHERE j >= 0.7)
+           |SELECT least(da.source, db.source) AS src_a,
+           | greatest(da.source, db.source) AS src_b,
+           | CAST(count(*) AS BIGINT) AS n_pairs,
+           | round(avg(j), 6) AS avg_jaccard
+           |FROM kept
+           |JOIN documents da ON da.doc_id = kept.id_a
+           |JOIN documents db ON db.doc_id = kept.id_b
+           |GROUP BY 1, 2""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

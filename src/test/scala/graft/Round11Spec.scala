@@ -453,6 +453,16 @@ class Round11Spec extends SparkSpec {
       s"sum of novel counts ${rows.map(_._3).sum} must equal distinct shingles $totalDistinct")
   }
 
+  test("q139: attribution cells partition q27's pair set; matrix is canonical") {
+    val cells = SparkEntry.queries("q139_dup_attribution")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    cells.foreach { case (a, b, _) => assert(a <= b, s"cell ($a, $b) not canonical") }
+    val totalPairs = SparkEntry.queries("q27_minhash_neardup")(spark, sf()).count()
+    assert(cells.map(_._3).sum == totalPairs,
+      s"cell counts ${cells.map(_._3).sum} must partition the ${totalPairs} near-dup pairs")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
