@@ -2429,6 +2429,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), round(avg("jaccard"), 6).as("avg_jaccard"))
     }),
 
+    "q140_abtt_residual" -> ((s, dir) => {
+      // All-but-the-top embedding postprocessing (Mu & Viswanath 2018):
+      // remove the dominant principal component from every embedding —
+      // the common-direction bias that inflates all cosines — and report
+      // each vector's projection onto it plus the residual norm. USES
+      // q131's operator: the component is fit by the one-pass Gram
+      // reduction (model-dim-bounded driver state), then applied in a
+      // single codegen'd pass with the component as a broadcast-style
+      // literal array — fit-once/apply-everywhere, the q89 model/apply
+      // posture for linear algebra.
+      val e = t(s, dir, "embeddings")
+      val u = graft.operators.Pca.topComponent(e, col("embedding"), dim = 64, iters = 3)
+        .orderBy("dim_idx").collect().map(_.getDouble(1))
+      val uLit = array(u.map(lit): _*)
+      val proj = VectorExprs.dot(expr("transform(embedding, x -> cast(x AS double))"), uLit)
+      e.select(col("vec_id"), proj.as("_p"),
+          VectorExprs.dot(expr("transform(embedding, x -> cast(x AS double))"),
+            expr("transform(embedding, x -> cast(x AS double))")).as("_n2"))
+        .select(col("vec_id"), round(col("_p"), 6).as("proj"),
+          round(sqrt(greatest(col("_n2") - col("_p") * col("_p"), lit(0.0))), 6)
+            .as("residual_norm"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2552,6 +2575,34 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** Augmented-Gram PCA CTEs (q131/q140): one 65×65 second-moment pass,
+    * then 3 power iterations mirrored CTE-for-loop against Pca
+    * .topComponent's driver-side math (v0 = 1/sqrt(64) = 0.125 exactly;
+    * λ = final ‖C·v‖). Leaves `v3(i, v)` (the unit component, 0-based
+    * dim index) and `n3(l)` (λ) in scope. */
+  private def pcaCtes: String = {
+    val gram =
+      """WITH aug AS (SELECT list_concat(embedding::DOUBLE[], [CAST(1.0 AS DOUBLE)]) AS xa
+        |  FROM embeddings),
+        |pe AS (SELECT unnest(flatten(list_transform(xa, x -> list_transform(xa, y -> x * y)))) AS p,
+        |              unnest(range(1, 4226)) AS idx FROM aug),
+        |g AS (SELECT CAST((idx - 1) // 65 AS BIGINT) AS i, CAST((idx - 1) % 65 AS BIGINT) AS j,
+        |             sum(p) AS g FROM pe GROUP BY 1, 2),
+        |nn AS (SELECT g AS n FROM g WHERE i = 64 AND j = 64),
+        |mu AS (SELECT i, g / n AS mu FROM g, nn WHERE j = 64 AND i < 64),
+        |c AS (SELECT g.i, g.j, g.g / nn.n - ma.mu * mb.mu AS c
+        |      FROM g, nn, mu ma, mu mb
+        |      WHERE g.i < 64 AND g.j < 64 AND ma.i = g.i AND mb.i = g.j),
+        |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM mu)""".stripMargin
+    val iters = (1 to 3).map { k =>
+      s""",
+         |w$k AS (SELECT c.i, sum(c.c * v.v) AS w FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |n$k AS (SELECT sqrt(sum(w * w)) AS l FROM w$k),
+         |v$k AS (SELECT i, w / l AS v FROM w$k, n$k)""".stripMargin
+    }.mkString
+    gram + iters
+  }
 
   /** Unrolled PageRank iteration CTEs (q130/q134): expects CTEs `ed(u,v,w)`
     * and `ow(u, outw)` plus `p0(tok, pr)` in scope; emits p1..p`iters`.
@@ -3912,32 +3963,18 @@ object SparkEntry {
         base + prIterCtes(5) + "\nSELECT tok, round(pr, 6) AS pr FROM p5"
       },
 
-      "q131_pca_power" -> {
-        // Augmented-Gram PCA: one 65×65 second-moment pass, then 3 power
-        // iterations mirrored CTE-for-loop against the driver-side math
-        // (v0 = 1/sqrt(64) = 0.125 exactly; λ = final ‖C·v‖).
-        val gram =
-          """WITH aug AS (SELECT list_concat(embedding::DOUBLE[], [CAST(1.0 AS DOUBLE)]) AS xa
-            |  FROM embeddings),
-            |pe AS (SELECT unnest(flatten(list_transform(xa, x -> list_transform(xa, y -> x * y)))) AS p,
-            |              unnest(range(1, 4226)) AS idx FROM aug),
-            |g AS (SELECT CAST((idx - 1) // 65 AS BIGINT) AS i, CAST((idx - 1) % 65 AS BIGINT) AS j,
-            |             sum(p) AS g FROM pe GROUP BY 1, 2),
-            |nn AS (SELECT g AS n FROM g WHERE i = 64 AND j = 64),
-            |mu AS (SELECT i, g / n AS mu FROM g, nn WHERE j = 64 AND i < 64),
-            |c AS (SELECT g.i, g.j, g.g / nn.n - ma.mu * mb.mu AS c
-            |      FROM g, nn, mu ma, mu mb
-            |      WHERE g.i < 64 AND g.j < 64 AND ma.i = g.i AND mb.i = g.j),
-            |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM mu)""".stripMargin
-        val iters = (1 to 3).map { k =>
-          s""",
-             |w$k AS (SELECT c.i, sum(c.c * v.v) AS w FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
-             |n$k AS (SELECT sqrt(sum(w * w)) AS l FROM w$k),
-             |v$k AS (SELECT i, w / l AS v FROM w$k, n$k)""".stripMargin
-        }.mkString
-        gram + iters +
-          "\nSELECT v.i AS dim_idx, round(v.v, 6) AS loading, round(n3.l, 6) AS lambda FROM v3 v, n3"
-      },
+      "q131_pca_power" -> (pcaCtes +
+        "\nSELECT v.i AS dim_idx, round(v.v, 6) AS loading, round(n3.l, 6) AS lambda FROM v3 v, n3"),
+
+      "q140_abtt_residual" -> (pcaCtes +
+        """,
+          |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |pe2 AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM ev),
+          |px AS (SELECT vec_id, sum(x * u.v) AS p, sum(x * x) AS n2
+          |  FROM pe2 JOIN v3 u ON u.i = pe2.i - 1 GROUP BY vec_id)
+          |SELECT vec_id, round(p, 6) AS proj,
+          | round(sqrt(greatest(n2 - p * p, 0.0)), 6) AS residual_norm
+          |FROM px""".stripMargin),
 
       "q132_phrase_search" -> {
         val qvals = phraseQueries.flatMap { p =>

@@ -463,6 +463,30 @@ class Round11Spec extends SparkSpec {
       s"cell counts ${cells.map(_._3).sum} must partition the ${totalPairs} near-dup pairs")
   }
 
+  test("q140: projection and residual decompose each vector; variance along u ≈ λ") {
+    val rows = SparkEntry.queries("q140_abtt_residual")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings")
+    val norms = e.select(col("vec_id"),
+        graft.functions.VectorExprs.dot(expr("transform(embedding, x -> cast(x AS double))"),
+          expr("transform(embedding, x -> cast(x AS double))")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, p, res) =>
+      assert(math.abs(p * p + res * res - norms(id)) < 1e-3,
+        s"vec $id: proj² + residual² must recover ‖v‖² (${p * p + res * res} vs ${norms(id)})") }
+    // Rayleigh check: corpus variance along u = uᵀCu approximates λmax
+    // from below, while λ = ‖C·v₂‖ is the PREVIOUS iterate's estimate —
+    // both converge to λmax, so they agree to a convergence band (u = v₃
+    // is one step closer to the eigenvector and may sit slightly above λ)
+    val lambda = graft.operators.Pca.topComponent(e, col("embedding"), 64, 3)
+      .head().getDouble(2)
+    val ps = rows.map(_._2); val mean = ps.sum / ps.length
+    val varAlong = ps.map(x => (x - mean) * (x - mean)).sum / ps.length
+    assert(varAlong > 0.8 * lambda && varAlong < 1.25 * lambda,
+      s"variance along u ($varAlong) must sit in the convergence band of λ ($lambda)")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
