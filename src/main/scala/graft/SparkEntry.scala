@@ -2452,6 +2452,79 @@ object SparkEntry {
             .as("residual_norm"))
     }),
 
+    "q141_cdc_chunks" -> ((s, dir) => {
+      // Content-defined chunking (the FastCDC/rsync recipe at token
+      // granularity): a boundary falls AFTER any token whose md5 lands
+      // in 1/8 of hash space, so boundaries are a pure function of LOCAL
+      // content — an insertion shifts at most one chunk, which is what
+      // makes chunk-hash dedup robust to edits (fixed-size blocks lose
+      // every hash downstream of an edit). chunk_idx is a per-doc
+      // partitioned-window prefix sum of boundary flags; the duplicate
+      // index rolls chunk hashes up with the q55 two-level trick ((h,
+      // doc) first, then h) so distinct-doc counts never plan Expand.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(TextExprs.cleanText(col("text"))), " ")))
+        .where(col("col") =!= "")
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          when(conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long") % 8 === 0, 1L)
+            .otherwise(0L).as("_bnd"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cx = toks.withColumn("chunk_idx", coalesce(sum("_bnd").over(w), lit(0L)))
+      val ch = cx.groupBy("doc_id", "chunk_idx")
+        .agg(count(lit(1)).as("n_toks"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok)")))
+            .as("h"))
+      val perDoc = ch.groupBy("h", "doc_id")
+        .agg(count(lit(1)).as("_c"), max("n_toks").as("_nt"))
+      perDoc.groupBy("h")
+        .agg(max("_nt").as("n_toks"), sum("_c").as("n_occurrences"),
+          count(lit(1)).as("n_docs"))
+        .where(col("n_occurrences") > 1)
+        .select(col("h").as("chunk_h"), col("n_toks"), col("n_occurrences"), col("n_docs"))
+    }),
+
+    "q142_stupid_backoff" -> ((s, dir) => {
+      // Stupid Backoff held-out scoring (Brants et al. 2007 — the
+      // smoothing that wins at web scale precisely because it does NOT
+      // normalize): S(w2|w1) = c(w1w2)/c(w1) when the bigram is in the
+      // TRAIN slice, else 0.4·(c(w2)+1)/(N+V) (unigram backoff with an
+      // epsilon floor for train-OOV types). Unlike q106 (Laplace,
+      // self-trained), the model here is fit on doc_id % 5 ≠ 0 and
+      // scores the HELD-OUT % 5 = 0 slice, so unseen bigrams genuinely
+      // occur and backoff_rate measures them. Model tables are bigram-
+      // type-sized and join UNHINTED (q89 posture); scalars ride one-row
+      // broadcast cross joins.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+      def bigrams(d: DataFrame) = d.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val train = docs.where(col("doc_id") % 5 =!= 0)
+      val uni = train.select(explode(col("toks")).as("tok")).where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val scal = uni.agg(sum("c").as("n"), count(lit(1)).as("v"))
+      val m2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val m1 = bigrams(train).groupBy("w1").agg(count(lit(1)).as("c1"))
+      val held = bigrams(docs.where(col("doc_id") % 5 === 0))
+      val s12 = when(col("c12").isNotNull,
+          col("c12").cast("double") / col("c1"))
+        .otherwise(lit(0.4) * (coalesce(col("_c2"), lit(0L)) + 1.0) / (col("n") + col("v")))
+      held
+        .join(m2, Seq("w1", "w2"), "left")
+        .join(m1.withColumnRenamed("w1", "w1"), Seq("w1"), "left")
+        .join(uni.select(col("tok").as("w2"), col("c").as("_c2")), Seq("w2"), "left")
+        .crossJoin(broadcast(scal))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(s12)), 4).as("xent"),
+          round(avg(when(col("c12").isNull, 1.0).otherwise(0.0)), 4).as("backoff_rate"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4114,6 +4187,51 @@ object SparkEntry {
            |JOIN documents da ON da.doc_id = kept.id_a
            |JOIN documents db ON db.doc_id = kept.id_b
            |GROUP BY 1, 2""".stripMargin,
+
+      "q141_cdc_chunks" -> {
+        val hex4 = (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substring(md5(tok), $i, 1)) - 1) * ${1L << (4 * (4 - i))}")
+          .mkString(" + ")
+        s"""WITH tk0 AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(0, len(ts))) AS pos
+           |  FROM (SELECT doc_id, string_split(lower(${cleanSql("text")}), ' ') AS ts FROM documents)),
+           |tk AS (SELECT doc_id, pos, tok,
+           |   CASE WHEN CAST($hex4 AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS bnd
+           |  FROM tk0 WHERE tok <> ''),
+           |cx AS (SELECT doc_id, pos, tok,
+           |   coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM tk),
+           |ch AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_toks,
+           |   md5(string_agg(tok, ' ' ORDER BY pos)) AS h FROM cx GROUP BY 1, 2),
+           |pd AS (SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c,
+           |   CAST(max(n_toks) AS BIGINT) AS nt FROM ch GROUP BY 1, 2)
+           |SELECT h AS chunk_h, CAST(max(nt) AS BIGINT) AS n_toks,
+           | CAST(sum(c) AS BIGINT) AS n_occurrences,
+           | CAST(count(*) AS BIGINT) AS n_docs
+           |FROM pd GROUP BY h HAVING sum(c) > 1""".stripMargin
+      },
+
+      "q142_stupid_backoff" ->
+        s"""WITH d AS (SELECT doc_id, string_split(lower(${cleanSql("text")}), ' ') AS ts FROM documents),
+           |un AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+           |   SELECT unnest(ts) AS tok FROM d WHERE doc_id % 5 <> 0)
+           |  WHERE tok <> '' GROUP BY tok),
+           |sc AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM un),
+           |bg AS (SELECT doc_id, unnest(ts[:len(ts)-1]) AS w1, unnest(ts[2:]) AS w2
+           |  FROM d WHERE len(ts) >= 2),
+           |m2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+           |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+           |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg
+           |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+           |hb AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 5 = 0),
+           |j AS (SELECT hb.doc_id,
+           |   CASE WHEN m2.c12 IS NOT NULL THEN CAST(m2.c12 AS DOUBLE) / m1.c1
+           |        ELSE 0.4 * (coalesce(u2.c, 0) + 1.0) / (sc.n + sc.v) END AS s,
+           |   CASE WHEN m2.c12 IS NULL THEN 1.0 ELSE 0.0 END AS bo
+           |  FROM hb LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1)
+           |  LEFT JOIN un u2 ON u2.tok = hb.w2, sc)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           | round(avg(-ln(s)), 4) AS xent, round(avg(bo), 4) AS backoff_rate
+           |FROM j GROUP BY doc_id""".stripMargin,
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

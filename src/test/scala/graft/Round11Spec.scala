@@ -487,6 +487,52 @@ class Round11Spec extends SparkSpec {
       s"variance along u ($varAlong) must sit in the convergence band of λ ($lambda)")
   }
 
+  test("q141: content-defined boundaries survive an insertion (edit resilience)") {
+    val sp = spark
+    import sp.implicits._
+    // same chunking recipe as the query, over an original doc and a copy
+    // with ONE token inserted mid-stream: all chunks except the edited one
+    // must keep their hashes — the property fixed-size blocks lack
+    def chunks(text: String): Seq[String] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " ")))
+        .where(col("col") =!= "")
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          when(conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long") % 8 === 0, 1L)
+            .otherwise(0L).as("_bnd"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      df.withColumn("ci", coalesce(sum("_bnd").over(w), lit(0L)))
+        .groupBy("doc_id", "ci")
+        .agg(md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok)")))
+          .as("h"))
+        .orderBy("ci").collect().map(_.getString(2)).toSeq
+    }
+    val base = graft.sources.Tables.table(spark, sf("0.01"), "documents")
+      .orderBy("doc_id").limit(1).select("text").head().getString(0)
+    val orig = chunks(base)
+    val toks = base.split(" ")
+    val edited = chunks((toks.take(toks.length / 2) ++ Seq("inserted") ++
+      toks.drop(toks.length / 2)).mkString(" "))
+    assert(orig.length >= 3, s"fixture doc must produce several chunks, got ${orig.length}")
+    val common = orig.toSet.intersect(edited.toSet).size
+    assert(common >= orig.length - 2,
+      s"an insertion must disturb at most ~2 chunks: $common of ${orig.length} survive")
+  }
+
+  test("q142: only held-out docs scored; backoff rate bounded; xent positive") {
+    val rows = SparkEntry.queries("q142_stupid_backoff")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, xent, bo) =>
+      assert(id % 5 == 0, s"doc $id is not in the held-out slice")
+      assert(n >= 1)
+      assert(bo >= 0.0 && bo <= 1.0, s"backoff rate $bo out of [0,1]")
+      assert(xent > 0.0, s"held-out cross-entropy must be positive, got $xent") }
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
