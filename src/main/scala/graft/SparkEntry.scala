@@ -2525,6 +2525,50 @@ object SparkEntry {
           round(avg(when(col("c12").isNull, 1.0).otherwise(0.0)), 4).as("backoff_rate"))
     }),
 
+    "q143_retrieve_rerank" -> ((s, dir) => {
+      // The full two-stage retrieval stack in ONE query: SPARSE retrieve
+      // (q52's BM25 over the token stream) → bounded top-20 pool on the
+      // ROUNDED score → DENSE diversify (q118's greedy MMR over the
+      // pool's embeddings, driver-side on the k² = 400 bounded sims).
+      // This is the retrieve-then-rerank architecture every RAG/search
+      // stack runs; both stages already exist as operators — this query
+      // is their composition, and the corpus-sized work remains entirely
+      // in the BM25 stage.
+      val lam = 0.7
+      val bm = Retrieval.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
+      val pool = bm.join(emb, "doc_id")
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .collect()
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      val cand = pool.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (picked.length < 5) {
+        val chosen = cand.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
+          val score =
+            if (picked.isEmpty) c._2
+            else lam * c._2 - (1 - lam) * picked.map { p =>
+              cos(c._3, cand.find(_._1 == p._1).get._3)
+            }.max
+          (c._1, score)
+        }.minBy { case (id, sc) => (-sc, id) }
+        picked += chosen
+      }
+      val sp = s
+      import sp.implicits._
+      picked.zipWithIndex
+        .map { case ((id, sc), i) => ((i + 1).toLong, id, r6(sc)) }.toSeq
+        .toDF("rnk", "doc_id", "mmr_score")
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4232,6 +4276,56 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            | round(avg(-ln(s)), 4) AS xent, round(avg(bo), 4) AS backoff_rate
            |FROM j GROUP BY doc_id""".stripMargin,
+
+      "q143_retrieve_rerank" -> {
+        val lam = 0.7
+        def cosSql(a: String, b: String): String =
+          s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+             | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+             |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+        val sb = new StringBuilder
+        sb ++= s"""WITH tok AS (SELECT doc_id,
+                  |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+                  |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                  |  WHERE token <> '' GROUP BY doc_id, token),
+                  |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+                  |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+                  |bsc AS (SELECT tf.doc_id,
+                  |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+                  |     * tf.tf * (1.2 + 1.0)
+                  |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+                  |  FROM tf
+                  |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token) dfq USING (token)
+                  |  JOIN dl USING (doc_id) CROSS JOIN st
+                  |  WHERE tf.token IN ('spark', 'vector', 'stream')),
+                  |bm AS (SELECT doc_id, round(sum(s), 4) AS rel FROM bsc GROUP BY doc_id),
+                  |cand AS (SELECT bm.doc_id, bm.rel, e.embedding::DOUBLE[] AS v
+                  |  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+                  |  ORDER BY rel DESC, doc_id LIMIT 20),
+                  |sims AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  |   ${cosSql("a.v", "b.v")} AS sim
+                  |  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+                  |s1 AS (SELECT doc_id, rel AS score FROM cand
+                  |  ORDER BY rel DESC, doc_id LIMIT 1),
+                  |sel1 AS (SELECT doc_id FROM s1),
+                  |""".stripMargin
+        for (i <- 2 to 5) {
+          sb ++= s"""m$i AS (SELECT c.doc_id, $lam * c.rel - ${1 - lam} * max(p.sim) AS score
+                    |  FROM cand c JOIN sims p ON p.id_a = c.doc_id
+                    |  WHERE p.id_b IN (SELECT doc_id FROM sel${i - 1})
+                    |   AND c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+                    |  GROUP BY c.doc_id, c.rel),
+                    |s$i AS (SELECT doc_id, score FROM m$i
+                    |  ORDER BY score DESC, doc_id LIMIT 1),
+                    |sel$i AS (SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i),
+                    |""".stripMargin
+        }
+        sb ++= "_t AS (SELECT 1)\n"
+        sb ++= (1 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS rnk, doc_id, round(score, 6) AS mmr_score FROM s$i")
+          .mkString("", "\nUNION ALL ", "")
+        sb.toString
+      },
 
       "q119_ivfpq_recall" ->
         s"""WITH approx AS (

@@ -533,6 +533,20 @@ class Round11Spec extends SparkSpec {
       assert(xent > 0.0, s"held-out cross-entropy must be positive, got $xent") }
   }
 
+  test("q143: five distinct picks; the first is the BM25 argmax") {
+    val rows = SparkEntry.queries("q143_retrieve_rerank")(spark, sf("0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.map(_._2).distinct.length == 5, "picks must be distinct docs")
+    val docs = graft.sources.Tables.table(spark, sf("0.01"), "documents")
+    val top = graft.operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "vector", "stream"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(1).head()
+    assert(rows.head._2 == top.getLong(0), "rank 1 must be the raw BM25 argmax")
+    assert(math.abs(rows.head._3 - top.getDouble(1)) < 1e-9,
+      "rank-1 MMR score equals its BM25 relevance (nothing selected yet)")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
