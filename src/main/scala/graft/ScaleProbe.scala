@@ -92,6 +92,7 @@ object ScaleProbe {
     if (args.headOption.contains("diff")) { diffProbe(args.drop(1)); return }
     if (args.headOption.contains("pagerank")) { pageRankProbe(args.drop(1)); return }
     if (args.headOption.contains("gram")) { gramProbe(args.drop(1)); return }
+    if (args.headOption.contains("cdc")) { cdcProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -751,6 +752,50 @@ object ScaleProbe {
     assert(maxDiff < 1e-9,
       s"rank vector must be replication-invariant (same w/outw quotients); max diff $maxDiff")
     println(f"[probe] replication invariance verified: max |Δpr| = $maxDiff%.2e")
+    big.unpersist()
+    spark.stop()
+  }
+
+  /** CDC chunking under pure replication (fresh ids, texts unchanged):
+    * boundaries are a pure function of content, so each copy chunks
+    * identically — every chunk hash's occurrence count scales EXACTLY by
+    * rep and the distinct-hash space is unchanged. The probe verifies the
+    * closed form on the full duplicate index and measures the chunking
+    * wall (per-doc window + hash agg) as the corpus scales. */
+  private def cdcProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    def occ(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.operators.CdcChunk.chunks(d, col("doc_id"), col("text"))
+        .groupBy("h").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = timed("cdc chunk 1x")(occ(docs))
+    val big = docs.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"), col("text"))
+      .repartition(64).cache()
+    println(s"[probe] cdc corpus: ${big.count()} docs (rep=$rep), ${base.size} distinct chunks at 1x")
+    val scaled = timed(s"cdc chunk ${rep}x")(occ(big))
+    assert(scaled.keySet == base.keySet,
+      s"replication must not mint new chunk hashes: ${scaled.size} vs ${base.size}")
+    val bad = base.collectFirst { case (h, n) if scaled(h) != n * rep => (h, n, scaled(h)) }
+    assert(bad.isEmpty,
+      s"every chunk count must scale exactly ${rep}x, first violation: $bad")
+    println(s"[probe] closed form verified: ${base.size} chunk hashes all at exactly ${rep}x")
     big.unpersist()
     spark.stop()
   }

@@ -2462,28 +2462,8 @@ object SparkEntry {
       // partitioned-window prefix sum of boundary flags; the duplicate
       // index rolls chunk hashes up with the q55 two-level trick ((h,
       // doc) first, then h) so distinct-doc counts never plan Expand.
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(split(lower(TextExprs.cleanText(col("text"))), " ")))
-        .where(col("col") =!= "")
-        .select(col("doc_id"), col("pos"), col("col").as("tok"),
-          when(conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long") % 8 === 0, 1L)
-            .otherwise(0L).as("_bnd"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cx = toks.withColumn("chunk_idx", coalesce(sum("_bnd").over(w), lit(0L)))
-      val ch = cx.groupBy("doc_id", "chunk_idx")
-        .agg(count(lit(1)).as("n_toks"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok)")))
-            .as("h"))
-      val perDoc = ch.groupBy("h", "doc_id")
-        .agg(count(lit(1)).as("_c"), max("n_toks").as("_nt"))
-      perDoc.groupBy("h")
-        .agg(max("_nt").as("n_toks"), sum("_c").as("n_occurrences"),
-          count(lit(1)).as("n_docs"))
-        .where(col("n_occurrences") > 1)
-        .select(col("h").as("chunk_h"), col("n_toks"), col("n_occurrences"), col("n_docs"))
+      graft.operators.CdcChunk.dupIndex(graft.operators.CdcChunk.chunks(
+        t(s, dir, "documents"), col("doc_id"), col("text")))
     }),
 
     "q142_stupid_backoff" -> ((s, dir) => {

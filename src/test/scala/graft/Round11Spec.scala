@@ -493,23 +493,10 @@ class Round11Spec extends SparkSpec {
     // same chunking recipe as the query, over an original doc and a copy
     // with ONE token inserted mid-stream: all chunks except the edited one
     // must keep their hashes — the property fixed-size blocks lack
-    def chunks(text: String): Seq[String] = {
-      val df = Seq((1L, text)).toDF("doc_id", "text")
-        .select(col("doc_id"),
-          posexplode(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " ")))
-        .where(col("col") =!= "")
-        .select(col("doc_id"), col("pos"), col("col").as("tok"),
-          when(conv(substring(md5(col("col")), 1, 4), 16, 10).cast("long") % 8 === 0, 1L)
-            .otherwise(0L).as("_bnd"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      df.withColumn("ci", coalesce(sum("_bnd").over(w), lit(0L)))
-        .groupBy("doc_id", "ci")
-        .agg(md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok)")))
-          .as("h"))
-        .orderBy("ci").collect().map(_.getString(2)).toSeq
-    }
+    def chunks(text: String): Seq[String] =
+      graft.operators.CdcChunk.chunks(Seq((1L, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .orderBy("chunk_idx").collect().map(_.getString(3)).toSeq
     val base = graft.sources.Tables.table(spark, sf("0.01"), "documents")
       .orderBy("doc_id").limit(1).select("text").head().getString(0)
     val orig = chunks(base)
