@@ -2198,13 +2198,14 @@ object SparkEntry {
       // unsupervised keyphrase primitive, and the engine's fixed-point
       // GRAPH dataflow (q53's connected components converge to a label;
       // this iterates a numeric rank to a damped stationary point).
-      // Scale shape (operators.PageRank): the edge list is one pass +
-      // one map-combined hash-agg; the 5 unrolled iterations re-reference
-      // the SAME edges/outw DataFrames so ReuseExchangeAndSubquery
-      // materializes their shuffles once (PlanSpec asserts the reuse);
-      // each iteration is join + hash-agg on well-spread token keys —
-      // no windows, no driver collect, no persist to leak. The symmetric
-      // graph has no dangling nodes, so damping mass is closed-form.
+      // Scale shape (operators.PageRank): the normalized edge table is
+      // built ONCE (one corpus pass + map-combined hash-agg) and eagerly
+      // localCheckpoint'ed — the CC lineage-truncation posture — so the
+      // 5 unrolled iterations read shuffle-ready blocks (PlanSpec pins
+      // ZERO source scans in the final plan); each iteration is join +
+      // hash-agg on well-spread token keys — no windows, no driver
+      // collect of corpus-sized state. The symmetric graph has no
+      // dangling nodes, so damping mass is closed-form.
       val toks = t(s, dir, "documents")
         .select(split(lower(TextExprs.cleanText(col("text"))), " ").as("ts"))
       val edges = graft.operators.PageRank.adjacencyEdges(toks)
@@ -2275,7 +2276,8 @@ object SparkEntry {
         val (a, b, w) = (r.getString(0), r.getString(1), r.getLong(2))
         Seq((a, b, w), (b, a, w))
       }.toDF("u", "v", "w")
-      val pr = graft.operators.PageRank.ranks(sym, iters = 5, damping = 0.85)
+      val pr = graft.operators.PageRank.ranks(sym, iters = 5, damping = 0.85,
+        materialize = false)
       val tot = pr.agg(sum("pr").as("_tot"))
       pr.crossJoin(broadcast(tot))
         .select(col("tok").as("source"), round(col("pr"), 6).as("authority"),

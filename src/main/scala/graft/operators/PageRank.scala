@@ -31,18 +31,33 @@ object PageRank {
     * at least one outgoing edge is ranked; pr₀ = 1 and
     * pr(v) = (1−d) + d·Σ_{u→v} w(u,v)/outw(u) · pr(u), the undamped-sum
     * form TextRank uses (ranks sum to |V|, not 1 — rescaling is a
-    * projection if needed). `iters` is fixed and small: unrolled plans
-    * keep the whole computation in one DAG with reused exchanges. */
-  def ranks(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    * projection if needed).
+    *
+    * With `materialize` (the default) the normalized contribution table
+    * `(u, v, w/outw)` is built ONCE and eagerly `localCheckpoint`ed — the
+    * per-round lineage-truncation posture star-contraction CC already
+    * uses — so the `iters` unrolled rounds read shuffle-ready blocks
+    * instead of re-deriving the corpus-sized edge stream. (Pure lazy
+    * unrolling cannot deliver this: Catalyst prunes different column
+    * sets into each iteration's reference, the canonical subtrees
+    * diverge, and ReuseExchange stops applying — measured as 32 source
+    * scans in q130's final plan before this.) Pass `materialize = false`
+    * when the edge list is already a local relation (q134's
+    * enum-bounded graph). */
+  def ranks(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      materialize: Boolean = true): DataFrame = {
     val ed = edges.select(col("u"), col("v"), col("w"))
     val outw = ed.groupBy("u").agg(sum("w").as("outw"))
-    val vocab = outw.select(col("u").as("tok"))
+    val edn0 = ed.join(outw, "u")
+      .select(col("u"), col("v"), (col("w") / col("outw")).as("_frac"))
+    val edn = if (materialize) edn0.localCheckpoint() else edn0
+    val vocab = edn.select(col("u").as("tok")).distinct()
     var pr = vocab.select(col("tok"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(outw, "u")
+      val contrib = edn
         .join(pr.withColumnRenamed("tok", "u"), "u")
         .groupBy(col("v").as("tok"))
-        .agg(sum(col("w") / col("outw") * col("pr")).as("_acc"))
+        .agg(sum(col("_frac") * col("pr")).as("_acc"))
       pr = vocab.join(contrib, Seq("tok"), "left")
         .select(col("tok"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_acc"), lit(0.0))).as("pr"))

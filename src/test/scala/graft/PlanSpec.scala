@@ -226,7 +226,17 @@ class PlanSpec extends SparkSpec {
       ("q125_shard_manifest", "documents", 0),    // total derived from the
                                                   // manifest, never a second
                                                   // corpus scan (pre-boundary)
-      ("q126_snapshot_diff", "documents", 2))     // one scan per version side
+      ("q126_snapshot_diff", "documents", 2),     // one scan per version side
+      ("q130_textrank", "documents", 0),          // edge table checkpointed at
+                                                  // build; rounds read blocks
+      ("q134_source_authority", "documents", 0),  // overlap collected at build;
+                                                  // final plan iterates the
+                                                  // bounded local graph
+      ("q135_margin_mining", "embeddings", 6),    // 2 heap passes x cross-join
+                                                  // sides + fwd/bwd join sides
+      ("q138_novelty", "documents", 2),           // two aggregates of the stream
+      ("q141_cdc_chunks", "documents", 1),        // one chunking pass
+      ("q143_retrieve_rerank", "documents", 0))   // BM25+pool collected at build
     val diffs = pinned.flatMap { case (q, table, want) =>
       val got = s"$table\\.parquet".r.findAllIn(executed(q)).length
       if (got != want) Some(s"$q: $table scans $got != pinned $want") else None
@@ -352,19 +362,21 @@ class PlanSpec extends SparkSpec {
       s"the 278-entry cache sides must broadcast:\n${fin.take(800)}")
   }
 
-  test("q130: unrolled PageRank reuses the edge exchange; no Window; no persist") {
-    // the 5 iterations reference the SAME edges/outw DataFrames — the
-    // edge-list shuffle must materialize once (ReusedExchange), never 5×;
-    // and the whole fixed-point loop is join+hash-agg, no window, nothing
-    // pinned in executor memory
+  test("q130: the edge stream is built once — iterations read checkpointed blocks") {
+    // the normalized edge table is eagerly localCheckpoint'ed before the
+    // loop, so the final plan contains ZERO corpus scans (all 5 rounds
+    // read blocks), no window, and no cache() footprint
     val df = SparkEntry.queries("q130_textrank")(spark, sf())
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("isFinalPlan=true") && fin.contains("ReusedExchange"),
-      s"edge/outw exchanges must be reused across iterations:\n${fin.take(800)}")
+    assert(fin.contains("isFinalPlan=true"))
+    assert("documents\\.parquet".r.findAllIn(fin).isEmpty,
+      s"iterations must read the checkpointed edge blocks, never re-scan:\n${fin.take(800)}")
+    assert(fin.contains("Scan ExistingRDD"),
+      "edge rounds must source from the checkpointed RDD")
     assert(!fin.contains("Window "), s"no window in the rank loop:\n${fin.take(600)}")
     assert(!fin.contains("InMemoryRelation") && !fin.contains("InMemoryTableScan"),
-      "iteration state must ride reused shuffles, not persist()")
+      "no cache() footprint — lineage truncation only")
   }
 
   test("q132: query tokens broadcast into the postings stream; no Window") {
