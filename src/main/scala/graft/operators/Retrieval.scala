@@ -37,7 +37,11 @@ object Retrieval {
     * can land within a double ulp of each other, and an unrounded
     * cross-engine comparison would make the top-k boundary flap. */
   def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val tf = termFreqs(df, id, text).cache()
+    // eager lineage truncation, not cache(): the tokenize pass runs once
+    // and downstream consumers read blocks, but the blocks release on GC
+    // (ContextCleaner) instead of pinning the CacheManager until an
+    // unpersist nobody is positioned to call — the PageRank/CC posture
+    val tf = termFreqs(df, id, text).localCheckpoint()
     val nd = df.agg(count(lit(1)).cast("double").as("_nd"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
@@ -102,7 +106,8 @@ object Retrieval {
   def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tf = termFreqs(df, id, text).cache()
+    // see tfidfTopK: one tokenize pass, GC-released blocks, no cache leak
+    val tf = termFreqs(df, id, text).localCheckpoint()
     val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // corpus scalars ride a broadcast cross join; document frequency is
     // computed over the query-term rows only (identical df for those terms)
