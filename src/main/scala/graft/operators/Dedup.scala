@@ -68,8 +68,19 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame =
-    minhashNearDupsManaged(df, id, text, shingleLen, numBands, rowsPerBand,
-      threshold)._1
+    minhashNearDupsImpl(df, id, text, shingleLen, numBands, rowsPerBand,
+      threshold, managed = false)._1
+
+  /** Pin a frame that multiple consumers re-read. `managed = true` uses
+    * cache() + an explicit unpersist closure (the probe-asserted release
+    * contract); `managed = false` uses eager localCheckpoint — blocks
+    * release on GC via ContextCleaner, so fire-and-forget query paths
+    * leave no CacheManager entry behind. */
+  private def pinned(df: DataFrame, managed: Boolean): (DataFrame, () => Unit) =
+    if (managed) {
+      val c = df.cache()
+      (c, () => { c.unpersist(blocking = false); () })
+    } else (df.localCheckpoint(), () => ())
 
   /** [[minhashNearDups]] plus an explicit cache-release epilogue: the second
     * element unpersists the signature cache the operator created. Call it
@@ -81,17 +92,25 @@ object Dedup {
   def minhashNearDupsManaged(
       df: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): (DataFrame, () => Unit) = {
+      threshold: Double = 0.7): (DataFrame, () => Unit) =
+    minhashNearDupsImpl(df, id, text, shingleLen, numBands, rowsPerBand,
+      threshold, managed = true)
+
+  private def minhashNearDupsImpl(
+      df: DataFrame, id: Column, text: Column,
+      shingleLen: Int, numBands: Int, rowsPerBand: Int,
+      threshold: Double, managed: Boolean): (DataFrame, () => Unit) = {
     import graft.plans.MinHashExprs
     val numPerm = numBands * rowsPerBand
-    // Cached: the signature projection feeds both sides of the candidate
-    // self-join AND the verify join-back — without the cache Spark would
+    // Pinned: the signature projection feeds both sides of the candidate
+    // self-join AND the verify join-back — without it Spark would
     // recompute the shingle+minhash pipeline for every consumer.
-    val docs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
-      .select(col("id"), MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"))
-      .where(size(col("shh")) > 0)
-      .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm))
-      .cache()
+    val (docs, release) = pinned(
+      df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+        .select(col("id"), MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"))
+        .where(size(col("shh")) > 0)
+        .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm)),
+      managed)
     val bandHashes = (0 until numBands).map(b =>
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
     // Candidate generation carries ONLY (band, band_hash, id): the shingle
@@ -110,7 +129,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (verified, () => { docs.unpersist(blocking = false); () })
+    (verified, release)
   }
 
   /** Incremental near-dup dedup: NEW-batch docs that near-duplicate any
@@ -139,31 +158,38 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame =
-    minhashNearDupsAgainstManaged(corpus, batch, id, text, shingleLen,
-      numBands, rowsPerBand, threshold)._1
+    minhashNearDupsAgainstImpl(corpus, batch, id, text, shingleLen,
+      numBands, rowsPerBand, threshold, managed = false)._1
 
   /** [[minhashNearDupsAgainst]] with the explicit cache-release epilogue
     * (see [[minhashNearDupsManaged]]); releases BOTH signature caches. */
   def minhashNearDupsAgainstManaged(
       corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
       shingleLen: Int = 3, numBands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): (DataFrame, () => Unit) = {
+      threshold: Double = 0.7): (DataFrame, () => Unit) =
+    minhashNearDupsAgainstImpl(corpus, batch, id, text, shingleLen,
+      numBands, rowsPerBand, threshold, managed = true)
+
+  private def minhashNearDupsAgainstImpl(
+      corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
+      shingleLen: Int, numBands: Int, rowsPerBand: Int,
+      threshold: Double, managed: Boolean): (DataFrame, () => Unit) = {
     import graft.plans.MinHashExprs
     val numPerm = numBands * rowsPerBand
-    def prep(df: DataFrame): DataFrame = df
+    def prep(df: DataFrame): (DataFrame, () => Unit) = pinned(df
       .select(id.as("id"), TextExprs.cleanText(text).as("cln"))
       .select(col("id"), MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"))
       .where(size(col("shh")) > 0)
-      .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm))
-      .cache()
+      .withColumn("sig", MinHashExprs.minhashSignature(col("shh"), numPerm)),
+      managed)
     def banded(d: DataFrame): DataFrame = {
       val bandHashes = (0 until numBands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
       d.select(col("id"), posexplode(array(bandHashes: _*)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     }
-    val c = prep(corpus)
-    val b = prep(batch)
+    val (c, releaseC) = prep(corpus)
+    val (b, releaseB) = prep(batch)
     val candidates = banded(b).as("l").join(banded(c).as("r"), Seq("band", "band_hash"))
       .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
       .distinct()
@@ -173,9 +199,7 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (verified, () => {
-      b.unpersist(blocking = false); c.unpersist(blocking = false); ()
-    })
+    (verified, () => { releaseB(); releaseC(); () })
   }
 
   /** SimHash (64-bit) via the native codegen'd expression
@@ -196,7 +220,7 @@ object Dedup {
       shingleLen: Int = 3): DataFrame = {
     val sigs = df.select(id.as("id"),
         graft.plans.SimHash.simhashShingled(TextExprs.cleanText(text), shingleLen).as("sig"))
-      .cache()
+      .localCheckpoint() // GC-released pin (see `pinned`)
     val bandSlices = (0 until 4).map(b =>
       shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sigs.select(col("id"), posexplode(array(bandSlices: _*)))
@@ -241,7 +265,7 @@ object Dedup {
       .where(size(split(col("cln"), " ")) >= shingleLen)
       .select(col("id"),
         graft.plans.SimHash.simhashMd5Shingled(col("cln"), shingleLen).as("sig"))
-      .cache()
+      .localCheckpoint() // GC-released pin (see `pinned`)
     val bandSlices = (0 until 8).map(b =>
       shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
     val banded = sigs.select(col("id"), posexplode(array(bandSlices: _*)))
@@ -275,7 +299,7 @@ object Dedup {
       .where(size(col("shh")) > 0)
       .select(col("id"), col("shh"),
         array_min(shinglesOfToks(col("toks"), shingleLen)).as("blk"))
-      .cache()
+      .localCheckpoint() // GC-released pin (see `pinned`)
     // candidate pairs on ids only; hash sets join back for the exact verify
     val keys = docs.select(col("blk"), col("id"))
     val candidates = keys.as("l").join(keys.as("r"), Seq("blk"))

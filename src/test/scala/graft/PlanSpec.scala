@@ -46,9 +46,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
-  test("q27: minhash plan caches the signature relation and joins ids only") {
+  test("q27: minhash pins the signature relation once and joins ids only") {
+    // query path pins via eager localCheckpoint (GC-released blocks — no
+    // CacheManager entry to leak across a long-lived session); all three
+    // consumers read the checkpointed RDD, never re-derive signatures
     val p = executed("q27_minhash_neardup")
-    assert(p.contains("InMemoryTableScan"), "signature frame must be cached")
+    assert(p.contains("Scan ExistingRDD"),
+      s"signature frame must be checkpointed once:\n${p.take(600)}")
+    assert(!p.contains("shingle_hashes"),
+      s"no consumer may re-derive signatures from text:\n${p.take(600)}")
   }
 
   test("q71: the benchmark gram set broadcasts; training grams never shuffle for the probe") {
