@@ -2555,6 +2555,23 @@ object SparkEntry {
         .toDF("rnk", "doc_id", "mmr_score")
     }),
 
+    "q144_lang_confusion" -> ((s, dir) => {
+      // Language-ID EVALUATION: confusion matrix of the stopword-scan
+      // classifier (q24) against the fixture's gold labels, with
+      // per-true-language share — the quality gate you run before
+      // trusting a lang filter at 100 TB (a systematic es→fr confusion
+      // silently reweights the training mixture). One scan + one
+      // |langs|²-bounded hash-agg; per-lang totals broadcast.
+      val pred = TextExprs.withLangId(t(s, dir, "documents"), col("text"), "lang_pred")
+        .select(col("lang"), col("lang_pred"))
+      val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum("n").as("_t"))
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("_t"), 6).as("share"),
+          (col("lang") === col("lang_pred")).as("correct"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2678,6 +2695,25 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** DuckDB twin of TextExprs.withLangId over documents — (doc_id, lang,
+    * lang_pred); shared by q24 (raw predictions) and q144 (confusion
+    * matrix). Generated from the SAME Lexicons stopword constants as the
+    * Spark expressions. */
+  private lazy val langPredSql: String = {
+    val en = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))
+    val es = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEs))
+    val de = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsDe))
+    val fr = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsFr))
+    val cjk = hitSql("text", "[\\x{4e00}-\\x{9fff}]")
+    s"""WITH h AS (SELECT doc_id, lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+       |  $cjk AS s_cjk, greatest($en, $es, $de, $fr) AS s_best FROM documents)
+       |SELECT doc_id, lang,
+       | CASE WHEN s_cjk > 0 THEN 'zh' WHEN s_best = 0 THEN 'und'
+       |  WHEN s_en = s_best THEN 'en' WHEN s_es = s_best THEN 'es'
+       |  WHEN s_de = s_best THEN 'de' ELSE 'fr' END AS lang_pred
+       |FROM h""".stripMargin
+  }
 
   /** Augmented-Gram PCA CTEs (q131/q140): one 65×65 second-moment pass,
     * then 3 power iterations mirrored CTE-for-loop against Pca
@@ -2952,20 +2988,18 @@ object SparkEntry {
            | ${categorySql(isFillerSql(cln), low)} AS "Q_Feedback_Category"
            |FROM c2""".stripMargin,
 
-      "q24_lang_id" -> {
-        val en = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))
-        val es = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEs))
-        val de = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsDe))
-        val fr = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsFr))
-        val cjk = hitSql("text", "[\\x{4e00}-\\x{9fff}]")
-        s"""WITH h AS (SELECT doc_id, lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
-           |  $cjk AS s_cjk, greatest($en, $es, $de, $fr) AS s_best FROM documents)
-           |SELECT doc_id, lang,
-           | CASE WHEN s_cjk > 0 THEN 'zh' WHEN s_best = 0 THEN 'und'
-           |  WHEN s_en = s_best THEN 'en' WHEN s_es = s_best THEN 'es'
-           |  WHEN s_de = s_best THEN 'de' ELSE 'fr' END AS lang_pred
-           |FROM h""".stripMargin
-      },
+      "q24_lang_id" -> langPredSql,
+
+      "q144_lang_confusion" ->
+        s"""WITH p AS (
+           |$langPredSql
+           |),
+           |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+           |SELECT c.lang, c.lang_pred, c.n,
+           | round(CAST(c.n AS DOUBLE) / t.t, 6) AS share,
+           | (c.lang = c.lang_pred) AS correct
+           |FROM c JOIN t USING (lang)""".stripMargin,
 
       "q25_text_profile" -> {
         val nTok = s"CASE WHEN $cln = '' THEN 0 ELSE len(string_split($cln, ' ')) END"

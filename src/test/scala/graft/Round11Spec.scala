@@ -534,6 +534,20 @@ class Round11Spec extends SparkSpec {
       "rank-1 MMR score equals its BM25 relevance (nothing selected yet)")
   }
 
+  test("q144: per-language shares sum to 1; cell counts partition the corpus") {
+    val rows = SparkEntry.queries("q144_lang_confusion")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val share = g.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-3, s"$lang shares sum to $share")
+    }
+    val total = rows.map(_._3).sum
+    val docs = graft.sources.Tables.table(spark, sf(), "documents").count()
+    assert(total == docs, s"confusion cells ($total) must partition the corpus ($docs)")
+    rows.foreach { case (l, p, _, _, c) => assert(c == (l == p)) }
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
