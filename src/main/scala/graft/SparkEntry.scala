@@ -2572,6 +2572,35 @@ object SparkEntry {
           (col("lang") === col("lang_pred")).as("correct"))
     }),
 
+    "q145_calibration" -> ((s, dir) => {
+      // Reliability diagram for the q133 quality filter: rank-based
+      // DECILES of the score distribution (all-integer bin arithmetic —
+      // the q136 trick, so no float boundary moves a doc between bins)
+      // vs the observed positive rate per bin. A well-calibrated filter
+      // shows pos_rate rising monotonically with mean_w; a flat curve
+      // means the scores carry no signal and any threshold is arbitrary
+      // — THE check before picking a keep cutoff at 100 TB. The rank is
+      // GlobalRank's range exchange (no global window); bin totals are a
+      // 10-row aggregate.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("quality_w"),
+          when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(lab,
+        Seq(col("quality_w").asc, col("doc_id").asc), "_rn")
+      val tot = lab.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("((_rn - 1) * 10) DIV _n").as("decile"),
+          col("quality_w"), col("y"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          (round(avg("quality_w"), 4) + 0.0).as("mean_w"),
+          round(avg(col("y").cast("double")), 4).as("pos_rate"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -2695,6 +2724,27 @@ object SparkEntry {
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
   )
+
+  /** DuckDB twin of TextAnalysis.hashNbClassifier over documents with the
+    * q133 seed (sources src0–src4) — (doc_id, n_toks, quality_w, keep);
+    * shared by q133 (raw scores) and q145 (calibration deciles). */
+  private lazy val nbQualitySql: String =
+    s"""WITH tok0 AS (SELECT doc_id, source,
+       |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+       |tk AS (SELECT doc_id,
+       |   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END AS y,
+       |   substring(md5(tok), 1, 3) AS b
+       |  FROM tok0 WHERE tok <> ''),
+       |c AS (SELECT b, CAST(sum(y) AS BIGINT) AS cpos,
+       |   CAST(sum(1 - y) AS BIGINT) AS cneg FROM tk GROUP BY b),
+       |tt AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+       |   CAST(sum(cneg) AS BIGINT) AS tneg, CAST(count(*) AS BIGINT) AS nb FROM c),
+       |m AS (SELECT b, ln((cpos + 1.0) / (tpos + nb)) - ln((cneg + 1.0) / (tneg + nb)) AS w
+       |  FROM c, tt)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       | round(avg(w), 4) + 0.0 AS quality_w,
+       | (round(avg(w), 4) + 0.0) > 0.0 AS keep
+       |FROM tk JOIN m USING (b) GROUP BY doc_id""".stripMargin
 
   /** DuckDB twin of TextExprs.withLangId over documents — (doc_id, lang,
     * lang_pred); shared by q24 (raw predictions) and q144 (confusion
@@ -4132,23 +4182,25 @@ object SparkEntry {
            |FROM hits QUALIFY rnk <= 20""".stripMargin
       },
 
-      "q133_hash_classifier" ->
-        s"""WITH tok0 AS (SELECT doc_id, source,
-           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
-           |tk AS (SELECT doc_id,
-           |   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END AS y,
-           |   substring(md5(tok), 1, 3) AS b
-           |  FROM tok0 WHERE tok <> ''),
-           |c AS (SELECT b, CAST(sum(y) AS BIGINT) AS cpos,
-           |   CAST(sum(1 - y) AS BIGINT) AS cneg FROM tk GROUP BY b),
-           |tt AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
-           |   CAST(sum(cneg) AS BIGINT) AS tneg, CAST(count(*) AS BIGINT) AS nb FROM c),
-           |m AS (SELECT b, ln((cpos + 1.0) / (tpos + nb)) - ln((cneg + 1.0) / (tneg + nb)) AS w
-           |  FROM c, tt)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-           | round(avg(w), 4) + 0.0 AS quality_w,
-           | (round(avg(w), 4) + 0.0) > 0.0 AS keep
-           |FROM tk JOIN m USING (b) GROUP BY doc_id""".stripMargin,
+      "q133_hash_classifier" -> nbQualitySql,
+
+      "q145_calibration" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |l AS (SELECT q.doc_id, q.quality_w,
+           |   CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+           |        THEN 1 ELSE 0 END AS y
+           |  FROM q JOIN documents d USING (doc_id)),
+           |r AS (SELECT doc_id, quality_w, y,
+           |   CAST(row_number() OVER (ORDER BY quality_w ASC, doc_id ASC) AS BIGINT) AS rn
+           |  FROM l),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l)
+           |SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+           | CAST(count(*) AS BIGINT) AS n_docs,
+           | round(avg(quality_w), 4) + 0.0 AS mean_w,
+           | round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate
+           |FROM r, t GROUP BY 1""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

@@ -548,6 +548,25 @@ class Round11Spec extends SparkSpec {
     rows.foreach { case (l, p, _, _, c) => assert(c == (l == p)) }
   }
 
+  test("q145: rank deciles are equal-sized, score-monotone, and mass-conserving") {
+    val rows = SparkEntry.queries("q145_calibration")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L), "all ten deciles must be present")
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"rank deciles must be equal-sized: ${sizes.toSeq}")
+    rows.sliding(2).foreach {
+      case Array((_, _, m1, _), (_, _, m2, _)) =>
+        assert(m1 <= m2, s"mean score must be non-decreasing across deciles ($m1 > $m2)")
+      case _ =>
+    }
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val truePos = docs.where(col("source").isin((0 to 4).map(i => s"src$i"): _*)).count()
+    val massPos = rows.map { case (_, n, _, pr) => n * pr }.sum
+    assert(math.abs(massPos - truePos) < rows.length * 0.5e-3 * sizes.max + 1,
+      s"binned positive mass $massPos must recover the corpus positives $truePos")
+  }
+
   test("q132: anchor-vote phrase counts ≡ driver sliding-window scan") {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
     val got = graft.operators.Retrieval.phraseSearch(
