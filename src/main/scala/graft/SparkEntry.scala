@@ -2601,6 +2601,158 @@ object SparkEntry {
           round(avg(col("y").cast("double")), 4).as("pos_rate"))
     }),
 
+    "q146_retention_sweep" -> ((s, dir) => {
+      // Threshold SWEEP for the q133 quality filter: docs/chars retained
+      // at every cutoff on a fixed grid (-1.0 … 1.0 step 0.1) — the
+      // curve you read before committing a keep-threshold for a 100 TB
+      // filter run. The naive form scans the corpus once PER THRESHOLD;
+      // this is ONE classifier pass → a ≤22-row score-bin table →
+      // suffix sums over the grid as a triangular bin×threshold join
+      // (the prevCumByKey posture). All float boundaries are integer
+      // ten-thousandths (w4), so no IEEE division can move a doc across
+      // a cutoff between the engines.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val lab = scored.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(round(col("quality_w") * 10000).cast("long").as("w4"),
+          col("n_chars"))
+      // bin i holds w4 ∈ [i·1000 − 10000, (i+1)·1000 − 10000); below-grid
+      // docs land in bin −1 so the t = −1.0 row keeps its exact meaning
+      val bins = lab
+        .select(when(col("w4") < -10000L, lit(-1L))
+            .otherwise(least(expr("(w4 + 10000) DIV 1000"), lit(20L))).as("bin"),
+          col("n_chars"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("_nd"), sum("n_chars").as("_nc"))
+      val tot = bins.agg(sum("_nd").as("_td"), sum("_nc").as("_tc"))
+      val grid = s.range(0, 21).select(col("id").as("ti"))
+      grid.join(broadcast(bins), col("bin") >= col("ti"), "left")
+        .groupBy("ti")
+        .agg(coalesce(sum("_nd"), lit(0L)).as("docs_kept"),
+          coalesce(sum("_nc"), lit(0L)).as("chars_kept"))
+        .crossJoin(broadcast(tot))
+        .select(
+          ((col("ti") * 1000 - 10000) / lit(10000.0)).as("threshold"),
+          col("docs_kept"), col("chars_kept"),
+          round(col("docs_kept").cast("double") / col("_td"), 6).as("frac_docs"),
+          round(col("chars_kept").cast("double") / col("_tc"), 6).as("frac_chars"))
+    }),
+
+    "q150_rater_agreement" -> ((s, dir) => {
+      // Filter AGREEMENT: Cohen's κ between two independent quality
+      // gates — the learned NB filter (q133 `keep`) and the rule-based
+      // Gopher pass (q79 `passes`) — per language. Two curation filters
+      // that agree only at chance level (κ ≈ 0) cannot both be trusted;
+      // this is the cross-check a 100 TB pipeline runs before composing
+      // them. Shape: both classifier passes are corpus scans; the κ
+      // arithmetic runs on a |langs|-row contingency aggregate.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val nb = graft.operators.TextAnalysis.hashNbClassifier(
+          docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+        .select(col("doc_id"), col("keep"))
+      val rules = graft.operators.TextAnalysis.gopherRules(
+          docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+      val cells = nb.join(rules, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep") && col("passes"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("keep") && !col("passes"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("keep") && col("passes"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("keep") && !col("passes"), 1L).otherwise(0L)).as("n00"))
+      val po = (col("n11") + col("n00")).cast("double") / col("n")
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (col("n") * col("n"))
+      cells.select(col("lang"), col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe === 1.0, lit(1.0))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    }),
+
+    "q148_cms_freq" -> ((s, dir) => {
+      // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005): a 4×256
+      // mergeable frequency sketch over the token stream, then the
+      // estimate/exact error audit on the top-20 tokens. CMS is linear,
+      // so the sketch is built from the PRE-AGGREGATED vocab table (one
+      // corpus-keyed shuffle, map-side partials) instead of exploding
+      // the raw stream 4× — identical arithmetic, quarter the shuffle.
+      // The 1024-cell sketch is the whole reduced state: this is the
+      // shape that merges across 1000 executors and across days. Top-20
+      // selection rides GlobalRank (range exchange, deterministic
+      // (cnt DESC, tok) order) — no single-partition sort at any vocab
+      // size. Every estimate is ≥ truth (one-sided CMS error); the
+      // audit checks the ε = e/w bound against N.
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val rows4 = array((0 until 4).map(j => lit(j)): _*)
+      def bkt(j: Column, tok: Column): Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"), tok)), 1, 2), 16, 10)
+          .cast("long")
+      val cells = counts.select(col("cnt"), explode(rows4).as("j"), col("tok"))
+        .select(col("j"), bkt(col("j"), col("tok")).as("bkt"), col("cnt"))
+        .groupBy("j", "bkt").agg(sum("cnt").as("c"))
+      val tot = counts.agg(sum("cnt").as("_n"))
+      val top = graft.operators.GlobalRank.withRowNumber(counts,
+          Seq(col("cnt").desc, col("tok").asc), "_rn")
+        .where(col("_rn") <= 20)
+        .select(col("tok"), col("cnt").as("true_cnt"))
+      val est = top.select(col("tok"), col("true_cnt"), explode(rows4).as("j"))
+        .select(col("tok"), col("true_cnt"), col("j"),
+          bkt(col("j"), col("tok")).as("bkt"))
+        .join(broadcast(cells), Seq("j", "bkt"))
+        .groupBy("tok", "true_cnt").agg(min("c").as("cms_est"))
+      est.crossJoin(broadcast(tot))
+        .select(col("tok"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overest"),
+          ((col("cms_est") - col("true_cnt")).cast("double")
+            <= exp(lit(1.0)) / 256.0 * col("_n")).as("within_bound"))
+    }),
+
+    "q149_boilerplate" -> ((s, dir) => {
+      // Segment-level BOILERPLATE detection (the CCNet/RefinedWeb
+      // paragraph-hash recipe, on fixed 3-token segments since the
+      // fixture has no line structure): a segment whose hash recurs in
+      // ≥2 documents and >5% of its source's documents is boilerplate
+      // (nav bars, footers, licence blurbs). Shape: one corpus scan →
+      // segment-hash stream → one (source, hash) aggregate → broadcast
+      // per-source doc totals → |sources|-row summary. The doc-frequency
+      // aggregate is the only corpus-sized shuffle; nothing rejoins the
+      // text.
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+        .where(size(col("toks")) >= 1)
+      val segs = base
+        .select(col("doc_id"), col("source"),
+          explode(transform(
+            sequence(lit(0), ceil(size(col("toks")) / lit(3.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 3 + 1, lit(3))))).as("seg"))
+        .where(col("seg") =!= "")
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("seg")), 1, 16).as("h"))
+      val df = segs.groupBy("source", "h")
+        .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("ndf"))
+      val srcTot = base.groupBy("source").agg(count(lit(1)).as("sdocs"))
+      df.join(broadcast(srcTot), "source")
+        .select(col("source"), col("occ"),
+          (col("ndf") >= 2 && col("ndf") * 20 > col("sdocs")).as("boiler"))
+        .groupBy("source")
+        .agg(sum("occ").as("n_seg_occ"),
+          count(lit(1)).as("n_distinct_segs"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_segs"),
+          sum(when(col("boiler"), col("occ")).otherwise(0L)).as("boiler_occ"))
+        .withColumn("boiler_share",
+          round(col("boiler_occ").cast("double") / col("n_seg_occ"), 6))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4201,6 +4353,111 @@ object SparkEntry {
            | round(avg(quality_w), 4) + 0.0 AS mean_w,
            | round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate
            |FROM r, t GROUP BY 1""".stripMargin,
+
+      "q146_retention_sweep" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |l AS (SELECT CAST(round(q.quality_w * 10000) AS BIGINT) AS w4, d.n_chars
+           |  FROM q JOIN documents d USING (doc_id)),
+           |b AS (SELECT CASE WHEN w4 < -10000 THEN CAST(-1 AS BIGINT)
+           |         ELSE least((w4 + 10000) // 1000, 20) END AS bin,
+           |   CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_chars) AS BIGINT) AS nc
+           |  FROM l GROUP BY 1),
+           |t AS (SELECT CAST(sum(nd) AS BIGINT) AS td, CAST(sum(nc) AS BIGINT) AS tc FROM b),
+           |i AS (SELECT CAST(unnest(range(0, 21)) AS BIGINT) AS ti)
+           |SELECT (ti * 1000 - 10000) / 10000.0 AS threshold,
+           | CAST(coalesce(sum(b.nd), 0) AS BIGINT) AS docs_kept,
+           | CAST(coalesce(sum(b.nc), 0) AS BIGINT) AS chars_kept,
+           | round(CAST(coalesce(sum(b.nd), 0) AS DOUBLE) / t.td, 6) AS frac_docs,
+           | round(CAST(coalesce(sum(b.nc), 0) AS DOUBLE) / t.tc, 6) AS frac_chars
+           |FROM i LEFT JOIN b ON b.bin >= i.ti, t
+           |GROUP BY ti, t.td, t.tc""".stripMargin,
+
+      "q150_rater_agreement" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |g AS (
+           |$gopher
+           |),
+           |j AS (SELECT d.lang, q.keep, g.passes
+           |  FROM q JOIN g USING (doc_id) JOIN documents d USING (doc_id)),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(CASE WHEN keep AND passes THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           |   CAST(sum(CASE WHEN keep AND NOT passes THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           |   CAST(sum(CASE WHEN NOT keep AND passes THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           |   CAST(sum(CASE WHEN NOT keep AND NOT passes THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           |  FROM j GROUP BY lang)
+           |SELECT lang, n, n11, n10, n01, n00,
+           | round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           | round(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           |   / (n * n), 6) AS pe,
+           | CASE WHEN CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           |       / (n * n) = 1.0 THEN 1.0
+           |  ELSE round((CAST(n11 + n00 AS DOUBLE) / n
+           |    - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           |      / (n * n))
+           |   / (1.0 - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           |      / (n * n)), 6) END AS kappa
+           |FROM c""".stripMargin
+      },
+
+      "q148_cms_freq" -> {
+        // 2-nibble positional hex decode (the hexNum13 pattern at width 2)
+        def bkt2(h: String): String =
+          s"((strpos('0123456789abcdef', substring($h, 1, 1)) - 1) * 16" +
+            s" + (strpos('0123456789abcdef', substring($h, 2, 1)) - 1))"
+        val hq = "md5(CAST(j AS VARCHAR) || ':' || tok)"
+        s"""WITH tok0 AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |  FROM documents),
+           |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tok0 WHERE tok <> '' GROUP BY tok),
+           |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc),
+           |js AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS j),
+           |cells AS (SELECT j, CAST(${bkt2(hq)} AS BIGINT) AS bkt,
+           |   CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM tc, js GROUP BY 1, 2),
+           |top AS (SELECT tok, cnt,
+           |   row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+           |  FROM tc QUALIFY rn <= 20),
+           |qt AS (SELECT tok, cnt AS true_cnt, j, CAST(${bkt2(hq)} AS BIGINT) AS bkt
+           |  FROM top, js),
+           |est AS (SELECT qt.tok, qt.true_cnt, min(c.c) AS cms_est
+           |  FROM qt JOIN cells c USING (j, bkt) GROUP BY 1, 2)
+           |SELECT tok, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           | CAST(cms_est - true_cnt AS BIGINT) AS overest,
+           | CAST(cms_est - true_cnt AS DOUBLE) <= exp(1.0) / 256 * nn.n AS within_bound
+           |FROM est, nn""".stripMargin
+      },
+
+      "q149_boilerplate" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |w AS (SELECT doc_id, source, toks,
+           |   unnest(generate_series(0, CAST(ceil(len(toks) / 3.0) - 1 AS BIGINT))) AS i
+           |  FROM d WHERE len(toks) >= 1),
+           |sg AS (SELECT doc_id, source,
+           |   array_to_string(list_slice(toks, CAST(i * 3 + 1 AS BIGINT),
+           |     CAST(i * 3 + 3 AS BIGINT)), ' ') AS seg FROM w),
+           |sh AS (SELECT doc_id, source, substring(md5(seg), 1, 16) AS h
+           |  FROM sg WHERE seg <> ''),
+           |c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS occ,
+           |   CAST(count(DISTINCT doc_id) AS BIGINT) AS ndf FROM sh GROUP BY 1, 2),
+           |st AS (SELECT source, CAST(count(*) AS BIGINT) AS sdocs FROM d
+           |  WHERE len(toks) >= 1 GROUP BY source),
+           |f AS (SELECT c.source, c.occ,
+           |   (c.ndf >= 2 AND c.ndf * 20 > st.sdocs) AS boiler
+           |  FROM c JOIN st USING (source))
+           |SELECT source, CAST(sum(occ) AS BIGINT) AS n_seg_occ,
+           | CAST(count(*) AS BIGINT) AS n_distinct_segs,
+           | CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_segs,
+           | CAST(sum(CASE WHEN boiler THEN occ ELSE 0 END) AS BIGINT) AS boiler_occ,
+           | round(CAST(sum(CASE WHEN boiler THEN occ ELSE 0 END) AS DOUBLE)
+           |   / sum(occ), 6) AS boiler_share
+           |FROM f GROUP BY source""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

@@ -586,4 +586,78 @@ class Round11Spec extends SparkSpec {
       s"phrase hits diverge: extra=${(got.keySet -- expect.keySet).take(3)} " +
         s"missing=${(expect.keySet -- got.keySet).take(3)}")
   }
+
+  test("q146: retention curve is monotone, anchored at keep-all, and suffix-consistent") {
+    val rows = SparkEntry.queries("q146_retention_sweep")(spark, sf()).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == 21, "one row per grid threshold")
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val total = docs.count()
+    assert(rows.head._1 == -1.0 && rows.head._2 == total,
+      s"the t = -1.0 row must keep the whole corpus (${rows.head._2} vs $total)")
+    rows.sliding(2).foreach {
+      case Array((_, d1, c1, _), (_, d2, c2, _)) =>
+        assert(d2 <= d1 && c2 <= c1,
+          "docs/chars kept must be non-increasing in the threshold")
+      case _ =>
+    }
+    assert(rows.forall { case (_, _, _, f) => f >= 0.0 && f <= 1.0 })
+  }
+
+  test("q148: CMS never underestimates, and the sketch MERGES (half + half = whole)") {
+    val rows = SparkEntry.queries("q148_cms_freq")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (tok, t, e) =>
+      assert(e >= t, s"CMS estimate must be one-sided: $tok est=$e < true=$t") }
+    // mergeability: cells(corpus) == cells(half A) + cells(half B), the
+    // property that lets 1000 executors (or 30 daily runs) sum sketches
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] = {
+      val toks = df.select(explode(split(lower(
+          graft.functions.TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      toks.select(explode(array((0 until 4).map(j => lit(j)): _*)).as("j"),
+          col("tok"), col("cnt"))
+        .select(col("j").cast("long").as("j"),
+          conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("tok"))),
+            1, 2), 16, 10).cast("long").as("bkt"), col("cnt"))
+        .groupBy("j", "bkt").agg(sum("cnt").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val whole = cells(docs)
+    val a = cells(docs.where(col("doc_id") % 2 === 0))
+    val b = cells(docs.where(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "summing per-split sketches must equal the corpus sketch")
+  }
+
+  test("q149: every flagged source-segment really recurs in >= 2 docs of that source") {
+    val summary = SparkEntry.queries("q149_boilerplate")(spark, sf()).collect()
+    assert(summary.nonEmpty)
+    summary.foreach { r =>
+      val (occ, segs, bsegs, bocc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bsegs <= segs && bocc <= occ && bocc >= 2 * bsegs,
+        s"flagged segments must each carry >= 2 occurrences: $r")
+    }
+  }
+
+  test("q150: contingency cells partition each language; kappa within [-1, 1]") {
+    val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == perLang.keySet)
+    rows.foreach { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == n &&
+        n == perLang(lang), s"cells must partition $lang")
+      val k = r.getDouble(8)
+      assert(k >= -1.0 && k <= 1.0, s"kappa out of range: $k")
+    }
+  }
 }
