@@ -2675,6 +2675,41 @@ object SparkEntry {
           .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }),
 
+    "q147_knn_graph" -> ((s, dir) => {
+      // Mutual k-NN GRAPH clustering over the embedding corpus: each
+      // vector's top-4 cosine neighbors, an edge kept only when BOTH
+      // endpoints pick each other (mutuality prunes hub noise — the
+      // NN-descent/graph-clustering baseline), connected components
+      // label the clusters, singletons keep their own id. Candidate
+      // generation is the oracle-checkable brute-force (q30 posture);
+      // at 100 TB candidates come from the q123 IVF index and the
+      // downstream — per-node ranking (PARTITIONED window, scales with
+      // nodes), n·k mutuality self-join, CC — is UNCHANGED.
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val sims = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorExprs.cosine(col("va"), col("vb")), 6).as("cos"))
+      val wk = Window.partitionBy("id_a")
+        .orderBy(col("cos").desc, col("id_b").asc)
+      val topk = sims.select(col("id_a"), col("id_b"),
+          row_number().over(wk).as("_rn"))
+        .where(col("_rn") <= 4).select(col("id_a"), col("id_b"))
+      val mutual = topk.join(
+          topk.select(col("id_b").as("id_a"), col("id_a").as("id_b")),
+          Seq("id_a", "id_b"))
+        .where(col("id_a") < col("id_b"))
+      val labels = graft.operators.Dedup.connectedComponents(mutual)
+        .withColumnRenamed("node", "vec_id")
+      val lab = e.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     "q148_cms_freq" -> ((s, dir) => {
       // COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005): a 4×256
       // mergeable frequency sketch over the token stream, then the
@@ -4403,6 +4438,34 @@ object SparkEntry {
            |   / (1.0 - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
            |      / (n * n)), 6) END AS kappa
            |FROM c""".stripMargin
+      },
+
+      "q147_knn_graph" -> {
+        def nrm(v: String): String =
+          s"sqrt(list_sum(list_transform(range(1, 65), i -> $v[i] * $v[i])))"
+        s"""WITH RECURSIVE c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |   round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           |    (${nrm("a.v")} * ${nrm("b.v")}), 6) AS cos
+           |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+           |t AS (SELECT id_a, id_b,
+           |   row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+           |  FROM s QUALIFY rn <= 4),
+           |m AS (SELECT t1.id_a, t1.id_b FROM t t1
+           |  JOIN t t2 ON t1.id_a = t2.id_b AND t1.id_b = t2.id_a
+           |  WHERE t1.id_a < t1.id_b),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM m
+           |  UNION SELECT id_b, id_a FROM m
+           |  UNION SELECT id_a, id_a FROM m
+           |  UNION SELECT id_b, id_b FROM m),
+           |reach AS (SELECT src, dst FROM e
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+           |lab AS (SELECT a.vec_id, coalesce(p.cluster_id, a.vec_id) AS cluster_id
+           |  FROM (SELECT vec_id FROM embeddings) a LEFT JOIN comp p USING (vec_id))
+           |SELECT l.vec_id, l.cluster_id, z.cluster_size
+           |FROM lab l JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM lab GROUP BY cluster_id) z USING (cluster_id)""".stripMargin
       },
 
       "q148_cms_freq" -> {

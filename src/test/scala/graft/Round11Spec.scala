@@ -646,6 +646,58 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q147: clusters partition the corpus; every non-singleton pair path is mutual-kNN") {
+    val rows = SparkEntry.queries("q147_knn_graph")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = graft.sources.Tables.table(spark, sf(), "embeddings")
+    val n = emb.count()
+    assert(rows.length == n, "every vector must be labeled")
+    val bySize = rows.groupBy(_._2)
+    bySize.foreach { case (cid, members) =>
+      assert(members.forall(_._3 == members.length),
+        s"cluster_size must equal the member count for $cid")
+      assert(members.map(_._1).min == cid,
+        s"cluster label must be the minimum member id ($cid)")
+    }
+    // driver recompute of the mutual top-4 graph: edges must exist
+    // between some pair in every non-singleton cluster, and no edge may
+    // cross clusters
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val ids = vecs.keys.toArray.sorted
+    val topk = ids.map { q =>
+      q -> ids.filter(_ != q)
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, sc) => (-sc, c) }.take(4).map(_._1).toSet
+    }.toMap
+    val mutual = (for {
+      a <- ids; b <- topk(a) if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val label = rows.map(r => r._1 -> r._2).toMap
+    mutual.foreach { case (x, y) =>
+      assert(label(x) == label(y), s"mutual edge ($x,$y) must not cross clusters") }
+    // and conversely: a cluster of size > 1 must be connected through
+    // mutual edges only (its induced subgraph spans all members)
+    bySize.filter(_._2.length > 1).foreach { case (cid, members) =>
+      val mset = members.map(_._1).toSet
+      var reach = Set(mset.min)
+      var grew = true
+      while (grew) {
+        val nxt = reach ++ mutual.collect {
+          case (x, y) if reach(x) && mset(y) => y
+          case (x, y) if reach(y) && mset(x) => x
+        }
+        grew = nxt.size > reach.size; reach = nxt
+      }
+      assert(reach == mset, s"cluster $cid must be mutual-edge connected")
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
