@@ -2686,11 +2686,17 @@ object SparkEntry {
       // downstream — per-node ranking (PARTITIONED window, scales with
       // nodes), n·k mutuality self-join, CC — is UNCHANGED.
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      // hoist each side's norm ONCE per row (n + n sqrt passes) so the
+      // n² join pays a single dot fold per pair — bit-identical to
+      // cosine()'s sxy/(√sxx·√syy) association
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        VectorExprs.normNative(col("embedding")).as("_na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        VectorExprs.normNative(col("embedding")).as("_nb"))
       val sims = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(VectorExprs.cosine(col("va"), col("vb")), 6).as("cos"))
+          round(VectorExprs.cosineHoisted(col("va"), col("vb"),
+            col("_na"), col("_nb")), 6).as("cos"))
       val wk = Window.partitionBy("id_a")
         .orderBy(col("cos").desc, col("id_b").asc)
       val topk = sims.select(col("id_a"), col("id_b"),
@@ -2786,6 +2792,78 @@ object SparkEntry {
           sum(when(col("boiler"), col("occ")).otherwise(0L)).as("boiler_occ"))
         .withColumn("boiler_share",
           round(col("boiler_occ").cast("double") / col("n_seg_occ"), 6))
+    }),
+
+    "q151_bloom_decontaminate" -> ((s, dir) => {
+      // TWO-STAGE decontamination: a 16384-bit / 4-hash Bloom filter
+      // over the benchmark's 5-gram shingles prefilters the train side,
+      // then exact membership verifies only the candidates. At 100 TB
+      // the benchmark set is small and the bloom rides along as a
+      // BROADCAST (here: its ≤16384-row set-bit table) — the train
+      // shingle stream is filtered scan-side and NEVER shuffled against
+      // the benchmark; the exact join touches candidate shingles only.
+      // All hashing is md5-derived (positions = hex4(md5(j:h)) mod 2^14)
+      // so the DuckDB twin runs the identical bloom. One-sided by
+      // construction: exact hits ⊆ bloom hits; `bloom_fp_only` marks
+      // docs the bloom flagged that exact verify clears — the measured
+      // FP cost of the prefilter.
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        split(TextExprs.cleanText(col("text")), " ").as("toks"))
+      val sh = toks.select(col("doc_id"),
+          explode(graft.operators.Dedup.shinglesOfToks(col("toks"), 5)).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+      val bench = sh.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
+      val js = array((0 until 4).map(j => lit(j)): _*)
+      def pos(j: Column, h: Column): Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"), h)), 1, 4), 16, 10)
+          .cast("long") % 16384
+      val bits = bench.select(explode(js).as("j"), col("h"))
+        .select(pos(col("j"), col("h")).as("pos")).distinct()
+      val train = sh.where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("h")).distinct()
+      val hit = train.select(col("doc_id"), col("h"), explode(js).as("j"))
+        .select(col("doc_id"), col("h"), pos(col("j"), col("h")).as("pos"))
+        .join(broadcast(bits), "pos")
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("_k"))
+        .where(col("_k") === 4)
+      val nb = hit.groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
+      val ne = hit.select("doc_id", "h").join(bench, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact_hits"))
+      nb.join(ne, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom_hits"),
+          coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+          (coalesce(col("n_exact_hits"), lit(0L)) === 0L).as("bloom_fp_only"))
+    }),
+
+    "q152_dist_drift" -> ((s, dir) => {
+      // Token-distribution DRIFT monitor: per-source KL divergence of an
+      // incoming batch slice against the standing corpus (add-1
+      // smoothing over each source's union vocabulary) — the ingest
+      // gate that catches a source silently changing register/topic
+      // before it skews the training mixture. One scan → one
+      // (source, token) aggregate with both sides as conditional sums
+      // (no second pass, no join of two token streams) → per-source
+      // totals broadcast back onto the vocab-sized table.
+      val docs = t(s, dir, "documents")
+      val tk = docs.select(col("source"),
+          (col("doc_id") % 10 === 0).as("is_batch"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val counts = tk.groupBy("source", "tok")
+        .agg(sum(when(col("is_batch"), 1L).otherwise(0L)).as("cb"),
+          sum(when(col("is_batch"), 0L).otherwise(1L)).as("cc"))
+      val tot = counts.groupBy("source")
+        .agg(sum("cb").as("nb"), sum("cc").as("nc"), count(lit(1)).as("v"))
+      counts.join(broadcast(tot), "source")
+        .select(col("source"), col("nb"), col("nc"), col("v"),
+          ((col("cb") + 1).cast("double") / (col("nb") + col("v"))).as("p"),
+          ((col("cc") + 1).cast("double") / (col("nc") + col("v"))).as("q"))
+        .groupBy("source")
+        .agg(max("v").as("vocab"),
+          max("nb").as("n_batch_toks"), max("nc").as("n_corpus_toks"),
+          round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+        .withColumn("drifted", col("kl") > 0.02)
     }),
 
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
@@ -4521,6 +4599,55 @@ object SparkEntry {
            | round(CAST(sum(CASE WHEN boiler THEN occ ELSE 0 END) AS DOUBLE)
            |   / sum(occ), 6) AS boiler_share
            |FROM f GROUP BY source""".stripMargin,
+
+      "q151_bloom_decontaminate" -> {
+        // 4-nibble positional hex decode (hexNum13 pattern at width 4)
+        def hex4(x: String): String = (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substring($x, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+          .mkString("(", " + ", ")")
+        val ph = hex4("md5(CAST(j AS VARCHAR) || ':' || h)")
+        s"""WITH docs0 AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+           |  FROM documents),
+           |d5 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+           |   i -> array_to_string(toks[i:i+4], ' '))) AS s
+           |  FROM docs0 WHERE len(toks) >= 5),
+           |u AS (SELECT doc_id, substring(md5(unnest(s)), 1, 16) AS h FROM d5),
+           |b AS (SELECT DISTINCT h FROM u WHERE doc_id % 20 = 0),
+           |js AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS j),
+           |bits AS (SELECT DISTINCT CAST($ph % 16384 AS BIGINT) AS pos FROM b, js),
+           |tr AS (SELECT DISTINCT doc_id, h FROM u WHERE doc_id % 20 <> 0),
+           |hp AS (SELECT doc_id, h, j, CAST($ph % 16384 AS BIGINT) AS pos FROM tr, js),
+           |hit AS (SELECT doc_id, h FROM hp JOIN bits USING (pos)
+           |  GROUP BY doc_id, h HAVING count(*) = 4),
+           |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+           |  FROM hit GROUP BY doc_id),
+           |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+           |  FROM hit JOIN b USING (h) GROUP BY doc_id)
+           |SELECT nb.doc_id, nb.n_bloom_hits,
+           | CAST(coalesce(ne.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           | coalesce(ne.n_exact_hits, 0) = 0 AS bloom_fp_only
+           |FROM nb LEFT JOIN ne USING (doc_id)""".stripMargin
+      },
+
+      "q152_dist_drift" ->
+        s"""WITH tk AS (SELECT source, (doc_id % 10 = 0) AS is_batch,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+           |c AS (SELECT source, tok,
+           |   CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+           |   CAST(sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS cc
+           |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+           |t AS (SELECT source, CAST(sum(cb) AS BIGINT) AS nb,
+           |   CAST(sum(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS v
+           |  FROM c GROUP BY source),
+           |p AS (SELECT c.source, t.nb, t.nc, t.v,
+           |   CAST(cb + 1 AS DOUBLE) / (nb + v) AS p,
+           |   CAST(cc + 1 AS DOUBLE) / (nc + v) AS q
+           |  FROM c JOIN t USING (source))
+           |SELECT source, max(v) AS vocab, max(nb) AS n_batch_toks,
+           | max(nc) AS n_corpus_toks,
+           | round(sum(p * ln(p / q)), 6) AS kl,
+           | round(sum(p * ln(p / q)), 6) > 0.02 AS drifted
+           |FROM p GROUP BY source""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

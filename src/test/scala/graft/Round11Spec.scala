@@ -698,6 +698,57 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q151: bloom prefilter has NO false negatives vs direct exact decontamination") {
+    val rows = SparkEntry.queries("q151_bloom_decontaminate")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.foreach { case (id, nb, ne, fp) =>
+      assert(ne <= nb, s"exact hits must be a subset of bloom hits ($id)")
+      assert(fp == (ne == 0L), s"fp flag must mirror zero exact hits ($id)")
+    }
+    // ground truth: every train doc sharing a 5-gram with the bench slice
+    // MUST appear among the bloom candidates with ne > 0 (no false negatives)
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.operators.Dedup.shingles(col("text"), 5)).as("g"))
+    val bench = sh.where(col("doc_id") % 20 === 0).select(col("g")).distinct()
+    val truth = sh.where(col("doc_id") % 20 =!= 0)
+      .join(bench, "g").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = rows.filter(_._3 > 0).map(_._1).toSet
+    assert(flagged == truth,
+      s"missed contaminated docs: ${(truth -- flagged).take(5)}; " +
+        s"phantom: ${(flagged -- truth).take(5)}")
+  }
+
+  test("q152: KL matches a driver recompute from raw counts and is non-negative") {
+    val rows = SparkEntry.queries("q152_dist_drift")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, _, _, kl) =>
+      assert(kl >= 0.0, s"smoothed KL must be non-negative: $src $kl") }
+    // independent recompute: raw (source, tok, side) counts on the driver
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val raw = docs.select(col("source"), col("doc_id"),
+        explode(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " ")).as("tok"))
+      .where(col("tok") =!= "").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 10 == 0, r.getString(2)))
+    val bySrc = raw.groupBy(_._1)
+    rows.foreach { case (src, vocab, nb, nc, kl) =>
+      val toks = bySrc(src)
+      val cb = toks.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val cc = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val vv = (cb.keySet ++ cc.keySet).size.toLong
+      val (tb, tc) = (cb.values.sum, cc.values.sum)
+      assert((vocab, nb, nc) == ((vv, tb, tc)), s"totals diverge for $src")
+      val klx = (cb.keySet ++ cc.keySet).toSeq.sorted.map { t =>
+        val p = (cb.getOrElse(t, 0L) + 1.0) / (tb + vv)
+        val q = (cc.getOrElse(t, 0L) + 1.0) / (tc + vv)
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(klx - kl) < 1e-5, s"KL diverges for $src: $klx vs $kl")
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
