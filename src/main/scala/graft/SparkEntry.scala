@@ -2689,19 +2689,27 @@ object SparkEntry {
       // hoist each side's norm ONCE per row (n + n sqrt passes) so the
       // n² join pays a single dot fold per pair — bit-identical to
       // cosine()'s sxy/(√sxx·√syy) association
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        VectorExprs.normNative(col("embedding")).as("_na"))
+      // the corpus parquet is one small file = ONE input split; without a
+      // repartition the whole n² fold would run on a single task
+      val a = e.repartition(32)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+          VectorExprs.normNative(col("embedding")).as("_na"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         VectorExprs.normNative(col("embedding")).as("_nb"))
       val sims = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(VectorExprs.cosineHoisted(col("va"), col("vb"),
             col("_na"), col("_nb")), 6).as("cos"))
-      val wk = Window.partitionBy("id_a")
-        .orderBy(col("cos").desc, col("id_b").asc)
-      val topk = sims.select(col("id_a"), col("id_b"),
-          row_number().over(wk).as("_rn"))
-        .where(col("_rn") <= 4).select(col("id_a"), col("id_b"))
+      // bounded heap, NOT a window: partial aggregation reduces every map
+      // partition to ≤4 rows per node before the shuffle, so the n² score
+      // stream is never exchanged or sorted (TopKAgg tie-break = the
+      // window's (cos DESC, id ASC)); the n·k result is checkpointed
+      // eagerly because BOTH mutuality sides and CC read it — without the
+      // pin the self-join re-evaluates the whole n² pipeline
+      val topk = graft.operators.TopKAgg
+        .perKey(sims, col("id_a"), col("cos"), col("id_b"), 4)
+        .select(col("_k").as("id_a"), col("id").as("id_b"))
+        .localCheckpoint(true)
       val mutual = topk.join(
           topk.select(col("id_b").as("id_a"), col("id_a").as("id_b")),
           Seq("id_a", "id_b"))
