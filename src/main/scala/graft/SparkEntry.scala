@@ -2874,6 +2874,71 @@ object SparkEntry {
         .withColumn("drifted", col("kl") > 0.02)
     }),
 
+    "q153_cluster_ari" -> ((s, dir) => {
+      // Clustering AGREEMENT: adjusted Rand index + purity of the
+      // deterministic 8-plane LSH partition (q34's buckets) against the
+      // fixture's gold labels — the external-validity check you run on
+      // any unsupervised partition (SemDeDup cells, IVF lists) before
+      // trusting it to steer curation. Shape: one scan → (bucket, label)
+      // contingency (≤ buckets×labels rows) → all pair-counting
+      // arithmetic on the reduced table; C(x,2) sums stay in exact
+      // integer form until the final double division.
+      val planes = VectorExprs.deterministicPlanes(8, 64)
+      val lb = t(s, dir, "embeddings").select(
+        VectorExprs.hyperplaneBucket(col("embedding"), planes).as("bucket"),
+        col("label").cast("long").as("label"))
+      val cont = lb.groupBy("bucket", "label").agg(count(lit(1)).as("nij"))
+      val byB = cont.groupBy("bucket")
+        .agg(sum("nij").as("ai"), max("nij").as("mx"))
+      val byL = cont.groupBy("label").agg(sum("nij").as("bj"))
+      val s1 = cont.agg(sum(col("nij") * (col("nij") - 1)).as("_sij2"),
+        sum("nij").as("_n"))
+      val s2 = byB.agg(sum(col("ai") * (col("ai") - 1)).as("_sa2"),
+        sum("mx").as("_pur"), count(lit(1)).as("_nb"))
+      val s3 = byL.agg(sum(col("bj") * (col("bj") - 1)).as("_sb2"),
+        count(lit(1)).as("_nl"))
+      s1.crossJoin(s2).crossJoin(s3)
+        .withColumn("_hij", col("_sij2") / lit(2.0))
+        .withColumn("_ha", col("_sa2") / lit(2.0))
+        .withColumn("_hb", col("_sb2") / lit(2.0))
+        .withColumn("_cn2", expr("_n * (_n - 1) DIV 2"))
+        .withColumn("_exp", col("_ha") * col("_hb") / col("_cn2"))
+        .select(col("_n").as("n"), col("_nb").as("n_buckets"),
+          col("_nl").as("n_labels"),
+          round((col("_hij") - col("_exp"))
+            / ((col("_ha") + col("_hb")) / 2.0 - col("_exp")), 6).as("ari"),
+          round(col("_pur").cast("double") / col("_n"), 6).as("purity"))
+    }),
+
+    "q154_ranking_ndcg" -> ((s, dir) => {
+      // Ranking EVALUATION: nDCG@20 of the q133 quality score against
+      // the gold source labels — does the filter's ORDERING concentrate
+      // the positives at the top (complement of q145's calibration,
+      // which checks the probabilities)? The rank is GlobalRank's range
+      // exchange; DCG reads 20 rows; the ideal DCG closed form comes
+      // from a 20-row range, never a second corpus pass.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("quality_w"),
+          when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(lab,
+        Seq(col("quality_w").desc, col("doc_id").asc), "_rn")
+      val dcg = ranked.where(col("_rn") <= 20)
+        .agg(sum(col("y").cast("double") / log2(col("_rn") + 1)).as("_dcg"))
+      val npos = lab.agg(sum("y").as("_np"))
+      val idcg = s.range(1, 21).crossJoin(broadcast(npos))
+        .where(col("id") <= least(col("_np"), lit(20L)))
+        .agg(sum(lit(1.0) / log2(col("id") + 1)).as("_idcg"))
+      dcg.crossJoin(broadcast(npos)).crossJoin(broadcast(idcg))
+        .select(lit(20L).as("k"), col("_np").as("n_pos"),
+          round(col("_dcg"), 6).as("dcg"),
+          round(col("_idcg"), 6).as("idcg"),
+          round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4656,6 +4721,58 @@ object SparkEntry {
            | round(sum(p * ln(p / q)), 6) AS kl,
            | round(sum(p * ln(p / q)), 6) > 0.02 AS drifted
            |FROM p GROUP BY source""".stripMargin,
+
+      "q153_cluster_ari" -> {
+        // plane-bucket twin generated from the SAME constants (q34 pattern)
+        val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+        def planeDot(v: String, p: Seq[Double]): String =
+          s"list_sum(list_transform(range(1,65), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n   + ")
+        s"""WITH e AS (SELECT embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+           |  FROM embeddings),
+           |lb AS (SELECT CAST($bucket AS BIGINT) AS bucket, label FROM e),
+           |cont AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS nij
+           |  FROM lb GROUP BY 1, 2),
+           |byb AS (SELECT bucket, CAST(sum(nij) AS BIGINT) AS ai,
+           |   CAST(max(nij) AS BIGINT) AS mx FROM cont GROUP BY bucket),
+           |byl AS (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY label),
+           |s1 AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij2,
+           |   CAST(sum(nij) AS BIGINT) AS n FROM cont),
+           |s2 AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS sa2,
+           |   CAST(sum(mx) AS BIGINT) AS pur, CAST(count(*) AS BIGINT) AS nb FROM byb),
+           |s3 AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS sb2,
+           |   CAST(count(*) AS BIGINT) AS nl FROM byl),
+           |x AS (SELECT n, nb, nl, sij2 / 2.0 AS hij, sa2 / 2.0 AS ha, sb2 / 2.0 AS hb,
+           |   n * (n - 1) // 2 AS cn2, pur FROM s1, s2, s3),
+           |y AS (SELECT n, nb, nl, hij, ha, hb, pur, ha * hb / cn2 AS ex FROM x)
+           |SELECT n, nb AS n_buckets, nl AS n_labels,
+           | round((hij - ex) / ((ha + hb) / 2.0 - ex), 6) AS ari,
+           | round(CAST(pur AS DOUBLE) / n, 6) AS purity
+           |FROM y""".stripMargin
+      },
+
+      "q154_ranking_ndcg" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |l AS (SELECT q.doc_id, q.quality_w,
+           |   CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+           |        THEN 1 ELSE 0 END AS y
+           |  FROM q JOIN documents d USING (doc_id)),
+           |r AS (SELECT doc_id, quality_w, y,
+           |   CAST(row_number() OVER (ORDER BY quality_w DESC, doc_id ASC) AS BIGINT) AS rn
+           |  FROM l),
+           |np AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM l),
+           |d AS (SELECT sum(CAST(y AS DOUBLE) / log2(rn + 1)) AS dcg FROM r WHERE rn <= 20),
+           |i AS (SELECT sum(1.0 / log2(g + 1)) AS idcg
+           |  FROM (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS g), np
+           |  WHERE g <= least(np.n_pos, 20))
+           |SELECT CAST(20 AS BIGINT) AS k, np.n_pos,
+           | round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+           | round(d.dcg / i.idcg, 6) AS ndcg
+           |FROM d, i, np""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

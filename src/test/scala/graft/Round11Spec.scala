@@ -749,6 +749,45 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q153: ARI matches a driver pair-count recompute and is label-permutation invariant") {
+    val row = SparkEntry.queries("q153_cluster_ari")(spark, sf()).collect().head
+    val (n, ari, purity) = (row.getLong(0), row.getDouble(3), row.getDouble(4))
+    assert(purity > 0.0 && purity <= 1.0)
+    val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+    val pairs = graft.sources.Tables.table(spark, sf(), "embeddings")
+      .select(graft.functions.VectorExprs
+          .hyperplaneBucket(col("embedding"), planes).as("b"),
+        col("label").cast("long").as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n)
+    def ariOf(xs: Array[(Long, Long)]): Double = {
+      def c2(x: Long) = x * (x - 1) / 2.0
+      val cont = xs.groupBy(identity).view.mapValues(_.length.toLong)
+      val a = xs.groupBy(_._1).view.mapValues(_.length.toLong)
+      val b = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (sij, sa, sb) = (cont.values.map(c2).sum,
+        a.values.map(c2).sum, b.values.map(c2).sum)
+      val ex = sa * sb / c2(xs.length.toLong)
+      (sij - ex) / ((sa + sb) / 2.0 - ex)
+    }
+    assert(math.abs(ariOf(pairs) - ari) < 1e-5,
+      s"ARI diverges from the driver recompute: ${ariOf(pairs)} vs $ari")
+    // ARI is invariant under any relabeling of either partition
+    val perm = pairs.map { case (b, l) => (b, l * 7 + 3) }
+    assert(math.abs(ariOf(perm) - ariOf(pairs)) < 1e-12)
+  }
+
+  test("q154: dcg <= idcg, idcg matches the closed form, ndcg in [0, 1]") {
+    val row = SparkEntry.queries("q154_ranking_ndcg")(spark, sf()).collect().head
+    val (npos, dcg, idcg, ndcg) =
+      (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(dcg <= idcg + 1e-9 && ndcg >= 0.0 && ndcg <= 1.0)
+    val ideal = (1L to math.min(npos, 20L)).map(i =>
+      1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    assert(math.abs(ideal - idcg) < 1e-5,
+      s"idcg must equal the closed form: $ideal vs $idcg")
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
