@@ -2939,6 +2939,102 @@ object SparkEntry {
           round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
     }),
 
+    "q155_minhash_estimate" -> ((s, dir) => {
+      // MinHash ESTIMATOR AUDIT: 64-perm signature Jaccard estimates vs
+      // exact set Jaccard, per candidate pair — the accuracy check
+      // behind every LSH dedup threshold (q27's bands assume the
+      // estimator concentrates; this measures it). Runs on a 10%
+      // deterministic doc sample (the posture at 100 TB: audit a
+      // sample, trust the bands on the corpus), so the shared-shingle
+      // pair fan-out and the ×64 perm explode stay bounded. Exact side
+      // = shared-count arithmetic c/(na+nb−c), never array intersects
+      // of materialized lists.
+      val docs = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      val toks = docs.select(col("doc_id"),
+        split(TextExprs.cleanText(col("text")), " ").as("toks"))
+      val u = toks.select(col("doc_id"),
+          explode(graft.operators.Dedup.shinglesOfToks(col("toks"), 3)).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+        .distinct()
+      val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = u.select(col("doc_id").as("id_a"), col("h"))
+        .join(u.select(col("doc_id").as("id_b"), col("h")), "h")
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      val cand = shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+        .where(col("jac") >= 0.2)
+      val perms = array((0 until 64).map(p => lit(p)): _*)
+      val sig = u.select(col("doc_id"), explode(perms).as("p"), col("h"))
+        .select(col("doc_id"), col("p"),
+          md5(concat(col("p").cast("string"), lit(":"), col("h"))).as("ph"))
+        .groupBy("doc_id", "p").agg(min("ph").as("mh"))
+      val est = cand
+        .join(sig.select(col("doc_id").as("id_a"), col("p"), col("mh").as("ma")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("p"), col("mh").as("mb")),
+          Seq("id_b", "p"))
+        .groupBy("id_a", "id_b", "jac")
+        .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+          .cast("double") / 64.0).as("est"))
+      est.select(col("id_a"), col("id_b"),
+        round(col("jac"), 6).as("exact_jac"),
+        round(col("est"), 6).as("est_jac"),
+        round(abs(col("est") - col("jac")), 6).as("abs_err"))
+    }),
+
+    "q156_threshold_tune" -> ((s, dir) => {
+      // Threshold AUTO-TUNE: q146's one-pass bin/suffix-sum sweep, now
+      // against the gold labels — precision/recall/F1 at every cutoff
+      // and the argmax row flagged. This is the decision step after
+      // q145 (calibration) and q154 (ranking): pick the keep-threshold
+      // BEFORE the 100 TB filter run, from one classifier pass and a
+      // 21-row table. All boundary arithmetic is integer
+      // ten-thousandths; TP/FP are suffix sums over the bins, FN comes
+      // from the broadcast positive total.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(round(col("quality_w") * 10000).cast("long").as("w4"),
+          when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+      val bins = lab
+        .select(when(col("w4") < -10000L, lit(-1L))
+            .otherwise(least(expr("(w4 + 10000) DIV 1000"), lit(20L))).as("bin"),
+          col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("_nd"), sum("y").as("_np"))
+      val tot = bins.agg(sum("_nd").as("_td"), sum("_np").as("_tp"))
+      val grid = s.range(0, 21).select(col("id").as("ti"))
+      val sweep = grid.join(broadcast(bins), col("bin") >= col("ti"), "left")
+        .groupBy("ti")
+        .agg(coalesce(sum("_nd"), lit(0L)).as("kept"),
+          coalesce(sum("_np"), lit(0L)).as("tp"))
+        .crossJoin(broadcast(tot))
+        .select(col("ti"), col("kept"), col("tp"),
+          (col("kept") - col("tp")).as("fp"),
+          (col("_tp") - col("tp")).as("fn"), col("_tp"))
+        .withColumn("precision",
+          when(col("kept") === 0L, lit(0.0))
+            .otherwise(col("tp").cast("double") / col("kept")))
+        .withColumn("recall", col("tp").cast("double") / col("_tp"))
+        .withColumn("f1",
+          when(col("tp") === 0L, lit(0.0))
+            .otherwise(lit(2.0) * col("precision") * col("recall")
+              / (col("precision") + col("recall"))))
+      val best = sweep.agg(max("f1").as("_bf"))
+      sweep.crossJoin(broadcast(best))
+        .select(((col("ti") * 1000 - 10000) / lit(10000.0)).as("threshold"),
+          col("kept"), col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("prec"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"),
+          (col("f1") === col("_bf")).as("is_best"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4773,6 +4869,65 @@ object SparkEntry {
            | round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
            | round(d.dcg / i.idcg, 6) AS ndcg
            |FROM d, i, np""".stripMargin,
+
+      "q155_minhash_estimate" ->
+        s"""WITH d AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |s3 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+           |   i -> array_to_string(toks[i:i+2], ' '))) AS s
+           |  FROM d WHERE len(toks) >= 3),
+           |u AS (SELECT DISTINCT doc_id, substring(md5(unnest(s)), 1, 16) AS h FROM s3),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM u GROUP BY doc_id),
+           |sh2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |   CAST(count(*) AS BIGINT) AS c
+           |  FROM u a JOIN u b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |cand AS (SELECT id_a, id_b,
+           |   CAST(c AS DOUBLE) / (za.sz + zb.sz - c) AS jac
+           |  FROM sh2 JOIN sz za ON za.doc_id = sh2.id_a
+           |  JOIN sz zb ON zb.doc_id = sh2.id_b
+           |  WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.2),
+           |ps AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS p),
+           |sig AS (SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || h)) AS mh
+           |  FROM u, ps GROUP BY doc_id, p),
+           |e AS (SELECT c.id_a, c.id_b, c.jac,
+           |   CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS est
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+           |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+           |  GROUP BY 1, 2, 3)
+           |SELECT id_a, id_b, round(jac, 6) AS exact_jac, round(est, 6) AS est_jac,
+           | round(abs(est - jac), 6) AS abs_err FROM e""".stripMargin,
+
+      "q156_threshold_tune" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |l AS (SELECT CAST(round(q.quality_w * 10000) AS BIGINT) AS w4,
+           |   CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+           |        THEN 1 ELSE 0 END AS y
+           |  FROM q JOIN documents d USING (doc_id)),
+           |b AS (SELECT CASE WHEN w4 < -10000 THEN CAST(-1 AS BIGINT)
+           |         ELSE least((w4 + 10000) // 1000, 20) END AS bin,
+           |   CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS np
+           |  FROM l GROUP BY 1),
+           |t AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+           |   CAST(sum(np) AS BIGINT) AS tpos FROM b),
+           |i AS (SELECT CAST(unnest(range(0, 21)) AS BIGINT) AS ti),
+           |sw AS (SELECT ti, CAST(coalesce(sum(b.nd), 0) AS BIGINT) AS kept,
+           |   CAST(coalesce(sum(b.np), 0) AS BIGINT) AS tp
+           |  FROM i LEFT JOIN b ON b.bin >= i.ti GROUP BY ti),
+           |m AS (SELECT sw.ti, sw.kept, sw.tp, sw.kept - sw.tp AS fp,
+           |   t.tpos - sw.tp AS fn,
+           |   CASE WHEN sw.kept = 0 THEN 0.0
+           |        ELSE CAST(sw.tp AS DOUBLE) / sw.kept END AS prec0,
+           |   CAST(sw.tp AS DOUBLE) / t.tpos AS rec0
+           |  FROM sw, t),
+           |f AS (SELECT *, CASE WHEN tp = 0 THEN 0.0
+           |   ELSE 2.0 * prec0 * rec0 / (prec0 + rec0) END AS f10 FROM m),
+           |bf AS (SELECT max(f10) AS bf FROM f)
+           |SELECT (ti * 1000 - 10000) / 10000.0 AS threshold, kept, tp, fp, fn,
+           | round(prec0, 6) AS prec, round(rec0, 6) AS recall,
+           | round(f10, 6) AS f1, f10 = bf.bf AS is_best
+           |FROM f, bf""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

@@ -788,6 +788,62 @@ class Round11Spec extends SparkSpec {
       s"idcg must equal the closed form: $ideal vs $idcg")
   }
 
+  test("q155: estimates are multiples of 1/64 and match a driver signature recompute") {
+    val rows = SparkEntry.queries("q155_minhash_estimate")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the sample must contain at least one candidate pair")
+    rows.foreach { case (_, _, jac, est) =>
+      assert(jac >= 0.2 && jac <= 1.0)
+      assert(est >= 0.0 && est <= 1.0)
+      val steps = est * 64.0
+      assert(math.abs(steps - math.rint(steps)) < 1e-6,
+        s"estimate must be a multiple of 1/64: $est")
+    }
+    // driver recompute of the full estimator for the first pair
+    val (ia, ib, jac, est) = rows.minBy(r => (r._1, r._2))
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("doc_id").isin(ia, ib))
+      .select(col("doc_id"),
+        graft.operators.Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val (ha, hb) = (docs(ia).map(g => md5hex(g).take(16)),
+      docs(ib).map(g => md5hex(g).take(16)))
+    val exactX = ha.intersect(hb).size.toDouble / ha.union(hb).size
+    assert(math.abs(exactX - jac) < 1e-5, s"exact jaccard diverges: $exactX vs $jac")
+    val estX = (0 until 64).count { p =>
+      ha.map(h => md5hex(s"$p:$h")).min == hb.map(h => md5hex(s"$p:$h")).min
+    } / 64.0
+    assert(math.abs(estX - est) < 1e-6, s"signature estimate diverges: $estX vs $est")
+  }
+
+  test("q156: confusion counts are consistent; exactly the max-F1 rows are flagged") {
+    val rows = SparkEntry.queries("q156_threshold_tune")(spark, sf()).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(7), r.getBoolean(8)))
+      .sortBy(_._1)
+    assert(rows.length == 21)
+    val totPos = rows.head match { case (_, _, tp, _, fn, _, _) => tp + fn }
+    rows.foreach { case (t, kept, tp, fp, fn, _, _) =>
+      assert(tp + fp == kept, s"tp+fp must equal kept at $t")
+      assert(tp + fn == totPos, s"tp+fn must be the constant positive total at $t")
+    }
+    rows.sliding(2).foreach {
+      case Array((_, _, tp1, _, _, _, _), (_, _, tp2, _, _, _, _)) =>
+        assert(tp2 <= tp1, "recall (tp) must be non-increasing in the threshold")
+      case _ =>
+    }
+    val maxF1 = rows.map(_._6).max
+    rows.foreach { case (t, _, _, _, _, f1, best) =>
+      // flag decided on the UNROUNDED f1; rounded ties are still <= max
+      if (best) assert(f1 == maxF1, s"flagged row must carry the max F1 ($t)")
+      else assert(f1 <= maxF1)
+    }
+    assert(rows.count(_._7) >= 1)
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
