@@ -93,6 +93,7 @@ object ScaleProbe {
     if (args.headOption.contains("pagerank")) { pageRankProbe(args.drop(1)); return }
     if (args.headOption.contains("gram")) { gramProbe(args.drop(1)); return }
     if (args.headOption.contains("cdc")) { cdcProbe(args.drop(1)); return }
+    if (args.headOption.contains("bloom")) { bloomProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -663,6 +664,76 @@ object ScaleProbe {
 
   /** q126's snapshot-diff dataflow at rep× the corpus: one full-outer
     * sort-merge join over (id, digest); closed-form counts asserted. */
+  /** Bloom mode: the q151 two-stage decontamination at replicated train
+    * scale. Pure replication (fresh ids, texts unchanged) of the TRAIN
+    * side against a FIXED benchmark must (a) leave the bloom set-bit
+    * table byte-identical (it depends only on the benchmark), and
+    * (b) scale both the bloom-candidate doc count and the exact-verified
+    * contaminated doc count by exactly rep. Wall-clock should track the
+    * train volume — the benchmark side is a constant broadcast. */
+  private def bloomProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    def shingleH(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        split(graft.functions.TextExprs.cleanText(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shinglesOfToks(col("toks"), 5)).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+    val benchH = shingleH(docs.where(col("doc_id") % 20 === 0))
+      .select("h").distinct().localCheckpoint(true)
+    val nBench = benchH.count()
+    val js = array((0 until 4).map(j => lit(j)): _*)
+    val base = docs.where(col("doc_id") % 20 =!= 0)
+    val big = base.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"), col("text"))
+    // two filter sizes: the fixture-sized 2^14 (SATURATES at this bench —
+    // the classic under-sized-bloom failure mode, shown on purpose) and
+    // the rule-sized 2^18 ≈ 20 bits/element, which must stay selective
+    for ((nib, m) <- Seq((4, 1 << 14), (5, 1 << 18))) {
+      def bpos(j: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(j.cast("string"), lit(":"), h)), 1, nib), 16, 10)
+          .cast("long") % m
+      val bits = benchH.select(explode(js).as("j"), col("h"))
+        .select(bpos(col("j"), col("h")).as("pos")).distinct().localCheckpoint(true)
+      val nBits = bits.count()
+      println(f"[probe] bloom m=$m: $nBench bench shingles → $nBits set bits " +
+        f"(fill ${nBits.toDouble / m}%.3f, constant in rep)")
+      def run(train: DataFrame, tag: String): (Long, Long) = {
+        val t0 = System.nanoTime()
+        val tr = shingleH(train).distinct()
+        val hit = tr.select(col("doc_id"), col("h"), explode(js).as("j"))
+          .select(col("doc_id"), col("h"), bpos(col("j"), col("h")).as("pos"))
+          .join(broadcast(bits), "pos")
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("_k"))
+          .where(col("_k") === 4)
+          .localCheckpoint(true)
+        val nCand = hit.select("doc_id").distinct().count()
+        val nDirty = hit.join(benchH, "h").select("doc_id").distinct().count()
+        println(f"[probe] bloom m=$m $tag: candidates=$nCand exact-contaminated=$nDirty " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        (nCand, nDirty)
+      }
+      val (c1, d1) = run(base, "rep=1")
+      val (cN, dN) = run(big, s"rep=$rep")
+      assert(cN == rep * c1 && dN == rep * d1,
+        s"pure replication must scale candidate/contaminated counts by rep: " +
+          s"($cN, $dN) vs rep × ($c1, $d1)")
+      println(s"[probe] m=$m closed form verified: counts scale exactly ×$rep")
+    }
+    spark.stop()
+  }
+
   private def diffProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(64)
