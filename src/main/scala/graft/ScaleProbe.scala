@@ -94,6 +94,7 @@ object ScaleProbe {
     if (args.headOption.contains("gram")) { gramProbe(args.drop(1)); return }
     if (args.headOption.contains("cdc")) { cdcProbe(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomProbe(args.drop(1)); return }
+    if (args.headOption.contains("knn")) { knnProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -731,6 +732,79 @@ object ScaleProbe {
           s"($cN, $dN) vs rep × ($c1, $d1)")
       println(s"[probe] m=$m closed form verified: counts scale exactly ×$rep")
     }
+    spark.stop()
+  }
+
+  /** Knn mode: q147's mutual-kNN graph at bucketed-candidate scale — the
+    * documented 100 TB posture where candidates come from an index
+    * partition instead of the n² brute force. 10-plane LSH buckets bound
+    * the candidate stream (volume asserted against the closed form
+    * Σ_b |b|·(|b|−1) from the bucket histogram); perturbed replication
+    * makes every copy family a dense near-neighbor cluster, so the graph
+    * must keep its mutual edges overwhelmingly intra-family. */
+  private def knnProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.VectorExprs
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val big = emb.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("vec_id") * rep + col("_r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + col("_r").cast("double") * 1e-4).as("embedding"))
+      .repartition(64)
+    val planes = VectorExprs.deterministicPlanes(10, 64)
+    val v = big.select(col("vec_id"), col("embedding"),
+        VectorExprs.normNative(col("embedding")).as("nrm"),
+        VectorExprs.hyperplaneBucket(col("embedding"), planes).as("bkt"))
+      .localCheckpoint(true)
+    val n = v.count()
+    val hist = v.groupBy("bkt").count().collect().map(_.getLong(1))
+    val expectPairs = hist.map(c => c * (c - 1)).sum
+    println(s"[probe] knn: $n vectors → ${hist.length} buckets " +
+      s"(max ${hist.max}), closed-form candidate rows $expectPairs")
+    val a = v.select(col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val sims = a.join(b, "bkt").where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExprs.cosineHoisted(col("va"), col("vb"),
+          col("na"), col("nb")), 6).as("cos"))
+    var t0 = System.nanoTime()
+    val nPairs = sims.count()
+    println(f"[probe] knn: candidate scoring ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"($nPairs pair rows)")
+    assert(nPairs == expectPairs,
+      s"bucketed candidate volume must match the closed form: $nPairs vs $expectPairs")
+    t0 = System.nanoTime()
+    val topk = graft.operators.TopKAgg
+      .perKey(sims, col("id_a"), col("cos"), col("id_b"), 4)
+      .select(col("_k").as("id_a"), col("id").as("id_b"))
+      .localCheckpoint(true)
+    val mutual = topk.join(
+        topk.select(col("id_b").as("id_a"), col("id_a").as("id_b")),
+        Seq("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+      .localCheckpoint(true)
+    val nMutual = mutual.count()
+    val intra = mutual.where(expr(s"id_a DIV $rep = id_b DIV $rep")).count()
+    println(f"[probe] knn: top-4 + mutuality ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"($nMutual mutual edges, intra-family share ${intra.toDouble / nMutual}%.4f)")
+    assert(intra >= (0.99 * nMutual).toLong,
+      "perturbed replicas must pick their own family as nearest neighbors")
+    t0 = System.nanoTime()
+    val cc = graft.operators.Dedup.connectedComponents(mutual)
+    val nClusters = cc.select("component").distinct().count()
+    println(f"[probe] knn: CC ${(System.nanoTime() - t0) / 1e9}%.1f s → " +
+      s"$nClusters clusters over ${cc.count()} non-singleton nodes")
     spark.stop()
   }
 

@@ -3035,6 +3035,29 @@ object SparkEntry {
           (col("f1") === col("_bf")).as("is_best"))
     }),
 
+    "q157_k_anonymity" -> ((s, dir) => {
+      // k-ANONYMOUS release (k = 5) of per-(source, lang) corpus stats:
+      // quasi-identifier groups smaller than k are SUPPRESSED into one
+      // '*' bucket instead of being published — the privacy-release
+      // counterpart to q70's PII redaction (a group of 2 docs with a
+      // rare (source, lang) pair re-identifies even with the text
+      // removed). Shape: one aggregate over the quasi-identifier, then
+      // a group-count-sized split; the release decision never rescans
+      // the corpus.
+      val g = t(s, dir, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("_sc"))
+      val released = g.where(col("n") >= 5)
+        .select(col("source"), col("lang"), col("n"),
+          round(col("_sc") / col("n"), 2).as("avg_chars"))
+      val supp = g.where(col("n") < 5)
+        .agg(coalesce(sum("n"), lit(0L)).as("n"),
+          coalesce(sum("_sc"), lit(0L)).as("_sc"))
+        .where(col("n") > 0)
+        .select(lit("*").as("source"), lit("*").as("lang"), col("n"),
+          round(col("_sc") / col("n"), 2).as("avg_chars"))
+      released.unionByName(supp)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4928,6 +4951,15 @@ object SparkEntry {
            | round(prec0, 6) AS prec, round(rec0, 6) AS recall,
            | round(f10, 6) AS f1, f10 = bf.bf AS is_best
            |FROM f, bf""".stripMargin,
+
+      "q157_k_anonymity" ->
+        """WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(n_chars) AS BIGINT) AS sc FROM documents GROUP BY 1, 2)
+          |SELECT source, lang, n, round(sc / n, 2) AS avg_chars FROM g WHERE n >= 5
+          |UNION ALL
+          |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
+          | round(sum(sc) / sum(n), 2) AS avg_chars
+          |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

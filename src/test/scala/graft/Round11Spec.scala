@@ -844,6 +844,25 @@ class Round11Spec extends SparkSpec {
     assert(rows.count(_._7) >= 1)
   }
 
+  test("q157: no released group is smaller than k; the '*' bucket conserves mass") {
+    val rows = SparkEntry.queries("q157_k_anonymity")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (supp, released) = rows.partition(_._1 == "*")
+    released.foreach { case (s0, l0, n) =>
+      assert(n >= 5, s"released group ($s0, $l0) smaller than k: $n") }
+    assert(supp.length <= 1)
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val total = docs.count()
+    assert(rows.map(_._3).sum == total,
+      "released + suppressed mass must equal the corpus")
+    // no quasi-identifier below k may appear verbatim anywhere
+    val small = docs.groupBy("source", "lang").count()
+      .where(col("count") < 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    released.foreach { case (s0, l0, _) =>
+      assert(!small.contains((s0, l0)), s"small group leaked: ($s0, $l0)") }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
