@@ -2589,6 +2589,7 @@ object SparkEntry {
       val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("quality_w"),
           when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+        .localCheckpoint(true) // slim per-doc manifest; rank + total read it
       val ranked = graft.operators.GlobalRank.withRowNumber(lab,
         Seq(col("quality_w").asc, col("doc_id").asc), "_rn")
       val tot = lab.agg(count(lit(1)).as("_n"))
@@ -2626,6 +2627,7 @@ object SparkEntry {
           col("n_chars"))
         .groupBy("bin")
         .agg(count(lit(1)).as("_nd"), sum("n_chars").as("_nc"))
+        .localCheckpoint(true) // ≤22 rows, read by the sweep AND the total
       val tot = bins.agg(sum("_nd").as("_td"), sum("_nc").as("_tc"))
       val grid = s.range(0, 21).select(col("id").as("ti"))
       grid.join(broadcast(bins), col("bin") >= col("ti"), "left")
@@ -2821,7 +2823,9 @@ object SparkEntry {
       val sh = toks.select(col("doc_id"),
           explode(graft.operators.Dedup.shinglesOfToks(col("toks"), 5)).as("g"))
         .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
+      // benchmark-sized; read by the bit table AND the exact verify
       val bench = sh.where(col("doc_id") % 20 === 0).select(col("h")).distinct()
+        .localCheckpoint(true)
       val js = array((0 until 4).map(j => lit(j)): _*)
       def pos(j: Column, h: Column): Column =
         conv(substring(md5(concat(j.cast("string"), lit(":"), h)), 1, 4), 16, 10)
@@ -2835,6 +2839,7 @@ object SparkEntry {
         .join(broadcast(bits), "pos")
         .groupBy("doc_id", "h").agg(count(lit(1)).as("_k"))
         .where(col("_k") === 4)
+        .localCheckpoint(true) // candidate-sized; bloom count + verify read it
       val nb = hit.groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hits"))
       val ne = hit.select("doc_id", "h").join(bench, "h")
         .groupBy("doc_id").agg(count(lit(1)).as("n_exact_hits"))
@@ -2924,6 +2929,7 @@ object SparkEntry {
       val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("quality_w"),
           when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+        .localCheckpoint(true) // slim per-doc manifest; rank + n_pos read it
       val ranked = graft.operators.GlobalRank.withRowNumber(lab,
         Seq(col("quality_w").desc, col("doc_id").asc), "_rn")
       val dcg = ranked.where(col("_rn") <= 20)
@@ -2952,10 +2958,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
       val toks = docs.select(col("doc_id"),
         split(TextExprs.cleanText(col("text")), " ").as("toks"))
+      // the (doc, hash) sample is read by FOUR subtrees (sizes, both
+      // shared-join sides, the signature build) — eager-checkpoint the
+      // bounded sample once instead of four corpus scans
       val u = toks.select(col("doc_id"),
           explode(graft.operators.Dedup.shinglesOfToks(col("toks"), 3)).as("g"))
         .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("h"))
         .distinct()
+        .localCheckpoint(true)
       val sizes = u.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = u.select(col("doc_id").as("id_a"), col("h"))
         .join(u.select(col("doc_id").as("id_b"), col("h")), "h")
@@ -3007,6 +3017,7 @@ object SparkEntry {
           col("y"))
         .groupBy("bin")
         .agg(count(lit(1)).as("_nd"), sum("y").as("_np"))
+        .localCheckpoint(true) // ≤22 rows, read by sweep, total AND argmax
       val tot = bins.agg(sum("_nd").as("_td"), sum("_np").as("_tp"))
       val grid = s.range(0, 21).select(col("id").as("ti"))
       val sweep = grid.join(broadcast(bins), col("bin") >= col("ti"), "left")

@@ -161,8 +161,15 @@ object TextAnalysis {
         explode(split(lower(TextExprs.cleanText(text)), " ")).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"), col("y"), substring(md5(col("tok")), 1, hashChars).as("b"))
+    // ≤ 16^hashChars rows; eager-checkpoint so the MODEL build costs one
+    // corpus pass total (tot + model both read these blocks) and the
+    // whole classifier is exactly two corpus scans: learn, then score.
+    // Without the pin every downstream reference to the model re-derives
+    // it from its own corpus scan (the q146/q156 sweep compositions
+    // measured 8-16 scans).
     val counts = toks.groupBy("b")
       .agg(sum("y").as("cpos"), sum(lit(1L) - col("y")).as("cneg"))
+      .localCheckpoint(true)
     val tot = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
       count(lit(1)).as("nb"))
     val model = counts.crossJoin(broadcast(tot))

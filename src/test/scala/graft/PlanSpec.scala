@@ -242,7 +242,20 @@ class PlanSpec extends SparkSpec {
                                                   // sides + fwd/bwd join sides
       ("q138_novelty", "documents", 2),           // two aggregates of the stream
       ("q141_cdc_chunks", "documents", 1),        // one chunking pass
-      ("q143_retrieve_rerank", "documents", 0))   // BM25+pool collected at build
+      ("q143_retrieve_rerank", "documents", 0),   // BM25+pool collected at build
+      ("q151_bloom_decontaminate", "documents", 0), // bench + candidate tables
+                                                  // pinned; one scan each at
+                                                  // materialization
+      ("q155_minhash_estimate", "documents", 0),  // sample checkpointed once;
+                                                  // everything downstream reads
+                                                  // its blocks
+      ("q147_knn_graph", "embeddings", 2),        // final label join + sizes —
+                                                  // vec_id-pruned column scans;
+                                                  // the n² fold is behind the
+                                                  // top-k checkpoint
+      ("q156_threshold_tune", "documents", 0),    // sweep/argmax read the ≤22-row
+                                                  // pinned bin table
+      ("q146_retention_sweep", "documents", 0))   // same bin-table boundary
     val diffs = pinned.flatMap { case (q, table, want) =>
       val got = s"$table\\.parquet".r.findAllIn(executed(q)).length
       if (got != want) Some(s"$q: $table scans $got != pinned $want") else None
