@@ -3069,6 +3069,32 @@ object SparkEntry {
       released.unionByName(supp)
     }),
 
+    "q158_centroid_drift" -> ((s, dir) => {
+      // Embedding-space DRIFT monitor (the vector counterpart of q152's
+      // token KL): per-label cosine between the batch slice's centroid
+      // and the standing corpus's — an embedding-model swap, a corrupted
+      // encoder, or a semantic shift in a source shows up as centroid
+      // rotation long before token stats move. ONE aggregate with 2×64
+      // conditional per-dimension means (the q78 declarative-sums
+      // pattern — no posexplode row inflation, no second scan); the
+      // cosine runs on the |labels|-row result.
+      val e = t(s, dir, "embeddings").select(
+        col("label").cast("long").as("label"),
+        (col("vec_id") % 8 === 0).as("b"), col("embedding").as("v"))
+      val aggs = (1 to 64).flatMap(i => Seq(
+        avg(when(col("b"), element_at(col("v"), i).cast("double"))).as(s"_a$i"),
+        avg(when(!col("b"), element_at(col("v"), i).cast("double"))).as(s"_c$i")))
+      val g = e.groupBy("label")
+        .agg(count(when(col("b"), lit(1))).as("n_batch"),
+          (count(when(!col("b"), lit(1))).as("n_corpus") +: aggs): _*)
+      val ca = array((1 to 64).map(i => col(s"_a$i")): _*)
+      val cc = array((1 to 64).map(i => col(s"_c$i")): _*)
+      g.where(col("n_batch") > 0 && col("n_corpus") > 0)
+        .select(col("label"), col("n_batch"), col("n_corpus"),
+          round(VectorExprs.cosine(ca, cc), 6).as("centroid_cos"))
+        .withColumn("drifted", col("centroid_cos") < 0.999)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4971,6 +4997,25 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+
+      "q158_centroid_drift" ->
+        """WITH e AS (SELECT CAST(label AS BIGINT) AS label, (vec_id % 8 = 0) AS b,
+          |   embedding::DOUBLE[] AS v FROM embeddings),
+          |pe AS (SELECT label, b, unnest(v) AS x,
+          |   unnest(range(1, 65)) AS i FROM e),
+          |m AS (SELECT label, i, avg(CASE WHEN b THEN x END) AS a,
+          |   avg(CASE WHEN NOT b THEN x END) AS c FROM pe GROUP BY 1, 2),
+          |n AS (SELECT label,
+          |   CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+          |   CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus
+          |  FROM e GROUP BY label),
+          |s AS (SELECT label, sum(a * c) AS sab, sum(a * a) AS saa,
+          |   sum(c * c) AS scc FROM m GROUP BY label)
+          |SELECT s.label, n.n_batch, n.n_corpus,
+          | round(sab / (sqrt(saa) * sqrt(scc)), 6) AS centroid_cos,
+          | round(sab / (sqrt(saa) * sqrt(scc)), 6) < 0.999 AS drifted
+          |FROM s JOIN n USING (label)
+          |WHERE n.n_batch > 0 AND n.n_corpus > 0""".stripMargin,
 
       "q134_source_authority" -> {
         val base =

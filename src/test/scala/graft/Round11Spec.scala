@@ -863,6 +863,35 @@ class Round11Spec extends SparkSpec {
       assert(!small.contains((s0, l0)), s"small group leaked: ($s0, $l0)") }
   }
 
+  test("q158: centroid cosine matches a driver recompute; self-drift is zero") {
+    val rows = SparkEntry.queries("q158_centroid_drift")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.table(spark, sf(), "embeddings")
+      .collect().map(r => (r.getInt(2).toLong, r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = raw.groupBy(_._1)
+    rows.foreach { case (label, nb, nc, cos) =>
+      val (batch, corpus) = byLabel(label).partition(_._2 % 8 == 0)
+      assert((nb, nc) == ((batch.length.toLong, corpus.length.toLong)))
+      def centroid(xs: Array[(Long, Long, Array[Double])]): Array[Double] =
+        (0 until 64).map(i => xs.map(_._3(i)).sum / xs.length).toArray
+      val (ca, cc) = (centroid(batch), centroid(corpus))
+      val sab = (0 until 64).map(i => ca(i) * cc(i)).sum
+      val saa = math.sqrt((0 until 64).map(i => ca(i) * ca(i)).sum)
+      val scc = math.sqrt((0 until 64).map(i => cc(i) * cc(i)).sum)
+      assert(math.abs(sab / (saa * scc) - cos) < 1e-5,
+        s"centroid cosine diverges for label $label")
+      // a slice measured against itself cannot drift
+      val selfCos = {
+        val x = centroid(corpus)
+        val s2 = (0 until 64).map(i => x(i) * x(i)).sum
+        (0 until 64).map(i => x(i) * x(i)).sum / (math.sqrt(s2) * math.sqrt(s2))
+      }
+      assert(math.abs(selfCos - 1.0) < 1e-12)
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
