@@ -3095,6 +3095,31 @@ object SparkEntry {
         .withColumn("drifted", col("centroid_cos") < 0.999)
     }),
 
+    "q159_leakage_split" -> ((s, dir) => {
+      // LEAKAGE-SAFE train/test split: after the deterministic 10% test
+      // draw, any train document that is a NEAR-DUP of a test document
+      // is QUARANTINED — the split-hygiene step that keeps eval numbers
+      // honest (a verbatim-ish copy of a test doc in train is silent
+      // contamination that q71's exact n-gram check misses once a few
+      // tokens drift). Composition: the q27 banded LSH pair stream
+      // (ids-only), symmetrized, semi-joined against the test side; the
+      // corpus text is never rejoined after pair generation.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val sym = pairs.union(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val quarantine = sym.where(col("id_a") % 10 === 7)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("_q", lit(true))
+      docs.select(col("doc_id")).join(quarantine, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, lit("test"))
+            .when(col("_q"), lit("quarantined"))
+            .otherwise(lit("train")).as("split"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -4997,6 +5022,20 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+
+      "q159_leakage_split" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |sym AS (SELECT id_a, id_b FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |q AS (SELECT DISTINCT id_b AS doc_id FROM sym WHERE id_a % 10 = 7)
+           |SELECT d.doc_id,
+           | CASE WHEN d.doc_id % 10 = 7 THEN 'test'
+           |      WHEN q.doc_id IS NOT NULL THEN 'quarantined'
+           |      ELSE 'train' END AS split
+           |FROM documents d LEFT JOIN q USING (doc_id)""".stripMargin,
 
       "q158_centroid_drift" ->
         """WITH e AS (SELECT CAST(label AS BIGINT) AS label, (vec_id % 8 = 0) AS b,

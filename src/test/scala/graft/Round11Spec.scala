@@ -892,6 +892,28 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q159: quarantine is exactly the train docs near-dupping a test doc") {
+    val rows = SparkEntry.queries("q159_leakage_split")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    assert(rows.size == docs.count())
+    rows.foreach { case (id, s0) =>
+      if (id % 10 == 7) assert(s0 == "test", s"doc $id must be test") }
+    // independent ground truth from the exact pair set
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, col("doc_id"),
+        col("text"), shingleLen = 3, numBands = 16, rowsPerBand = 2,
+        threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val expectQ = pairs.filter(_._1 % 10 == 7).map(_._2).filter(_ % 10 != 7).toSet
+    val gotQ = rows.filter(_._2 == "quarantined").keySet
+    assert(gotQ == expectQ,
+      s"quarantine diverges: extra=${(gotQ -- expectQ).take(5)} " +
+        s"missing=${(expectQ -- gotQ).take(5)}")
+    assert(rows.values.count(_ == "train") ==
+      rows.size - gotQ.size - rows.values.count(_ == "test"))
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
