@@ -3120,6 +3120,35 @@ object SparkEntry {
             .otherwise(lit("train")).as("split"))
     }),
 
+    "q160_mask_corruption" -> ((s, dir) => {
+      // Self-supervised EXAMPLE GENERATION: BERT/T5-style token masking
+      // with a DETERMINISTIC md5 position draw (≈ 15.6% of positions:
+      // first hash byte < 0x28) — corrupted input + extraction targets
+      // from one codegen'd pass, no RNG state, bit-reproducible across
+      // re-runs and engines (the property a 100 TB example-builder needs
+      // for resumable jobs and audit). One scan; everything is per-row
+      // array arithmetic inside whole-stage codegen.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+        .where(size(col("toks")) >= 1)
+      def masked(i: Column): Column =
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          i.cast("string"))), 1, 2) < "28"
+      val gen = toks.select(col("doc_id"), size(col("toks")).as("n"),
+        transform(sequence(lit(1), size(col("toks"))),
+          i => when(masked(i), lit("<mask>"))
+            .otherwise(element_at(col("toks"), i))).as("_corr"),
+        filter(transform(sequence(lit(1), size(col("toks"))),
+          i => when(masked(i), element_at(col("toks"), i))),
+          x => x.isNotNull).as("_tgt"))
+      gen.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        size(col("_tgt")).cast("long").as("n_masked"),
+        concat_ws(" ", col("_corr")).as("corrupted"),
+        concat_ws(" ", col("_tgt")).as("targets"),
+        round(size(col("_tgt")).cast("double") / col("n"), 4).as("mask_rate"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5022,6 +5051,26 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+
+      "q160_mask_corruption" ->
+        s"""WITH d AS (SELECT doc_id,
+           |   string_split(lower(${cleanSql("text")}), ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, len(toks) AS n,
+           |   list_transform(range(1, len(toks) + 1),
+           |     i -> CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |            CAST(i AS VARCHAR)), 1, 2) < '28'
+           |          THEN '<mask>' ELSE toks[i] END) AS corr,
+           |   list_filter(list_transform(range(1, len(toks) + 1),
+           |     i -> CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+           |            CAST(i AS VARCHAR)), 1, 2) < '28'
+           |          THEN toks[i] END), x -> x IS NOT NULL) AS tgt
+           |  FROM d WHERE len(toks) >= 1)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           | CAST(len(tgt) AS BIGINT) AS n_masked,
+           | array_to_string(corr, ' ') AS corrupted,
+           | coalesce(array_to_string(tgt, ' '), '') AS targets,
+           | round(CAST(len(tgt) AS DOUBLE) / n, 4) AS mask_rate
+           |FROM g""".stripMargin,
 
       "q159_leakage_split" ->
         s"""$shingleCte,

@@ -914,6 +914,29 @@ class Round11Spec extends SparkSpec {
       rows.size - gotQ.size - rows.values.count(_ == "test"))
   }
 
+  test("q160: corruption is reconstructable and the mask draw is reproducible") {
+    val rows = SparkEntry.queries("q160_mask_corruption")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.take(50).foreach { r =>
+      val (id, n, nm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (corr, tgt) = (r.getString(3), r.getString(4))
+      val corrToks = corr.split(" ", -1)
+      assert(corrToks.length == n, s"corrupted length must be n for doc $id")
+      val maskedPos = (1L to n).filter(i => md5hex(s"$id:$i").take(2) < "28")
+      assert(maskedPos.length == nm, s"mask count must match the draw for $id")
+      maskedPos.foreach(i => assert(corrToks(i.toInt - 1) == "<mask>"))
+      // splicing targets back into the masked slots reconstructs the doc len
+      val tgtToks = if (tgt.isEmpty) Array.empty[String] else tgt.split(" ", -1)
+      assert(tgtToks.length == nm, s"targets must carry one token per mask ($id)")
+    }
+    // reproducibility: a second evaluation is bit-identical
+    val again = SparkEntry.queries("q160_mask_corruption")(spark, sf()).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
