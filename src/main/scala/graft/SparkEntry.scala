@@ -3149,6 +3149,33 @@ object SparkEntry {
         round(size(col("_tgt")).cast("double") / col("n"), 4).as("mask_rate"))
     }),
 
+    "q161_vocab_coverage" -> ((s, dir) => {
+      // Vocabulary COVERAGE curve (the tokenizer-design companion to
+      // q116's fertility): corpus-token share covered by the top-2^k
+      // types, read at every power-of-two vocab size — the curve that
+      // decides a vocab budget before training a tokenizer. ONE
+      // frequency aggregate, then GlobalRank's range-exchange rank AND
+      // running sum over (cnt DESC, tok) — no partition-less window at
+      // any vocabulary size; the power-of-two filter keeps the output
+      // log-sized.
+      val counts = t(s, dir, "documents")
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ord = Seq(col("cnt").desc, col("tok").asc)
+      val ranked = graft.operators.GlobalRank.withRowNumber(counts, ord, "_rn")
+      val summed = graft.operators.GlobalRank.withRunningSum(
+        ranked, ord, col("cnt"), "_cum")
+      val tot = counts.agg(sum("cnt").as("_t"), count(lit(1)).as("_v"))
+      summed
+        .where(expr("(_rn & (_rn - 1)) = 0")) // powers of two (and rank 1)
+        .crossJoin(broadcast(tot))
+        .select(col("_rn").as("vocab_size"), col("tok").as("boundary_tok"),
+          col("_cum").as("covered_tokens"), col("_t").as("total_tokens"),
+          round(col("_cum").cast("double") / col("_t"), 6).as("coverage"),
+          col("_v").as("n_types"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5051,6 +5078,23 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+
+      "q161_vocab_coverage" ->
+        s"""WITH tok0 AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |  FROM documents),
+           |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tok0 WHERE tok <> '' GROUP BY tok),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+           |   CAST(count(*) AS BIGINT) AS v FROM tc),
+           |r AS (SELECT tok, cnt,
+           |   CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rn,
+           |   CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+           |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM tc)
+           |SELECT rn AS vocab_size, tok AS boundary_tok, cum AS covered_tokens,
+           | t.tt AS total_tokens, round(CAST(cum AS DOUBLE) / t.tt, 6) AS coverage,
+           | t.v AS n_types
+           |FROM r, t WHERE (rn & (rn - 1)) = 0""".stripMargin,
 
       "q160_mask_corruption" ->
         s"""WITH d AS (SELECT doc_id,

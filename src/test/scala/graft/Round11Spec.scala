@@ -937,6 +937,32 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("q161: coverage curve matches a driver recompute at every power of two") {
+    val rows = SparkEntry.queries("q161_vocab_coverage")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, _, _) =>
+      assert((k & (k - 1)) == 0, s"vocab sizes must be powers of two: $k") }
+    rows.sliding(2).foreach {
+      case Array((_, c1, _, _), (_, c2, _, _)) => assert(c2 >= c1)
+      case _ =>
+    }
+    val freq = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(explode(split(lower(
+        graft.functions.TextExprs.cleanText(col("text"))), " ")).as("t"))
+      .where(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = freq.map(_._2).sum
+    rows.foreach { case (k, cum, tt, cov) =>
+      assert(tt == total)
+      val expect = freq.take(k.toInt).map(_._2).sum
+      assert(cum == expect, s"covered tokens at vocab $k: $cum vs $expect")
+      assert(math.abs(cov - expect.toDouble / total) < 1e-5)
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
