@@ -3176,6 +3176,45 @@ object SparkEntry {
           col("_v").as("n_types"))
     }),
 
+    "q162_quota_alloc" -> ((s, dir) => {
+      // EXACT mixture quota allocation (largest-remainder / Hamilton
+      // method): a 200-doc budget split across sources proportional to
+      // their char mass — floor the ideal shares, then the sources with
+      // the largest remainders absorb the deficit. The deterministic
+      // integer-exact alternative to q81's acceptance sampling when a
+      // mixture must hit its budget EXACTLY (and reproducibly) at any
+      // scale. All corpus-sized work is one aggregate; the allocation
+      // arithmetic runs on the |sources|-row table, ranking via a
+      // triangular self-join (no partition-less window). Weights here
+      // are τ=1 (∝ chars) so every float both engines compute is one
+      // division of exact integers; a temperature reweight plugs into
+      // the same dataflow.
+      val stats = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .localCheckpoint(true) // |sources| rows; read by totals + ranking
+      val tot = stats.agg(sum("chars").as("_tc"))
+      val ideal = stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          (lit(200.0) * col("chars") / col("_tc")).as("_ideal"))
+        .withColumn("_base", floor(col("_ideal")).cast("long"))
+        .withColumn("_rem", col("_ideal") - col("_base"))
+      val deficit = ideal.agg((lit(200L) - sum("_base")).as("_d"))
+      // rank by (remainder DESC, source ASC) as a triangular count —
+      // bounded by |sources|², no window
+      val rnk = ideal.as("a").join(ideal.select(col("source").as("_bs"),
+            col("_rem").as("_br")).as("b"),
+          col("_br") > col("_rem") ||
+            (col("_br") === col("_rem") && col("_bs") < col("source")), "left")
+        .groupBy(col("source"), col("n_docs"), col("chars"),
+          col("_ideal"), col("_base"))
+        .agg((count(col("_bs")) + 1).as("_rnk"))
+      rnk.crossJoin(broadcast(deficit))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(col("_ideal"), 6).as("ideal"),
+          (col("_base") + when(col("_rnk") <= col("_d"), 1L).otherwise(0L))
+            .as("quota"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5078,6 +5117,24 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+
+      "q162_quota_alloc" ->
+        """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),
+          |t AS (SELECT CAST(sum(chars) AS BIGINT) AS tc FROM s),
+          |i AS (SELECT source, n_docs, chars, 200.0 * chars / t.tc AS ideal,
+          |   CAST(floor(200.0 * chars / t.tc) AS BIGINT) AS base,
+          |   200.0 * chars / t.tc - floor(200.0 * chars / t.tc) AS rem
+          |  FROM s, t),
+          |d AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS d FROM i),
+          |r AS (SELECT a.source, a.n_docs, a.chars, a.ideal, a.base,
+          |   CAST(1 + count(b.source) AS BIGINT) AS rnk
+          |  FROM i a LEFT JOIN i b
+          |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+          |  GROUP BY 1, 2, 3, 4, 5)
+          |SELECT source, n_docs, chars, round(ideal, 6) AS ideal,
+          | base + CASE WHEN rnk <= d.d THEN 1 ELSE 0 END AS quota
+          |FROM r, d""".stripMargin,
 
       "q161_vocab_coverage" ->
         s"""WITH tok0 AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok

@@ -963,6 +963,30 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q162: quotas hit the budget exactly and differ from ideal by < 1") {
+    val rows = SparkEntry.queries("q162_quota_alloc")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._3).sum == 200L, "largest remainder must hit the budget EXACTLY")
+    rows.foreach { case (src, ideal, quota) =>
+      assert(math.abs(quota - ideal) < 1.0,
+        s"$src: quota $quota must stay within 1 of ideal $ideal")
+      assert(quota >= 0)
+    }
+    // driver recompute of the full Hamilton allocation
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .groupBy("source").agg(sum("n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val tc = docs.map(_._2).sum
+    val ideal = docs.map { case (s0, c) => (s0, 200.0 * c / tc) }
+    val base = ideal.map { case (s0, x) => (s0, math.floor(x).toLong, x - math.floor(x)) }
+    val deficit = (200L - base.map(_._2).sum).toInt
+    val plusOne = base.sortBy { case (s0, _, rem) => (-rem, s0) }
+      .take(deficit).map(_._1).toSet
+    val expect = base.map { case (s0, b, _) =>
+      s0 -> (b + (if (plusOne(s0)) 1L else 0L)) }.toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == expect)
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
