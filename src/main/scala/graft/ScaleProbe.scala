@@ -774,11 +774,14 @@ object ScaleProbe {
       col("embedding").as("va"), col("nrm").as("na"))
     val b = v.select(col("bkt"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
+    var t0 = System.nanoTime()
+    // checkpoint the scored candidate stream so the closed-form count and
+    // the top-k pass share ONE evaluation of the 27M-row cosine fold
     val sims = a.join(b, "bkt").where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorExprs.cosineHoisted(col("va"), col("vb"),
           col("na"), col("nb")), 6).as("cos"))
-    var t0 = System.nanoTime()
+      .localCheckpoint(true)
     val nPairs = sims.count()
     println(f"[probe] knn: candidate scoring ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"($nPairs pair rows)")

@@ -3060,10 +3060,13 @@ object SparkEntry {
       val released = g.where(col("n") >= 5)
         .select(col("source"), col("lang"), col("n"),
           round(col("_sc") / col("n"), 2).as("avg_chars"))
+      // the residual bucket must itself satisfy k-anonymity: if the
+      // suppressed groups sum to fewer than k docs, publishing even the
+      // '*' row would expose an equivalence class below k — withhold it
       val supp = g.where(col("n") < 5)
         .agg(coalesce(sum("n"), lit(0L)).as("n"),
           coalesce(sum("_sc"), lit(0L)).as("_sc"))
-        .where(col("n") > 0)
+        .where(col("n") >= 5)
         .select(lit("*").as("source"), lit("*").as("lang"), col("n"),
           round(col("_sc") / col("n"), 2).as("avg_chars"))
       released.unionByName(supp)
@@ -5116,7 +5119,7 @@ object SparkEntry {
           |UNION ALL
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
-          |FROM g WHERE n < 5 HAVING count(*) > 0""".stripMargin,
+          |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
 
       "q162_quota_alloc" ->
         """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
