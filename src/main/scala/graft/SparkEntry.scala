@@ -3218,6 +3218,30 @@ object SparkEntry {
             .as("quota"))
     }),
 
+    "q163_length_winsorize" -> ((s, dir) => {
+      // Length WINSORIZATION: clip each document's token budget at its
+      // source's P90 — the outlier-length handling step before packing
+      // (one 100×-median doc otherwise dominates its pack and skews
+      // per-source token accounting). The cap comes from the rank-
+      // dataflow exact percentile (Percentiles.exactByGroup — range
+      // exchange + boundary-rank join, NO per-group buffering), then
+      // broadcasts back onto the stream; floor() keeps the truncation
+      // identical across engines (Spark's double→long cast truncates,
+      // DuckDB's rounds).
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(lower(TextExprs.cleanText(col("text"))), " "))
+          .cast("long").as("n_tokens"))
+      val caps = graft.operators.Percentiles.exactByGroup(
+          toks, col("source"), col("n_tokens"), Seq(0.9), Seq("p90"))
+        .select(col("group").as("source"), col("p90"))
+      toks.join(broadcast(caps), "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("p90"), 4).as("cap_p90"),
+          floor(least(col("n_tokens").cast("double"), col("p90")))
+            .cast("long").as("kept_tokens"),
+          (col("n_tokens").cast("double") > col("p90")).as("truncated"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5120,6 +5144,17 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q163_length_winsorize" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |   CAST(len(string_split(lower(${cleanSql("text")}), ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT source, quantile_cont(n_tokens, 0.9) AS p90
+           |  FROM d GROUP BY source)
+           |SELECT doc_id, d.source, n_tokens, round(p90, 4) AS cap_p90,
+           | CAST(floor(least(CAST(n_tokens AS DOUBLE), p90)) AS BIGINT) AS kept_tokens,
+           | CAST(n_tokens AS DOUBLE) > p90 AS truncated
+           |FROM d JOIN c USING (source)""".stripMargin,
 
       "q162_quota_alloc" ->
         """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

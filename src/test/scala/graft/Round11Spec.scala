@@ -998,6 +998,27 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._3).toMap == expect)
   }
 
+  test("q163: at most 10% truncated per source; kept tokens respect the cap") {
+    val rows = SparkEntry.queries("q163_length_winsorize")(spark, sf()).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, cap, kept, trunc) =>
+      assert(trunc == (n > cap))
+      assert(kept == (if (trunc) math.floor(cap).toLong else n))
+      assert(kept <= n)
+    }
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      // strictly-above-the-interpolated-P90 count is bounded by the rows
+      // ranked past the lower boundary rank: n - floor(1 + 0.9(n-1))
+      val n = grp.length
+      val bound = n - math.floor(1 + 0.9 * (n - 1)).toLong
+      assert(grp.count(_._5) <= bound,
+        s"$src: P90 cap truncated ${grp.count(_._5)} of $n (> rank bound $bound)")
+      assert(grp.map(_._3).distinct.length == 1, s"$src: one cap per source")
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
