@@ -3242,6 +3242,40 @@ object SparkEntry {
           (col("n_tokens").cast("double") > col("p90")).as("truncated"))
     }),
 
+    "q164_effective_tokens" -> ((s, dir) => {
+      // EFFECTIVE dataset size under near-dup weighting: each doc's
+      // tokens count as n/cluster_size, so a 5-copy near-dup family
+      // contributes its content once across the corpus — the honest
+      // per-source token accounting a mixture should be built on (raw
+      // counts overpay sources that re-post the same content; Muennighoff
+      // 2023's repeated-data discount starts from exactly this number).
+      // Composition: q27's ids-only pair stream → CC → cluster sizes,
+      // joined back onto a slim (doc, source, tokens) manifest;
+      // singletons default to weight 1.
+      val docs = t(s, dir, "documents")
+      val ntok = docs.select(col("doc_id"), col("source"),
+        size(split(lower(TextExprs.cleanText(col("text"))), " "))
+          .cast("long").as("n_toks"))
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("_csz"))
+      val weighted = ntok
+        .join(cc, Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("source"), col("n_toks"),
+          coalesce(col("_csz"), lit(1L)).as("csz"))
+      weighted.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("raw_tokens"),
+          round(sum(col("n_toks").cast("double") / col("csz")), 4)
+            .as("effective_tokens"))
+        .withColumn("dup_discount",
+          round(lit(1.0) - col("effective_tokens") / col("raw_tokens"), 6))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5144,6 +5178,32 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q164_effective_tokens" ->
+        s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |  UNION SELECT id_a, id_a FROM pairs
+           |  UNION SELECT id_b, id_b FROM pairs),
+           |reach AS (SELECT src, dst FROM e
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+           |csz AS (SELECT component, CAST(count(*) AS BIGINT) AS csz
+           |  FROM comp GROUP BY component),
+           |nt AS (SELECT doc_id, source,
+           |   CAST(len(string_split(lower(${cleanSql("text")}), ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |w AS (SELECT nt.source, nt.n_toks, coalesce(csz.csz, 1) AS csz
+           |  FROM nt LEFT JOIN comp USING (doc_id) LEFT JOIN csz USING (component))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+           | round(sum(CAST(n_toks AS DOUBLE) / csz), 4) AS effective_tokens,
+           | round(1.0 - round(sum(CAST(n_toks AS DOUBLE) / csz), 4)
+           |   / sum(n_toks), 6) AS dup_discount
+           |FROM w GROUP BY source""".stripMargin,
 
       "q163_length_winsorize" ->
         s"""WITH d AS (SELECT doc_id, source,

@@ -1019,6 +1019,30 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q164: effective <= raw; equality iff no near-dup doc in the source") {
+    val rows = SparkEntry.queries("q164_effective_tokens")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, raw, eff, disc) =>
+      assert(eff <= raw + 1e-6, s"$src: effective tokens cannot exceed raw")
+      assert(disc >= -1e-9 && disc < 1.0)
+    }
+    // sources containing a clustered doc must show a strict discount
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, col("doc_id"),
+        col("text"), shingleLen = 3, numBands = 16, rowsPerBand = 2,
+        threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dupSources = docs.where(col("doc_id").isin(pairs.toSeq: _*))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (src, _, raw, eff, _) =>
+      if (dupSources(src)) assert(eff < raw, s"$src holds near-dups; eff must shrink")
+      else assert(math.abs(eff - raw) < 1e-6, s"$src has no near-dups; eff == raw")
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
