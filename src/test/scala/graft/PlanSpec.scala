@@ -255,7 +255,15 @@ class PlanSpec extends SparkSpec {
                                                   // top-k checkpoint
       ("q156_threshold_tune", "documents", 0),    // sweep/argmax read the ≤22-row
                                                   // pinned bin table
-      ("q146_retention_sweep", "documents", 0))   // same bin-table boundary
+      ("q146_retention_sweep", "documents", 0),   // same bin-table boundary
+      ("q159_leakage_split", "documents", 1),     // pair stream behind the LSH
+                                                  // checkpoint; one label scan
+      ("q161_vocab_coverage", "documents", 1),    // one frequency scan; ranks
+                                                  // ride the RDD boundary
+      ("q163_length_winsorize", "documents", 1),  // caps behind the rank
+                                                  // boundary; one stream scan
+      ("q164_effective_tokens", "documents", 1))  // clusters collected at CC;
+                                                  // one manifest scan
     val diffs = pinned.flatMap { case (q, table, want) =>
       val got = s"$table\\.parquet".r.findAllIn(executed(q)).length
       if (got != want) Some(s"$q: $table scans $got != pinned $want") else None
