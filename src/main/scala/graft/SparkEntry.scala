@@ -3276,6 +3276,51 @@ object SparkEntry {
           round(lit(1.0) - col("effective_tokens") / col("raw_tokens"), 6))
     }),
 
+    "q165_hard_negatives" -> ((s, dir) => {
+      // HARD-NEGATIVE mining for retrieval training (the lexical
+      // counterpart of q117's embedding triplets): per query, the
+      // top-scoring documents that do NOT satisfy the relevance proxy
+      // (here: contain BOTH query terms) — exactly the near-miss
+      // negatives a reranker/bi-encoder needs. BM25 arithmetic is q52's
+      // (k1=1.2, b=0.75); queries are 2-term so every per-doc score is
+      // one order-safe two-double sum; ranking is a per-query
+      // PARTITIONED window over the scored stream. One tokenize pass;
+      // the query-term table broadcasts.
+      val sp = s
+      import sp.implicits._
+      val qt = Seq((1L, "spark"), (1L, "join"), (2L, "vector"),
+        (2L, "stream"), (3L, "batch"), (3L, "window")).toDF("qid", "token")
+      val tf = graft.operators.Retrieval.termFreqs(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .localCheckpoint(true) // read by doc lengths AND the score join
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("_nd"),
+        avg("dl").as("_avgdl"))
+      val matches = tf.join(broadcast(qt), "token")
+      // (doc_id, token) is unique in tf, so a row count IS the doc freq
+      val dfreq = tf.join(broadcast(qt.select("token").distinct()), "token")
+        .groupBy("token").agg(count(lit(1)).as("dfreq"))
+      val idf = log(lit(1.0) + (col("_nd") - col("dfreq") + 0.5)
+        / (col("dfreq") + 0.5))
+      val norm = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+        * col("dl") / col("_avgdl"))
+      val sc = matches
+        .join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("_s", idf * col("tf") * 2.2 / norm)
+        .groupBy("qid", "doc_id")
+        .agg(sum("_s").as("_sum"), countDistinct("token").as("_nm"))
+      val w = Window.partitionBy("qid")
+        .orderBy(round(col("_sum"), 6).desc, col("doc_id").asc)
+      sc.where(col("_nm") < 2)
+        .select(col("qid"), col("doc_id"), round(col("_sum"), 6).as("score"),
+          row_number().over(w).as("rnk"))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("score"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5178,6 +5223,32 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q165_hard_negatives" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |qt(qid, token) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'vector'),
+           |   (2, 'stream'), (3, 'batch'), (3, 'window')),
+           |dfq AS (SELECT token, count(*) AS dfreq FROM tf
+           |  WHERE token IN (SELECT token FROM qt) GROUP BY token),
+           |sc AS (SELECT qt.qid, tf.doc_id,
+           |   sum(ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * 2.2
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS s,
+           |   count(DISTINCT tf.token) AS nm
+           |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st
+           |  GROUP BY 1, 2),
+           |h AS (SELECT qid, doc_id, round(s, 6) AS score,
+           |   CAST(row_number() OVER (PARTITION BY qid
+           |     ORDER BY round(s, 6) DESC, doc_id ASC) AS BIGINT) AS rnk
+           |  FROM sc WHERE nm < 2)
+           |SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, score
+           |FROM h WHERE rnk <= 5""".stripMargin,
 
       "q164_effective_tokens" ->
         s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},

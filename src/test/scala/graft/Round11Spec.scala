@@ -1043,6 +1043,32 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q165: no mined negative satisfies the relevance proxy; ranks dense per query") {
+    val rows = SparkEntry.queries("q165_hard_negatives")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val terms = Map(1L -> Seq("spark", "join"), 2L -> Seq("vector", "stream"),
+      3L -> Seq("batch", "window"))
+    val texts = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"),
+        lower(graft.functions.TextExprs.cleanText(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rows.foreach { case (qid, _, doc, _) =>
+      val hit = terms(qid).count(texts(doc))
+      assert(hit < 2, s"doc $doc matches BOTH terms of q$qid — not a negative")
+      assert(hit >= 1, s"doc $doc matches NO term of q$qid — cannot be scored")
+    }
+    rows.groupBy(_._1).foreach { case (qid, grp) =>
+      val rnks = grp.map(_._2).sorted.toSeq
+      assert(rnks == (1L to rnks.length.toLong).toSeq,
+        s"ranks must be dense from 1 for q$qid")
+      grp.sortBy(_._2).map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b <= a, s"scores must be non-increasing for q$qid")
+        case _ =>
+      }
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
