@@ -3321,6 +3321,31 @@ object SparkEntry {
           col("doc_id"), col("score"))
     }),
 
+    "q166_lexical_richness" -> ((s, dir) => {
+      // Per-source LEXICAL RICHNESS: type/token ratio and Herdan's C
+      // (ln types / ln tokens — the length-robust variant; raw TTR
+      // collapses as tokens grow, so cross-source comparisons need C).
+      // Template-generated or spun content shows depressed richness at
+      // normal repetition stats — a complementary signal to q80. Shape:
+      // one scan → one (source, token) aggregate → |sources|-row
+      // arithmetic; distinct-counting rides the grouped aggregate, not
+      // a count(DISTINCT) expansion of the stream.
+      val tk = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      tk.groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          max("c").as("top_tok_freq"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(log(col("n_types").cast("double"))
+            / log(col("n_tokens").cast("double")), 6).as("herdan_c"),
+          round(col("top_tok_freq").cast("double") / col("n_tokens"), 6)
+            .as("top_tok_share"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5223,6 +5248,20 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q166_lexical_richness" ->
+        s"""WITH tk AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source,
+           |     unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |    FROM documents)
+           |  WHERE tok <> '' GROUP BY source, tok)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+           | CAST(sum(c) AS BIGINT) AS n_tokens,
+           | round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+           | round(ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(c) AS DOUBLE)), 6)
+           |   AS herdan_c,
+           | round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_tok_share
+           |FROM tk GROUP BY source""".stripMargin,
 
       "q165_hard_negatives" ->
         s"""WITH tok AS (SELECT doc_id,

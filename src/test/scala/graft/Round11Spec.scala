@@ -1069,6 +1069,28 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q166: richness metrics match a driver recompute and sit in their ranges") {
+    val rows = SparkEntry.queries("q166_lexical_richness")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(col("source"), explode(split(lower(
+        graft.functions.TextExprs.cleanText(col("text"))), " ")).as("t"))
+      .where(col("t") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = raw.groupBy(_._1)
+    rows.foreach { case (src, types, tokens, ttr, c, top) =>
+      val toks = bySrc(src).map(_._2)
+      val freq = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(types == freq.size && tokens == toks.length)
+      assert(math.abs(ttr - types.toDouble / tokens) < 1e-6)
+      assert(math.abs(c - math.log(types.toDouble) / math.log(tokens.toDouble)) < 1e-6)
+      assert(math.abs(top - freq.values.max.toDouble / tokens) < 1e-6)
+      assert(ttr > 0 && ttr <= 1 && c > 0 && c <= 1)
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
