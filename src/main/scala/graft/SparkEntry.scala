@@ -3346,6 +3346,56 @@ object SparkEntry {
             .as("top_tok_share"))
     }),
 
+    "q167_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-BOOTSTRAP uncertainty on the per-source quality rate:
+      // 32 deterministic resampling replicas where each doc's replica
+      // weight is Poisson(1)-distributed via an md5-derived uniform and
+      // the inverse-CDF threshold chain (the distributed bootstrap of
+      // Chamandy et al./Google — no shared RNG state, no resample
+      // shuffle; a doc's weight in replica b is a pure function of
+      // (b, doc_id), so the estimate is bit-reproducible and mergeable).
+      // Reports the point rate, bootstrap mean/sd and the 95% normal
+      // CI half-width — the error bar a curation dashboard should put
+      // on every quality metric before anyone compares two sources.
+      // Shape: one rules pass → slim (source, keep) manifest ×32
+      // replica explode → two tiny aggregates.
+      val docs = t(s, dir, "documents")
+      val rules = graft.operators.TextAnalysis.gopherRules(
+          docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+      val lab = rules.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"),
+          when(col("passes"), 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint(true) // slim manifest; point rate + replicas read it
+      val reps = array((0 until 32).map(b => lit(b)): _*)
+      // inverse CDF of Poisson(1) on u ∈ [0,1): cumulative thresholds
+      val u = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+      val w = when(u < 0.36787944117144233, 0.0)
+        .when(u < 0.7357588823428847, 1.0)
+        .when(u < 0.9196986029286058, 2.0)
+        .when(u < 0.9810118431238462, 3.0)
+        .when(u < 0.9963401531726563, 4.0)
+        .when(u < 0.9994058151824183, 5.0)
+        .when(u < 0.9999167588507119, 6.0)
+        .otherwise(7.0)
+      val boot = lab.select(col("source"), col("doc_id"), col("y"),
+          explode(reps).as("b"))
+        .select(col("source"), col("b"), col("y"), w.as("w"))
+        .groupBy("source", "b")
+        .agg((sum(col("w") * col("y")) / sum("w")).as("rate_b"))
+      val ci = boot.groupBy("source")
+        .agg(round(avg("rate_b"), 6).as("boot_mean"),
+          round(stddev_samp(col("rate_b")), 6).as("boot_sd"))
+      val point = lab.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("y"), 6).as("pass_rate"))
+      point.join(ci, "source")
+        .select(col("source"), col("n_docs"), col("pass_rate"),
+          col("boot_mean"), col("boot_sd"),
+          round(col("boot_sd") * 1.96, 6).as("ci95_halfwidth"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5248,6 +5298,46 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q167_bootstrap_ci" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        // 13-nibble positional hex decode of the replica hash (hexNum13
+        // pattern on an inline expression)
+        val hx = "md5(CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+        val dec = (1 to 13).map(i =>
+          s"(strpos('0123456789abcdef', substring($hx, $i, 1)) - 1) * ${1L << (4 * (13 - i))}")
+          .mkString("(", " + ", ")")
+        s"""WITH g AS (
+           |$gopher
+           |),
+           |l AS (SELECT g.doc_id, d.source,
+           |   CASE WHEN g.passes THEN 1.0 ELSE 0.0 END AS y
+           |  FROM g JOIN documents d USING (doc_id)),
+           |bs AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS b),
+           |e AS (SELECT l.source, bs.b, l.y,
+           |   CAST($dec AS DOUBLE) / 4503599627370496.0 AS u
+           |  FROM l, bs),
+           |wgt AS (SELECT source, b, y,
+           |   CASE WHEN u < 0.36787944117144233 THEN 0.0
+           |        WHEN u < 0.7357588823428847 THEN 1.0
+           |        WHEN u < 0.9196986029286058 THEN 2.0
+           |        WHEN u < 0.9810118431238462 THEN 3.0
+           |        WHEN u < 0.9963401531726563 THEN 4.0
+           |        WHEN u < 0.9994058151824183 THEN 5.0
+           |        WHEN u < 0.9999167588507119 THEN 6.0
+           |        ELSE 7.0 END AS w
+           |  FROM e),
+           |boot AS (SELECT source, b, sum(w * y) / sum(w) AS rate_b
+           |  FROM wgt GROUP BY source, b),
+           |ci AS (SELECT source, round(avg(rate_b), 6) AS boot_mean,
+           |   round(stddev_samp(rate_b), 6) AS boot_sd FROM boot GROUP BY source),
+           |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |   round(avg(y), 6) AS pass_rate FROM l GROUP BY source)
+           |SELECT pt.source, pt.n_docs, pt.pass_rate, ci.boot_mean, ci.boot_sd,
+           | round(ci.boot_sd * 1.96, 6) AS ci95_halfwidth
+           |FROM pt JOIN ci USING (source)""".stripMargin
+      },
 
       "q166_lexical_richness" ->
         s"""WITH tk AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c

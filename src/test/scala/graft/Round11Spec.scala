@@ -1091,6 +1091,58 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q167: bootstrap mean tracks the point rate; replica-0 matches a driver draw") {
+    val rows = SparkEntry.queries("q167_bootstrap_ci")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, rate, bm, sd) =>
+      assert(sd >= 0.0)
+      assert(math.abs(bm - rate) <= 5 * math.max(sd, 1e-3),
+        s"$src: bootstrap mean $bm far from point rate $rate (sd $sd)")
+    }
+    // independent replica-0 recompute for one source
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def pois(u: Double): Double =
+      if (u < 0.36787944117144233) 0.0 else if (u < 0.7357588823428847) 1.0
+      else if (u < 0.9196986029286058) 2.0 else if (u < 0.9810118431238462) 3.0
+      else if (u < 0.9963401531726563) 4.0 else if (u < 0.9994058151824183) 5.0
+      else if (u < 0.9999167588507119) 6.0 else 7.0
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val src0 = "src0"
+    val lab = graft.operators.TextAnalysis.gopherRules(
+        docs.where(col("source") === src0), col("doc_id"), col("text"))
+      .select(col("id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1.0 else 0.0))
+    val wts = lab.map { case (id, y) =>
+      val u = java.lang.Long.parseLong(md5hex(s"0:$id").take(13), 16)
+        .toDouble / 4503599627370496.0
+      (pois(u), y)
+    }
+    val expect0 = wts.map(p => p._1 * p._2).sum / wts.map(_._1).sum
+    // re-derive replica 0 from the query's internal dataflow shape
+    val engine0 = {
+      val rules = graft.operators.TextAnalysis.gopherRules(
+        docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+      val l2 = rules.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .where(col("source") === src0)
+      val u = conv(substring(md5(concat(lit("0:"), col("doc_id").cast("string"))),
+        1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+      val w = when(u < 0.36787944117144233, 0.0)
+        .when(u < 0.7357588823428847, 1.0).when(u < 0.9196986029286058, 2.0)
+        .when(u < 0.9810118431238462, 3.0).when(u < 0.9963401531726563, 4.0)
+        .when(u < 0.9994058151824183, 5.0).when(u < 0.9999167588507119, 6.0)
+        .otherwise(7.0)
+      l2.select(w.as("w"), when(col("passes"), 1.0).otherwise(0.0).as("y"))
+        .agg((sum(col("w") * col("y")) / sum("w")).as("r"))
+        .collect().head.getDouble(0)
+    }
+    assert(math.abs(engine0 - expect0) < 1e-9,
+      s"replica-0 rate diverges from the driver draw: $engine0 vs $expect0")
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
