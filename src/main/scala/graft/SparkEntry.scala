@@ -3396,6 +3396,47 @@ object SparkEntry {
           round(col("boot_sd") * 1.96, 6).as("ci95_halfwidth"))
     }),
 
+    "q168_dataset_card" -> ((s, dir) => {
+      // Per-source DATASET CARD: the one-row-per-source release digest a
+      // curated corpus ships with — volume (docs/tokens/chars), dominant
+      // language and its share, rule-gate pass rate, and exact-dup share
+      // — composed from slim per-source aggregates (every join is on the
+      // 20-row source dimension; the corpus is scanned by each component
+      // once). The packaging step after the q121-style pipeline: what a
+      // consumer reads before mixing the source in.
+      val docs = t(s, dir, "documents")
+      val vol = docs.select(col("source"), col("n_chars"),
+          size(split(lower(TextExprs.cleanText(col("text"))), " "))
+            .cast("long").as("_nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"),
+          round(avg("n_chars"), 2).as("avg_chars"))
+      val langs = docs.groupBy("source", "lang").agg(count(lit(1)).as("_lc"))
+      val topL = langs.groupBy("source").agg(max("_lc").as("_mx"))
+      val dominant = langs.join(topL, "source")
+        .where(col("_lc") === col("_mx"))
+        .groupBy("source", "_mx").agg(min("lang").as("top_lang"))
+      val rules = graft.operators.TextAnalysis.gopherRules(
+          docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(round(avg(when(col("passes"), 1.0).otherwise(0.0)), 6)
+          .as("pass_rate"))
+      val dups = docs.select(col("source"),
+          md5(TextExprs.cleanText(col("text"))).as("_h"))
+        .groupBy("source", "_h").agg(count(lit(1)).as("_hc"))
+        .groupBy("source")
+        .agg(round(sum(when(col("_hc") > 1, col("_hc")).otherwise(0L))
+            .cast("double") / sum("_hc"), 6).as("exact_dup_share"))
+      vol.join(dominant.select(col("source"), col("top_lang"), col("_mx")), "source")
+        .join(rules, "source").join(dups, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("avg_chars"),
+          col("top_lang"),
+          round(col("_mx").cast("double") / col("n_docs"), 6).as("top_lang_share"),
+          col("pass_rate"), col("exact_dup_share"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5298,6 +5339,40 @@ object SparkEntry {
           |SELECT '*' AS source, '*' AS lang, CAST(sum(n) AS BIGINT) AS n,
           | round(sum(sc) / sum(n), 2) AS avg_chars
           |FROM g WHERE n < 5 HAVING CAST(sum(n) AS BIGINT) >= 5""".stripMargin,
+
+      "q168_dataset_card" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        s"""WITH vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |   CAST(sum(len(string_split(lower(${cleanSql("text")}), ' '))) AS BIGINT)
+           |     AS n_tokens,
+           |   round(avg(n_chars), 2) AS avg_chars
+           |  FROM documents GROUP BY source),
+           |lg AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS lc
+           |  FROM documents GROUP BY 1, 2),
+           |tl AS (SELECT source, CAST(max(lc) AS BIGINT) AS mx FROM lg GROUP BY source),
+           |dom AS (SELECT lg.source, tl.mx, min(lg.lang) AS top_lang
+           |  FROM lg JOIN tl ON lg.source = tl.source AND lg.lc = tl.mx
+           |  GROUP BY 1, 2),
+           |g AS (
+           |$gopher
+           |),
+           |pr AS (SELECT d.source,
+           |   round(avg(CASE WHEN g.passes THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+           |  FROM g JOIN documents d USING (doc_id) GROUP BY d.source),
+           |dh AS (SELECT source, md5(${cleanSql("text")}) AS h,
+           |   CAST(count(*) AS BIGINT) AS hc FROM documents GROUP BY 1, 2),
+           |dup AS (SELECT source,
+           |   round(CAST(sum(CASE WHEN hc > 1 THEN hc ELSE 0 END) AS DOUBLE)
+           |     / sum(hc), 6) AS exact_dup_share
+           |  FROM dh GROUP BY source)
+           |SELECT vol.source, vol.n_docs, vol.n_tokens, vol.avg_chars,
+           | dom.top_lang, round(CAST(dom.mx AS DOUBLE) / vol.n_docs, 6)
+           |   AS top_lang_share,
+           | pr.pass_rate, dup.exact_dup_share
+           |FROM vol JOIN dom USING (source) JOIN pr USING (source)
+           |JOIN dup USING (source)""".stripMargin
+      },
 
       "q167_bootstrap_ci" -> {
         val gopher = TextAnalysis.gopherRulesOracleSql(

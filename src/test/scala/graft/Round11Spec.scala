@@ -1143,6 +1143,28 @@ class Round11Spec extends SparkSpec {
       s"replica-0 rate diverges from the driver draw: $engine0 vs $expect0")
   }
 
+  test("q168: card fields are internally consistent with their source queries") {
+    val rows = SparkEntry.queries("q168_dataset_card")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7)))
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == perSource.keySet, "one card row per source")
+    rows.foreach { case (src, n, topLang, share, pass, dup) =>
+      assert(n == perSource(src))
+      assert(share > 0.0 && share <= 1.0 && pass >= 0.0 && pass <= 1.0
+        && dup >= 0.0 && dup < 1.0)
+      // dominant language agrees with a direct count
+      val counts = docs.where(col("source") === src)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val best = counts.sortBy { case (l, c) => (-c, l) }.head
+      assert(topLang == best._1 && math.abs(share - best._2.toDouble / n) < 1e-6,
+        s"$src: dominant language diverges")
+    }
+  }
+
   test("q150: contingency cells partition each language; kappa within [-1, 1]") {
     val rows = SparkEntry.queries("q150_rater_agreement")(spark, sf()).collect()
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
