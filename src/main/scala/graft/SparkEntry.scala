@@ -1718,30 +1718,11 @@ object SparkEntry {
           round(VectorExprs.cosine(col("qv"), col("embedding")), 6).as("rel"))
         .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
         .collect()
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        r6(dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
-      val cand = pool.map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      while (picked.length < 5) {
-        val chosen = cand.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
-          val score =
-            if (picked.isEmpty) c._3
-            else lam * c._3 - (1 - lam) * picked.map { p =>
-              cos(c._2, cand.find(_._1 == p._1).get._2)
-            }.max
-          (c._1, score)
-        }.minBy { case (id, sc) => (-sc, id) }
-        picked += chosen
-      }
+      val cand = pool.toSeq.map(r =>
+        (r.getLong(0), r.getDouble(2), r.getSeq[Double](1)))
       val sp = s
       import sp.implicits._
-      picked.zipWithIndex
-        .map { case ((id, sc), i) => ((i + 1).toLong, id, r6(sc)) }.toSeq
+      graft.operators.Mmr.rerank(cand, k = 5, lam = lam)
         .toDF("rnk", "vec_id", "mmr_score")
     }),
 
@@ -2298,23 +2279,26 @@ object SparkEntry {
       // two languages (vec_id parity). Neighborhood stats and the final
       // best-match cut are bounded TopKAgg heaps (k=4 and k=1 — Q·k rows
       // shuffle, never Q·C), ranking on 6-dp-ROUNDED scores so both
-      // engines cut identically. Brute-force candidate generation is the
-      // oracle-checkable baseline (q30's posture); at 100 TB the
-      // candidate pairs come from the q123 ANN index instead and the
-      // margin/mining dataflow here is UNCHANGED.
+      // engines cut identically. Candidate generation is deterministic
+      // 8-plane LSH blocking (q34's md5-derived hyperplane buckets —
+      // DuckDB-replicable, so the twin scores the identical candidate
+      // set): x meets y only inside its bucket, an EQUI-join on the
+      // bucket key, so pair volume is Σ|bkt_x|·|bkt_y| ≈ |X||Y|/2^planes
+      // — never the |X|×|Y| crossJoin. At 100 TB candidates come from
+      // the q123 ANN index instead; the margin/mining dataflow is
+      // candidate-agnostic and UNCHANGED.
+      val planes = VectorExprs.deterministicPlanes(8, 64)
       val e = t(s, dir, "embeddings")
-      val xs = e.where(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
-      val ys = e.where(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
       // candidates = each x's forward top-4 (the paper mines within the
       // k-NN candidate set), so the margin/cut stage touches n·k rows and
-      // the corpus-sized similarity stream is consumed exactly TWICE (one
-      // bounded heap per direction); the forward heap's exchange serves
-      // both its average and the candidate rows (ReuseExchange)
-      val sims = xs.crossJoin(ys)
-        .select(col("x_id"), col("y_id"),
-          round(VectorExprs.cosine(col("xv"), col("yv")), 6).as("cos"))
+      // the candidate-sized similarity stream is consumed exactly TWICE
+      // (one bounded heap per direction); the forward heap's exchange
+      // serves both its average and the candidate rows (ReuseExchange)
+      val sims = graft.operators.Similarity.lshCandidatePairs(
+          e.where(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+          e.where(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"),
+          planes)
+        .select(col("id_a").as("x_id"), col("id_b").as("y_id"), col("cos"))
       val fTop = TopKAgg.perKey(sims, col("x_id"), col("cos"), col("y_id"), 4)
       val fwd = fTop.groupBy("_k").agg(avg("score").as("fwd_avg"))
         .select(col("_k").as("x_id"), col("fwd_avg"))
@@ -2528,30 +2512,11 @@ object SparkEntry {
       val pool = bm.join(emb, "doc_id")
         .orderBy(col("score").desc, col("doc_id").asc).limit(20)
         .collect()
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        r6(dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
-      val cand = pool.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
-      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-      while (picked.length < 5) {
-        val chosen = cand.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
-          val score =
-            if (picked.isEmpty) c._2
-            else lam * c._2 - (1 - lam) * picked.map { p =>
-              cos(c._3, cand.find(_._1 == p._1).get._3)
-            }.max
-          (c._1, score)
-        }.minBy { case (id, sc) => (-sc, id) }
-        picked += chosen
-      }
+      val cand = pool.toSeq.map(r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))
       val sp = s
       import sp.implicits._
-      picked.zipWithIndex
-        .map { case ((id, sc), i) => ((i + 1).toLong, id, r6(sc)) }.toSeq
+      graft.operators.Mmr.rerank(cand, k = 5, lam = lam)
         .toDF("rnk", "doc_id", "mmr_score")
     }),
 
@@ -2683,31 +2648,25 @@ object SparkEntry {
       // endpoints pick each other (mutuality prunes hub noise — the
       // NN-descent/graph-clustering baseline), connected components
       // label the clusters, singletons keep their own id. Candidate
-      // generation is the oracle-checkable brute-force (q30 posture);
-      // at 100 TB candidates come from the q123 IVF index and the
-      // downstream — per-node ranking (PARTITIONED window, scales with
-      // nodes), n·k mutuality self-join, CC — is UNCHANGED.
+      // generation is deterministic 8-plane LSH BLOCKING (q34's
+      // md5-derived hyperplane buckets — DuckDB-replicable, so the twin
+      // ranks the identical candidate set): pairs meet only inside
+      // their bucket, an EQUI-join on the bucket key, so the pair
+      // volume is Σ|bucket|² ≈ n²/2^planes, never the n² crossJoin.
+      // At 100 TB candidates come from the q123 IVF index instead and
+      // the downstream — per-node bounded-heap top-k, n·k mutuality
+      // self-join, CC — is UNCHANGED.
+      val planes = VectorExprs.deterministicPlanes(8, 64)
       val e = t(s, dir, "embeddings")
-      // hoist each side's norm ONCE per row (n + n sqrt passes) so the
-      // n² join pays a single dot fold per pair — bit-identical to
-      // cosine()'s sxy/(√sxx·√syy) association
-      // the corpus parquet is one small file = ONE input split; without a
-      // repartition the whole n² fold would run on a single task
-      val a = e.repartition(32)
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-          VectorExprs.normNative(col("embedding")).as("_na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        VectorExprs.normNative(col("embedding")).as("_nb"))
-      val sims = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(VectorExprs.cosineHoisted(col("va"), col("vb"),
-            col("_na"), col("_nb")), 6).as("cos"))
+      val sims = graft.operators.Similarity.lshCandidatePairs(
+        e, col("vec_id"), col("embedding"),
+        e, col("vec_id"), col("embedding"), planes)
       // bounded heap, NOT a window: partial aggregation reduces every map
-      // partition to ≤4 rows per node before the shuffle, so the n² score
-      // stream is never exchanged or sorted (TopKAgg tie-break = the
+      // partition to ≤4 rows per node before the shuffle, so the bucketed
+      // score stream is never exchanged or sorted (TopKAgg tie-break = the
       // window's (cos DESC, id ASC)); the n·k result is checkpointed
       // eagerly because BOTH mutuality sides and CC read it — without the
-      // pin the self-join re-evaluates the whole n² pipeline
+      // pin the self-join re-evaluates the whole candidate pipeline
       val topk = graft.operators.TopKAgg
         .perKey(sims, col("id_a"), col("cos"), col("id_b"), 4)
         .select(col("_k").as("id_a"), col("id").as("id_b"))
@@ -2805,14 +2764,18 @@ object SparkEntry {
     }),
 
     "q151_bloom_decontaminate" -> ((s, dir) => {
-      // TWO-STAGE decontamination: a 16384-bit / 4-hash Bloom filter
+      // TWO-STAGE decontamination: a 2^18-bit / 4-hash Bloom filter
       // over the benchmark's 5-gram shingles prefilters the train side,
-      // then exact membership verifies only the candidates. At 100 TB
-      // the benchmark set is small and the bloom rides along as a
-      // BROADCAST (here: its ≤16384-row set-bit table) — the train
-      // shingle stream is filtered scan-side and NEVER shuffled against
-      // the benchmark; the exact join touches candidate shingles only.
-      // All hashing is md5-derived (positions = hex4(md5(j:h)) mod 2^14)
+      // then exact membership verifies only the candidates. Sizing
+      // follows the ~20-bits/element rule the repo's ScaleProbe bloom
+      // mode measured (2^14 saturated at 95% fill on the sf0.1 shingle
+      // set and prefiltered NOTHING; 2^18 keeps fill in the selective
+      // regime). At 100 TB the benchmark set is small and the bloom
+      // rides along as a BROADCAST (here: its set-bit table, bounded by
+      // 4·|bench| ≤ 2^18 rows) — the train shingle stream is filtered
+      // scan-side and NEVER shuffled against the benchmark; the exact
+      // join touches candidate shingles only.
+      // All hashing is md5-derived (positions = hex5(md5(j:h)) mod 2^18)
       // so the DuckDB twin runs the identical bloom. One-sided by
       // construction: exact hits ⊆ bloom hits; `bloom_fp_only` marks
       // docs the bloom flagged that exact verify clears — the measured
@@ -2828,8 +2791,8 @@ object SparkEntry {
         .localCheckpoint(true)
       val js = array((0 until 4).map(j => lit(j)): _*)
       def pos(j: Column, h: Column): Column =
-        conv(substring(md5(concat(j.cast("string"), lit(":"), h)), 1, 4), 16, 10)
-          .cast("long") % 16384
+        conv(substring(md5(concat(j.cast("string"), lit(":"), h)), 1, 5), 16, 10)
+          .cast("long") % 262144
       val bits = bench.select(explode(js).as("j"), col("h"))
         .select(pos(col("j"), col("h")).as("pos")).distinct()
       val train = sh.where(col("doc_id") % 20 =!= 0)
@@ -5090,13 +5053,22 @@ object SparkEntry {
       },
 
       "q147_knn_graph" -> {
+        // LSH-bucket candidate blocking replicated with the SAME plane
+        // constants the Spark side uses (q34/q153 twin pattern)
+        val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+        def planeDot(v: String, p: Seq[Double]): String =
+          s"list_sum(list_transform(range(1,65), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n   + ")
         def nrm(v: String): String =
           s"sqrt(list_sum(list_transform(range(1, 65), i -> $v[i] * $v[i])))"
-        s"""WITH RECURSIVE c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s"""WITH RECURSIVE c AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
            |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |   round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
            |    (${nrm("a.v")} * ${nrm("b.v")}), 6) AS cos
-           |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+           |  FROM c a JOIN c b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
            |t AS (SELECT id_a, id_b,
            |   row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
            |  FROM s QUALIFY rn <= 4),
@@ -5172,11 +5144,12 @@ object SparkEntry {
            |FROM f GROUP BY source""".stripMargin,
 
       "q151_bloom_decontaminate" -> {
-        // 4-nibble positional hex decode (hexNum13 pattern at width 4)
-        def hex4(x: String): String = (1 to 4).map(i =>
-          s"(strpos('0123456789abcdef', substring($x, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        // 5-nibble positional hex decode (hexNum13 pattern at width 5) —
+        // 20 hash bits feed the 2^18-bit filter (probed ~20-bits/element)
+        def hex5(x: String): String = (1 to 5).map(i =>
+          s"(strpos('0123456789abcdef', substring($x, $i, 1)) - 1) * ${1 << (4 * (5 - i))}")
           .mkString("(", " + ", ")")
-        val ph = hex4("md5(CAST(j AS VARCHAR) || ':' || h)")
+        val ph = hex5("md5(CAST(j AS VARCHAR) || ':' || h)")
         s"""WITH docs0 AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
            |  FROM documents),
            |d5 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
@@ -5185,9 +5158,9 @@ object SparkEntry {
            |u AS (SELECT doc_id, substring(md5(unnest(s)), 1, 16) AS h FROM d5),
            |b AS (SELECT DISTINCT h FROM u WHERE doc_id % 20 = 0),
            |js AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS j),
-           |bits AS (SELECT DISTINCT CAST($ph % 16384 AS BIGINT) AS pos FROM b, js),
+           |bits AS (SELECT DISTINCT CAST($ph % 262144 AS BIGINT) AS pos FROM b, js),
            |tr AS (SELECT DISTINCT doc_id, h FROM u WHERE doc_id % 20 <> 0),
-           |hp AS (SELECT doc_id, h, j, CAST($ph % 16384 AS BIGINT) AS pos FROM tr, js),
+           |hp AS (SELECT doc_id, h, j, CAST($ph % 262144 AS BIGINT) AS pos FROM tr, js),
            |hit AS (SELECT doc_id, h FROM hp JOIN bits USING (pos)
            |  GROUP BY doc_id, h HAVING count(*) = 4),
            |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
@@ -5603,16 +5576,24 @@ object SparkEntry {
             |FROM p5, tt""".stripMargin
       },
 
-      "q135_margin_mining" ->
-        """WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
-          |  FROM embeddings WHERE vec_id % 2 = 0),
-          |y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
-          |  FROM embeddings WHERE vec_id % 2 = 1),
+      "q135_margin_mining" -> {
+        // LSH-bucket candidate blocking with the SAME plane constants the
+        // Spark side uses (q34/q147/q153 twin pattern)
+        val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+        def planeDot(v: String, p: Seq[Double]): String =
+          s"list_sum(list_transform(range(1,65), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n   + ")
+        s"""WITH e AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt
+          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+          |x AS (SELECT vec_id AS x_id, v AS xv, bkt FROM e WHERE vec_id % 2 = 0),
+          |y AS (SELECT vec_id AS y_id, v AS yv, bkt FROM e WHERE vec_id % 2 = 1),
           |s AS (SELECT x_id, y_id,
           |   round(list_sum(list_transform(range(1, 65), i -> xv[i] * yv[i])) /
           |   (sqrt(list_sum(list_transform(range(1, 65), i -> xv[i] * xv[i]))) *
           |    sqrt(list_sum(list_transform(range(1, 65), i -> yv[i] * yv[i])))), 6) AS cos
-          |  FROM x CROSS JOIN y),
+          |  FROM x JOIN y USING (bkt)),
           |f0 AS (SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY x_id
           |     ORDER BY cos DESC, y_id ASC) AS rnf FROM s),
           |f AS (SELECT x_id, avg(cos) AS fwd_avg FROM f0
@@ -5629,7 +5610,8 @@ object SparkEntry {
           |  SELECT x_id, y_id, margin,
           |   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rn
           |  FROM m)
-          |WHERE rn = 1 AND margin > 1.02""".stripMargin,
+          |WHERE rn = 1 AND margin > 1.02""".stripMargin
+      },
 
       "q136_quantile_calibrate" ->
         """WITH d AS (SELECT doc_id, source, n_chars FROM documents),

@@ -105,4 +105,31 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Deterministic hyperplane-LSH candidate pairs: score `left` × `right`
+    * only where both land in the SAME sign-bit bucket — an EQUI-join on
+    * the packed bucket key, so the pair volume is Σ|bkt_l|·|bkt_r| ≈
+    * |L|·|R| / 2^planes and the plan is a shuffled hash/sort-merge join
+    * that scales with data, never a CartesianProduct. Norms are hoisted
+    * once per input row (the [[VectorExprs.cosineHoisted]] posture), and
+    * the bucket is md5-plane-deterministic, so a DuckDB twin can replicate
+    * the exact candidate set (q34/q153's generated-SQL pattern).
+    *
+    * Returns (id_a, id_b, cos) with cos rounded to 6 dp; self-pairs
+    * (id_a = id_b) are dropped. Candidate recall is governed by the plane
+    * count: fewer planes → bigger buckets → higher recall and cost. */
+  def lshCandidatePairs(left: DataFrame, leftId: Column, leftVec: Column,
+                        right: DataFrame, rightId: Column, rightVec: Column,
+                        planes: Seq[Seq[Double]]): DataFrame = {
+    def side(df: DataFrame, id: Column, v: Column, out: String) =
+      df.select(id.as(s"id_$out"), v.as(s"v$out"),
+        VectorExprs.normNative(v).as(s"_n$out"),
+        VectorExprs.hyperplaneBucket(v, planes).as("_bkt"))
+    val a = side(left, leftId, leftVec, "a")
+    val b = side(right, rightId, rightVec, "b")
+    a.join(b, Seq("_bkt")).where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExprs.cosineHoisted(col("va"), col("vb"),
+          col("_na"), col("_nb")), 6).as("cos"))
+  }
 }

@@ -271,6 +271,30 @@ class PlanSpec extends SparkSpec {
     assert(diffs.isEmpty, s"scan-count regressions:\n${diffs.mkString("\n")}")
   }
 
+  test("q135/q147: LSH candidate generation is an equi-join — no cross join in any plan") {
+    // the r11-weak n² folds: candidates must meet through the bucket
+    // equi-join (shuffled hash/sort-merge), never CartesianProduct or
+    // BroadcastNestedLoopJoin. q135's final plan contains the candidate
+    // stage directly; q147's hides behind the top-k checkpoint, so the
+    // shared operator is asserted on its own plan too.
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings")
+    val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+    val cand = graft.operators.Similarity.lshCandidatePairs(
+      e, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), planes)
+    for ((name, p) <- Seq(
+        ("lshCandidatePairs", cand.queryExecution.executedPlan.toString),
+        ("q135", executed("q135_margin_mining")))) {
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan a nested-loop join:\n${p.take(800)}")
+    }
+    assert(cand.queryExecution.executedPlan.toString.contains("_bkt"),
+      "candidate join must key on the LSH bucket")
+  }
+
   test("q102: vocab rank plans no Window; only partial-agg rows converge") {
     val p = executed("q102_zipf")
     assert(!p.contains("Window"),

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 units: the factored MMR greedy (shared by q118/q143). */
+class Round12Spec extends AnyFunSuite {
+
+  private def v(xs: Double*): Seq[Double] = xs.toSeq
+
+  test("mmr: first pick is max relevance, tie broken on lowest id") {
+    val pool = Seq(
+      (3L, 0.9, v(1, 0, 0)),
+      (1L, 0.9, v(0, 1, 0)),
+      (2L, 0.5, v(0, 0, 1)))
+    val out = Mmrt(pool, 1)
+    assert(out.map(_._2) == Seq(1L))
+  }
+
+  test("mmr: near-duplicate of the first pick is penalized below a diverse item") {
+    // id 2 is relevance-second but almost collinear with id 1; id 3 is
+    // orthogonal. λ=0.5: score(2) = .5·.89 − .5·cos≈1 < score(3) = .5·.6
+    val pool = Seq(
+      (1L, 0.90, v(1.0, 0.0, 0.0)),
+      (2L, 0.89, v(0.999, 0.01, 0.0)),
+      (3L, 0.60, v(0.0, 1.0, 0.0)))
+    val out = graft.operators.Mmr.rerank(pool, k = 2, lam = 0.5)
+    assert(out.map(_._2) == Seq(1L, 3L), s"got $out")
+  }
+
+  test("mmr: k beyond pool size returns every candidate exactly once, ranks contiguous") {
+    val pool = Seq((1L, 0.3, v(1, 0)), (2L, 0.2, v(0, 1)), (3L, 0.1, v(1, 1)))
+    val out = Mmrt(pool, 10)
+    assert(out.map(_._2).sorted == Seq(1L, 2L, 3L))
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("mmr: matches an independent naive recompute on a 12-candidate pool") {
+    // deterministic pseudo-pool (no RNG — md5-free arithmetic mix)
+    val pool = (1 to 12).map { i =>
+      val vec = (0 until 4).map(d => math.sin(i * 7 + d * 3) + 0.1 * d)
+      (i.toLong, math.abs(math.cos(i * 5)) / 1.3, vec)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val lam = 0.7
+    var picked = Vector.empty[(Long, Double)]
+    while (picked.length < 5) {
+      val best = pool.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
+        val s = if (picked.isEmpty) c._2
+          else lam * c._2 - (1 - lam) *
+            picked.map(p => cos(c._3, pool.find(_._1 == p._1).get._3)).max
+        (c._1, s)
+      }.minBy { case (id, s) => (-s, id) }
+      picked :+= best
+    }
+    val want = picked.zipWithIndex.map { case ((id, s), i) => ((i + 1).toLong, id, r6(s)) }
+    assert(graft.operators.Mmr.rerank(pool, 5, lam) == want)
+  }
+
+  private def Mmrt(pool: Seq[(Long, Double, Seq[Double])], k: Int) =
+    graft.operators.Mmr.rerank(pool, k, lam = 0.7)
+}
