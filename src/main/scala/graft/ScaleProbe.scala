@@ -798,6 +798,9 @@ object ScaleProbe {
       .where(col("id_a") < col("id_b"))
       .localCheckpoint(true)
     val nMutual = mutual.count()
+    // an empty mutual graph would make the share check below vacuously
+    // true (0 >= 0.99·0) AND print NaN — fail loudly instead
+    assert(nMutual > 0, "mutual-kNN graph must not be empty")
     val intra = mutual.where(expr(s"id_a DIV $rep = id_b DIV $rep")).count()
     println(f"[probe] knn: top-4 + mutuality ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"($nMutual mutual edges, intra-family share ${intra.toDouble / nMutual}%.4f)")

@@ -66,6 +66,11 @@ object SparkEntry {
   private def isFillerSql(e: String): String =
     s"lower(trim(coalesce($e, ''))) IN ($fillerList)"
 
+  /** DuckDB twin of TextExprs.tokenCount — empty tokens dropped, so the
+    * whole suite shares ONE token-counting convention. */
+  private def tokenCountSql(e: String): String =
+    s"CAST(len(list_filter(string_split(lower(${cleanSql(e)}), ' '), t -> t <> '')) AS BIGINT)"
+
   /** DuckDB twin of Spark's `conv(substring(h, 1, 13), 16, 10)`: decode the
     * first 13 hex nibbles of column `h` positionally (the q28 strpos-on-hex
     * pattern). 13 nibbles = 52 bits, exactly representable as DOUBLE. */
@@ -3192,8 +3197,7 @@ object SparkEntry {
       // identical across engines (Spark's double→long cast truncates,
       // DuckDB's rounds).
       val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        size(split(lower(TextExprs.cleanText(col("text"))), " "))
-          .cast("long").as("n_tokens"))
+        TextExprs.tokenCount(col("text")).as("n_tokens"))
       val caps = graft.operators.Percentiles.exactByGroup(
           toks, col("source"), col("n_tokens"), Seq(0.9), Seq("p90"))
         .select(col("group").as("source"), col("p90"))
@@ -3217,8 +3221,7 @@ object SparkEntry {
       // singletons default to weight 1.
       val docs = t(s, dir, "documents")
       val ntok = docs.select(col("doc_id"), col("source"),
-        size(split(lower(TextExprs.cleanText(col("text"))), " "))
-          .cast("long").as("n_toks"))
+        TextExprs.tokenCount(col("text")).as("n_toks"))
       val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
           shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
         .select("id_a", "id_b")
@@ -3343,20 +3346,26 @@ object SparkEntry {
         .when(u < 0.9994058151824183, 5.0)
         .when(u < 0.9999167588507119, 6.0)
         .otherwise(7.0)
+      // a replica whose Poisson weights all draw 0 (realistic only for a
+      // very small source) carries no estimate: guard the ratio EXPLICITLY
+      // and surface how many replicas actually contributed — a CI built on
+      // fewer replicas than requested should say so, not silently narrow
       val boot = lab.select(col("source"), col("doc_id"), col("y"),
           explode(reps).as("b"))
         .select(col("source"), col("b"), col("y"), w.as("w"))
         .groupBy("source", "b")
-        .agg((sum(col("w") * col("y")) / sum("w")).as("rate_b"))
+        .agg(when(sum("w") > 0, sum(col("w") * col("y")) / sum("w")).as("rate_b"))
       val ci = boot.groupBy("source")
         .agg(round(avg("rate_b"), 6).as("boot_mean"),
-          round(stddev_samp(col("rate_b")), 6).as("boot_sd"))
+          round(stddev_samp(col("rate_b")), 6).as("boot_sd"),
+          count(col("rate_b")).as("n_eff_replicas"))
       val point = lab.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), round(avg("y"), 6).as("pass_rate"))
       point.join(ci, "source")
         .select(col("source"), col("n_docs"), col("pass_rate"),
           col("boot_mean"), col("boot_sd"),
-          round(col("boot_sd") * 1.96, 6).as("ci95_halfwidth"))
+          round(col("boot_sd") * 1.96, 6).as("ci95_halfwidth"),
+          col("n_eff_replicas"))
     }),
 
     "q168_dataset_card" -> ((s, dir) => {
@@ -3369,8 +3378,7 @@ object SparkEntry {
       // consumer reads before mixing the source in.
       val docs = t(s, dir, "documents")
       val vol = docs.select(col("source"), col("n_chars"),
-          size(split(lower(TextExprs.cleanText(col("text"))), " "))
-            .cast("long").as("_nt"))
+          TextExprs.tokenCount(col("text")).as("_nt"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"),
           round(avg("n_chars"), 2).as("avg_chars"))
@@ -3875,6 +3883,8 @@ object SparkEntry {
            | count(*) AS n_copies
            |FROM documents GROUP BY 1""".stripMargin,
 
+      // all-pairs exact twin of the banded-LSH engine path — recall caveat
+      // documented at q159's oracle entry (≈2e-5 per at-threshold pair)
       "q27_minhash_neardup" ->
         s"""$shingleCte,
            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5317,8 +5327,7 @@ object SparkEntry {
         val gopher = TextAnalysis.gopherRulesOracleSql(
           "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
         s"""WITH vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |   CAST(sum(len(string_split(lower(${cleanSql("text")}), ' '))) AS BIGINT)
-           |     AS n_tokens,
+           |   CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS n_tokens,
            |   round(avg(n_chars), 2) AS avg_chars
            |  FROM documents GROUP BY source),
            |lg AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS lc
@@ -5376,14 +5385,17 @@ object SparkEntry {
            |        WHEN u < 0.9999167588507119 THEN 6.0
            |        ELSE 7.0 END AS w
            |  FROM e),
-           |boot AS (SELECT source, b, sum(w * y) / sum(w) AS rate_b
+           |boot AS (SELECT source, b,
+           |   CASE WHEN sum(w) > 0 THEN sum(w * y) / sum(w) END AS rate_b
            |  FROM wgt GROUP BY source, b),
            |ci AS (SELECT source, round(avg(rate_b), 6) AS boot_mean,
-           |   round(stddev_samp(rate_b), 6) AS boot_sd FROM boot GROUP BY source),
+           |   round(stddev_samp(rate_b), 6) AS boot_sd,
+           |   CAST(count(rate_b) AS BIGINT) AS n_eff_replicas
+           |  FROM boot GROUP BY source),
            |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            |   round(avg(y), 6) AS pass_rate FROM l GROUP BY source)
            |SELECT pt.source, pt.n_docs, pt.pass_rate, ci.boot_mean, ci.boot_sd,
-           | round(ci.boot_sd * 1.96, 6) AS ci95_halfwidth
+           | round(ci.boot_sd * 1.96, 6) AS ci95_halfwidth, ci.n_eff_replicas
            |FROM pt JOIN ci USING (source)""".stripMargin
       },
 
@@ -5427,6 +5439,9 @@ object SparkEntry {
            |SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, score
            |FROM h WHERE rnk <= 5""".stripMargin,
 
+      // all-pairs exact twin of a banded-LSH engine path — see the recall
+      // caveat at q159's oracle entry (misses a band collision with
+      // ≈2e-5 probability per exactly-at-threshold pair)
       "q164_effective_tokens" ->
         s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5442,7 +5457,7 @@ object SparkEntry {
            |csz AS (SELECT component, CAST(count(*) AS BIGINT) AS csz
            |  FROM comp GROUP BY component),
            |nt AS (SELECT doc_id, source,
-           |   CAST(len(string_split(lower(${cleanSql("text")}), ' ')) AS BIGINT) AS n_toks
+           |   ${tokenCountSql("text")} AS n_toks
            |  FROM documents),
            |w AS (SELECT nt.source, nt.n_toks, coalesce(csz.csz, 1) AS csz
            |  FROM nt LEFT JOIN comp USING (doc_id) LEFT JOIN csz USING (component))
@@ -5455,7 +5470,7 @@ object SparkEntry {
 
       "q163_length_winsorize" ->
         s"""WITH d AS (SELECT doc_id, source,
-           |   CAST(len(string_split(lower(${cleanSql("text")}), ' ')) AS BIGINT) AS n_tokens
+           |   ${tokenCountSql("text")} AS n_tokens
            |  FROM documents),
            |c AS (SELECT source, quantile_cont(n_tokens, 0.9) AS p90
            |  FROM d GROUP BY source)
@@ -5519,6 +5534,14 @@ object SparkEntry {
            | round(CAST(len(tgt) AS DOUBLE) / n, 4) AS mask_rate
            |FROM g""".stripMargin,
 
+      // RECALL CAVEAT (shared by q27/q164): the engine generates pairs via
+      // 16-band × 2-row minhash LSH + exact-Jaccard verify, while this twin
+      // enumerates ALL pairs exactly (the band hash is Spark Murmur3 —
+      // not DuckDB-replicable). A true pair AT the 0.7 threshold collides
+      // in no band with prob (1 − 0.7²)^16 ≈ 2e-5, so parity could flake
+      // on a fixture whose near-threshold pair count is ~5 orders larger
+      // than today's (sf0.01: 37 true pairs, all well above threshold).
+      // Precision needs no caveat: every emitted pair is exact-verified.
       "q159_leakage_split" ->
         s"""$shingleCte,
            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

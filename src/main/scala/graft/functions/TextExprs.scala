@@ -28,6 +28,15 @@ object TextExprs {
   def cleanText(c: Column): Column =
     graft.plans.CleanText.clean(coalesce(c, lit("")))
 
+  /** Whitespace token COUNT over [[cleanText]]'d lowercased text with empty
+    * tokens dropped — THE counting convention shared by every token-
+    * accounting query (the token streams q148/q152/q161/q166 aggregate
+    * filter `tok != ''`; a whitespace-only doc counts 0 tokens, never 1),
+    * so per-source n_tokens agrees suite-wide. Twin SQL:
+    * `len(list_filter(string_split(lower(<clean>), ' '), t -> t <> ''))`. */
+  def tokenCount(c: Column): Column =
+    size(filter(split(lower(cleanText(c)), " "), t => t =!= "")).cast("long")
+
   /** The original two-regex form — the oracle-twin semantics reference. */
   def cleanTextRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), AstralRegex, ""), "\\s+", " "))
