@@ -271,6 +271,19 @@ class PlanSpec extends SparkSpec {
     assert(diffs.isEmpty, s"scan-count regressions:\n${diffs.mkString("\n")}")
   }
 
+  test("q27: JaccardBoundRule's size bound guards the exact verify in the executed plan") {
+    // the session runs with GraftExtensions, so the injected optimizer
+    // rule must conjoin the O(1) size test ahead of the O(n) merge in the
+    // REAL dedup plan — the threshold lives in the verify join's
+    // condition (pushed there by PushPredicateThroughJoin), and the
+    // bounded=true flag marks the rewrite applied exactly once
+    val p = executed("q27_minhash_neardup")
+    assert(p.contains("* cast(size("),
+      s"implied size bound missing from the verify condition:\n${p.take(1200)}")
+    assert(p.contains("jaccard_sorted(shh_a") && p.contains(", true) >= 0.7"),
+      s"threshold must evaluate the bounded jaccard:\n${p.take(1200)}")
+  }
+
   test("q135/q147: LSH candidate generation is an equi-join — no cross join in any plan") {
     // the r11-weak n² folds: candidates must meet through the bucket
     // equi-join (shuffled hash/sort-merge), never CartesianProduct or

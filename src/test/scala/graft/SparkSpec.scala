@@ -15,6 +15,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production session shape: engine extensions active, so plan
+      // specs assert what Verify/Bench actually execute
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
