@@ -7,14 +7,52 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
     width: Int, height: Int, n_frames: Int)
 
+/** Codec seam: the two per-payload calls a real multimodal pipeline
+  * implements with JNI/FFI or a per-partition subprocess (libjpeg/ffmpeg/
+  * a vision encoder). Implementations MUST be serializable — the instance
+  * ships to executors inside the mapPartitions closures; a heavyweight
+  * native handle should live in a lazy transient field so each executor
+  * opens it once, not per serialization. */
+trait MediaCodec extends Serializable {
+  /** Container metadata for one payload (dimensions, frame count). */
+  def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta
+  /** Dense feature vector for one payload (the encoder forward pass). */
+  def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int): MediaFeature
+}
+
+/** The default codec: a deterministic offline STUB (this container ships
+  * no image/audio libs). Metadata derives from the byte stream and the
+  * feature is an L2-normalized byte histogram — fake but stable, so every
+  * downstream operator (frame sampling, resize math, cosine/LSH dedup over
+  * the features) is testable without a native dependency. */
+object StubCodec extends MediaCodec {
+  override def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(id, kind, n, (64 + n % 576).toInt, (64 + (n * 31) % 576).toInt, (1 + n % 120).toInt)
+  }
+  override def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int): MediaFeature = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) { acc((bytes(i) & 0xFF) % dim) += 1f; i += 1 }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
+    val n = math.sqrt(norm)
+    if (n > 0) { j = 0; while (j < dim) { acc(j) = (acc(j) / n).toFloat; j += 1 } }
+    MediaFeature(id, kind, acc)
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded executor-side in partition batches.
   *
   * The Spark-side shape is real — binary payload column, typed Dataset
   * decode over mapPartitions (the Scala analog of a pandas-UDF batch),
-  * partition-parallel, no driver collect. The codec call itself is STUBBED
-  * with a deterministic fake (this container ships no image/audio libs);
-  * swap `decodeOne` for a real codec and nothing else changes.
+  * partition-parallel, no driver collect. The codec is a pluggable
+  * [[MediaCodec]] seam defaulting to the deterministic [[StubCodec]]; a
+  * real JNI/subprocess codec drops in per call site and nothing else
+  * changes (operator schemas, partitioning, and batch shape are
+  * codec-independent).
   */
 object Multimodal {
 
@@ -27,21 +65,14 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"))
 
-  /** STUB decode: a real pipeline calls the codec here (JNI/FFI or a
-    * subprocess per partition). Deterministic fake metadata derived from the
-    * byte stream keeps the operator testable offline. */
-  private def decodeOne(id: Long, bytes: Array[Byte], kind: String): MediaMeta = {
-    val n = bytes.length.toLong
-    MediaMeta(id, kind, n, (64 + n % 576).toInt, (64 + (n * 31) % 576).toInt, (1 + n % 120).toInt)
-  }
-
   /** Decode metadata for every payload — executor-side, batched per
-    * partition, returns a typed Dataset. */
-  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    * partition, returns a typed Dataset. The codec is injectable; the
+    * default is the deterministic offline stub. */
+  def decodeMeta(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "payload", "kind").as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, bytes, kind) => decodeOne(id, bytes, kind) })
+      .mapPartitions(_.map { case (id, bytes, kind) => codec.decodeMeta(id, bytes, kind) })
   }
 
   /** Frame sampling for video-kind rows: one output row per sampled frame
@@ -69,26 +100,18 @@ object Multimodal {
     }
   }
 
-  /** Feature-extraction stage: payload → dense embedding. The real pipeline
-    * calls a vision/audio encoder here; the stub folds a byte histogram
-    * into `dim` L2-normalized floats — deterministic, so the downstream
-    * similarity/dedup operators (cosine top-k, embedding LSH) are testable
-    * on its output. Executor-side partition batches, like a real encoder. */
-  def featureExtract(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+  /** Feature-extraction stage: payload → dense embedding via the codec's
+    * encoder call (default: the stub's L2-normalized byte histogram —
+    * deterministic, so the downstream similarity/dedup operators are
+    * testable on its output). Executor-side partition batches, like a real
+    * encoder. */
+  def featureExtract(media: DataFrame, dim: Int = 16,
+                     codec: MediaCodec = StubCodec): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "payload", "kind").as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, kind) =>
-        val acc = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) { acc((bytes(i) & 0xFF) % dim) += 1f; i += 1 }
-        var norm = 0.0
-        var j = 0
-        while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
-        val n = math.sqrt(norm)
-        if (n > 0) { j = 0; while (j < dim) { acc(j) = (acc(j) / n).toFloat; j += 1 } }
-        MediaFeature(id, kind, acc)
-      })
+        codec.encodeFeature(id, bytes, kind, dim) })
   }
 }
 

@@ -1,9 +1,8 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
-/** Round-12 units: the factored MMR greedy (shared by q118/q143). */
-class Round12Spec extends AnyFunSuite {
+/** Round-12 units: the factored MMR greedy (shared by q118/q143) and the
+  * pluggable multimodal codec seam. */
+class Round12Spec extends SparkSpec {
 
   private def v(xs: Double*): Seq[Double] = xs.toSeq
 
@@ -62,4 +61,31 @@ class Round12Spec extends AnyFunSuite {
 
   private def Mmrt(pool: Seq[(Long, Double, Seq[Double])], k: Int) =
     graft.operators.Mmr.rerank(pool, k, lam = 0.7)
+
+  test("multimodal: a custom MediaCodec drops into decode and feature stages") {
+    import graft.multimodal._
+    import org.apache.spark.sql.functions._
+    object FixedCodec extends MediaCodec {
+      override def decodeMeta(id: Long, bytes: Array[Byte], kind: String) =
+        MediaMeta(id, kind, bytes.length.toLong, 7, 9, 3)
+      override def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int) = {
+        val v = new Array[Float](dim); v(0) = 1f; MediaFeature(id, kind, v)
+      }
+    }
+    val media = Multimodal.packFake(
+      graft.sources.Tables.table(spark, sf(), "documents").limit(12))
+    val meta = Multimodal.decodeMeta(media, FixedCodec).collect()
+    assert(meta.nonEmpty && meta.forall(m => m.width == 7 && m.height == 9 && m.n_frames == 3))
+    val feats = Multimodal.featureExtract(media, dim = 4, codec = FixedCodec).collect()
+    assert(feats.nonEmpty && feats.forall(f => f.embedding.toSeq == Seq(1f, 0f, 0f, 0f)))
+    // the default codec is the deterministic stub — q32/q41's oracle-pinned
+    // behavior: spot-check one row against a direct StubCodec call
+    val row = media.select(col("doc_id"), col("payload"), col("kind"))
+      .orderBy("doc_id").limit(1).collect().head
+    val direct = StubCodec.decodeMeta(row.getLong(0),
+      row.getAs[Array[Byte]](1), row.getString(2))
+    val viaOp = Multimodal.decodeMeta(media)
+      .where(col("doc_id") === row.getLong(0)).collect().head
+    assert(viaOp == direct)
+  }
 }
