@@ -2176,6 +2176,10 @@ object SparkEntry {
         e.where(col("vec_id") % 10 =!= 0), col("vec_id"), col("embedding"), ixDir)
       graft.operators.AnnIndex.append(
         s, ixDir, e.where(col("vec_id") % 10 === 0), col("vec_id"), col("embedding"))
+      // maintenance pass under the same hash gate: rewriting the multi-
+      // fragment cells (build + append = 2 files each) must be invisible
+      // to the query — compact ≡ append ≡ from-scratch
+      graft.operators.AnnIndex.compact(s, ixDir, maxFragments = 1)
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"))

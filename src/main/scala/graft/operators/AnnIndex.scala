@@ -102,6 +102,45 @@ object AnnIndex {
       .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
   }
 
+  /** Compact the cell-partitioned codes artifact: every cell whose parquet
+    * fragment count exceeds `maxFragments` is rewritten into ONE fragment —
+    * content-identical, zero refit, untouched cells keep their files. The
+    * maintenance pass of the [[append]] ingest loop: each append lands one
+    * file per written cell, and after enough batches the probe path pays a
+    * small-file open per fragment instead of a streaming scan. Rewrites go
+    * to a temp dir first and swap in via rename, so a concurrent reader
+    * never observes a half-written cell; per-cell work is bounded by that
+    * cell's rows and the directory listing by the coarse k — never the
+    * corpus. Returns the compacted cell ids. */
+  def compact(spark: SparkSession, dir: String, maxFragments: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new Path(s"$dir/codes")
+    def fragments(p: Path): Int =
+      fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    val over = fs.listStatus(codes)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .filter(d => fragments(d.getPath) > maxFragments)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSeq.sorted
+    if (over.nonEmpty) {
+      val tmp = new Path(s"$dir/codes_compacting")
+      fs.delete(tmp, true)
+      // hash-repartition on the partition column: every row of a cell
+      // lands in one task, so each rewritten cell is exactly one fragment
+      spark.read.parquet(s"$dir/codes")
+        .where(col("cell").isin(over.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+      over.foreach { c =>
+        val live = new Path(codes, s"cell=$c")
+        fs.delete(live, true)
+        fs.rename(new Path(tmp, s"cell=$c"), live)
+      }
+      fs.delete(tmp, true)
+    }
+    over
+  }
+
   /** Load the stored quantizers and serve `queries` (query_id, qv) —
     * top-k by ADC over the nProbe probed cells. No fit, no corpus scan. */
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,

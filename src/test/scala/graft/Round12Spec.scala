@@ -62,6 +62,41 @@ class Round12Spec extends SparkSpec {
   private def Mmrt(pool: Seq[(Long, Double, Seq[Double])], k: Int) =
     graft.operators.Mmr.rerank(pool, k, lam = 0.7)
 
+  test("ann index compact: fragments collapse to one per cell, query results identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    val dir = "target/ann_index_compact_spec"
+    val e = graft.sources.Tables.table(spark, sf(), "embeddings")
+    AnnIndex.build(e.where(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"), dir)
+    // two ingest batches → up to 3 fragments per touched cell
+    AnnIndex.append(spark, dir, e.where(col("vec_id") % 3 === 1),
+      col("vec_id"), col("embedding"))
+    AnnIndex.append(spark, dir, e.where(col("vec_id") % 3 === 2),
+      col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    def results() = AnnIndex.query(spark, dir, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val before = results()
+    def fragCounts(): Map[Int, Int] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+        .map(d => d.getPath.getName.stripPrefix("cell=").toInt ->
+          fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val overfull = fragCounts().filter(_._2 > 1).keySet
+    assert(overfull.nonEmpty, "appends must have fragmented at least one cell")
+    val compacted = AnnIndex.compact(spark, dir, maxFragments = 1)
+    assert(compacted.toSet == overfull, "exactly the over-threshold cells rewrite")
+    assert(fragCounts().values.forall(_ == 1), "every cell is one fragment after compact")
+    assert(results() == before, "compaction must be invisible to queries")
+    // idempotent: nothing left over the threshold
+    assert(AnnIndex.compact(spark, dir, maxFragments = 1).isEmpty)
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
