@@ -678,8 +678,17 @@ class Round11Spec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val ids = vecs.keys.toArray.sorted
+    // candidates mirror the query's deterministic LSH blocking: a node's
+    // top-4 ranks only same-bucket peers (r12 swap — the n² crossJoin
+    // left the suite)
+    val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
+    def bucket(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(v).map { case (x, y) => x * y }.sum >= 0) 1L << i else 0L
+      }.sum
+    val bkt = vecs.map { case (id, v) => id -> bucket(v) }
     val topk = ids.map { q =>
-      q -> ids.filter(_ != q)
+      q -> ids.filter(c => c != q && bkt(c) == bkt(q))
         .map(c => (c, cos(vecs(q), vecs(c))))
         .sortBy { case (c, sc) => (-sc, c) }.take(4).map(_._1).toSet
     }.toMap
