@@ -1910,22 +1910,37 @@ object SparkEntry {
           train = train, bench = all.where(col("doc_id") % 20 === 0),
           id = col("doc_id"), text = col("text"), n = 8)
         .select(col("id").as("doc_id"))
-      val clean = train
-        .select(col("doc_id"), col("lang"), col("text"),
+      // SLIM post-filter manifest — ids + mixing metadata, NO text: the
+      // first eager pin, so gopher + decontamination run EXACTLY once per
+      // execution and every downstream stage reads these blocks. (The r11
+      // regression this fixes: the dedup operator's eager signature pin
+      // sat on the composed text-bearing filter output, re-running the
+      // whole filter pipeline at every build — the r10-binary same-host
+      // A/B priced q121 at 1.5 s vs r11's 3.6 s; see BASELINE.md r12.)
+      val cleanMeta = train
+        .select(col("doc_id"), col("lang"),
           size(split(TextExprs.cleanText(col("text")), " ")).cast("long").as("n_toks"))
         .join(gopherPass, "doc_id")
         .join(contaminated.withColumn("_hit", lit(true)), Seq("doc_id"), "left")
         .where(col("_hit").isNull)
-      val dropped = Dedup.minhashNearDups(clean, col("doc_id"), col("text"),
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .localCheckpoint(true)
+      // dedup re-reads text through a SECOND columnar scan semi-joined to
+      // the kept ids — at 100 TB that is a pruned (doc_id, text) scan,
+      // strictly cheaper than row-serializing the text column into
+      // checkpoint blocks
+      val cleanText = train.select(col("doc_id"), col("text"))
+        .join(cleanMeta.select("doc_id"), "doc_id")
+      val dropped = Dedup.minhashNearDups(cleanText, col("doc_id"), col("text"),
           shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
         .select(col("id_b").as("doc_id")).distinct()
-      val manifest = clean
+      val manifest = cleanMeta
         .select(col("doc_id"), col("lang"), col("n_toks"),
           md5(col("doc_id").cast("string")).as("_draw"))
         .join(dropped.withColumn("_d", lit(true)), Seq("doc_id"), "left")
         .where(col("_d").isNull)
         .select(col("doc_id"), col("lang"), col("n_toks"), col("_draw"))
-        .cache()
+        .localCheckpoint(true) // slim 4-col pin; counts + rank + pack read it
       // temperature mix (q96's integer-exact quota arithmetic, K=200)
       val K = 200L
       val counts = manifest.groupBy("lang").agg(count(lit(1)).as("cnt"))
@@ -3410,6 +3425,153 @@ object SparkEntry {
           col("top_lang"),
           round(col("_mx").cast("double") / col("n_docs"), 6).as("top_lang_share"),
           col("pass_rate"), col("exact_dup_share"))
+    }),
+
+    "q169_bpe_pairs" -> ((s, dir) => {
+      // First BPE merge-step statistics (Sennrich et al. 2016): adjacent
+      // CHARACTER-pair frequencies within tokens, top-20 — the merge a
+      // byte-pair tokenizer trained on this corpus would perform first.
+      // Counted over the PRE-AGGREGATED vocabulary (type × count — the
+      // standard BPE trick: pair extraction costs O(|vocab| · token_len),
+      // never O(corpus tokens); the only corpus-sized pass is the vocab
+      // groupBy's map-combined shuffle). Top-20 rides GlobalRank's range
+      // exchange — no single-partition sort at any pair-vocabulary size.
+      val tc = t(s, dir, "documents")
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val pairs = tc
+        .where(length(col("tok")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+      graft.operators.GlobalRank.withRowNumber(pairs,
+          Seq(col("freq").desc, col("pair").asc), "rnk")
+        .where(col("rnk") <= 20)
+        .select(col("pair"), col("freq"), col("rnk"))
+    }),
+
+    "q170_pad_efficiency" -> ((s, dir) => {
+      // Length-bucketed batching audit: rank docs by token count
+      // (GlobalRank range exchange — no global window), cut into 8
+      // equal-count buckets with ALL-INTEGER arithmetic
+      // (bucket = (rank−1)·8 DIV n — no float boundary moves a doc), and
+      // price the padding a fixed-shape batcher pays per bucket:
+      // pad_frac = 1 − Σlen / (n_docs · max_len). THE measurement behind
+      // length-bucketed batching: sorting sequences before batching
+      // turns the global-max padding waste into the per-bucket number
+      // this query reports. Shape: one scan → rank → 8-row aggregate.
+      val ntok = t(s, dir, "documents").select(col("doc_id"),
+        TextExprs.tokenCount(col("text")).as("n_toks"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(ntok,
+        Seq(col("n_toks").asc, col("doc_id").asc), "_rn")
+      val tot = ntok.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("n_toks"), expr("((_rn - 1) * 8) DIV _n").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), max("n_toks").as("max_len"),
+          sum("n_toks").as("sum_toks"))
+        .withColumn("pad_frac",
+          when(col("max_len") > 0, round(lit(1.0)
+            - col("sum_toks").cast("double") / (col("n_docs") * col("max_len")), 6))
+          .otherwise(lit(0.0)))
+    }),
+
+    "q171_script_profile" -> ((s, dir) => {
+      // Character-CLASS profile per source: shares of lower-alpha, digit,
+      // space, and other codepoints over the cleaned lowered text — the
+      // cheap script/charset monitor that catches a source flipping
+      // register (a code dump entering a prose feed, mojibake, a
+      // non-Latin script appearing in an en-labeled source) without any
+      // language model. One scan; counts via length-difference after
+      // class removal (Spark regexp_replace replaces ALL matches; the
+      // twin passes the 'g' flag — the cleanSql posture).
+      val c = lower(TextExprs.cleanText(col("text")))
+      def cnt(re: String): Column =
+        (length(c) - length(regexp_replace(c, re, ""))).cast("long")
+      t(s, dir, "documents")
+        .select(col("source"), length(c).cast("long").as("nc"),
+          cnt("[a-z]").as("na"), cnt("[0-9]").as("nd"), cnt(" ").as("ns"))
+        .groupBy("source")
+        .agg(sum("nc").as("n_chars"), sum("na").as("_a"),
+          sum("nd").as("_d"), sum("ns").as("_s"))
+        .select(col("source"), col("n_chars"),
+          round(col("_a").cast("double") / col("n_chars"), 6).as("alpha_share"),
+          round(col("_d").cast("double") / col("n_chars"), 6).as("digit_share"),
+          round(col("_s").cast("double") / col("n_chars"), 6).as("space_share"),
+          round((col("n_chars") - col("_a") - col("_d") - col("_s"))
+            .cast("double") / col("n_chars"), 6).as("other_share"))
+    }),
+
+    "q172_label_fusion" -> ((s, dir) => {
+      // Rater FUSION (one-round Dawid–Skene flavor): three deterministic
+      // binary raters — the q133 NB classifier, the q79 Gopher rule gate,
+      // and a length rule — fused by accuracy-above-chance weighted vote:
+      // majority vote → per-rater agreement with the majority → weights
+      // w_r = acc_r − 0.5 → signed revote. The label-aggregation step a
+      // pipeline runs when multiple cheap quality signals disagree and no
+      // gold labels exist. ALL-RATIONAL weights (no log-odds): exact
+      // integer sums / exact counts, so both engines compute bit-equal
+      // scores. Shape: two classifier corpus passes → slim per-doc vote
+      // manifest (checkpointed; accuracies AND revote read it) → 1-row
+      // accuracy aggregate broadcast back.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val nb = graft.operators.TextAnalysis.hashNbClassifier(
+          docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+        .select(col("doc_id"), col("keep").as("r1"))
+      val gp = graft.operators.TextAnalysis.gopherRules(
+          docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes").as("r2"))
+      val ln = docs.select(col("doc_id"), (col("n_chars") >= 200).as("r3"))
+      val votes = nb.join(gp, "doc_id").join(ln, "doc_id")
+        .select(col("doc_id"), col("r1"), col("r2"), col("r3"),
+          ((col("r1").cast("int") + col("r2").cast("int")
+            + col("r3").cast("int")) >= 2).as("maj"))
+        .localCheckpoint(true)
+      val acc = votes.agg(
+        avg((col("r1") === col("maj")).cast("double")).as("a1"),
+        avg((col("r2") === col("maj")).cast("double")).as("a2"),
+        avg((col("r3") === col("maj")).cast("double")).as("a3"))
+      def signed(v: Column, a: Column): Column =
+        when(v, a - 0.5).otherwise(lit(0.5) - a)
+      votes.crossJoin(broadcast(acc))
+        .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("maj"),
+          round(signed(col("r1"), col("a1")) + signed(col("r2"), col("a2"))
+            + signed(col("r3"), col("a3")), 6).as("fused_score"))
+        .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("maj"),
+          col("fused_score"),
+          when(col("fused_score") > 0, lit(true))
+            .when(col("fused_score") < 0, lit(false))
+            .otherwise(col("maj")).as("fused"))
+    }),
+
+    "q173_label_propagation" -> ((s, dir) => {
+      // One-hop LABEL PROPAGATION over the near-dup graph: docs with
+      // held-out labels (doc_id % 5 == 0 simulates the unlabeled pool)
+      // inherit the MAJORITY lang of their labeled near-duplicates
+      // (minhash-LSH pairs + exact verify, q27's operator) — the label-
+      // transfer step that lets one labeling pass cover every copy of
+      // the same content; ties break to the min label. Majority is the
+      // q98 two-pass argmax (per-node max count joined back, min label
+      // among ties) — no per-node window, no collect.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val sym = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val labels = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("id_b"), col("lang"))
+      val nbhd = sym.where(col("id_a") % 5 === 0).join(labels, "id_b")
+      val cnts = nbhd.groupBy("id_a", "lang").agg(count(lit(1)).as("c"))
+      val mx = cnts.groupBy("id_a")
+        .agg(max("c").as("_mc"), sum("c").as("n_labeled_neighbors"))
+      cnts.join(mx, "id_a").where(col("c") === col("_mc"))
+        .groupBy("id_a", "n_labeled_neighbors")
+        .agg(min("lang").as("pred_lang"))
+        .select(col("id_a").as("doc_id"), col("pred_lang"),
+          col("n_labeled_neighbors"))
     }),
 
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
@@ -5359,6 +5521,103 @@ object SparkEntry {
            |FROM vol JOIN dom USING (source) JOIN pr USING (source)
            |JOIN dup USING (source)""".stripMargin
       },
+
+      "q169_bpe_pairs" ->
+        s"""WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |    FROM documents)
+           |  WHERE tok <> '' GROUP BY tok),
+           |w AS (SELECT cnt, tok,
+           |   unnest(generate_series(1, len(tok) - 1)) AS i
+           |  FROM tc WHERE len(tok) >= 2),
+           |f AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair,
+           |   CAST(sum(cnt) AS BIGINT) AS freq FROM w GROUP BY 1)
+           |SELECT pair, freq,
+           | CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rnk
+           |FROM f QUALIFY rnk <= 20""".stripMargin,
+
+      "q170_pad_efficiency" ->
+        s"""WITH d AS (SELECT doc_id, ${tokenCountSql("text")} AS n_toks FROM documents),
+           |r AS (SELECT doc_id, n_toks,
+           |   CAST(row_number() OVER (ORDER BY n_toks ASC, doc_id ASC) AS BIGINT) AS rn
+           |  FROM d),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+           |b AS (SELECT n_toks, (rn - 1) * 8 // n AS bucket FROM r, t)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(max(n_toks) AS BIGINT) AS max_len,
+           | CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+           | CASE WHEN max(n_toks) > 0
+           |      THEN round(1.0 - CAST(sum(n_toks) AS DOUBLE)
+           |        / (count(*) * max(n_toks)), 6)
+           |      ELSE 0.0 END AS pad_frac
+           |FROM b GROUP BY bucket""".stripMargin,
+
+      "q171_script_profile" -> {
+        def cnt(re: String): String =
+          s"len(c) - len(regexp_replace(c, '$re', '', 'g'))"
+        s"""WITH d AS (SELECT source, lower(${cleanSql("text")}) AS c FROM documents),
+           |k AS (SELECT source, CAST(len(c) AS BIGINT) AS nc,
+           |   CAST(${cnt("[a-z]")} AS BIGINT) AS na,
+           |   CAST(${cnt("[0-9]")} AS BIGINT) AS nd,
+           |   CAST(${cnt(" ")} AS BIGINT) AS ns FROM d)
+           |SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+           | round(CAST(sum(na) AS DOUBLE) / sum(nc), 6) AS alpha_share,
+           | round(CAST(sum(nd) AS DOUBLE) / sum(nc), 6) AS digit_share,
+           | round(CAST(sum(ns) AS DOUBLE) / sum(nc), 6) AS space_share,
+           | round(CAST(sum(nc) - sum(na) - sum(nd) - sum(ns) AS DOUBLE)
+           |   / sum(nc), 6) AS other_share
+           |FROM k GROUP BY source""".stripMargin
+      },
+
+      "q172_label_fusion" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |g AS (
+           |$gopher
+           |),
+           |v AS (SELECT d.doc_id, q.keep AS r1, g.passes AS r2,
+           |   d.n_chars >= 200 AS r3,
+           |   (CAST(q.keep AS INT) + CAST(g.passes AS INT)
+           |     + CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END) >= 2 AS maj
+           |  FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)),
+           |a AS (SELECT avg(CAST(r1 = maj AS DOUBLE)) AS a1,
+           |   avg(CAST(r2 = maj AS DOUBLE)) AS a2,
+           |   avg(CAST(r3 = maj AS DOUBLE)) AS a3 FROM v),
+           |s AS (SELECT doc_id, r1, r2, r3, maj,
+           |   round((CASE WHEN r1 THEN a1 - 0.5 ELSE 0.5 - a1 END)
+           |     + (CASE WHEN r2 THEN a2 - 0.5 ELSE 0.5 - a2 END)
+           |     + (CASE WHEN r3 THEN a3 - 0.5 ELSE 0.5 - a3 END), 6) AS fused_score
+           |  FROM v, a)
+           |SELECT doc_id, r1, r2, r3, maj, fused_score,
+           | CASE WHEN fused_score > 0 THEN true
+           |      WHEN fused_score < 0 THEN false
+           |      ELSE maj END AS fused
+           |FROM s""".stripMargin
+      },
+
+      // all-pairs exact twin of the banded-LSH engine path — recall caveat
+      // documented at q159's oracle entry
+      "q173_label_propagation" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |sym AS (SELECT id_a, id_b FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |nb AS (SELECT s.id_a, d.lang FROM sym s
+           |  JOIN documents d ON d.doc_id = s.id_b AND d.doc_id % 5 <> 0
+           |  WHERE s.id_a % 5 = 0),
+           |c AS (SELECT id_a, lang, CAST(count(*) AS BIGINT) AS c
+           |  FROM nb GROUP BY 1, 2),
+           |m AS (SELECT id_a, CAST(max(c) AS BIGINT) AS mc,
+           |   CAST(sum(c) AS BIGINT) AS n_lab FROM c GROUP BY id_a)
+           |SELECT c.id_a AS doc_id, min(c.lang) AS pred_lang,
+           | m.n_lab AS n_labeled_neighbors
+           |FROM c JOIN m ON c.id_a = m.id_a AND c.c = m.mc
+           |GROUP BY 1, 3""".stripMargin,
 
       "q167_bootstrap_ci" -> {
         val gopher = TextAnalysis.gopherRulesOracleSql(

@@ -24,15 +24,31 @@ object Decontaminate {
     toks.select(col("id"), explode(Dedup.shinglesOfToks(col("toks"), n)).as("gram"))
   }
 
+  /** Distinct 64-bit n-gram shingle hashes per document: (id, gram_h) —
+    * the native single-pass extraction (plans.MinHashExprs, q27's hot
+    * path). No ~50-char gram string is ever materialized or shuffled;
+    * the probe joins on longs. Per-doc distinct by construction. */
+  def docGramHashes(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("id"), explode(graft.plans.MinHashExprs.shingleHashes(
+      lower(TextExprs.cleanText(text)), n)).as("gram_h"))
+
   /** Contamination report: for every training doc sharing at least one
     * n-gram with any benchmark doc, (id, n_hit_grams) = how many DISTINCT
-    * grams of that doc appear anywhere in the benchmark set. */
+    * grams of that doc appear anywhere in the benchmark set.
+    *
+    * Probes 64-bit gram HASHES, not gram strings (same equivalence
+    * license as the minhash family: distinct-hash counts equal
+    * distinct-gram counts up to 64-bit collisions, ~1e-19 per in-doc
+    * pair — the string form is [[docGrams]] if a caller needs it). The
+    * hashes are per-doc distinct already, so the per-doc hit count is a
+    * plain count — no distinct aggregate, no Expand. */
   def report(train: DataFrame, bench: DataFrame, id: Column, text: Column,
       n: Int = 8): DataFrame = {
-    val benchGrams = broadcast(docGrams(bench, id, text, n).select("gram").distinct())
-    docGrams(train, id, text, n)
-      .join(benchGrams, "gram")
+    val benchGrams = broadcast(docGramHashes(bench, id, text, n)
+      .select("gram_h").distinct())
+    docGramHashes(train, id, text, n)
+      .join(benchGrams, "gram_h")
       .groupBy("id")
-      .agg(count_distinct(col("gram")).as("n_hit_grams"))
+      .agg(count(lit(1)).as("n_hit_grams"))
   }
 }

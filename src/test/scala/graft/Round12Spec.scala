@@ -97,6 +97,102 @@ class Round12Spec extends SparkSpec {
     assert(AnnIndex.compact(spark, dir, maxFragments = 1).isEmpty)
   }
 
+  test("q169: top pair matches a driver recompute; frequencies weighted by token count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q169_bpe_pairs")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.map(_._3).sorted.toSeq == (1L to 20L))
+    val toks = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(explode(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " "))
+        .as("tok"))
+      .where(col("tok") =!= "").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    toks.foreach { t =>
+      (0 until t.length - 1).foreach(i => freq(t.substring(i, i + 2)) += 1L) }
+    val want = freq.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    assert(rows.sortBy(_._3).map(r => (r._1, r._2)).toSeq == want,
+      s"top-20 pairs diverge from driver recompute")
+  }
+
+  test("q170: buckets partition the corpus; pad_frac bounded and consistent") {
+    val rows = SparkEntry.queries("q170_pad_efficiency")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val total = graft.sources.Tables.table(spark, sf(), "documents").count()
+    assert(rows.map(_._2).sum == total, "buckets must partition every doc")
+    assert(rows.map(_._1).toSet.subsetOf((0L to 7L).toSet))
+    rows.foreach { case (b, n, mx, sm, pf) =>
+      assert(sm <= n * mx, s"bucket $b: sum exceeds n*max")
+      assert(pf >= 0.0 && pf < 1.0, s"bucket $b: pad_frac $pf out of range")
+      if (mx > 0)
+        assert(math.abs(pf - (1.0 - sm.toDouble / (n * mx))) < 1e-6)
+    }
+    // buckets ordered by length: max_len non-decreasing with bucket id
+    val byB = rows.sortBy(_._1)
+    byB.zip(byB.tail).foreach { case (lo, hi) =>
+      assert(lo._3 <= hi._3, "bucketing must be monotone in length") }
+  }
+
+  test("q171: the four class shares partition every source's characters") {
+    val rows = SparkEntry.queries("q171_script_profile")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val shares = Seq(2, 3, 4, 5).map(r.getDouble)
+      shares.foreach(s => assert(s >= 0.0 && s <= 1.0))
+      assert(math.abs(shares.sum - 1.0) < 5e-6,
+        s"${r.getString(0)}: shares sum to ${shares.sum}")
+    }
+  }
+
+  test("q172: unanimous votes fuse to the unanimous label; scores are symmetric") {
+    val rows = SparkEntry.queries("q172_label_fusion")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, r1, r2, r3, maj, score, fused) =>
+      assert(maj == (Seq(r1, r2, r3).count(identity) >= 2), s"majority wrong for $id")
+      if (r1 == r2 && r2 == r3) {
+        assert(fused == r1, s"unanimous vote must win for $id")
+      }
+      if (score > 0) assert(fused, s"positive score must fuse true for $id")
+      if (score < 0) assert(!fused, s"negative score must fuse false for $id")
+    }
+    // mirrored vote patterns score symmetrically: score(v) = -score(!v)
+    val byPattern = rows.groupBy(r => (r._2, r._3, r._4)).map {
+      case (k, v) => k -> v.head._6 }
+    byPattern.foreach { case ((a, b, c), s) =>
+      byPattern.get((!a, !b, !c)).foreach(neg =>
+        assert(math.abs(s + neg) < 1e-9, s"pattern ($a,$b,$c) not antisymmetric")) }
+  }
+
+  test("q173: predictions cover only held-out docs; majority verified against pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q173_label_propagation")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (id, _, n) =>
+      assert(id % 5 == 0, s"$id is not a held-out doc")
+      assert(n >= 1, s"$id predicted with no labeled neighbors")
+    }
+    // independent majority recompute from the operator's own pair stream
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .filter { case (u, l) => u % 5 == 0 && l % 5 != 0 }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(e => lang(e._2)) }
+    assert(rows.map(_._1).toSet == nbrs.keySet)
+    rows.foreach { case (id, pred, n) =>
+      val votes = nbrs(id)
+      assert(n == votes.length)
+      val best = votes.groupBy(identity).toSeq
+        .map { case (l, v) => (l, v.length) }
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      assert(pred == best, s"$id: pred $pred != majority $best")
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
