@@ -3574,6 +3574,152 @@ object SparkEntry {
           col("n_labeled_neighbors"))
     }),
 
+    "q174_nprobe_sweep" -> ((s, dir) => {
+      // IVF recall/cost TRADEOFF sweep: recall@5 per query at
+      // nProbe ∈ {1, 2, 4} against the exact cosine top-5 — the tuning
+      // curve every ANN deployment plots before fixing its probe budget
+      // (q119 evaluates ONE config; this is the knob sweep). Both sides
+      // are deterministic (q31's first-16-as-centroids fixture, same
+      // tie-breaks), so DuckDB replicates each approximate result
+      // exactly and the oracle hashes the recall numbers themselves.
+      // The exact side is ONE brute-force scan shared by all three
+      // configs; each probe run touches nProbe/16 of the corpus.
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = Similarity.bruteForceTopK(qs, corpus, 5)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true) // tiny 40-row truth set; 3 sweep arms read it
+      Seq(1, 2, 4).map { np =>
+        val approx = Similarity.ivfTopK(qs, corpus, 5, nCells = 16, nProbe = np)
+          .select(col("query_id"), col("corpus_id"))
+        val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        qs.select(col("id").as("query_id")).join(hits, Seq("query_id"), "left")
+          .select(lit(np.toLong).as("n_probe"), col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) / 5.0, 4).as("recall"))
+      }.reduce(_ union _)
+    }),
+
+    "q175_novelty_curve" -> ((s, dir) => {
+      // Ingest-order NOVELTY curve — the diminishing-returns audit for
+      // data collection: cut the doc stream into 10 deciles (GlobalRank
+      // all-integer cut on doc_id order), and per decile report how many
+      // of its distinct 3-gram shingles were never seen in an earlier
+      // decile. A flattening curve says new data is re-covering old
+      // content — the signal to rebalance sources before paying for more
+      // crawl. Shape: rank pass + one shingle explode → (decile, gram)
+      // distinct → gram-keyed min-decile → 10-row aggregate; the gram
+      // stream shuffles once on the gram key, never per decile.
+      val docs = t(s, dir, "documents")
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        docs.select(col("doc_id")), Seq(col("doc_id").asc), "_rn")
+      val tot = docs.agg(count(lit(1)).as("_n"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"), expr("((_rn - 1) * 10) DIV _n").as("decile"))
+      val gd = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .join(dec, "doc_id")
+        .select(col("decile"), col("g")).distinct()
+      val first = gd.groupBy("g").agg(min("decile").as("_fd"))
+      gd.join(first, "g")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("_fd") === col("decile"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_share",
+          round(col("n_novel").cast("double") / col("n_distinct_grams"), 6))
+    }),
+
+    "q176_lsh_tuning" -> ((s, dir) => {
+      // Minhash banding S-CURVE audit: expected candidate recall of
+      // alternative (bands × rows) configs over the TRUE near-dup pair
+      // set — p(s) = 1 − (1 − s^r)^b evaluated at each verified pair's
+      // exact Jaccard. The pre-flight tuning read a 100 TB dedup run does
+      // before fixing its banding: the config's worst-pair recall tells
+      // you which true pairs the candidate stage would gamble away.
+      // Powers are REPEATED SQUARING on the 6-dp-rounded s (r and b are
+      // powers of two here) — fixed multiplication trees, so both
+      // engines' doubles are bit-identical; no libm pow anywhere.
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select(round(col("jaccard"), 6).as("s"))
+        .localCheckpoint(true) // pair-set sized; all 3 config arms read it
+      def sq(c: Column): Column = c * c
+      def powByTree(c: Column, e: Int): Column = e match {
+        case 1 => c
+        case n => sq(powByTree(c, n / 2)) // n ∈ {2,4,8,16,32}: exact halving
+      }
+      Seq((32, 1), (16, 2), (8, 4)).map { case (b, r) =>
+        pairs.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          (lit(1.0) - powByTree(lit(1.0) - powByTree(col("s"), r), b)).as("_p"))
+          .groupBy("bands", "rows_per_band")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            round(avg("_p"), 6).as("expected_recall"),
+            round(min("_p"), 6).as("worst_pair_recall"))
+      }.reduce(_ union _)
+    }),
+
+    "q177_rate_anomaly" -> ((s, dir) => {
+      // Hourly event-rate ANOMALY monitor: per event type, each hour's
+      // count z-scored against its trailing 24h window (RANGE frame on
+      // the integer hour key — PARTITIONED by type, scales with types ×
+      // hours, never a global window). Variance comes from the exact
+      // integer window sums (Σn, Σn²) — both engines evaluate the
+      // IDENTICAL closed form, so no Welford-vs-two-pass float drift —
+      // and an hour needs a ≥12-sample window before it can alarm.
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+        .withColumn("_hr", (unix_micros(col("h")) / 3600000000L).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy(col("_hr"))
+        .rangeBetween(-24, -1)
+      val stats = hourly
+        .withColumn("_k", count(col("n")).over(w))
+        .withColumn("_s1", sum(col("n")).over(w))
+        .withColumn("_s2", sum(col("n") * col("n")).over(w))
+      val mean = col("_s1").cast("double") / col("_k")
+      val variance = (col("_s2").cast("double")
+        - col("_s1").cast("double") * col("_s1") / col("_k")) / (col("_k") - 1)
+      val z = when(col("_k") >= 12 && variance > 0,
+        round((col("n") - mean) / sqrt(variance), 4))
+      stats.select(col("event_type"), col("h"), col("n"),
+          when(col("_k") >= 1, round(mean, 4)).as("mean_24h"),
+          z.as("z"),
+          coalesce(abs(z) > 3.0, lit(false)).as("anomaly"))
+    }),
+
+    "q178_length_chisq" -> ((s, dir) => {
+      // Per-source length-distribution χ² against the corpus: global
+      // n_chars DECILES via the all-integer rank cut (q145's bin trick —
+      // no float boundary moves a doc), observed per (source, bin) vs
+      // expected n_src·bin_total/N, χ² with df=9 flagged at the 0.01
+      // critical value. Complements q152 (token-distribution KL) with
+      // the LENGTH axis — a source silently switching from tweets to
+      // transcripts alarms here first. Shape: rank pass → (source, bin)
+      // contingency (≤ sources×10 rows) → all arithmetic on the reduced
+      // table with bin totals broadcast.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(docs,
+        Seq(col("n_chars").asc, col("doc_id").asc), "_rn")
+      val tot = docs.agg(count(lit(1)).as("_n"))
+      val binned = ranked.crossJoin(broadcast(tot))
+        .select(col("source"), expr("((_rn - 1) * 10) DIV _n").as("bin"), col("_n"))
+      val cont = binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("obs"), max("_n").as("_n"))
+      val binTot = cont.groupBy("bin").agg(sum("obs").as("bin_total"))
+      val srcTot = cont.groupBy("source").agg(sum("obs").as("n_docs"))
+      cont.join(broadcast(binTot), "bin").join(broadcast(srcTot), "source")
+        .select(col("source"), col("n_docs"),
+          (col("obs") - col("n_docs") * col("bin_total").cast("double") / col("_n"))
+            .as("_d"),
+          (col("n_docs") * col("bin_total").cast("double") / col("_n")).as("_e"))
+        .groupBy("source", "n_docs")
+        .agg(round(sum(col("_d") * col("_d") / col("_e")), 4).as("chi2"))
+        .withColumn("drifted", col("chi2") > 21.666) // χ²(9, 0.99)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5618,6 +5764,126 @@ object SparkEntry {
            | m.n_lab AS n_labeled_neighbors
            |FROM c JOIN m ON c.id_a = m.id_a AND c.c = m.mc
            |GROUP BY 1, 3""".stripMargin,
+
+      "q174_nprobe_sweep" -> {
+        def cosSql(a: String, b: String): String =
+          s"list_sum(list_transform(range(1,65), i -> $a[i] * $b[i])) / " +
+          s"(sqrt(list_sum(list_transform(range(1,65), i -> $a[i] * $a[i]))) * " +
+          s"sqrt(list_sum(list_transform(range(1,65), i -> $b[i] * $b[i]))))"
+        val arms = Seq(1, 2, 4).map { np =>
+          s"""SELECT $np AS n_probe, q.vec_id AS query_id,
+             | CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             | round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall
+             |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q LEFT JOIN (
+             |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM (
+             |    SELECT s.query_id, s.corpus_id FROM (
+             |      SELECT p.query_id, a.vec_id AS corpus_id,
+             |        row_number() OVER (PARTITION BY p.query_id
+             |          ORDER BY ${cosSql("p.qv", "a.v")} DESC, a.vec_id ASC) AS rnk
+             |      FROM (SELECT vec_id AS query_id, v AS qv, cid FROM (
+             |         SELECT d.*, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY dot DESC, cid DESC) AS rn
+             |         FROM dots d WHERE d.vec_id < 8) WHERE rn <= $np) p
+             |      JOIN assign a ON a.cid = p.cid) s
+             |    WHERE s.rnk <= 5) t
+             |  JOIN exact x ON x.query_id = t.query_id AND x.corpus_id = t.corpus_id
+             |  GROUP BY t.query_id) h ON h.query_id = q.vec_id""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+           |  FROM e ORDER BY vec_id LIMIT 16),
+           |dots AS (SELECT e.vec_id, e.v, c.cid,
+           |    list_sum(list_transform(range(1,65), i -> e.v[i] * c.v[i])) AS dot
+           |  FROM e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, v, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+           |    FROM dots) WHERE rn = 1),
+           |exact AS (SELECT query_id, corpus_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rn
+           |    FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN e c)
+           |  WHERE rn <= 5)
+           |$arms""".stripMargin
+      },
+
+      "q175_novelty_curve" ->
+        s"""$shingleCte,
+           |r AS (SELECT doc_id,
+           |   CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rn
+           |  FROM documents),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |dec AS (SELECT doc_id, (rn - 1) * 10 // n AS decile FROM r, t),
+           |gd AS (SELECT DISTINCT dec.decile, u.g FROM
+           |   (SELECT doc_id, unnest(s) AS g FROM sh) u JOIN dec USING (doc_id)),
+           |f AS (SELECT g, CAST(min(decile) AS BIGINT) AS fd FROM gd GROUP BY g)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           | CAST(sum(CASE WHEN f.fd = gd.decile THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           | round(CAST(sum(CASE WHEN f.fd = gd.decile THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / count(*), 6) AS novelty_share
+           |FROM gd JOIN f USING (g) GROUP BY decile""".stripMargin,
+
+      "q176_lsh_tuning" -> {
+        // powers by REPEATED SQUARING mirrored from the Spark side — the
+        // same fixed multiplication tree, never libm pow
+        def powTree(x: String, e: Int): String =
+          if (e == 1) x else { val h = powTree(x, e / 2); s"(($h) * ($h))" }
+        val arms = Seq((32, 1), (16, 2), (8, 4)).map { case (b, r) =>
+          val p = s"1.0 - ${powTree(s"(1.0 - ${powTree("s", r)})", b)}"
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             | CAST(count(*) AS BIGINT) AS n_true_pairs,
+             | round(avg($p), 6) AS expected_recall,
+             | round(min($p), 6) AS worst_pair_recall
+             |FROM ps""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "")
+        s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+           |ps AS (SELECT round(${jaccardSql("a.s", "b.s")}, 6) AS s
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7)
+           |$arms""".stripMargin
+      },
+
+      "q177_rate_anomaly" ->
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+          |   CAST(count(*) AS BIGINT) AS n,
+          |   epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 3600000000 AS hr
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, h, n,
+          |   count(n) OVER tw AS k, sum(n) OVER tw AS s1, sum(n * n) OVER tw AS s2
+          |  FROM hourly
+          |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+          |z AS (SELECT event_type, h, n, k,
+          |   CAST(s1 AS DOUBLE) / k AS mean,
+          |   CASE WHEN k >= 12 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+          |          / (k - 1) > 0
+          |        THEN round((n - CAST(s1 AS DOUBLE) / k) /
+          |          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1)), 4)
+          |        END AS z
+          |  FROM w)
+          |SELECT event_type, h, n,
+          | CASE WHEN k >= 1 THEN round(mean, 4) END AS mean_24h, z,
+          | coalesce(abs(z) > 3.0, false) AS anomaly
+          |FROM z""".stripMargin,
+
+      "q178_length_chisq" ->
+        """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+          |r AS (SELECT source,
+          |   CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rn
+          |  FROM d),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+          |b AS (SELECT source, (rn - 1) * 10 // n AS bin, n FROM r, t),
+          |cont AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS obs,
+          |   CAST(max(n) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+          |bt AS (SELECT bin, CAST(sum(obs) AS BIGINT) AS bin_total FROM cont GROUP BY bin),
+          |st AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_docs FROM cont GROUP BY source),
+          |e AS (SELECT cont.source, st.n_docs,
+          |   obs - st.n_docs * CAST(bt.bin_total AS DOUBLE) / cont.n AS d,
+          |   st.n_docs * CAST(bt.bin_total AS DOUBLE) / cont.n AS e
+          |  FROM cont JOIN bt USING (bin) JOIN st USING (source))
+          |SELECT source, n_docs, round(sum(d * d / e), 4) AS chi2,
+          | round(sum(d * d / e), 4) > 21.666 AS drifted
+          |FROM e GROUP BY 1, 2""".stripMargin,
 
       "q167_bootstrap_ci" -> {
         val gopher = TextAnalysis.gopherRulesOracleSql(

@@ -193,6 +193,89 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q174: recall is per-query monotone in nProbe and hits q31's config at 4") {
+    val rows = SparkEntry.queries("q174_nprobe_sweep")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 24, "3 configs x 8 queries")
+    rows.groupBy(_._2).foreach { case (qid, arms) =>
+      val byNp = arms.sortBy(_._1).map(_._3)
+      // more probed cells can only displace a true hit with another true
+      // hit (a displacer outranks a global-top-5 member, so it is one)
+      assert(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+        s"query $qid: hits not monotone in nProbe: ${byNp.mkString(",")}")
+    }
+    rows.foreach { case (_, _, h, rec) =>
+      assert(h >= 0 && h <= 5 && math.abs(rec - h / 5.0) < 1e-9) }
+  }
+
+  test("q175: novel counts tile the distinct gram universe; decile 0 is all-novel") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q175_novelty_curve")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val universe = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == universe,
+      "every distinct gram must be novel in exactly one decile")
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._2 == d0._3 && d0._4 == 1.0, "decile 0 has no history — all novel")
+    rows.foreach { case (_, u, nvl, share) =>
+      assert(nvl <= u && share >= 0.0 && share <= 1.0) }
+  }
+
+  test("q176: the S-curve orders configs correctly over the true pair set") {
+    val rows = SparkEntry.queries("q176_lsh_tuning")(spark, sf()).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == Set((32L, 1L), (16L, 2L), (8L, 4L)))
+    val n = rows.values.map(_._1).toSet
+    assert(n.size == 1 && n.head > 0, "all configs score the same pair set")
+    // (1-s)^2 <= 1-s^2 pointwise => recall monotone across these configs
+    for (f <- Seq((x: (Long, Double, Double)) => x._2, (x: (Long, Double, Double)) => x._3)) {
+      assert(f(rows((32L, 1L))) >= f(rows((16L, 2L))) - 1e-9)
+      assert(f(rows((16L, 2L))) >= f(rows((8L, 4L))) - 1e-9)
+    }
+    rows.values.foreach { case (_, er, wr) =>
+      assert(er >= 0 && er <= 1 && wr >= 0 && wr <= 1 && wr <= er + 1e-9) }
+  }
+
+  test("q177: z matches a driver recompute; anomalies imply |z| > 3") {
+    val rows = SparkEntry.queries("q177_rate_anomaly")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // independent recompute over the collected hourly series
+    val series = rows.map(r => (r.getString(0),
+      r.getTimestamp(1).getTime / 3600000L, r.getLong(2))).toArray
+    val byType = series.groupBy(_._1).map { case (t, v) =>
+      t -> v.map(x => x._2 -> x._3).toMap }
+    rows.foreach { r =>
+      val (t, hr, n) = (r.getString(0), r.getTimestamp(1).getTime / 3600000L, r.getLong(2))
+      val win = (hr - 24 to hr - 1).flatMap(h => byType(t).get(h))
+      val anomaly = r.getBoolean(5)
+      if (win.size >= 12) {
+        val k = win.size.toDouble
+        val s1 = win.sum.toDouble; val s2 = win.map(x => x * x).sum.toDouble
+        val variance = (s2 - s1 * s1 / k) / (k - 1)
+        if (variance > 0) {
+          val z = BigDecimal((n - s1 / k) / math.sqrt(variance))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getDouble(4) - z) < 1e-9, s"$t@$hr: z ${r.getDouble(4)} != $z")
+          assert(anomaly == (math.abs(z) > 3.0))
+        } else assert(r.isNullAt(4) && !anomaly)
+      } else assert(r.isNullAt(4) && !anomaly)
+    }
+  }
+
+  test("q178: chi2 non-negative; per-source doc counts tile the corpus") {
+    val rows = SparkEntry.queries("q178_length_chisq")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val total = graft.sources.Tables.table(spark, sf(), "documents").count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (src, _, chi2, drifted) =>
+      assert(chi2 >= 0.0, s"$src: chi2 $chi2")
+      assert(drifted == (chi2 > 21.666))
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
