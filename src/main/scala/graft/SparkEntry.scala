@@ -3720,6 +3720,94 @@ object SparkEntry {
         .withColumn("drifted", col("chi2") > 21.666) // χ²(9, 0.99)
     }),
 
+    "q179_burstiness" -> ((s, dir) => {
+      // Token BURSTINESS (Church & Gale 1995): variance-to-mean ratio of
+      // per-document counts for the top-20 corpus tokens — VMR ≈ 1 is
+      // Poisson scatter (function words), VMR ≫ 1 is topical clumping.
+      // The signal separates "frequent because everywhere" from
+      // "frequent because a few docs repeat it" — which q148's raw
+      // counts cannot. ALL moments from exact integer sums (Σc, Σc²
+      // per token; zero-count docs enter through N, never as rows), so
+      // both engines' doubles agree bit-for-bit. Top-20 rides
+      // GlobalRank; the per-(tok, doc) aggregate is the only
+      // corpus-keyed shuffle.
+      val docs = t(s, dir, "documents")
+      val nrow = docs.agg(count(lit(1)).as("_N"))
+      val tokDoc = docs
+        .select(col("doc_id"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      val totals = tokDoc.groupBy("tok")
+        .agg(sum("c").as("total"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).as("_s2"))
+      val top = graft.operators.GlobalRank.withRowNumber(totals,
+          Seq(col("total").desc, col("tok").asc), "_rn")
+        .where(col("_rn") <= 20)
+      val mean = col("total").cast("double") / col("_N")
+      val variance = (col("_s2").cast("double")
+        - col("total").cast("double") * col("total") / col("_N")) / (col("_N") - 1)
+      top.crossJoin(broadcast(nrow))
+        .select(col("tok"), col("total"), col("df"),
+          round(variance / mean, 4).as("vmr"),
+          (variance / mean > 1.5).as("bursty"))
+    }),
+
+    "q180_subsample_stability" -> ((s, dir) => {
+      // SUBSAMPLE-STABILITY audit: how far the gopher-gate pass rate
+      // measured on a 1% / 10% / 100% md5 subsample drifts from the full
+      // rate — the "can I tune my filters on a sample?" pre-check a
+      // 100 TB pipeline runs before iterating on a slice. Sampling is a
+      // pure function of doc_id (md5-prefix threshold, the q81 posture),
+      // so membership is reproducible and NESTED (1% ⊂ 10% ⊂ 100%).
+      // One classifier pass; the slim (doc_id, passes, u) manifest is
+      // checkpointed and the three arms are filtered aggregates of it.
+      val docs = t(s, dir, "documents")
+      val g = graft.operators.TextAnalysis.gopherRules(
+          docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+        .withColumn("_u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"))
+        .localCheckpoint(true)
+      val full = g.agg(avg(when(col("passes"), 1.0).otherwise(0.0)).as("_fr"))
+      Seq(("01pct", 655L), ("10pct", 6553L), ("100pct", 65536L)).map {
+        case (label, thr) =>
+          g.where(col("_u") < thr)
+            .agg(count(lit(1)).as("n_docs"),
+              round(avg(when(col("passes"), 1.0).otherwise(0.0)), 6).as("pass_rate"))
+            .select(lit(label).as("sample"), col("n_docs"), col("pass_rate"))
+      }.reduce(_ union _)
+        .crossJoin(broadcast(full))
+        .select(col("sample"), col("n_docs"), col("pass_rate"),
+          round(abs(col("pass_rate") - col("_fr")), 6).as("abs_dev"))
+    }),
+
+    "q181_cluster_profile" -> ((s, dir) => {
+      // Near-dup CLUSTER-SIZE profile: the q53 components histogrammed
+      // into size bands (2, 3-4, 5-8, 9+) with document share per band —
+      // the one-page answer to "how duplicated is this corpus, and is it
+      // a long tail of pairs or a few megaclusters?" (megaclusters mean
+      // template content; the dedup keep-policy and the q164 token
+      // discount both hinge on this shape). Integer CASE bands — no
+      // float log2 — identical in the twin.
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val sizes = Dedup.connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("csz"))
+      val tot = t(s, dir, "documents").agg(count(lit(1)).as("_N"))
+      val band = when(col("csz") === 2, "2").when(col("csz") <= 4, "3-4")
+        .when(col("csz") <= 8, "5-8").otherwise("9+")
+      sizes.select(band.as("size_band"), col("csz"))
+        .groupBy("size_band")
+        .agg(count(lit(1)).as("n_clusters"), sum("csz").as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("size_band"), col("n_clusters"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("_N"), 6).as("corpus_share"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5764,6 +5852,75 @@ object SparkEntry {
            | m.n_lab AS n_labeled_neighbors
            |FROM c JOIN m ON c.id_a = m.id_a AND c.c = m.mc
            |GROUP BY 1, 3""".stripMargin,
+
+      "q179_burstiness" ->
+        s"""WITH td AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c FROM
+           |   (SELECT doc_id, unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |    FROM documents)
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS total,
+           |   CAST(count(*) AS BIGINT) AS df, CAST(sum(c * c) AS BIGINT) AS s2
+           |  FROM td GROUP BY tok),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |top AS (SELECT tok, total, df, s2,
+           |   row_number() OVER (ORDER BY total DESC, tok ASC) AS rn
+           |  FROM tt QUALIFY rn <= 20)
+           |SELECT tok, total, df,
+           | round(((CAST(s2 AS DOUBLE) - CAST(total AS DOUBLE) * total / n) / (n - 1))
+           |   / (CAST(total AS DOUBLE) / n), 4) AS vmr,
+           | ((CAST(s2 AS DOUBLE) - CAST(total AS DOUBLE) * total / n) / (n - 1))
+           |   / (CAST(total AS DOUBLE) / n) > 1.5 AS bursty
+           |FROM top, nn""".stripMargin,
+
+      "q180_subsample_stability" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        // 4-nibble positional hex decode of md5(doc_id) (hexNum13 at width 4)
+        val hx = "md5(CAST(doc_id AS VARCHAR))"
+        val u = (1 to 4).map(i =>
+          s"(strpos('0123456789abcdef', substring($hx, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+          .mkString("(", " + ", ")")
+        val arms = Seq(("01pct", 655L), ("10pct", 6553L), ("100pct", 65536L)).map {
+          case (label, thr) =>
+            s"""SELECT '$label' AS sample, CAST(count(*) AS BIGINT) AS n_docs,
+               | round(avg(CASE WHEN passes THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+               |FROM m WHERE u < $thr""".stripMargin
+        }.mkString("(", ")\nUNION ALL (", ")")
+        s"""WITH g AS (
+           |$gopher
+           |),
+           |m AS (SELECT doc_id, passes, CAST($u AS BIGINT) AS u FROM g),
+           |f AS (SELECT avg(CASE WHEN passes THEN 1.0 ELSE 0.0 END) AS fr FROM m),
+           |arms AS (
+           |$arms
+           |)
+           |SELECT sample, n_docs, pass_rate, round(abs(pass_rate - f.fr), 6) AS abs_dev
+           |FROM arms, f""".stripMargin
+      },
+
+      // all-pairs exact twin of the banded-LSH engine path — recall caveat
+      // documented at q159's oracle entry
+      "q181_cluster_profile" ->
+        s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |  UNION SELECT id_a, id_a FROM pairs
+           |  UNION SELECT id_b, id_b FROM pairs),
+           |reach AS (SELECT src, dst FROM e
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+           |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csz
+           |  FROM comp GROUP BY component),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |b AS (SELECT CASE WHEN csz = 2 THEN '2' WHEN csz <= 4 THEN '3-4'
+           |   WHEN csz <= 8 THEN '5-8' ELSE '9+' END AS size_band, csz FROM cs)
+           |SELECT size_band, CAST(count(*) AS BIGINT) AS n_clusters,
+           | CAST(sum(csz) AS BIGINT) AS n_docs,
+           | round(CAST(sum(csz) AS DOUBLE) / nn.n, 6) AS corpus_share
+           |FROM b, nn GROUP BY size_band, nn.n""".stripMargin,
 
       "q174_nprobe_sweep" -> {
         def cosSql(a: String, b: String): String =

@@ -276,6 +276,55 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q179: VMR of the top token matches a driver recompute from raw counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q179_burstiness")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, total, df, vmr, bursty) =>
+      assert(df <= total && vmr > 0 && bursty == (vmr > 1.5)) }
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val n = docs.count().toDouble
+    val topTok = rows.maxBy(_._2)._1
+    val counts = docs.select(explode(split(lower(
+        graft.functions.TextExprs.cleanText(col("text"))), " ")).as("tok"), col("doc_id"))
+      .where(col("tok") === topTok)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    val s1 = counts.sum.toDouble; val s2 = counts.map(c => c * c).sum.toDouble
+    val want = BigDecimal(((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.find(_._1 == topTok).get._4 - want) < 1e-9)
+  }
+
+  test("q180: samples nest, the 100% arm has zero deviation") {
+    val rows = SparkEntry.queries("q180_subsample_stability")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._2)
+    assert(rows.map(_._1).toSeq == Seq("01pct", "10pct", "100pct"),
+      "md5-threshold samples must nest by size")
+    val full = rows.last
+    assert(full._4 == 0.0, "the full sample cannot deviate from itself")
+    assert(full._2 == graft.sources.Tables.table(spark, sf(), "documents").count())
+    rows.foreach { case (_, n, pr, dev) =>
+      assert(n > 0 && pr >= 0 && pr <= 1 && dev >= 0) }
+  }
+
+  test("q181: bands partition the non-singleton clusters; shares consistent") {
+    val rows = SparkEntry.queries("q181_cluster_profile")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.table(spark, sf(), "documents").count()
+    rows.foreach { case (band, nc, nd, share) =>
+      val (lo, hi) = band match {
+        case "2" => (2L, 2L); case "3-4" => (3L, 4L)
+        case "5-8" => (5L, 8L); case "9+" => (9L, Long.MaxValue)
+      }
+      assert(nd >= nc * lo, s"$band: $nd docs < $nc clusters x $lo")
+      if (hi < Long.MaxValue) assert(nd <= nc * hi, s"$band: $nd docs > $nc x $hi")
+      assert(math.abs(share - nd.toDouble / n) < 1e-6)
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
