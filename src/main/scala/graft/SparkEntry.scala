@@ -3612,14 +3612,19 @@ object SparkEntry {
       // content — the signal to rebalance sources before paying for more
       // crawl. Shape: rank pass + one shingle explode → (decile, gram)
       // distinct → gram-keyed min-decile → 10-row aggregate; the gram
-      // stream shuffles once on the gram key, never per decile.
+      // stream shuffles once on the gram key, never per decile. Grams are
+      // the native 64-bit shingleHashes fold (no per-gram string built or
+      // shuffled); the twin counts md5-string grams — equal counts up to
+      // 64-bit collisions, and the output carries only counts.
       val docs = t(s, dir, "documents")
       val ranked = graft.operators.GlobalRank.withRowNumber(
         docs.select(col("doc_id")), Seq(col("doc_id").asc), "_rn")
       val tot = docs.agg(count(lit(1)).as("_n"))
       val dec = ranked.crossJoin(broadcast(tot))
         .select(col("doc_id"), expr("((_rn - 1) * 10) DIV _n").as("decile"))
-      val gd = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      val gd = docs.select(col("doc_id"),
+          explode(graft.plans.MinHashExprs.shingleHashes(
+            TextExprs.cleanText(col("text")), 3)).as("g"))
         .join(dec, "doc_id")
         .select(col("decile"), col("g")).distinct()
       val first = gd.groupBy("g").agg(min("decile").as("_fd"))

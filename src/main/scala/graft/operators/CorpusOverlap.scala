@@ -17,8 +17,12 @@ import graft.functions.TextExprs
   * overlap mode measures exactly that). Catalyst reuses the one distinct
   * exchange for both join sides (ReusedExchange, PlanSpec-locked on the
   * final adaptive plan); per-source set sizes ride a |sources|-row join.
-  * 16-hex-char md5 prefixes (64 bits) keep the hash engine-neutral and
-  * collision-negligible.
+  *
+  * Shingles are the native 64-bit `shingleHashes` fold (one codegen pass,
+  * no per-shingle string ever built or shuffled). The DuckDB twin computes
+  * the same COUNTS from md5-string shingles — equal up to 64-bit
+  * collisions (~1e-19 per in-source pair, the minhash family's documented
+  * license); the output carries only counts and ratios, never hash values.
   */
 object CorpusOverlap {
 
@@ -28,14 +32,8 @@ object CorpusOverlap {
       n: Int = 5): DataFrame = {
     require(n >= 1, s"shingle length must be >= 1, got $n")
     val sh = docs
-      .select(source.as("source"), split(TextExprs.cleanText(text), " ").as("toks"))
-      .withColumn("_n", size(col("toks")))
-      .where(col("_n") >= n)
-      .select(col("source"),
-        explode(sequence(lit(0), col("_n") - n)).as("pos"), col("toks"))
-      .select(col("source"),
-        substring(md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))), 1, 16)
-          .as("h"))
+      .select(source.as("source"), explode(graft.plans.MinHashExprs.shingleHashes(
+        TextExprs.cleanText(text), n)).as("h"))
       .distinct()
     val ns = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("src_a"), col("h"))
