@@ -3813,6 +3813,79 @@ object SparkEntry {
           round(col("n_docs").cast("double") / col("_N"), 6).as("corpus_share"))
     }),
 
+    "q182_shared_prefix" -> ((s, dir) => {
+      // Shared-OPENING template detector: docs whose first 10 tokens are
+      // identical, grouped — the boilerplate-header signature (web pages
+      // from one CMS, mailing-list footers-as-headers, scraped nav
+      // chrome) that near-dup thresholds miss when the bodies diverge.
+      // One scan → md5 of the 10-token prefix → hash groupBy; groups of
+      // ≥2 report size, source spread, and the min doc id as the
+      // canonical representative (q98's deterministic-pick rule).
+      val docs = t(s, dir, "documents")
+      val pref = docs.select(col("doc_id"), col("source"),
+          split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 10)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 10))).as("prefix_h"))
+      pref.groupBy("prefix_h")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("canonical_id"))
+        .where(col("n_docs") >= 2)
+    }),
+
+    "q183_containment_direction" -> ((s, dir) => {
+      // Containment DIRECTION of each verified near-dup pair: |A∩B|/|A|
+      // vs |A∩B|/|B| over the 3-gram shingle sets — tells the keep
+      // policy whether B is an extended edition of A (keep B), a
+      // truncation (keep A), or a mutual-overlap sibling (q98's
+      // longest-copy rule applies). Candidates are q27's LSH pair set;
+      // the shingle sets join back per side exactly once (the operator's
+      // verify posture), and the asymmetric ratios are one sorted-merge
+      // pass per pair.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val sh = docs.select(col("doc_id"),
+        graft.plans.MinHashExprs.shingleHashes(
+          TextExprs.cleanText(col("text")), 3).as("shh"))
+      val withSets = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("shh").as("_sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("shh").as("_sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_i"),
+          size(col("_sa")).cast("long").as("_na"),
+          size(col("_sb")).cast("long").as("_nb"))
+      val ca = round(col("_i").cast("double") / col("_na"), 6)
+      val cb = round(col("_i").cast("double") / col("_nb"), 6)
+      withSets.select(col("id_a"), col("id_b"),
+        ca.as("cont_a_in_b"), cb.as("cont_b_in_a"),
+        when(ca >= 0.95 && cb >= 0.95, "mutual")
+          .when(ca >= 0.95, "a_in_b")
+          .when(cb >= 0.95, "b_in_a")
+          .otherwise("partial").as("relation"))
+    }),
+
+    "q184_ctx_overflow" -> ((s, dir) => {
+      // Context-window OVERFLOW accounting per source: the share of docs
+      // exceeding 512/2048/8192 tokens and the tokens a 2048 cap would
+      // discard — the seq-len budget sheet consulted before fixing a
+      // packing window (q93/q94's B) or paying for long-context
+      // training. One scan, one aggregate; all-integer sums.
+      val ntok = t(s, dir, "documents").select(col("source"),
+        TextExprs.tokenCount(col("text")).as("n"))
+      ntok.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("n_tokens"),
+          round(avg(when(col("n") > 512, 1.0).otherwise(0.0)), 6).as("share_over_512"),
+          round(avg(when(col("n") > 2048, 1.0).otherwise(0.0)), 6).as("share_over_2048"),
+          round(avg(when(col("n") > 8192, 1.0).otherwise(0.0)), 6).as("share_over_8192"),
+          sum(greatest(col("n") - 2048, lit(0L))).as("tokens_lost_2048"))
+        .withColumn("loss_share_2048",
+          round(col("tokens_lost_2048").cast("double") / col("n_tokens"), 6))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5857,6 +5930,50 @@ object SparkEntry {
            | m.n_lab AS n_labeled_neighbors
            |FROM c JOIN m ON c.id_a = m.id_a AND c.c = m.mc
            |GROUP BY 1, 3""".stripMargin,
+
+      "q182_shared_prefix" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |   string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+           |p AS (SELECT doc_id, source,
+           |   md5(array_to_string(toks[1:10], ' ')) AS prefix_h
+           |  FROM d WHERE len(toks) >= 10)
+           |SELECT prefix_h, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           | CAST(min(doc_id) AS BIGINT) AS canonical_id
+           |FROM p GROUP BY prefix_h HAVING count(*) >= 2""".stripMargin,
+
+      // all-pairs exact candidate twin of the banded-LSH engine path —
+      // recall caveat documented at q159's oracle entry; intersection
+      // counts from string shingles equal the engine's 64-bit-hash counts
+      // under the minhash collision license
+      "q183_containment_direction" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |   len(list_intersect(a.s, b.s)) AS i,
+           |   len(a.s) AS na, len(b.s) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7)
+           |SELECT id_a, id_b,
+           | round(CAST(i AS DOUBLE) / na, 6) AS cont_a_in_b,
+           | round(CAST(i AS DOUBLE) / nb, 6) AS cont_b_in_a,
+           | CASE WHEN round(CAST(i AS DOUBLE) / na, 6) >= 0.95
+           |        AND round(CAST(i AS DOUBLE) / nb, 6) >= 0.95 THEN 'mutual'
+           |      WHEN round(CAST(i AS DOUBLE) / na, 6) >= 0.95 THEN 'a_in_b'
+           |      WHEN round(CAST(i AS DOUBLE) / nb, 6) >= 0.95 THEN 'b_in_a'
+           |      ELSE 'partial' END AS relation
+           |FROM pairs""".stripMargin,
+
+      "q184_ctx_overflow" ->
+        s"""WITH d AS (SELECT source, ${tokenCountSql("text")} AS n FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n) AS BIGINT) AS n_tokens,
+           | round(avg(CASE WHEN n > 512 THEN 1.0 ELSE 0.0 END), 6) AS share_over_512,
+           | round(avg(CASE WHEN n > 2048 THEN 1.0 ELSE 0.0 END), 6) AS share_over_2048,
+           | round(avg(CASE WHEN n > 8192 THEN 1.0 ELSE 0.0 END), 6) AS share_over_8192,
+           | CAST(sum(greatest(n - 2048, 0)) AS BIGINT) AS tokens_lost_2048,
+           | round(CAST(sum(greatest(n - 2048, 0)) AS DOUBLE) / sum(n), 6)
+           |   AS loss_share_2048
+           |FROM d GROUP BY source""".stripMargin,
 
       "q179_burstiness" ->
         s"""WITH td AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c FROM

@@ -325,6 +325,61 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q182: groups are real prefix matches; canonical is the min member") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q182_shared_prefix")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, ns, _) => assert(n >= 2 && ns >= 1 && ns <= n) }
+    // recompute groups from raw prefixes
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+    val prefixes = docs.select(col("doc_id"),
+        split(graft.functions.TextExprs.cleanText(col("text")), " ").as("t"))
+      .where(size(col("t")) >= 10)
+      .select(col("doc_id"), concat_ws(" ", slice(col("t"), 1, 10)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val groups = prefixes.groupBy(_._2).filter(_._2.length >= 2)
+    assert(rows.length == groups.size)
+    assert(rows.map(_._4).toSet == groups.values.map(_.map(_._1).min).toSet)
+  }
+
+  test("q183: containment ratios bounded by jaccard identity; relation consistent") {
+    val rows = SparkEntry.queries("q183_containment_direction")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb, rel) =>
+      assert(a < b)
+      assert(ca > 0 && ca <= 1.0 + 1e-9 && cb > 0 && cb <= 1.0 + 1e-9)
+      val want =
+        if (ca >= 0.95 && cb >= 0.95) "mutual"
+        else if (ca >= 0.95) "a_in_b"
+        else if (cb >= 0.95) "b_in_a" else "partial"
+      assert(rel == want, s"($a,$b): $rel != $want")
+      // pairs come from the >= 0.7-jaccard verify: j = i/(na+nb-i) and
+      // max(ca, cb) >= j always
+      assert(math.max(ca, cb) >= 0.7 - 1e-6)
+    }
+  }
+
+  test("q184: overflow shares ordered; token loss consistent with a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q184_ctx_overflow")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nt, s512, s2048, s8192, lost, ls) =>
+      assert(s512 >= s2048 && s2048 >= s8192, "overflow shares must be monotone in cap")
+      assert(lost >= 0 && (nt == 0 || math.abs(ls - lost.toDouble / nt) < 1e-6))
+    }
+    val src0 = rows.find(_._1 == "src0").get
+    val lens = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("source") === "src0")
+      .select(graft.functions.TextExprs.tokenCount(col("text")))
+      .collect().map(_.getLong(0))
+    assert(src0._2 == lens.length && src0._3 == lens.sum)
+    assert(src0._7 == lens.map(n => math.max(0L, n - 2048L)).sum)
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
