@@ -3886,6 +3886,43 @@ object SparkEntry {
           round(col("tokens_lost_2048").cast("double") / col("n_tokens"), 6))
     }),
 
+    "q185_bot_profile" -> ((s, dir) => {
+      // Behavioral BOT/automation profile per user — the abuse filter a
+      // behavioral-data pipeline runs before events feed training: event
+      // volume, action-type entropy (low = single-purpose automation),
+      // and the coefficient of variation of inter-arrival gaps (near-zero
+      // = timer-driven). One window pass for gaps (PARTITIONED by user —
+      // scales with users), two slim aggregates; type entropy from exact
+      // integer counts, gap moments from per-event doubles (each term
+      // exact, 4-dp rounding absorbs association noise). Users need ≥5
+      // events to be profiled.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_gap",
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .cast("double") / 1e6)
+      val gaps = ev.where(col("_gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("_k"), sum("_gap").as("_s1"),
+          sum(col("_gap") * col("_gap")).as("_s2"))
+      val types = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val ent = types.groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_events"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("_clnc"))
+        .select(col("user_id"), col("n_types"), col("n_events"),
+          round(log(col("n_events").cast("double"))
+            - col("_clnc") / col("n_events"), 4).as("type_entropy"))
+      val mean = col("_s1") / col("_k")
+      val variance = (col("_s2") - col("_s1") * col("_s1") / col("_k")) / (col("_k") - 1)
+      val cv = when(col("_k") >= 2 && mean > 0, round(sqrt(variance) / mean, 4))
+      ent.join(gaps, "user_id")
+        .where(col("n_events") >= 5)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("type_entropy"), cv.as("gap_cv"),
+          (col("type_entropy") < 0.5 || coalesce(cv < 0.1, lit(false))).as("bot_like"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5930,6 +5967,31 @@ object SparkEntry {
            | m.n_lab AS n_labeled_neighbors
            |FROM c JOIN m ON c.id_a = m.id_a AND c.c = m.mc
            |GROUP BY 1, 3""".stripMargin,
+
+      "q185_bot_profile" ->
+        """WITH ev AS (SELECT user_id, event_type,
+          |   (epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |     OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap
+          |  FROM events),
+          |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+          |   sum(gap) AS s1, sum(gap * gap) AS s2
+          |  FROM ev WHERE gap IS NOT NULL GROUP BY user_id),
+          |tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          |  FROM ev GROUP BY 1, 2),
+          |e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+          |   CAST(sum(c) AS BIGINT) AS n_events,
+          |   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+          |  FROM tc GROUP BY user_id),
+          |p AS (SELECT e.user_id, e.n_events, e.n_types,
+          |   round(ln(CAST(e.n_events AS DOUBLE)) - e.clnc / e.n_events, 4)
+          |     AS type_entropy,
+          |   CASE WHEN g.k >= 2 AND g.s1 / g.k > 0
+          |        THEN round(sqrt((g.s2 - g.s1 * g.s1 / g.k) / (g.k - 1))
+          |          / (g.s1 / g.k), 4) END AS gap_cv
+          |  FROM e JOIN g USING (user_id) WHERE e.n_events >= 5)
+          |SELECT user_id, n_events, n_types, type_entropy, gap_cv,
+          | (type_entropy < 0.5 OR coalesce(gap_cv < 0.1, false)) AS bot_like
+          |FROM p""".stripMargin,
 
       "q182_shared_prefix" ->
         s"""WITH d AS (SELECT doc_id, source,

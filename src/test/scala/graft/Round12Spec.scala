@@ -380,6 +380,34 @@ class Round12Spec extends SparkSpec {
     assert(src0._7 == lens.map(n => math.max(0L, n - 2048L)).sum)
   }
 
+  test("q185: entropy and gap CV match a driver recompute for the busiest user") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q185_bot_profile")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, nt, h, cv, bot) =>
+      assert(n >= 5 && nt >= 1 && h >= -1e-9 && h <= math.log(nt.toDouble) + 1e-9)
+      assert(bot == (h < 0.5 || cv.exists(_ < 0.1)))
+    }
+    val top = rows.maxBy(_._2)
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .where(col("user_id") === top._1)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = ev.length.toDouble
+    val clnc = ev.groupBy(_._1).values.map(_.length.toDouble)
+      .map(c => c * math.log(c)).sum
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top._4 - r4(math.log(n) - clnc / n)) < 1e-9, "entropy recompute")
+    val gaps = ev.sortBy(e => (e._2, e._3)).map(_._2).sliding(2)
+      .map { case Array(a, b) => (b - a).toDouble / 1e6 }.toArray
+    val k = gaps.length.toDouble
+    val s1 = gaps.sum; val s2 = gaps.map(g => g * g).sum
+    val cvWant = r4(math.sqrt((s2 - s1 * s1 / k) / (k - 1)) / (s1 / k))
+    assert(math.abs(top._5.get - cvWant) < 1e-3, s"gap cv ${top._5.get} vs $cvWant")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
