@@ -3923,6 +3923,138 @@ object SparkEntry {
           (col("type_entropy") < 0.5 || coalesce(cv < 0.1, lit(false))).as("bot_like"))
     }),
 
+    "q186_funnel" -> ((s, dir) => {
+      // Ordered event funnel view → click → purchase: each step counts
+      // users whose FIRST qualifying event strictly follows their entry
+      // into the previous step (the sequential-conversion semantics, not
+      // mere set intersection). Three per-user min-aggregates chained by
+      // user_id-keyed joins — every shuffle is on user_id, no windows, no
+      // driver loop; the 3-row summary assembles via broadcast crossJoins
+      // of single-row counts.
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val nv = v.agg(count(lit(1)).as("nv"))
+      val nc = c.agg(count(lit(1)).as("nc"))
+      val np = p.agg(count(lit(1)).as("np"))
+      val one = nv.crossJoin(nc).crossJoin(np)
+      one.select(lit("1_view").as("step"), col("nv").as("n_users"),
+          lit(1.0).as("conv_from_prev"), lit(1.0).as("conv_from_top"))
+        .unionAll(one.select(lit("2_click").as("step"), col("nc").as("n_users"),
+          round(col("nc").cast("double") / col("nv"), 4).as("conv_from_prev"),
+          round(col("nc").cast("double") / col("nv"), 4).as("conv_from_top")))
+        .unionAll(one.select(lit("3_purchase").as("step"), col("np").as("n_users"),
+          round(col("np").cast("double") / col("nc"), 4).as("conv_from_prev"),
+          round(col("np").cast("double") / col("nv"), 4).as("conv_from_top")))
+    }),
+
+    "q187_cohort_retention" -> ((s, dir) => {
+      // Weekly cohort retention triangle: cohort = Monday week of the
+      // user's first event; a (cohort, offset) cell counts users with any
+      // activity that week. Two user_id-keyed aggregates + one distinct —
+      // no windows; the per-cell join to cohort size is on the tiny
+      // cohort dimension (broadcast). Offsets are exact day-diffs / 7
+      // between week starts, immune to engine week-numbering.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val firsts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val active = ev.join(firsts, "user_id")
+        .select(col("user_id"), col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("week_offset"))
+        .distinct()
+      val sizes = firsts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+      active.groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+    }),
+
+    "q188_event_concentration" -> ((s, dir) => {
+      // Event-volume concentration audit (the Lorenz curve by user
+      // decile): per-user event counts get a GLOBAL total-order decile
+      // from GlobalRank.withNtile — one range exchange, no
+      // single-partition window — then one 10-row aggregate; cumulative
+      // share comes from a triangular self-join on the 10-row table
+      // (q146's suffix-sum shape), never a second corpus pass. Reads off
+      // whether 1% of users generate half the behavioral data before it
+      // feeds training.
+      val cnts = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val dec = graft.operators.GlobalRank.withNtile(
+        cnts, 10, Seq(col("cnt").asc, col("user_id").asc), "decile")
+      val byDec = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"))
+      val tot = byDec.agg(sum("n_events").as("tot"))
+      val cum = byDec.select(col("decile").as("d2"), col("n_events").as("e2"))
+        .join(byDec.select(col("decile")), col("d2") <= col("decile"))
+        .groupBy("decile").agg(sum("e2").as("cum_events"))
+      byDec.join(cum, "decile").crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          round(col("n_events").cast("double") / col("tot"), 4).as("share"),
+          round(col("cum_events").cast("double") / col("tot"), 4).as("cum_share"))
+    }),
+
+    "q189_length_tail_index" -> ((s, dir) => {
+      // Hill tail-index of the document-length distribution — the
+      // capacity-planning number behind packing/shard sizing (how heavy
+      // is the long-doc tail): alpha = 1 / mean(ln(x_i / x_(k+1))) over
+      // the top-5% order statistics. Global order from GlobalRank (range
+      // exchange, no single-partition window); k and the rank-(k+1)
+      // threshold are single-row broadcasts, the tail mean is one slim
+      // aggregate over k rows.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        d, Seq(col("n_chars").desc, col("doc_id").asc), "rk")
+      val nk = d.agg(count(lit(1)).as("n"))
+        .select(col("n"), (col("n") * 5 / 100).cast("long").as("k"))
+      val thr = ranked.crossJoin(broadcast(nk))
+        .where(col("rk") === col("k") + 1)
+        .select(col("n_chars").as("x_k1"))
+      ranked.crossJoin(broadcast(nk)).where(col("rk") <= col("k"))
+        .crossJoin(broadcast(thr))
+        .groupBy("n", "k", "x_k1")
+        .agg(avg(log(col("n_chars").cast("double") / col("x_k1"))).as("_h"))
+        .select(col("n").as("n_docs"), col("k"), col("x_k1"),
+          round(col("_h"), 4).as("hill_h"),
+          round(lit(1.0) / col("_h"), 4).as("tail_alpha"))
+    }),
+
+    "q190_embed_dispersion" -> ((s, dir) => {
+      // Per-label embedding dispersion WITHOUT the n² pairs: for the
+      // mean pairwise dot product, Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖²
+      // exactly — so one posexplode aggregate over (label, pos) keys
+      // (|labels|·d keys, scales with dimensions not rows) replaces the
+      // quadratic self-join. Sum-vector coordinates and Σ‖v‖² round at
+      // 6 dp before the identity so both engines compute from identical
+      // inputs. Low dispersion = a collapsed/duplicative label.
+      val e = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), col("embedding"))
+      val nsq = e.select(col("label"),
+          aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double")).as("sq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(sum("sq"), 6).as("sum_sq"))
+      val s2 = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("x").cast("double")), 6).as("sv"))
+        .groupBy("label")
+        .agg(round(sum(col("sv") * col("sv")), 6).as("s2"))
+      nsq.join(s2, "label")
+        .select(col("label"), col("n"),
+          round(sqrt(col("s2")) / col("n"), 4).as("centroid_norm"),
+          round((col("s2") - col("sum_sq")) / (col("n") * (col("n") - 1)), 4)
+            .as("mean_pairwise_dot"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -5992,6 +6124,86 @@ object SparkEntry {
           |SELECT user_id, n_events, n_types, type_entropy, gap_cv,
           | (type_entropy < 0.5 OR coalesce(gap_cv < 0.1, false)) AS bot_like
           |FROM p""".stripMargin,
+
+      "q186_funnel" ->
+        """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |  JOIN v USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |  JOIN c USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+          |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS nv,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS nc,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS np)
+          |SELECT '1_view' AS step, nv AS n_users, 1.0 AS conv_from_prev,
+          |  1.0 AS conv_from_top FROM n
+          |UNION ALL SELECT '2_click', nc,
+          |  round(CAST(nc AS DOUBLE) / nv, 4), round(CAST(nc AS DOUBLE) / nv, 4)
+          |FROM n
+          |UNION ALL SELECT '3_purchase', np,
+          |  round(CAST(np AS DOUBLE) / nc, 4), round(CAST(np AS DOUBLE) / nv, 4)
+          |FROM n""".stripMargin,
+
+      "q187_cohort_retention" ->
+        """WITH ev AS (SELECT user_id,
+          |   CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk FROM events),
+          |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+          |a AS (SELECT DISTINCT ev.user_id, f.cohort_wk,
+          |   CAST(date_diff('day', f.cohort_wk, ev.wk) // 7 AS BIGINT)
+          |     AS week_offset
+          |  FROM ev JOIN f USING (user_id)),
+          |s AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+          |  FROM f GROUP BY cohort_wk)
+          |SELECT a.cohort_wk, a.week_offset,
+          | CAST(count(*) AS BIGINT) AS n_active, s.cohort_size,
+          | round(CAST(count(*) AS DOUBLE) / s.cohort_size, 4) AS retention
+          |FROM a JOIN s USING (cohort_wk)
+          |GROUP BY a.cohort_wk, a.week_offset, s.cohort_size""".stripMargin,
+
+      "q188_event_concentration" ->
+        """WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY user_id),
+          |d AS (SELECT cnt, CAST(ntile(10) OVER (ORDER BY cnt, user_id) AS BIGINT)
+          |   AS decile FROM cnt),
+          |b AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+          |   CAST(sum(cnt) AS BIGINT) AS n_events FROM d GROUP BY decile),
+          |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM b),
+          |c AS (SELECT b1.decile, CAST(sum(b2.n_events) AS BIGINT) AS cum_events
+          |  FROM b b1 JOIN b b2 ON b2.decile <= b1.decile GROUP BY b1.decile)
+          |SELECT b.decile, b.n_users, b.n_events,
+          | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
+          | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
+          |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q189_length_tail_index" ->
+        """WITH r AS (SELECT doc_id, n_chars,
+          |   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents),
+          |nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(count(*) * 5 // 100 AS BIGINT) AS k FROM documents),
+          |thr AS (SELECT n_chars AS x_k1 FROM r, nk WHERE r.rk = nk.k + 1)
+          |SELECT nk.n AS n_docs, nk.k, thr.x_k1,
+          | round(avg(ln(CAST(r.n_chars AS DOUBLE) / thr.x_k1)), 4) AS hill_h,
+          | round(1.0 / avg(ln(CAST(r.n_chars AS DOUBLE) / thr.x_k1)), 4)
+          |   AS tail_alpha
+          |FROM r, nk, thr WHERE r.rk <= nk.k
+          |GROUP BY nk.n, nk.k, thr.x_k1""".stripMargin,
+
+      "q190_embed_dispersion" ->
+        """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+          |   embedding::DOUBLE[] AS v FROM embeddings),
+          |u AS (SELECT label, unnest(v) AS x,
+          |   generate_subscripts(v, 1) AS pos FROM e),
+          |sv AS (SELECT label, pos, round(sum(x), 6) AS sv FROM u GROUP BY 1, 2),
+          |s2 AS (SELECT label, round(sum(sv * sv), 6) AS s2 FROM sv GROUP BY label),
+          |nq AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+          |   round(sum(list_sum(list_transform(v, x -> x * x))), 6) AS sum_sq
+          |  FROM e GROUP BY label)
+          |SELECT label, n, round(sqrt(s2) / n, 4) AS centroid_norm,
+          | round((s2 - sum_sq) / (n * (n - 1)), 4) AS mean_pairwise_dot
+          |FROM s2 JOIN nq USING (label)""".stripMargin,
 
       "q182_shared_prefix" ->
         s"""WITH d AS (SELECT doc_id, source,

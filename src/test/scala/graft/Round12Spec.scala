@@ -408,6 +408,102 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(top._5.get - cvWant) < 1e-3, s"gap cv ${top._5.get} vs $cvWant")
   }
 
+  test("q186: funnel step counts are monotone and conversions recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q186_funnel")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val Seq(v, c, p) = rows.toSeq
+    assert(v._2 >= c._2 && c._2 >= p._2, "funnel must narrow")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c._3 == r4(c._2.toDouble / v._2) && p._3 == r4(p._2.toDouble / c._2))
+    assert(p._4 == r4(p._2.toDouble / v._2), "top conversion")
+    // sequential semantics: step-2 users are a subset of users with BOTH a
+    // view and a later click (driver recompute on the raw table)
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val nClick = ev.groupBy(_._1).count { case (_, es) =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      vs.nonEmpty && es.exists(e => e._2 == "click" && e._3 > vs.min)
+    }
+    assert(c._2 == nClick, s"click-step recompute: ${c._2} vs $nClick")
+  }
+
+  test("q187: cohort retention anchors at offset 0 and cells stay in [0,1]") {
+    val rows = SparkEntry.queries("q187_cohort_retention")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, act, size, ret) =>
+      assert(off >= 0 && act >= 1 && act <= size)
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+    // offset 0 is every cohort member's first-activity week: retention = 1
+    val zero = rows.filter(_._2 == 0L)
+    assert(zero.nonEmpty && zero.forall(r => r._3 == r._4 && r._5 == 1.0))
+    // cohort sizes sum to the distinct-user count
+    val users = graft.sources.Tables.table(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(zero.map(_._4).sum == users, "cohorts partition the users")
+  }
+
+  test("q188: Lorenz deciles tile the users; cum_share is monotone to 1.0") {
+    val rows = SparkEntry.queries("q188_event_concentration")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val events = graft.sources.Tables.table(spark, sf(), "events").count()
+    val users = graft.sources.Tables.table(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users && rows.map(_._3).sum == events)
+    // ntile over an ascending sort: decile mean volumes are non-decreasing
+    val means = rows.map(r => r._3.toDouble / r._2)
+    assert(means.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 })
+    assert(rows.last._5 == 1.0, "cumulative share ends at 1")
+    val cums = rows.map(_._5)
+    assert(cums.sliding(2).forall { case Array(a, b) => b >= a })
+  }
+
+  test("q189: Hill estimator matches a driver recompute on the sorted tail") {
+    val row = SparkEntry.queries("q189_length_tail_index")(spark, sf()).collect()
+    assert(row.length == 1)
+    val (n, k, xk1, h, a) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getLong(2), row(0).getDouble(3), row(0).getDouble(4))
+    val lens = graft.sources.Tables.table(spark, sf(), "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, nc) => (-nc, id) }.map(_._2)
+    assert(n == lens.length && k == n * 5 / 100 && xk1 == lens(k.toInt))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hWant = lens.take(k.toInt).map(x => math.log(x.toDouble / xk1)).sum / k
+    assert(math.abs(h - r4(hWant)) < 1e-9 && a == r4(1.0 / hWant))
+    assert(h > 0 && a > 0, "top-k lengths strictly exceed the threshold region")
+  }
+
+  test("q190: dispersion identity matches the explicit pairwise mean for one label") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q190_embed_dispersion")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 10 && rows.forall(_._2 > 1))
+    rows.foreach { case (_, _, cn, mpd) =>
+      assert(cn >= 0 && mpd >= -1.0 - 1e-9 && mpd <= 1.0 + 1e-9)
+    }
+    val lab = rows.minBy(_._1)._1
+    val vecs = graft.sources.Tables.table(spark, sf(), "embeddings")
+      .where(col("label") === lab).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val pair = (for (i <- vecs.indices; j <- vecs.indices if i != j)
+      yield vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum).sum /
+      (n.toDouble * (n - 1))
+    val got = rows.find(_._1 == lab).get._4
+    assert(math.abs(got - pair) < 1e-3, s"identity vs pairwise: $got vs $pair")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
