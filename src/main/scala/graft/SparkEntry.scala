@@ -4055,6 +4055,110 @@ object SparkEntry {
             .as("mean_pairwise_dot"))
     }),
 
+    "q191_post_incident" -> ((s, dir) => {
+      // Post-incident contamination audit: per event, the user's most
+      // recent PRIOR error timestamp rides one partitioned running-max
+      // window (max of the error-only timestamp, rows unbounded-preceding
+      // → 1-preceding — the conditional as-of lookup without a join);
+      // events within 60 s of an error are flagged as reaction artifacts
+      // a behavioral-training feed should drop. One window pass + one
+      // slim per-type aggregate.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_last_err",
+          max(when(col("event_type") === "error", unix_micros(col("ts")))).over(w))
+        .withColumn("_gap_s",
+          (unix_micros(col("ts")) - col("_last_err")).cast("double") / 1e6)
+      ev.where(col("event_type") =!= "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("_last_err")).as("n_after_error"),
+          sum(when(col("_gap_s") <= 60.0, 1L).otherwise(0L)).as("n_within_60s"))
+        .select(col("event_type"), col("n_events"), col("n_after_error"),
+          col("n_within_60s"),
+          round(col("n_within_60s").cast("double") / col("n_events"), 4)
+            .as("contamination_rate"))
+    }),
+
+    "q192_source_style" -> ((s, dir) => {
+      // Stylistic similarity between sources: cosine over char-3-gram
+      // count vectors. The explode collapses immediately into (source,
+      // gram) counts (map-side combine; key space bounded by charset³,
+      // NOT corpus size), the pairwise step is a gram-keyed equi-join of
+      // the two count tables with src_a < src_b — never a crossJoin of
+      // documents. Catches same-pipeline/same-template feeds whose
+      // shingle overlap (q108) is zero.
+      val grams = t(s, dir, "documents")
+        .select(col("source"), lower(TextExprs.cleanText(col("text"))).as("t"))
+        // length < 3 → zero grams; the filter also dodges sequence(1, 0),
+        // which Spark evaluates as a DESCENDING [1, 0] rather than empty
+        .where(length(col("t")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+      val norms = grams.groupBy("source")
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      val a = grams.select(col("source").as("src_a"), col("gram"), col("c").as("ca"))
+      val b = grams.select(col("source").as("src_b"), col("gram"), col("c").as("cb"))
+      a.join(b, Seq("gram")).where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("ca") * col("cb")).cast("double").as("dot"),
+          count(lit(1)).as("shared_grams"))
+        .join(broadcast(norms.select(col("source").as("src_a"), col("nrm").as("na"))), "src_a")
+        .join(broadcast(norms.select(col("source").as("src_b"), col("nrm").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+    }),
+
+    "q193_dup_quality_interaction" -> ((s, dir) => {
+      // Does duplication predict low quality? The 2×2 exact-dup ×
+      // gopher-pass contingency in ONE row with the odds ratio — the
+      // pre-check before spending a dedup pass on a corpus whose
+      // duplicates would be dropped by the quality gate anyway. Exact-dup
+      // membership via md5(clean text) group size (crisp, no LSH recall
+      // caveat); both flags are corpus-keyed aggregates, the final fold
+      // is a single conditional aggregate. "Duplicate" = shares its
+      // 10-token opening prefix with another doc (q182's template
+      // signal — the fixture carries no byte-identical copies, and the
+      // template family is exactly the duplication a quality gate
+      // interacts with); sub-10-token docs are definitionally unique.
+      val docs = t(s, dir, "documents")
+      val pass = graft.operators.TextAnalysis
+        .gopherRules(docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("passes"))
+      val sizes = docs
+        .select(col("doc_id"),
+          split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 10)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 10))).as("h"))
+      val dup = sizes.groupBy("h").agg(count(lit(1)).as("gs"))
+      val flagged = pass.join(
+          sizes.join(dup, "h").select(col("doc_id"), (col("gs") > 1).as("_d")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_d"), lit(false)).as("is_dup"),
+          col("passes"))
+      flagged.agg(
+          sum(when(col("is_dup") && col("passes"), 1L).otherwise(0L)).as("n_dup_pass"),
+          sum(when(col("is_dup") && !col("passes"), 1L).otherwise(0L)).as("n_dup_fail"),
+          sum(when(!col("is_dup") && col("passes"), 1L).otherwise(0L)).as("n_uniq_pass"),
+          sum(when(!col("is_dup") && !col("passes"), 1L).otherwise(0L)).as("n_uniq_fail"))
+        .select(col("n_dup_pass"), col("n_dup_fail"), col("n_uniq_pass"),
+          col("n_uniq_fail"),
+          when(col("n_dup_pass") + col("n_dup_fail") > 0,
+            round(col("n_dup_pass").cast("double") /
+              (col("n_dup_pass") + col("n_dup_fail")), 4)).as("pass_rate_dup"),
+          when(col("n_uniq_pass") + col("n_uniq_fail") > 0,
+            round(col("n_uniq_pass").cast("double") /
+              (col("n_uniq_pass") + col("n_uniq_fail")), 4)).as("pass_rate_uniq"),
+          when(col("n_dup_fail") > 0 && col("n_uniq_pass") > 0,
+            round((col("n_dup_pass") * col("n_uniq_fail")).cast("double") /
+              (col("n_dup_fail") * col("n_uniq_pass")), 4)).as("odds_ratio"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6176,6 +6280,77 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q191_post_incident" ->
+        """WITH ev AS (SELECT user_id, event_type, event_id,
+          |   epoch_us(ts::TIMESTAMP) AS us,
+          |   max(CASE WHEN event_type = 'error' THEN epoch_us(ts::TIMESTAMP) END)
+          |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |     AS last_err
+          |  FROM events)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(count(last_err) AS BIGINT) AS n_after_error,
+          | CAST(sum(CASE WHEN (us - last_err) / 1e6 <= 60.0 THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_within_60s,
+          | round(CAST(sum(CASE WHEN (us - last_err) / 1e6 <= 60.0 THEN 1 ELSE 0
+          |   END) AS DOUBLE) / count(*), 4) AS contamination_rate
+          |FROM ev WHERE event_type <> 'error' GROUP BY event_type""".stripMargin,
+
+      "q192_source_style" -> {
+        val t = s"lower(${cleanSql("text")})"
+        s"""WITH d AS (SELECT source, $t AS t FROM documents WHERE len($t) >= 3),
+           |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+           |   i -> substr(t, CAST(i AS INT), 3))) AS gram FROM d),
+           |c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS c
+           |  FROM g GROUP BY 1, 2),
+           |n AS (SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+           |  FROM c GROUP BY source)
+           |SELECT a.source AS src_a, b.source AS src_b,
+           | CAST(count(*) AS BIGINT) AS shared_grams,
+           | round(CAST(sum(a.c * b.c) AS DOUBLE) / (any_value(na.nrm) *
+           |   any_value(nb.nrm)), 6) AS cosine
+           |FROM c a JOIN c b ON a.gram = b.gram AND a.source < b.source
+           |JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source
+           |GROUP BY a.source, b.source""".stripMargin
+      },
+
+      "q193_dup_quality_interaction" -> {
+        val gopher = TextAnalysis.gopherRulesOracleSql(
+          "documents", "doc_id", s"string_split(lower(${cleanSql("text")}), ' ')")
+        s"""WITH g AS (
+           |$gopher
+           |),
+           |tk AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+           |  FROM documents),
+           |h AS (SELECT doc_id, md5(array_to_string(toks[1:10], ' ')) AS h
+           |  FROM tk WHERE len(toks) >= 10),
+           |d AS (SELECT h.doc_id, (count(*) OVER (PARTITION BY h.h)) > 1 AS is_dup
+           |  FROM h),
+           |j AS (SELECT coalesce(d.is_dup, false) AS is_dup, g.passes
+           |  FROM g LEFT JOIN d USING (doc_id)),
+           |c AS (SELECT
+           |  CAST(sum(CASE WHEN is_dup AND passes THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_pass,
+           |  CAST(sum(CASE WHEN is_dup AND NOT passes THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_fail,
+           |  CAST(sum(CASE WHEN NOT is_dup AND passes THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_uniq_pass,
+           |  CAST(sum(CASE WHEN NOT is_dup AND NOT passes THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_uniq_fail
+           | FROM j)
+           |SELECT n_dup_pass, n_dup_fail, n_uniq_pass, n_uniq_fail,
+           | CASE WHEN n_dup_pass + n_dup_fail > 0 THEN
+           |   round(CAST(n_dup_pass AS DOUBLE) / (n_dup_pass + n_dup_fail), 4)
+           |   END AS pass_rate_dup,
+           | CASE WHEN n_uniq_pass + n_uniq_fail > 0 THEN
+           |   round(CAST(n_uniq_pass AS DOUBLE) / (n_uniq_pass + n_uniq_fail), 4)
+           |   END AS pass_rate_uniq,
+           | CASE WHEN n_dup_fail > 0 AND n_uniq_pass > 0
+           |      THEN round(CAST(n_dup_pass * n_uniq_fail AS DOUBLE) /
+           |        (n_dup_fail * n_uniq_pass), 4) END AS odds_ratio
+           |FROM c""".stripMargin
+      },
 
       "q189_length_tail_index" ->
         """WITH r AS (SELECT doc_id, n_chars,

@@ -504,6 +504,83 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(got - pair) < 1e-3, s"identity vs pairwise: $got vs $pair")
   }
 
+  test("q191: contamination counts recompute from a driver as-of scan") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q191_post_incident")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == 4 && !rows.exists(_._1 == "error"))
+    rows.foreach { case (_, n, after, w60, rate) =>
+      assert(w60 <= after && after <= n && rate >= 0.0 && rate <= 1.0)
+    }
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000, r.getLong(3)))
+    val byUser = ev.groupBy(_._1).values
+    var after = 0L; var w60 = 0L
+    byUser.foreach { es =>
+      var lastErr = Long.MinValue
+      es.sortBy(e => (e._3, e._4)).foreach { e =>
+        if (e._2 == "click") {
+          if (lastErr != Long.MinValue) {
+            after += 1
+            if ((e._3 - lastErr).toDouble / 1e6 <= 60.0) w60 += 1
+          }
+        }
+        if (e._2 == "error") lastErr = e._3
+      }
+    }
+    val click = rows.find(_._1 == "click").get
+    assert(click._3 == after && click._4 == w60,
+      s"click recompute: ${(click._3, click._4)} vs ${(after, w60)}")
+  }
+
+  test("q192: full source-pair matrix; cosine recomputes for one pair") {
+    val rows = SparkEntry.queries("q192_source_style")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val srcs = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length == srcs * (srcs - 1) / 2, "one row per unordered pair")
+    rows.foreach { case (a, b, sh, cos) =>
+      assert(a < b && sh > 0 && cos > 0.0 && cos <= 1.0 + 1e-9)
+    }
+    val (sa, sb) = (rows.head._1, rows.head._2)
+    def gramCounts(src: String): Map[String, Long] =
+      graft.sources.Tables.table(spark, sf(), "documents")
+        .where(org.apache.spark.sql.functions.col("source") === src)
+        .select(org.apache.spark.sql.functions.lower(
+          graft.functions.TextExprs.cleanText(
+            org.apache.spark.sql.functions.col("text"))))
+        .collect().map(_.getString(0)).filter(_.length >= 3)
+        .flatMap(t => t.sliding(3))
+        .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val (ca, cb) = (gramCounts(sa), gramCounts(sb))
+    val dot = ca.keySet.intersect(cb.keySet).toSeq
+      .map(g => ca(g).toDouble * cb(g)).sum
+    val want = dot / (math.sqrt(ca.values.map(c => c.toDouble * c).sum) *
+      math.sqrt(cb.values.map(c => c.toDouble * c).sum))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r._1 == sa && r._2 == sb).get
+    assert(got._3 == ca.keySet.intersect(cb.keySet).size.toLong)
+    assert(math.abs(got._4 - r6(want)) < 1e-9, s"cosine ${got._4} vs $want")
+  }
+
+  test("q193: 2x2 cells tile the corpus and the odds ratio recomputes") {
+    val row = SparkEntry.queries("q193_dup_quality_interaction")(spark, sf())
+      .collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val (dp, df_, up, uf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val total = graft.sources.Tables.table(spark, sf(), "documents").count()
+    assert(dp + df_ + up + uf == total, "cells tile the corpus")
+    assert(dp + df_ > 0, "the fixture carries template duplicates")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == r4(dp.toDouble / (dp + df_)))
+    assert(r.getDouble(5) == r4(up.toDouble / (up + uf)))
+    if (!r.isNullAt(6))
+      assert(r.getDouble(6) == r4(dp.toDouble * uf / (df_.toDouble * up)))
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
