@@ -4159,6 +4159,78 @@ object SparkEntry {
               (col("n_dup_fail") * col("n_uniq_pass")), 4)).as("odds_ratio"))
     }),
 
+    "q194_daily_trend" -> ((s, dir) => {
+      // Per-type daily-volume trend: closed-form OLS slope/intercept/R²
+      // over a ZERO-FILLED day scaffold (a silent empty day must read as
+      // 0, not a missing x) — q64's gap-fill shape feeding exact-integer
+      // regression sums: every Σ is a long until the final division, so
+      // no float boundary can move a statistic; the day axis lives in one
+      // broadcast row, the only corpus-sized step is the (type, day)
+      // count aggregate.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).cast("long").as("nd"))
+      val scaffold = broadcast(bounds)
+        .select(col("d0"), col("nd"),
+          explode(sequence(lit(0L), col("nd") - 1)).as("x"))
+        .select(col("nd"), col("x"), date_add(col("d0"), col("x").cast("int")).as("day"))
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+      val series = scaffold.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("nd"), col("x"),
+          coalesce(col("c"), lit(0L)).as("y"))
+      val sums = series.groupBy("event_type", "nd")
+        .agg(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val covN = col("nd") * col("sxy") - col("sx") * col("sy")   // n·cov (long)
+      val varXN = col("nd") * col("sxx") - col("sx") * col("sx")  // n·var x
+      val varYN = col("nd") * col("syy") - col("sy") * col("sy")  // n·var y
+      sums.select(col("event_type"), col("nd").as("n_days"),
+          col("sy").as("n_events"),
+          round(covN.cast("double") / varXN, 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / varXN, 6).as("intercept"),
+          when(varYN > 0, round((covN * covN).cast("double")
+            / (varXN * varYN).cast("double"), 6)).as("r2"))
+    }),
+
+    "q195_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint over the daily event total: cusumᵢ =
+      // Σ_{j≤i}(cⱼ − mean), peak day = argmax |cusum| — the level-shift
+      // locator run before trusting any volume-weighted statistic. The
+      // prefix sum rides GlobalRank.withRunningSum (range exchange, no
+      // single-partition window) over the zero-filled scaffold, and the
+      // peak test compares n·cusumᵢ = n·rtᵢ − i·total — ALL LONG
+      // arithmetic, so the argmax is exact in both engines; the reported
+      // cusum rounds only for display.
+      val ev = t(s, dir, "events").select(col("ts").cast("date").as("day"))
+      val daily = ev.groupBy("day").agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"),
+          count(lit(1)).as("total"))
+        .select(col("d0"), col("total"),
+          (datediff(col("d1"), col("d0")) + 1).cast("long").as("nd"))
+      val series = broadcast(bounds)
+        .select(col("d0"), col("nd"), col("total"),
+          explode(sequence(lit(1L), col("nd"))).as("i"))
+        .select(col("nd"), col("total"), col("i"),
+          date_add(col("d0"), (col("i") - 1).cast("int")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("nd"), col("total"), col("i"), col("day"),
+          coalesce(col("c"), lit(0L)).as("n_events"))
+      val rt = graft.operators.GlobalRank.withRunningSum(
+        series, Seq(col("day").asc), col("n_events"), "rt")
+      val nc = col("nd") * col("rt") - col("i") * col("total")
+      val scored = rt.select(col("day"), col("i"), col("n_events"),
+        col("nd"), nc.as("ncusum"))
+      val peak = scored.agg(max(abs(col("ncusum"))).as("peak"))
+      scored.crossJoin(broadcast(peak))
+        .select(col("day"), col("n_events"),
+          round(col("ncusum").cast("double") / col("nd"), 4).as("cusum"),
+          (abs(col("ncusum")) === col("peak")).as("is_peak"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6280,6 +6352,59 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q194_daily_trend" ->
+        """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+          |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+          |  FROM ev GROUP BY 1, 2),
+          |b AS (SELECT min(day) AS d0,
+          |   CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS nd
+          |  FROM ev),
+          |days AS (SELECT b.nd, CAST(x.x AS BIGINT) AS x,
+          |   b.d0 + CAST(x.x AS INT) AS day
+          |  FROM b, (SELECT unnest(range(0, (SELECT nd FROM b))) AS x) x),
+          |sc AS (SELECT t.event_type, d.nd, d.x, d.day
+          |  FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+          |s AS (SELECT sc.event_type, sc.nd, sc.x,
+          |   coalesce(daily.c, 0) AS y
+          |  FROM sc LEFT JOIN daily
+          |    ON daily.event_type = sc.event_type AND daily.day = sc.day),
+          |agg AS (SELECT event_type, nd,
+          |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+          |   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+          |   CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM s GROUP BY 1, 2)
+          |SELECT event_type, nd AS n_days, sy AS n_events,
+          | round(CAST(nd * sxy - sx * sy AS DOUBLE) / (nd * sxx - sx * sx), 6)
+          |   AS slope,
+          | round(CAST(sy * sxx - sx * sxy AS DOUBLE) / (nd * sxx - sx * sx), 6)
+          |   AS intercept,
+          | CASE WHEN nd * syy - sy * sy > 0 THEN
+          |   round(CAST((nd * sxy - sx * sy) * (nd * sxy - sx * sy) AS DOUBLE)
+          |     / (CAST(nd * sxx - sx * sx AS DOUBLE) * (nd * syy - sy * sy)), 6)
+          |   END AS r2
+          |FROM agg""".stripMargin,
+
+      "q195_changepoint" ->
+        """WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+          |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS c
+          |  FROM ev GROUP BY day),
+          |b AS (SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS total,
+          |   CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS nd
+          |  FROM ev),
+          |s AS (SELECT b.nd, b.total, CAST(i.i AS BIGINT) AS i,
+          |   b.d0 + CAST(i.i - 1 AS INT) AS day
+          |  FROM b, (SELECT unnest(range(1, (SELECT nd FROM b) + 1)) AS i) i),
+          |f AS (SELECT s.nd, s.total, s.i, s.day, coalesce(daily.c, 0)
+          |   AS n_events FROM s LEFT JOIN daily USING (day)),
+          |r AS (SELECT *, CAST(sum(n_events) OVER (ORDER BY day
+          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt FROM f),
+          |n AS (SELECT day, n_events, nd, nd * rt - i * total AS ncusum FROM r),
+          |p AS (SELECT max(abs(ncusum)) AS peak FROM n)
+          |SELECT n.day, n.n_events,
+          | round(CAST(n.ncusum AS DOUBLE) / n.nd, 4) AS cusum,
+          | (abs(n.ncusum) = p.peak) AS is_peak
+          |FROM n, p""".stripMargin,
 
       "q191_post_incident" ->
         """WITH ev AS (SELECT user_id, event_type, event_id,

@@ -581,6 +581,64 @@ class Round12Spec extends SparkSpec {
       assert(r.getDouble(6) == r4(dp.toDouble * uf / (df_.toDouble * up)))
   }
 
+  test("q194: OLS statistics recompute from the zero-filled daily series") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q194_daily_trend")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.length == 5)
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).min
+    val nd = java.time.temporal.ChronoUnit.DAYS.between(d0, ev.map(_._2).max) + 1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (tpe, n, tot, slope, icept, r2) =>
+      assert(n == nd)
+      val counts = ev.filter(_._1 == tpe).groupBy(_._2).map { case (d, xs) =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, d) -> xs.length.toLong
+      }
+      val ys = (0L until nd).map(x => (x, counts.getOrElse(x, 0L)))
+      assert(tot == ys.map(_._2).sum)
+      val (sx, sxx) = (ys.map(_._1).sum, ys.map(x => x._1 * x._1).sum)
+      val (sy, sxy) = (ys.map(_._2).sum, ys.map(x => x._1 * x._2).sum)
+      val syy = ys.map(x => x._2 * x._2).sum
+      val varXN = nd * sxx - sx * sx
+      assert(slope == r6((nd * sxy - sx * sy).toDouble / varXN))
+      assert(icept == r6((sy * sxx - sx * sxy).toDouble / varXN))
+      val varYN = nd * syy - sy * sy
+      if (varYN > 0) {
+        val cn = nd * sxy - sx * sy
+        assert(r2.get == r6(cn.toDouble * cn / (varXN.toDouble * varYN)))
+        assert(r2.get >= 0 && r2.get <= 1.0 + 1e-9)
+      } else assert(r2.isEmpty)
+    }
+  }
+
+  test("q195: exactly one peak family; cusum ends at zero and recomputes") {
+    val rows = SparkEntry.queries("q195_changepoint")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.length >= 2, "at least two days of events")
+    assert(rows.exists(_._4), "a peak day is flagged")
+    // cusum telescopes to zero on the last day (sum of deviations)
+    assert(math.abs(rows.last._3) < 1e-9, s"final cusum ${rows.last._3}")
+    // driver recompute of the integer-scaled cusum and the peak set
+    val nd = rows.length.toLong
+    val total = rows.map(_._2).sum
+    var rt = 0L
+    val ncs = rows.zipWithIndex.map { case ((_, c, _, _), idx) =>
+      rt += c; nd * rt - (idx + 1) * total
+    }
+    val peak = ncs.map(math.abs).max
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.zip(ncs).foreach { case ((_, _, cusum, isPeak), nc) =>
+      assert(cusum == r4(nc.toDouble / nd))
+      assert(isPeak == (math.abs(nc) == peak))
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
