@@ -4231,6 +4231,70 @@ object SparkEntry {
           (abs(col("ncusum")) === col("peak")).as("is_peak"))
     }),
 
+    "q196_embed_mrr" -> ((s, dir) => {
+      // Embedding-quality MRR: for a 50-query deterministic probe, the
+      // reciprocal rank of the FIRST same-label neighbor under full
+      // cosine ranking (evaluation query — the probe set bounds the
+      // candidate volume at 50×n, it is NOT an n² fold; the ranking
+      // window partitions BY QUERY so no partition exceeds the corpus
+      // row count). MRR near 1 = labels cluster tightly; hit@10 is the
+      // deployable-recall companion.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"),
+          col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("clab"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q)).where(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("qlab"), col("corpus_id"), col("clab"),
+          graft.functions.VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+      val first = scored.withColumn("_rnk", row_number().over(w))
+        .where(col("qlab") === col("clab"))
+        .groupBy("query_id", "qlab").agg(min("_rnk").as("first_rank"))
+      first.groupBy(col("qlab").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(lit(1.0) / col("first_rank")), 6).as("mrr"),
+          round(avg(when(col("first_rank") <= 10, 1.0).otherwise(0.0)), 4)
+            .as("hit_at_10"))
+    }),
+
+    "q197_neardup_assortativity" -> ((s, dir) => {
+      // Degree assortativity of the verified near-dup graph: Pearson r
+      // over symmetrized edge-endpoint degrees — positive means heavy
+      // duplicators link to each other (template families), negative
+      // means hubs absorbing singletons (one canonical + many variants);
+      // the two regimes want different keep policies. Candidates are
+      // q27's banded LSH (never all-pairs); degrees and every Σ are LONG
+      // so the coefficient is exact in both engines.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val deg = pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val sym = pairs
+        .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+        .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+        .select(col("da").as("x"), col("db").as("y"))
+        .unionAll(pairs
+          .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+          .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+          .select(col("db").as("x"), col("da").as("y")))
+      val m = sym.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"), sum("deg").as("_sd"))
+      val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+      m.crossJoin(broadcast(nodes))
+        .select((col("m") / 2).cast("long").as("n_edges"), col("n_nodes"),
+          round(col("_sd").cast("double") / col("n_nodes"), 4).as("mean_degree"),
+          when(den > 0, round(num / den, 6)).as("assortativity"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6352,6 +6416,59 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q196_embed_mrr" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlab,
+          |   embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+          |c AS (SELECT vec_id AS corpus_id, CAST(label AS BIGINT) AS clab,
+          |   embedding::DOUBLE[] AS cv FROM embeddings),
+          |s AS (SELECT query_id, qlab, corpus_id, clab,
+          |   list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+          |   (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+          |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))
+          |     AS cos
+          |  FROM q, c WHERE corpus_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |   ORDER BY cos DESC, corpus_id ASC) AS rnk FROM s),
+          |f AS (SELECT query_id, qlab, CAST(min(rnk) AS BIGINT) AS first_rank
+          |  FROM r WHERE qlab = clab GROUP BY 1, 2)
+          |SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_queries,
+          | round(avg(1.0 / first_rank), 6) AS mrr,
+          | round(avg(CASE WHEN first_rank <= 10 THEN 1.0 ELSE 0.0 END), 4)
+          |   AS hit_at_10
+          |FROM f GROUP BY qlab""".stripMargin,
+
+      // all-pairs exact candidate twin of the banded-LSH engine path —
+      // recall caveat documented at q159's oracle entry
+      "q197_neardup_assortativity" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |   SELECT id_a AS id FROM pairs
+           |   UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+           |sym AS (SELECT da.deg AS x, db.deg AS y FROM pairs
+           |   JOIN deg da ON da.id = pairs.id_a JOIN deg db ON db.id = pairs.id_b
+           | UNION ALL
+           | SELECT db.deg, da.deg FROM pairs
+           |   JOIN deg da ON da.id = pairs.id_a JOIN deg db ON db.id = pairs.id_b),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+           |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |   CAST(sum(x * y) AS BIGINT) AS sxy,
+           |   CAST(sum(x * x) AS BIGINT) AS sxx,
+           |   CAST(sum(y * y) AS BIGINT) AS syy FROM sym),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           |   CAST(sum(deg) AS BIGINT) AS sd FROM deg)
+           |SELECT m.m // 2 AS n_edges, n.n_nodes,
+           | round(CAST(n.sd AS DOUBLE) / n.n_nodes, 4) AS mean_degree,
+           | CASE WHEN sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE)) *
+           |        sqrt(CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE)) > 0
+           |      THEN round(CAST(m.m * m.sxy - m.sx * m.sy AS DOUBLE) /
+           |        (sqrt(CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE)) *
+           |         sqrt(CAST(m.m * m.syy - m.sy * m.sy AS DOUBLE))), 6) END
+           |   AS assortativity
+           |FROM m, n""".stripMargin,
 
       "q194_daily_trend" ->
         """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),

@@ -639,6 +639,59 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q196: MRR recomputes from an explicit ranking for one query") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q196_embed_mrr")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == 50, "every probe query is scored once")
+    rows.foreach { case (_, n, mrr, hit) =>
+      assert(n >= 1 && mrr > 0.0 && mrr <= 1.0 && hit >= 0.0 && hit <= 1.0)
+    }
+    // explicit first-rank for query 0
+    val all = graft.sources.Tables.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](0 max 2).map(_.toDouble).toArray))
+    val q0 = all.find(_._1 == 0L).get
+    val ranked = all.filter(_._1 != 0L).map { c =>
+      val dot = q0._3.zip(c._3).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(q0._3.map(x => x * x).sum) *
+        math.sqrt(c._3.map(x => x * x).sum))
+      (c._1, c._2, cos)
+    }.sortBy(r => (-r._3, r._1))
+    val firstRank = ranked.indexWhere(_._2 == q0._2) + 1
+    assert(firstRank >= 1, "some same-label neighbor exists")
+    // the label-row MRR aggregates query 0's reciprocal rank; spot-check
+    // via a direct engine-side recompute of the same query's first_rank
+    val engineFirst = {
+      val emb = graft.sources.Tables.table(spark, sf(), "embeddings")
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("label").as("qlab"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") =!= 0L)
+        .select(col("vec_id").as("cid"), col("label").as("clab"), col("embedding").as("cv"))
+      c.crossJoin(q).select(col("cid"), col("qlab"), col("clab"),
+          graft.functions.VectorExprs.cosine(col("qv"), col("cv")).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(r => (-r._4, r._1)).indexWhere(r => r._2 == r._3) + 1
+    }
+    assert(engineFirst == firstRank, s"rank parity: $engineFirst vs $firstRank")
+  }
+
+  test("q197: assortativity is a valid correlation; degrees recompute") {
+    val row = SparkEntry.queries("q197_neardup_assortativity")(spark, sf())
+      .collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val (e, n, md) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(e >= 1 && n >= 2, "the fixture has near-dup pairs")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(md == r4(2.0 * e / n), "handshake identity 2|E|/|V|")
+    if (!r.isNullAt(3)) {
+      val a = r.getDouble(3)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
