@@ -4295,6 +4295,62 @@ object SparkEntry {
           when(den > 0, round(num / den, 6)).as("assortativity"))
     }),
 
+    "q198_editdist_neardup" -> ((s, dir) => {
+      // Edit-distance verified near-dup pairs for SHORT documents —
+      // character-level Levenshtein catches the small-edit duplicates
+      // (typo fixes, number swaps) that token-shingle Jaccard scores low
+      // on short texts. Candidates block on the md5 of the first 3
+      // tokens (equi-join, never all-pairs); the O(len²) verify runs
+      // only inside blocks and only on ≤512-char docs — the length cap
+      // is what licenses Levenshtein at scale.
+      val base = t(s, dir, "documents")
+        .where(col("n_chars") <= 512)
+        .select(col("doc_id"), TextExprs.cleanText(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), split(col("t"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("t"),
+          md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
+      val a = base.select(col("h"), col("doc_id").as("id_a"), col("t").as("ta"))
+      val b = base.select(col("h"), col("doc_id").as("id_b"), col("t").as("tb"))
+      val sim = lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+        greatest(length(col("ta")), length(col("tb")))
+      a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          round(sim, 4).as("sim"))
+        .where(round(sim, 4) >= 0.8)
+    }),
+
+    "q199_session_conversion" -> ((s, dir) => {
+      // Session-level conversion by engagement depth: q35's gap
+      // sessionization (lag + running sum share ONE partitioned
+      // window pass) rolled up to sessions, then bucketed by event
+      // count — does conversion rise with session length, the shape
+      // every funnel owner asks for next. The bucket table is
+      // session-cardinality-sized; no second corpus pass.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("_gap_us"))
+        .withColumn("_new_sess",
+          when(col("_gap_us").isNull || col("_gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum("_new_sess").over(wRun))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      val bucket = when(col("n_events") === 1, "1")
+        .when(col("n_events") <= 4, "2-4")
+        .when(col("n_events") <= 9, "5-9")
+        .otherwise("10+")
+      sess.groupBy(bucket.as("size_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("converted").as("n_converted"))
+        .select(col("size_bucket"), col("n_sessions"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_sessions"), 4)
+            .as("conv_rate"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6416,6 +6472,42 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q198_editdist_neardup" ->
+        s"""WITH d AS (SELECT doc_id, ${cleanSql("text")} AS t FROM documents
+           |  WHERE n_chars <= 512),
+           |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM d),
+           |b AS (SELECT doc_id, t, md5(array_to_string(toks[1:3], ' ')) AS h
+           |  FROM tk WHERE len(toks) >= 3),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |   CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           |   round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+           |     greatest(len(a.t), len(b.t)), 4) AS sim
+           |  FROM b a JOIN b b ON a.h = b.h AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, edit_dist, sim FROM p WHERE sim >= 0.8""".stripMargin,
+
+      "q199_session_conversion" ->
+        """WITH o AS (SELECT user_id, event_id, ts, event_type,
+          |   epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |m AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+          |   THEN 1 ELSE 0 END AS new_sess FROM o),
+          |sn AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+          |  FROM m),
+          |sess AS (SELECT user_id, session_no,
+          |   CAST(count(*) AS BIGINT) AS n_events,
+          |   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS converted
+          |  FROM sn GROUP BY 1, 2)
+          |SELECT CASE WHEN n_events = 1 THEN '1'
+          |  WHEN n_events <= 4 THEN '2-4'
+          |  WHEN n_events <= 9 THEN '5-9' ELSE '10+' END AS size_bucket,
+          | CAST(count(*) AS BIGINT) AS n_sessions,
+          | CAST(sum(converted) AS BIGINT) AS n_converted,
+          | round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate
+          |FROM sess GROUP BY 1""".stripMargin,
 
       "q196_embed_mrr" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlab,

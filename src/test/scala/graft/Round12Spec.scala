@@ -692,6 +692,66 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q198: every reported pair's edit distance recomputes exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q198_editdist_neardup")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the fixture has short-text near-dups")
+    val texts = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("n_chars") <= 512)
+      .select(col("doc_id"), graft.functions.TextExprs.cleanText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (ia, ib, ed, sim) =>
+      assert(ia < ib)
+      val (ta, tb) = (texts(ia), texts(ib))
+      val want = lev(ta, tb)
+      assert(ed == want, s"lev($ia,$ib): $ed vs $want")
+      assert(sim == r4(1.0 - want.toDouble / math.max(ta.length, tb.length)))
+      assert(sim >= 0.8)
+      // the blocked candidates share their 3-token opening
+      assert(ta.split(" ").take(3).toSeq == tb.split(" ").take(3).toSeq)
+    }
+  }
+
+  test("q199: session buckets tile q35's sessions; conversion recomputes") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q199_session_conversion")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (_, n, c, rate) =>
+      assert(c <= n && rate == r4(c.toDouble / n))
+    }
+    val q35 = SparkEntry.queries("q35_sessionize")(spark, sf())
+    assert(rows.map(_._2).sum == q35.count(),
+      "bucket counts tile the q35 session set")
+    // conversion recount straight from raw events per q35 session bounds
+    val purchasers = graft.sources.Tables.table(spark, sf(), "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val sessions = q35.collect().map(r => (r.getLong(0),
+      r.getTimestamp(3), r.getTimestamp(4)))
+    val conv = sessions.count { case (u, a, b) =>
+      purchasers.exists(p => p._1 == u && !p._2.before(a) && !p._2.after(b))
+    }
+    assert(rows.map(_._3).sum == conv, "total conversions match raw recount")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
