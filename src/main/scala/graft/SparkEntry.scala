@@ -4351,6 +4351,51 @@ object SparkEntry {
             .as("conv_rate"))
     }),
 
+    "q200_event_transitions" -> ((s, dir) => {
+      // First-order behavioral Markov matrix: session-gated (≤30 min
+      // gap) next-event transition counts and row-normalized
+      // probabilities — the background model that q185's bot profile and
+      // any sequence-model pretraining both start from. One partitioned
+      // window pass (lead shares q35's partitioning); the matrix is
+      // |types|² rows, the normalizer a broadcast row-total join.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_next", lead("event_type", 1).over(w))
+        .withColumn("_gap_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .where(col("_next").isNotNull && col("_gap_us") <= 1800L * 1000000L)
+        .groupBy(col("event_type").as("cur_type"), col("_next").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = trans.groupBy("cur_type")
+        .agg(sum("n_transitions").as("_rt"))
+      trans.join(broadcast(totals), "cur_type")
+        .select(col("cur_type"), col("next_type"), col("n_transitions"),
+          round(col("n_transitions").cast("double") / col("_rt"), 4).as("p"))
+    }),
+
+    "q201_crosssource_leakage" -> ((s, dir) => {
+      // Near-dup LEAKAGE across source boundaries: every verified pair
+      // labeled within/cross-source and rolled to the source-pair grid —
+      // cross-source mass means the same upstream feed arrives twice
+      // under different names, and per-source dedup would miss it. Pair
+      // set is q27's banded LSH; the source lookup joins the slim
+      // (doc_id, source) projection per side once.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+        .groupBy(least(col("_sa"), col("_sb")).as("src_lo"),
+          greatest(col("_sa"), col("_sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("src_lo"), col("src_hi"), col("n_pairs"),
+          (col("src_lo") =!= col("src_hi")).as("is_cross"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6472,6 +6517,38 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q200_event_transitions" ->
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |   lead(event_type) OVER w AS nxt,
+          |   lead(epoch_us(ts::TIMESTAMP)) OVER w
+          |     - epoch_us(ts::TIMESTAMP) AS gap_us
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |tr AS (SELECT event_type AS cur_type, nxt AS next_type,
+          |   CAST(count(*) AS BIGINT) AS n_transitions
+          |  FROM o WHERE nxt IS NOT NULL AND gap_us <= 1800000000
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT cur_type, CAST(sum(n_transitions) AS BIGINT) AS rt
+          |  FROM tr GROUP BY cur_type)
+          |SELECT tr.cur_type, tr.next_type, tr.n_transitions,
+          | round(CAST(tr.n_transitions AS DOUBLE) / tot.rt, 4) AS p
+          |FROM tr JOIN tot USING (cur_type)""".stripMargin,
+
+      // all-pairs exact candidate twin of the banded-LSH engine path —
+      // recall caveat documented at q159's oracle entry
+      "q201_crosssource_leakage" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |lab AS (SELECT least(da.source, db.source) AS src_lo,
+           |   greatest(da.source, db.source) AS src_hi
+           |  FROM pairs JOIN documents da ON da.doc_id = pairs.id_a
+           |  JOIN documents db ON db.doc_id = pairs.id_b)
+           |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           | (src_lo <> src_hi) AS is_cross
+           |FROM lab GROUP BY src_lo, src_hi""".stripMargin,
 
       "q198_editdist_neardup" ->
         s"""WITH d AS (SELECT doc_id, ${cleanSql("text")} AS t FROM documents

@@ -752,6 +752,44 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_._3).sum == conv, "total conversions match raw recount")
   }
 
+  test("q200: transition rows normalize per cur_type; counts recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q200_event_transitions")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val tot = g.map(_._3).sum
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      g.foreach(r => assert(r._4 == r4(r._3.toDouble / tot)))
+    }
+    // driver recount of one cell from the raw stream
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000, r.getLong(3)))
+    val want: Long = ev.groupBy(_._1).values.map { es =>
+      es.sortBy(e => (e._3, e._4)).toSeq.sliding(2).count {
+        case Seq(a, b) => a._2 == "view" && b._2 == "click" &&
+          b._3 - a._3 <= 1800L * 1000000L
+        case _ => false
+      }.toLong
+    }.sum
+    val got = rows.find(r => r._1 == "view" && r._2 == "click").map(_._3).getOrElse(0L)
+    assert(got == want, s"view->click recount: $got vs $want")
+  }
+
+  test("q201: pair mass matches q27's pair count; labels are ordered") {
+    val rows = SparkEntry.queries("q201_crosssource_leakage")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, n, cross) =>
+      assert(lo <= hi && n >= 1 && cross == (lo != hi))
+    }
+    val totalPairs = SparkEntry.queries("q27_minhash_neardup")(spark, sf()).count()
+    assert(rows.map(_._3).sum == totalPairs,
+      "source-pair grid tiles the verified pair set")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
