@@ -4396,6 +4396,36 @@ object SparkEntry {
           (col("src_lo") =!= col("src_hi")).as("is_cross"))
     }),
 
+    "q202_mad_outliers" -> ((s, dir) => {
+      // Robust outlier detection per event type: median/MAD instead of
+      // mean/σ (one corrupted batch cannot drag its own threshold, the
+      // failure mode of q177's z-score under contamination). Both
+      // medians ride Percentiles' rank dataflow (range exchange — no
+      // task holds a group, quantile_cont-exact), so med and MAD are
+      // bit-identical across engines and the 3·1.4826·MAD fence
+      // compares cleanly; the medians join back as a 5-row broadcast.
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = graft.operators.Percentiles.exactByGroup(
+          ev, col("event_type"), col("value"), Seq(0.5), Seq("med"))
+        .select(col("group").as("event_type"), col("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = graft.operators.Percentiles.exactByGroup(
+          dev, col("event_type"), col("adev"), Seq(0.5), Seq("mad"))
+        .select(col("group").as("event_type"), col("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(first("med"), 4).as("median"),
+          round(first("mad"), 4).as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("median"), col("mad"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 4).as("outlier_rate"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6517,6 +6547,24 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q202_mad_outliers" ->
+        """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |  FROM events GROUP BY event_type),
+          |dev AS (SELECT e.event_type, e.value, med.med,
+          |   abs(e.value - med.med) AS adev
+          |  FROM events e JOIN med USING (event_type)),
+          |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          |  FROM dev GROUP BY event_type)
+          |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+          | round(any_value(dev.med), 4) AS median,
+          | round(any_value(mad.mad), 4) AS mad,
+          | CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+          |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          | round(CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+          |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
+          |FROM dev JOIN mad USING (event_type)
+          |GROUP BY dev.event_type""".stripMargin,
 
       "q200_event_transitions" ->
         """WITH o AS (SELECT user_id, event_type, ts, event_id,

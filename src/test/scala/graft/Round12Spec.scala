@@ -790,6 +790,32 @@ class Round12Spec extends SparkSpec {
       "source-pair grid tiles the verified pair set")
   }
 
+  test("q202: median/MAD and the outlier fence recompute from raw values") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q202_mad_outliers")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 5)
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def q50(xs: Array[Double]): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt)
+      if (h == h.toInt) lo else lo + (h - h.toInt) * (s(h.toInt + 1) - lo)
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (tpe, n, med4, mad4, nOut, rate) =>
+      val vs = ev.filter(_._1 == tpe).map(_._2)
+      assert(n == vs.length)
+      val med = q50(vs)
+      val mad = q50(vs.map(v => math.abs(v - med)))
+      assert(med4 == r4(med) && mad4 == r4(mad))
+      val want = vs.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad)
+      assert(nOut == want && rate == r4(want.toDouble / n))
+    }
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
