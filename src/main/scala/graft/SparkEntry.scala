@@ -4426,6 +4426,33 @@ object SparkEntry {
           round(col("n_outliers").cast("double") / col("n"), 4).as("outlier_rate"))
     }),
 
+    "q203_profit_rollup" -> ((s, dir) => {
+      // TPC-H Q9-shaped 5-table profit rollup (no partsupp in the
+      // fixture, so amount = extprice·(1−disc)): the multi-way join
+      // planning exercise — the selective part filter broadcasts
+      // (257/2000 rows), supplier and nation broadcast, and the ONLY
+      // shuffle joins are lineitem⋈orders on orderkey. Map-side partial
+      // agg shrinks the (nation, year) rollup before the final exchange.
+      val red = broadcast(t(s, dir, "part")
+        .where(col("p_name").like("%red%")).select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_amt"))
+        .join(red, col("l_partkey") === col("p_partkey"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(round(sum("_amt"), 2).as("sum_profit"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6547,6 +6574,18 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q203_profit_rollup" ->
+        """SELECT n.n_name AS nation,
+          | CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+          | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit,
+          | CAST(count(*) AS BIGINT) AS n_lineitems
+          |FROM lineitem l
+          |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |JOIN orders o ON o.o_orderkey = l.l_orderkey
+          |GROUP BY 1, 2""".stripMargin,
 
       "q202_mad_outliers" ->
         """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -35,6 +35,20 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && aggIdx >= 0, "expected join over an aggregated fact side")
   }
 
+  test("q203: three dims broadcast; the only shuffle join is lineitem x orders") {
+    val p = executed("q203_profit_rollup")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    // part/supplier/nation are hint-pinned broadcasts; orders is left to
+    // the planner (it also broadcasts at fixture scale, shuffles at 100 TB)
+    assert(bhj >= 3, s"part/supplier/nation must all broadcast, got $bhj:\n$p")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffleJoins <= 1, s"only lineitem x orders may shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // partial agg before the final (nation, year) exchange
+    assert(p.contains("HashAggregate"), "rollup must partially aggregate")
+  }
+
   test("q35: lag + running-sum windows share ONE shuffle, agg adds none") {
     val p = executed("q35_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
