@@ -4453,6 +4453,28 @@ object SparkEntry {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    "q204_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17-shaped correlated subquery, DECORRELATED: "revenue
+      // lost to small orders" = lineitems under 20% of their part's
+      // average quantity. The per-part average is a partial-agg shuffle
+      // on partkey joined back to the fact — never a per-row subquery —
+      // and the widget filter broadcast-prunes both sides first.
+      // l_quantity is integer-valued, so sum(qty) is EXACT in any
+      // summation order and the 0.2·avg threshold is bit-identical
+      // cross-engine (one division, one multiply).
+      val widgets = broadcast(t(s, dir, "part")
+        .where(col("p_name").like("%widget%")).select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(widgets, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgQ = li.groupBy("l_partkey")
+        .agg((sum("l_quantity") / count(lit(1))).as("_aq"))
+      li.join(avgQ, "l_partkey")
+        .where(col("l_quantity") < lit(0.2) * col("_aq"))
+        .agg(count(lit(1)).as("n_small"),
+          round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6574,6 +6596,17 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q204_small_qty_revenue" ->
+        """WITH li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |  WHERE p.p_name LIKE '%widget%'),
+          |aq AS (SELECT l_partkey, sum(l_quantity) / count(*) AS aq
+          |  FROM li GROUP BY l_partkey)
+          |SELECT CAST(count(*) AS BIGINT) AS n_small,
+          | round(sum(li.l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM li JOIN aq USING (l_partkey)
+          |WHERE li.l_quantity < 0.2 * aq.aq""".stripMargin,
 
       "q203_profit_rollup" ->
         """SELECT n.n_name AS nation,

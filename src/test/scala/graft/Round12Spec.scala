@@ -816,6 +816,28 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q204: decorrelated threshold matches a per-part driver recompute") {
+    import org.apache.spark.sql.functions.col
+    val row = SparkEntry.queries("q204_small_qty_revenue")(spark, sf()).collect()
+    assert(row.length == 1)
+    val (n, rev) = (row(0).getLong(0), row(0).getDouble(1))
+    val widget = graft.sources.Tables.table(spark, sf(), "part")
+      .where(col("p_name").like("%widget%"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(r => widget(r._1))
+    val byPart = li.groupBy(_._1)
+    val small = byPart.values.flatMap { xs =>
+      val aq = xs.map(_._2).sum / xs.length
+      xs.filter(_._2 < 0.2 * aq)
+    }.toSeq
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(n == small.length, s"n_small $n vs ${small.length}")
+    assert(rev == r2(small.map(_._3).sum / 7.0))
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
