@@ -4475,6 +4475,65 @@ object SparkEntry {
           round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
 
+    "q205_rfm_segments" -> ((s, dir) => {
+      // RFM segmentation: recency/frequency/monetary quintiles (1 =
+      // best) from THREE GlobalRank.withNtile total orders — each a
+      // range exchange over the users table, never a partition-less
+      // ntile window. Monetary sums as EXACT integer cents
+      // (round(value·100) per event) so the quintile sort key is
+      // bit-identical cross-engine — a double sum's last-ulp wobble
+      // could otherwise flip a boundary user's segment.
+      val perUser = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(col("ts").cast("date")).as("_last"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("mon_cents"))
+      val anchor = t(s, dir, "events")
+        .agg(max(col("ts").cast("date")).as("_anchor"))
+      val base = perUser.crossJoin(broadcast(anchor))
+        .select(col("user_id"), datediff(col("_anchor"), col("_last"))
+          .cast("long").as("rec_days"), col("freq"), col("mon_cents"))
+      val G = graft.operators.GlobalRank
+      val withR = G.withNtile(base, 5,
+        Seq(col("rec_days").asc, col("user_id").asc), "r")
+      val withF = G.withNtile(withR, 5,
+        Seq(col("freq").desc, col("user_id").asc), "f")
+      val withM = G.withNtile(withF, 5,
+        Seq(col("mon_cents").desc, col("user_id").asc), "m")
+      withM.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("mon_cents").cast("double") / (lit(100.0) * count(lit(1))), 2)
+            .as("avg_monetary"))
+    }),
+
+    "q206_order_backlog" -> ((s, dir) => {
+      // Daily open-order backlog via the DIFFERENCE-ARRAY interval
+      // trick: an order is open from o_orderdate until its last
+      // shipment; instead of the day×order interval join (days · orders
+      // rows), each order contributes two delta events (+1 at open, −1
+      // the day after close) and the daily backlog is the prefix sum on
+      // GlobalRank.withRunningSum — the scan volume is 2·|orders|
+      // regardless of interval length, THE pattern for interval
+      // aggregation at 100 TB.
+      val close = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate").cast("date")).as("_close"))
+      val spans = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("_open"))
+        .join(close, col("o_orderkey") === col("l_orderkey"))
+        // the synthetic fixture has ~20% spans whose last shipment
+        // precedes the order date — clamp so every order is open for at
+        // least its open day (an inverted span would corrupt the prefix)
+        .select(col("_open"), greatest(col("_open"), col("_close")).as("_close"))
+      val deltas = spans.select(col("_open").as("day"), lit(1L).as("d"))
+        .unionAll(spans.select(date_add(col("_close"), 1).as("day"), lit(-1L).as("d")))
+        .groupBy("day").agg(sum("d").as("delta"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_opened"),
+          sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_closed"))
+      graft.operators.GlobalRank.withRunningSum(
+          deltas, Seq(col("day").asc), col("delta"), "open_orders")
+        .select(col("day"), col("n_opened"), col("n_closed"), col("open_orders"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6596,6 +6655,47 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q206_order_backlog" ->
+        """WITH cl AS (SELECT l_orderkey,
+          |   max(CAST(l_shipdate AS DATE)) AS close_d
+          |  FROM lineitem GROUP BY l_orderkey),
+          |sp AS (SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+          |   greatest(CAST(o.o_orderdate AS DATE), cl.close_d) AS close_d
+          |  FROM orders o JOIN cl ON cl.l_orderkey = o.o_orderkey),
+          |ev AS (SELECT open_d AS day, 1 AS d FROM sp
+          | UNION ALL SELECT close_d + 1, -1 FROM sp),
+          |g AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta,
+          |   CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS n_opened,
+          |   CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS n_closed
+          |  FROM ev GROUP BY day)
+          |SELECT day, n_opened, n_closed,
+          | CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+          |   AS BIGINT) AS open_orders
+          |FROM g""".stripMargin,
+
+      "q205_rfm_segments" ->
+        """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+          |   CAST(count(*) AS BIGINT) AS freq,
+          |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |     AS mon_cents
+          |  FROM events GROUP BY user_id),
+          |a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+          |b AS (SELECT u.user_id,
+          |   CAST(date_diff('day', u.last_d, a.anchor) AS BIGINT) AS rec_days,
+          |   u.freq, u.mon_cents FROM u, a),
+          |t AS (SELECT *,
+          |   CAST(ntile(5) OVER (ORDER BY rec_days, user_id) AS BIGINT) AS r,
+          |   CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+          |   CAST(ntile(5) OVER (ORDER BY mon_cents DESC, user_id) AS BIGINT)
+          |     AS m
+          |  FROM b)
+          |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users,
+          | round(CAST(sum(mon_cents) AS DOUBLE) / (100.0 * count(*)), 2)
+          |   AS avg_monetary
+          |FROM t GROUP BY r, f, m""".stripMargin,
 
       "q204_small_qty_revenue" ->
         """WITH li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice

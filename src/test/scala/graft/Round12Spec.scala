@@ -838,6 +838,50 @@ class Round12Spec extends SparkSpec {
     assert(rev == r2(small.map(_._3).sum / 7.0))
   }
 
+  test("q205: segments tile the users; quintiles are balanced per axis") {
+    val rows = SparkEntry.queries("q205_rfm_segments")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val users = graft.sources.Tables.table(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == users, "segment counts tile the users")
+    rows.foreach { case (r, f, m, n, avg) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(n >= 1 && avg > 0)
+    }
+    // each axis's quintiles are ntile-balanced (sizes differ by <= 1)
+    Seq[((Long, Long, Long, Long, Double)) => Long](_._1, _._2, _._3)
+      .foreach { ax =>
+        val sizes = rows.groupBy(ax).map { case (_, g) => g.map(_._4).sum }
+        assert(sizes.max - sizes.min <= 1, s"ntile balance violated: $sizes")
+      }
+  }
+
+  test("q206: backlog never negative, ends at zero, and one day recomputes") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q206_order_backlog")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length > 100)
+    rows.foreach(r => assert(r._4 >= 0, s"negative backlog at ${r._1}"))
+    assert(rows.last._4 == 0, "all spans closed by the final delta day")
+    assert(rows.map(r => r._2 - r._3).sum == 0, "opens balance closes")
+    // recompute the backlog for the median day by interval counting
+    val mid = rows(rows.length / 2)._1
+    val close = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.functions.max(col("l_shipdate").cast("date")).as("c"))
+    val spans = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .select("o", "c").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+      .map { case (o, c) => (o, if (c.isBefore(o)) o else c) }
+    val want = spans.count { case (o, c) => !o.isAfter(mid) && !c.isBefore(mid) }
+    assert(rows(rows.length / 2)._4 == want, s"backlog at $mid: $want")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
