@@ -4534,6 +4534,29 @@ object SparkEntry {
         .select(col("day"), col("n_opened"), col("n_closed"), col("open_orders"))
     }),
 
+    "q207_token_weighted_length" -> ((s, dir) => {
+      // Token-WEIGHTED doc-length percentiles per source: the length a
+      // randomly drawn TOKEN lives in (a 10k-token doc counts 10k times,
+      // not once) — the number packing actually cares about, since token
+      // mass in long docs dominates the sequence budget even when long
+      // docs are rare by count. Percentiles.weightedByGroup: one range
+      // exchange + global weight prefix sum; the unweighted p50 rides
+      // alongside for the count-vs-mass contrast.
+      val d = t(s, dir, "documents")
+        .select(col("source"), TextExprs.tokenCount(col("text")).as("n_toks"))
+        .where(col("n_toks") > 0)
+      val weighted = graft.operators.Percentiles.weightedByGroup(
+          d, col("source"), col("n_toks"), col("n_toks"),
+          Seq(0.5, 0.9), Seq("w_p50", "w_p90"))
+        .select(col("group").as("source"),
+          col("w_p50").cast("long").as("w_p50"),
+          col("w_p90").cast("long").as("w_p90"))
+      val plain = graft.operators.Percentiles.exactByGroup(
+          d, col("source"), col("n_toks"), Seq(0.5), Seq("p50"))
+        .select(col("group").as("source"), round(col("p50"), 4).as("p50"))
+      plain.join(weighted, "source")
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6655,6 +6678,27 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q207_token_weighted_length" ->
+        s"""WITH d AS (SELECT source, ${tokenCountSql("text")} AS n
+           |  FROM documents),
+           |d2 AS (SELECT source, CAST(n AS BIGINT) AS n FROM d WHERE n > 0),
+           |c AS (SELECT source, n,
+           |   sum(n) OVER (PARTITION BY source ORDER BY n
+           |     ROWS UNBOUNDED PRECEDING) AS cw
+           |  FROM d2),
+           |w AS (SELECT source, CAST(sum(n) AS BIGINT) AS W FROM d2
+           |  GROUP BY source),
+           |p50 AS (SELECT c.source, min(c.n) AS w_p50 FROM c JOIN w USING (source)
+           |  WHERE c.cw >= ceil(0.5 * w.W) AND c.cw - c.n < ceil(0.5 * w.W)
+           |  GROUP BY c.source),
+           |p90 AS (SELECT c.source, min(c.n) AS w_p90 FROM c JOIN w USING (source)
+           |  WHERE c.cw >= ceil(0.9 * w.W) AND c.cw - c.n < ceil(0.9 * w.W)
+           |  GROUP BY c.source),
+           |q AS (SELECT source, round(quantile_cont(n, 0.5), 4) AS p50
+           |  FROM d2 GROUP BY source)
+           |SELECT q.source, q.p50, p50.w_p50, p90.w_p90
+           |FROM q JOIN p50 USING (source) JOIN p90 USING (source)""".stripMargin,
 
       "q206_order_backlog" ->
         """WITH cl AS (SELECT l_orderkey,

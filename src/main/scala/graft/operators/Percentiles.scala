@@ -72,4 +72,41 @@ object Percentiles {
     perP.groupBy("g").pivot("_p", outNames).agg(first("_val"))
       .withColumnRenamed("g", "group")
   }
+
+  /** Exact WEIGHTED per-group quantiles (inverted-CDF definition): the
+    * smallest value v whose cumulative weight reaches ⌈p·W⌉, with LONG
+    * weights so the target rank is integer-exact — "the value experienced
+    * by a unit of weight drawn at random" (e.g. doc-length percentiles by
+    * token mass, where a long tail doc counts by its tokens, not once).
+    *
+    * Same dataflow posture as [[exactByGroup]]: ONE range exchange under
+    * the total order (group, value, weight) carrying a global weight
+    * prefix sum ([[GlobalRank.withRunningSum]]); per-group offsets are a
+    * groups-sized aggregate; each (group, p) target selects exactly the
+    * row whose weight interval [cum−w, cum) contains the target, via a
+    * broadcast join — no task ever holds a group.
+    */
+  def weightedByGroup(df: DataFrame, group: Column, value: Column,
+      weight: Column, ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == outNames.size)
+    require(ps.forall(p => p > 0 && p <= 1), "weighted quantile needs 0 < p <= 1")
+    val vals = df.select(group.as("_g"), value.cast("double").as("_v"),
+        weight.cast("long").as("_w"))
+      .where(col("_v").isNotNull && col("_w") > 0)
+    val summed = GlobalRank.withRunningSum(vals,
+      Seq(col("_g").asc, col("_v").asc, col("_w").asc), col("_w"), "_cw")
+    val counts = summed.groupBy("_g")
+      .agg(min(col("_cw") - col("_w")).as("_off"),
+        (max(col("_cw")) - min(col("_cw") - col("_w"))).as("_W"))
+    val targets = ps.zip(outNames).map { case (p, name) =>
+      counts.select(col("_g").as("_tg"), lit(name).as("_p"),
+        (col("_off") + ceil(lit(p) * col("_W")).cast("long")).as("_t"))
+    }.reduce(_ unionAll _)
+    val hits = summed.join(broadcast(targets),
+      col("_g") === col("_tg") &&
+        col("_cw") >= col("_t") && (col("_cw") - col("_w")) < col("_t"))
+      .select(col("_g").as("g"), col("_p"), col("_v"))
+    hits.groupBy("g").pivot("_p", outNames).agg(first("_v"))
+      .withColumnRenamed("g", "group")
+  }
 }

@@ -882,6 +882,47 @@ class Round12Spec extends SparkSpec {
     assert(rows(rows.length / 2)._4 == want, s"backlog at $mid: $want")
   }
 
+  test("weightedByGroup: hand-computed weighted quantiles on a tiny frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a: values 1(w1) 2(w1) 10(w8) → W=10; t(p50)=5 → 10; t(p10)=1 → 1
+    // group b: values 5(w2) 7(w3)       → W=5;  t(p50)=3 → 7;  t(p10)=1 → 5
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 10.0, 8L),
+      ("b", 5.0, 2L), ("b", 7.0, 3L)).toDF("g", "v", "w")
+    val out = graft.operators.Percentiles.weightedByGroup(
+        df, col("g"), col("v"), col("w"), Seq(0.1, 0.5), Seq("p10", "p50"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") == ((1.0, 10.0)))
+    assert(out("b") == ((5.0, 7.0)))
+  }
+
+  test("q207: weighted median recomputes; token mass shifts it right") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q207_token_weighted_length")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, p50, w50, w90) =>
+      assert(w90 >= w50, "weighted p90 >= weighted p50")
+      assert(w50 >= math.floor(p50).toLong,
+        "token weighting cannot move the median left (w = v)")
+    }
+    val src = rows.head._1
+    val lens = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("source") === src)
+      .select(graft.functions.TextExprs.tokenCount(col("text")))
+      .collect().map(_.getLong(0)).filter(_ > 0).sorted
+    val bigW = lens.map(BigInt(_)).sum
+    def wq(p: Double): Long = {
+      val t = (BigDecimal(p) * BigDecimal(bigW)).setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+      var c = BigInt(0)
+      lens.find { n => c += n; c >= t }.get
+    }
+    val got = rows.find(_._1 == src).get
+    assert(got._3 == wq(0.5) && got._4 == wq(0.9),
+      s"driver weighted quantiles: ${(got._3, got._4)} vs ${(wq(0.5), wq(0.9))}")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
