@@ -4557,6 +4557,69 @@ object SparkEntry {
       plain.join(weighted, "source")
     }),
 
+    "q208_distinct_ngrams" -> ((s, dir) => {
+      // Generation-diversity audit: distinct-1/2/3 per source (share of
+      // unique n-grams in the n-gram stream) — the standard NLG
+      // repetition metric; a templated/looping source scores low where
+      // q166's TTR only sees unigrams. One explode per n collapses
+      // immediately into (source, n, gram) counts (map-side combine),
+      // distinct+total fall out of the SAME aggregate — no second pass.
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          split(TextExprs.cleanText(col("text")), " ").as("toks"))
+        .select(col("source"),
+          expr("filter(toks, t -> t != '')").as("toks"))
+      def grams(n: Int) = toks.where(size(col("toks")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      (1 to 3).map(grams).reduce(_ unionAll _)
+        .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source", "n")
+        .agg(sum("c").as("total_ngrams"), count(lit(1)).as("distinct_ngrams"))
+        .select(col("source"), col("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 4)
+            .as("distinct_ratio"))
+    }),
+
+    "q209_session_basket_lift" -> ((s, dir) => {
+      // Association lift between event types CO-PRESENT in a session
+      // (order-free, unlike q200's adjacent transitions): lift > 1 means
+      // the pair travels together across sessions. Sessions from q35's
+      // one-window pass; the distinct (session, type) projection is the
+      // only corpus-sized shuffle — pair/single supports and the lift
+      // arithmetic run on session-cardinality tables.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("_gap_us"))
+        .withColumn("_new_sess",
+          when(col("_gap_us").isNull || col("_gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum("_new_sess").over(wRun))
+        .select(col("user_id"), col("session_no"), col("event_type"))
+        .distinct()
+      val nSess = st.select("user_id", "session_no").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val singles = st.groupBy("event_type").agg(count(lit(1)).as("n_with"))
+      val pairs = st.as("a").join(st.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_no") === col("b.session_no") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("type_a"),
+          col("n_with").as("_na"))), "type_a")
+        .join(broadcast(singles.select(col("event_type").as("type_b"),
+          col("n_with").as("_nb"))), "type_b")
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          round((col("n_both") * col("n_sessions")).cast("double") /
+            (col("_na") * col("_nb")), 4).as("lift"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6678,6 +6741,54 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q208_distinct_ngrams" ->
+        s"""WITH d AS (SELECT source,
+           |   list_filter(string_split(${cleanSql("text")}, ' '),
+           |     t -> t <> '') AS toks FROM documents),
+           |g AS (
+           | SELECT source, 1 AS n, unnest(toks) AS gram FROM d
+           |  WHERE len(toks) >= 1
+           | UNION ALL
+           | SELECT source, 2, unnest(list_transform(range(1, len(toks)),
+           |   i -> array_to_string(toks[i:i+1], ' ')))
+           |  FROM d WHERE len(toks) >= 2
+           | UNION ALL
+           | SELECT source, 3, unnest(list_transform(range(1, len(toks) - 1),
+           |   i -> array_to_string(toks[i:i+2], ' ')))
+           |  FROM d WHERE len(toks) >= 3)
+           |SELECT source, CAST(n AS BIGINT) AS n,
+           | CAST(count(*) AS BIGINT) AS total_ngrams,
+           | CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           | round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 4)
+           |   AS distinct_ratio
+           |FROM g GROUP BY source, n""".stripMargin,
+
+      "q209_session_basket_lift" ->
+        """WITH o AS (SELECT user_id, event_id, ts, event_type,
+          |   epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |sn AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+          |   THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+          |  FROM o),
+          |st AS (SELECT DISTINCT user_id, session_no, event_type FROM sn),
+          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM
+          |  (SELECT DISTINCT user_id, session_no FROM st)),
+          |si AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_with
+          |  FROM st GROUP BY event_type),
+          |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |   CAST(count(*) AS BIGINT) AS n_both
+          |  FROM st a JOIN st b ON a.user_id = b.user_id
+          |    AND a.session_no = b.session_no AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT pr.type_a, pr.type_b, pr.n_both,
+          | round(CAST(pr.n_both * ns.n_sessions AS DOUBLE) /
+          |   (sa.n_with * sb.n_with), 4) AS lift
+          |FROM pr JOIN si sa ON sa.event_type = pr.type_a
+          |JOIN si sb ON sb.event_type = pr.type_b
+          |CROSS JOIN ns""".stripMargin,
 
       "q207_token_weighted_length" ->
         s"""WITH d AS (SELECT source, ${tokenCountSql("text")} AS n

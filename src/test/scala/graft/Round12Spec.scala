@@ -923,6 +923,61 @@ class Round12Spec extends SparkSpec {
       s"driver weighted quantiles: ${(got._3, got._4)} vs ${(wq(0.5), wq(0.9))}")
   }
 
+  test("q208: distinct-n recomputes for one source; ratios fall with n mass") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q208_distinct_ngrams")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == 60, "20 sources x 3 n")
+    rows.foreach { case (_, n, tot, dist, ratio) =>
+      assert(n >= 1 && n <= 3 && dist <= tot && ratio > 0 && ratio <= 1.0)
+    }
+    val src = rows.head._1
+    val toks = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("source") === src)
+      .select(graft.functions.TextExprs.cleanText(col("text")))
+      .collect().map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    (1 to 3).foreach { n =>
+      val grams = toks.filter(_.length >= n)
+        .flatMap(_.sliding(n).map(_.mkString(" ")))
+      val got = rows.find(r => r._1 == src && r._2 == n).get
+      assert(got._3 == grams.length && got._4 == grams.distinct.length,
+        s"n=$n recompute for $src")
+    }
+  }
+
+  test("q209: lift arithmetic recomputes from q35-consistent session sets") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q209_session_basket_lift")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10, "all C(5,2) unordered type pairs co-occur")
+    rows.foreach { case (a, b, n, lift) => assert(a < b && n >= 1 && lift > 0) }
+    // recompute one pair's lift from the raw stream with the same gap rule
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800L * 1000000L) sid += 1
+        prev = e._2
+        ((e._1, sid), e._4)
+      }
+    }.toSeq.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val nS = sessions.size.toLong
+    val nA = sessions.count(_("view")).toLong
+    val nB = sessions.count(_("purchase")).toLong
+    val nAB = sessions.count(s => s("view") && s("purchase")).toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r._1 == "purchase" && r._2 == "view").get
+    assert(got._3 == nAB && got._4 == r4(nAB.toDouble * nS / (nA * nB)),
+      s"purchase/view lift: ${got} vs ($nAB, ${nAB.toDouble * nS / (nA * nB)})")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
