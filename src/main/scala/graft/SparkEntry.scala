@@ -4620,6 +4620,87 @@ object SparkEntry {
             (col("_na") * col("_nb")), 4).as("lift"))
     }),
 
+    "q210_pareto_revenue" -> ((s, dir) => {
+      // Pareto concentration, inverse form: how many customers carry 80%
+      // of revenue (q188 answers shares at fixed deciles; this answers
+      // the count at a fixed share). Revenue in EXACT integer cents; the
+      // answer is a COUNT over the running sum — a customer belongs to
+      // the top-80 set iff the mass BEFORE it is under the target, so no
+      // rank column and no argmin: one range-exchange prefix sum and a
+      // conditional aggregate.
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val summed = graft.operators.GlobalRank.withRunningSum(
+        rev, Seq(col("cents").desc, col("o_custkey").asc), col("cents"), "cum")
+      val tot = summed.agg(max("cum").as("_total"), count(lit(1)).as("n_customers"))
+      summed.crossJoin(broadcast(tot))
+        .select(col("n_customers"), col("_total"),
+          ((col("cum") - col("cents")) * 5 < col("_total") * 4).as("_in80"))
+        .groupBy("n_customers")
+        .agg(sum(when(col("_in80"), 1L).otherwise(0L)).as("n_top80"))
+        .select(col("n_customers"), col("n_top80"),
+          round(col("n_top80").cast("double") / col("n_customers"), 4)
+            .as("share_of_customers"))
+    }),
+
+    "q211_stickiness" -> ((s, dir) => {
+      // DAU/MAU stickiness per month — the engagement ratio product
+      // teams track: average daily-active over monthly-active. Two
+      // distinct projections (user,day) and (user,month) — both
+      // map-side-combining aggregates; every count is an integer so the
+      // ratio is the only division.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          date_trunc("month", col("ts")).cast("date").as("month"))
+      val dau = ev.select("user_id", "day", "month").distinct()
+        .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      val mau = ev.select("user_id", "month").distinct()
+        .groupBy("month").agg(count(lit(1)).as("mau"))
+      dau.groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum("dau").as("_sdau"))
+        .join(broadcast(mau), "month")
+        .select(col("month"), col("n_days"),
+          round(col("_sdau").cast("double") / col("n_days"), 4).as("avg_dau"),
+          col("mau"),
+          round(col("_sdau").cast("double") / (col("n_days") * col("mau")), 4)
+            .as("stickiness"))
+    }),
+
+    "q212_volume_correlation" -> ((s, dir) => {
+      // Which event types move TOGETHER day to day: Pearson r between
+      // every pair of zero-filled daily volume series (q194's scaffold,
+      // q197's all-integer moment sums — exact cross-engine). High r =
+      // shared upstream driver; a negative pair flags substitution. The
+      // day self-join carries |types|² rows per day, never user rows.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).cast("long").as("nd"))
+      val scaffold = broadcast(bounds)
+        .select(col("nd"), explode(sequence(lit(0L), col("nd") - 1)).as("x"),
+          col("d0"))
+        .select(col("nd"), date_add(col("d0"), col("x").cast("int")).as("day"))
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+      val series = scaffold.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("nd"), col("day"),
+          coalesce(col("c"), lit(0L)).as("y"))
+      val joined = series.as("a").join(series.as("b"),
+          col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.nd").as("nd"), col("a.y").as("x"), col("b.y").as("y"))
+      val sums = joined.groupBy("type_a", "type_b", "nd")
+        .agg(sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val num = (col("nd") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((col("nd") * col("syy") - col("sy") * col("sy")).cast("double"))
+      sums.select(col("type_a"), col("type_b"), col("nd").as("n_days"),
+        when(den > 0, round(num / den, 6)).as("pearson_r"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6741,6 +6822,71 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q210_pareto_revenue" ->
+        """WITH rev AS (SELECT o_custkey,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS cents
+          |  FROM orders GROUP BY o_custkey),
+          |c AS (SELECT cents, sum(cents) OVER (ORDER BY cents DESC, o_custkey
+          |   ROWS UNBOUNDED PRECEDING) AS cum FROM rev),
+          |t AS (SELECT CAST(max(cum) AS BIGINT) AS total,
+          |   CAST(count(*) AS BIGINT) AS n_customers FROM c)
+          |SELECT t.n_customers,
+          | CAST(sum(CASE WHEN (c.cum - c.cents) * 5 < t.total * 4
+          |   THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+          | round(CAST(sum(CASE WHEN (c.cum - c.cents) * 5 < t.total * 4
+          |   THEN 1 ELSE 0 END) AS DOUBLE) / t.n_customers, 4)
+          |   AS share_of_customers
+          |FROM c, t GROUP BY t.n_customers""".stripMargin,
+
+      "q211_stickiness" ->
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |   CAST(date_trunc('month', ts::TIMESTAMP) AS DATE) AS month
+          |  FROM events),
+          |dau AS (SELECT month, day, CAST(count(*) AS BIGINT) AS dau FROM
+          |  (SELECT DISTINCT user_id, day, month FROM ev) GROUP BY 1, 2),
+          |mau AS (SELECT month, CAST(count(*) AS BIGINT) AS mau FROM
+          |  (SELECT DISTINCT user_id, month FROM ev) GROUP BY month),
+          |dm AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+          |   CAST(sum(dau) AS BIGINT) AS sdau FROM dau GROUP BY month)
+          |SELECT dm.month, dm.n_days,
+          | round(CAST(dm.sdau AS DOUBLE) / dm.n_days, 4) AS avg_dau, mau.mau,
+          | round(CAST(dm.sdau AS DOUBLE) / (dm.n_days * mau.mau), 4)
+          |   AS stickiness
+          |FROM dm JOIN mau USING (month)""".stripMargin,
+
+      "q212_volume_correlation" ->
+        """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+          |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+          |  FROM ev GROUP BY 1, 2),
+          |b AS (SELECT min(day) AS d0,
+          |   CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS nd
+          |  FROM ev),
+          |days AS (SELECT b.nd, b.d0 + CAST(x.x AS INT) AS day
+          |  FROM b, (SELECT unnest(range(0, (SELECT nd FROM b))) AS x) x),
+          |sc AS (SELECT t.event_type, d.nd, d.day
+          |  FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+          |s AS (SELECT sc.event_type, sc.nd, sc.day, coalesce(daily.c, 0) AS y
+          |  FROM sc LEFT JOIN daily
+          |    ON daily.event_type = sc.event_type AND daily.day = sc.day),
+          |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |   a.nd, a.y AS x, b.y AS y
+          |  FROM s a JOIN s b ON a.day = b.day AND a.event_type < b.event_type),
+          |agg AS (SELECT type_a, type_b, nd,
+          |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |   CAST(sum(x * y) AS BIGINT) AS sxy,
+          |   CAST(sum(x * x) AS BIGINT) AS sxx,
+          |   CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM j GROUP BY 1, 2, 3)
+          |SELECT type_a, type_b, nd AS n_days,
+          | CASE WHEN sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)) *
+          |        sqrt(CAST(nd * syy - sy * sy AS DOUBLE)) > 0
+          |      THEN round(CAST(nd * sxy - sx * sy AS DOUBLE) /
+          |        (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)) *
+          |         sqrt(CAST(nd * syy - sy * sy AS DOUBLE))), 6) END
+          |   AS pearson_r
+          |FROM agg""".stripMargin,
 
       "q208_distinct_ngrams" ->
         s"""WITH d AS (SELECT source,

@@ -978,6 +978,83 @@ class Round12Spec extends SparkSpec {
       s"purchase/view lift: ${got} vs ($nAB, ${nAB.toDouble * nS / (nA * nB)})")
   }
 
+  test("q210: the 80% cut recomputes from sorted customer revenue") {
+    import org.apache.spark.sql.functions.col
+    val row = SparkEntry.queries("q210_pareto_revenue")(spark, sf()).collect()
+    assert(row.length == 1)
+    val (nc, top, share) = (row(0).getLong(0), row(0).getLong(1), row(0).getDouble(2))
+    val rev = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (k, c) => (-c, k) }
+    assert(nc == rev.length)
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val want = rev.count { case (_, c) => val before = cum; cum += c; before * 5 < total * 4 }
+    assert(top == want, s"top80 count: $top vs $want")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(share == r4(want.toDouble / nc))
+    assert(share < 0.9, "the cut is a strict subset at any real skew")
+  }
+
+  test("q211: stickiness recomputes; DAU can never exceed MAU") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q211_stickiness")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDays, avgDau, mau, st) =>
+      assert(avgDau <= mau + 1e-9 && st > 0 && st <= 1.0 + 1e-9 && nDays >= 1)
+    }
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val m0 = rows.head._1
+    val inMonth = ev.filter(e => e._2.getYear == m0.getYear && e._2.getMonth == m0.getMonth)
+    val mau = inMonth.map(_._1).distinct.length.toLong
+    val dauSum = inMonth.distinct.groupBy(_._2).map(_._2.map(_._1).distinct.length).sum
+    val nDays = inMonth.map(_._2).distinct.length.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_._1 == m0).get
+    assert(got._2 == nDays && got._4 == mau)
+    assert(got._5 == r4(dauSum.toDouble / (nDays * mau)))
+  }
+
+  test("q212: pearson matches q194-consistent series; |r| bounded") {
+    val rows = SparkEntry.queries("q212_volume_correlation")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.length == 10, "all C(5,2) type pairs")
+    rows.foreach { case (a, b, nd, r) =>
+      assert(a < b && nd >= 2)
+      r.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    }
+    // recompute one pair from raw daily counts (zero-filled)
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"), col("ts").cast("date")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = ev.map(_._2).min
+    val nd = java.time.temporal.ChronoUnit.DAYS.between(d0, ev.map(_._2).max) + 1
+    def series(t: String): IndexedSeq[Long] = {
+      val m = ev.filter(_._1 == t).groupBy(_._2).map { case (d, xs) =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, d) -> xs.length.toLong
+      }
+      (0L until nd).map(m.getOrElse(_, 0L))
+    }
+    val (xs, ys) = (series("click"), series("view"))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val num = (nd * sxy - sx * sy).toDouble
+    val den = math.sqrt((nd * sxx - sx * sx).toDouble) *
+      math.sqrt((nd * syy - sy * sy).toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(r => r._1 == "click" && r._2 == "view").get
+    assert(got._4.contains(r6(num / den)), s"click/view r: ${got._4}")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
