@@ -95,6 +95,7 @@ object ScaleProbe {
     if (args.headOption.contains("cdc")) { cdcProbe(args.drop(1)); return }
     if (args.headOption.contains("bloom")) { bloomProbe(args.drop(1)); return }
     if (args.headOption.contains("knn")) { knnProbe(args.drop(1)); return }
+    if (args.headOption.contains("backlog")) { backlogProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -672,6 +673,69 @@ object ScaleProbe {
     * (b) scale both the bloom-candidate doc count and the exact-verified
     * contaminated doc count by exactly rep. Wall-clock should track the
     * train volume — the benchmark side is a constant broadcast. */
+  /** Backlog mode: the q206 difference-array claim measured. The naive
+    * interval aggregation explodes one row per (span, day) — its cost is
+    * proportional to interval LENGTH — while the delta dataflow emits two
+    * events per span regardless. Widening every interval by `widen`×
+    * must grow the naive wall roughly linearly and leave the delta wall
+    * flat, with both producing identical backlog tables (verified on the
+    * full join, not a sample). */
+  private def backlogProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val widen = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val close = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate").cast("date")).as("_c"))
+    val spans0 = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o"))
+      .join(close, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o"), greatest(col("o"), col("_c")).as("c"))
+      .localCheckpoint(true)
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+    for (f <- Seq(1, widen)) {
+      val spans = spans0.select(col("o"),
+        date_add(col("o"), (datediff(col("c"), col("o")) * f).cast("int")).as("c"))
+      val deltas = spans.select(col("o").as("day"), lit(1L).as("d"))
+        .unionAll(spans.select(date_add(col("c"), 1).as("day"), lit(-1L).as("d")))
+        .groupBy("day").agg(sum("d").as("delta"))
+      // localCheckpoint(true) materializes eagerly — the timer wraps the
+      // checkpoint so it measures the actual dataflow, and the equality
+      // join below reads the materialized tables without recompute
+      val viaDelta = timed(s"delta prefix-sum widen=$f") {
+        graft.operators.GlobalRank.withRunningSum(
+            deltas, Seq(col("day").asc), col("delta"), "open_orders")
+          .select(col("day"), col("open_orders")).localCheckpoint(true)
+      }
+      val viaNaive = timed(s"naive day-explode widen=$f") {
+        spans.select(explode(expr("sequence(o, c)")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("open_naive"))
+          .localCheckpoint(true)
+      }
+      // full equality on days where any span is open (the delta table
+      // also carries zero-backlog gap days; the naive one cannot)
+      val diff = viaDelta.join(viaNaive, Seq("day"), "full")
+        .where(coalesce(col("open_orders"), lit(0L)) =!=
+          coalesce(col("open_naive"), lit(0L)) &&
+          coalesce(col("open_orders"), lit(0L)) =!= 0L)
+        .count()
+      require(diff == 0L, s"backlog mismatch on $diff days at widen=$f")
+      println(s"[probe] widen=$f: delta == naive on every open day")
+    }
+    spark.stop()
+  }
+
   private def bloomProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(16)
