@@ -4701,6 +4701,31 @@ object SparkEntry {
         when(den > 0, round(num / den, 6)).as("pearson_r"))
     }),
 
+    "q214_supplier_hhi" -> ((s, dir) => {
+      // Supplier-concentration HHI per nation (Σ shareᵢ² — the antitrust
+      // metric, here the supply-chain-risk read): revenue in exact
+      // integer cents per supplier, HHI as Σc²/(Σc)² so the only
+      // doubles are the two final folds. One lineitem aggregate on
+      // suppkey; supplier→nation is a broadcast dimension hop.
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      rev.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("cents").as("_tot"),
+          sum(col("cents").cast("double") * col("cents").cast("double")).as("_sq"))
+        .select(col("nation"), col("n_suppliers"),
+          round(col("_tot").cast("double") / 100.0, 2).as("revenue"),
+          round(col("_sq") / (col("_tot").cast("double") * col("_tot").cast("double")), 6)
+            .as("hhi"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6822,6 +6847,19 @@ object SparkEntry {
           | round(CAST(b.n_events AS DOUBLE) / t.tot, 4) AS share,
           | round(CAST(c.cum_events AS DOUBLE) / t.tot, 4) AS cum_share
           |FROM b JOIN c USING (decile) CROSS JOIN t""".stripMargin,
+
+      "q214_supplier_hhi" ->
+        """WITH rev AS (SELECT l_suppkey,
+          |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS cents
+          |  FROM lineitem GROUP BY l_suppkey)
+          |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+          | round(CAST(sum(rev.cents) AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(sum(CAST(rev.cents AS DOUBLE) * rev.cents) /
+          |   (CAST(sum(rev.cents) AS DOUBLE) * sum(rev.cents)), 6) AS hhi
+          |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |GROUP BY n.n_name""".stripMargin,
 
       "q210_pareto_revenue" ->
         """WITH rev AS (SELECT o_custkey,

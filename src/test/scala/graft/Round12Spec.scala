@@ -1055,6 +1055,34 @@ class Round12Spec extends SparkSpec {
     assert(got._4.contains(r6(num / den)), s"click/view r: ${got._4}")
   }
 
+  test("q214: HHI recomputes for one nation and respects the 1/n floor") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q214_supplier_hhi")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length >= 10, "every supplier-bearing nation reports")
+    rows.foreach { case (_, n, rev, hhi) =>
+      assert(rev > 0 && hhi > 0 && hhi <= 1.0 + 1e-9)
+      assert(hhi >= 1.0 / n - 1e-9, "HHI is minimized by equal shares")
+    }
+    val nation = rows.head._1
+    val sup = graft.sources.Tables.table(spark, sf(), "supplier")
+      .join(graft.sources.Tables.table(spark, sf(), "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nation)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val cents = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .filter(r => sup(r._1))
+      .groupBy(_._1).map(_._2.map(_._2).sum).toSeq
+    val tot = cents.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_._1 == nation).get
+    assert(got._2 == cents.length)
+    assert(got._4 == r6(cents.map(c => c.toDouble * c).sum / (tot * tot)),
+      s"HHI recompute for $nation")
+  }
+
   test("multimodal: a custom MediaCodec drops into decode and feature stages") {
     import graft.multimodal._
     import org.apache.spark.sql.functions._
