@@ -4726,6 +4726,373 @@ object SparkEntry {
             .as("hhi"))
     }),
 
+    "q215_late_supplier" -> ((s, dir) => {
+      // TPC-H Q21-shaped "who held up the order": among orders touched by
+      // >= 2 suppliers where EXACTLY ONE supplier shipped late (> 60 days
+      // after the order date), blame that supplier. The EXISTS / NOT
+      // EXISTS pair is DECORRELATED into one (order, supplier)-grain
+      // aggregate plus an order-grain rollup joined back — no per-row
+      // subquery, no double self-semi/anti join over lineitem. The
+      // lineitem⋈orders equi-join is the only corpus-sized shuffle;
+      // supplier→nation is a broadcast hop.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val perOS = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
+          1L).otherwise(0L)).as("late"))
+      val perO = perOS.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      val sup = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      perOS.where(col("late") === 1)
+        .join(perO.where(col("n_supp") >= 2 && col("n_late") === 1), "l_orderkey")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_blame_orders"),
+          countDistinct(col("l_suppkey")).as("n_suppliers_blamed"))
+    }),
+
+    "q216_custdist" -> ((s, dir) => {
+      // TPC-H Q13-shaped customer-order-count distribution INCLUDING the
+      // zero bucket — the left-join-then-count-child shape whose whole
+      // point is that an inner join silently drops the most interesting
+      // customers (the dormant ones). Orders are filtered to non-urgent
+      // BEFORE the join (Q13's comment-pattern exclusion re-expressed on
+      // priority); count(o_orderkey) counts the nullable right key so an
+      // unmatched customer lands at 0, not dropped.
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q217_dormant_rich" -> ((s, dir) => {
+      // TPC-H Q22-shaped dormant high-balance accounts: customers in a
+      // fixed nation panel with an above-average balance and no order in
+      // the trailing 180 days of the order history — the walked-away
+      // value a win-back campaign targets. Two scalar subqueries (global
+      // positive-balance average, global max order date) are tiny
+      // aggregates broadcast via cross join; NOT EXISTS over recent
+      // orders is a LEFT ANTI join on custkey against the date-filtered
+      // orders projection. Balances live in exact integer cents and the
+      // average test is cross-multiplied (cents·n > Σcents) so no float
+      // boundary moves a customer between engines.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val thr = cust.where(col("cents") > 0)
+        .agg(sum("cents").as("_sum"), count(lit(1)).as("_n"))
+      val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      val mx = ord.agg(max("o_orderdate").as("_mx"))
+      val recent = ord.crossJoin(broadcast(mx))
+        .where(col("o_orderdate") > col("_mx") - expr("INTERVAL '180' DAY"))
+        .select(col("o_custkey"))
+      cust.where(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .crossJoin(broadcast(thr))
+        .where(col("cents") * col("_n") > col("_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("cents").cast("double") / 100.0, 2).as("total_balance"))
+    }),
+
+    "q218_shuffle_skew" -> ((s, dir) => {
+      // Pre-shuffle skew audit for a planned join/aggregation key:
+      // simulate the 32-way hash partitioning of lineitem on l_orderkey
+      // (md5-derived bucket — engine-neutral, so the oracle shares the
+      // assignment: 2 hex nibbles = 256 values, 256 % 32 = 0, uniform)
+      // and report each bucket's load factor and its heaviest single
+      // key. This is the input to every salting / AQE-skew decision:
+      // load_factor ≈ 1 everywhere means the key is safe; a hot bucket
+      // DOMINATED by one key (max_key_rows ≈ n_rows) means salt THAT
+      // key, not repartition harder. Two map-side-combining aggregates —
+      // (bucket, key) then bucket — nothing corpus-sized shuffles twice.
+      val rows = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .withColumn("bucket",
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 2), 16, 10)
+            .cast("long") % 32)
+      val perKey = rows.groupBy("bucket", "l_orderkey").agg(count(lit(1)).as("c"))
+      val perB = perKey.groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_key_rows"))
+      val tot = perB.agg(sum("n_rows").as("_tot"))
+      perB.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_key_rows"),
+          round(col("n_rows").cast("double") * 32 / col("_tot"), 4).as("load_factor"))
+    }),
+
+    "q219_packing_audit" -> ((s, dir) => {
+      // GPT-style concat-and-split packing audit: documents concatenated
+      // in ingest (doc_id) order and cut into 2048-token contexts; a doc
+      // whose token span straddles a cut gets SPLIT — its head and tail
+      // train with truncated attention. Context membership is a pure
+      // function of the GLOBAL token prefix sum (GlobalRank.withRunningSum
+      // — range exchange, no single-partition window): first_ctx =
+      // ⌊(cum − n)/C⌋, last_ctx = ⌊(cum − 1)/C⌋, split iff they differ.
+      // Per-source rollup shows which feeds lose the most attention
+      // continuity (long docs straddle more); all arithmetic integer.
+      val C = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextExprs.tokenCount(col("text")).as("n_tok"))
+      val summed = graft.operators.GlobalRank.withRunningSum(
+        docs, Seq(col("doc_id").asc), col("n_tok"), "cum")
+      summed
+        .select(col("source"), col("n_tok"),
+          (col("n_tok") > 0 &&
+            floor((col("cum") - 1) / C) > floor((col("cum") - col("n_tok")) / C))
+            .as("_split"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum(when(col("_split"), 1L).otherwise(0L)).as("n_split"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_split"),
+          round(col("n_split").cast("double") / col("n_docs"), 4).as("split_share"))
+    }),
+
+    "q220_table_stats" -> ((s, dir) => {
+      // ANALYZE-style column statistics for lineitem — the cost-based
+      // optimizer's input (NDV drives join-cardinality estimates, null
+      // counts drive filter selectivity, min/max drive range pruning).
+      // One tiny aggregate PER COLUMN unioned: each scans exactly its
+      // own column (parquet column pruning makes the 11 scans read 11
+      // columns' pages total, cheaper and wider-parallel than one scan
+      // with 11 count-distincts expanding 11x). Numeric min/max as
+      // rounded doubles; varchar columns report avg length instead;
+      // the timestamp column reports epoch seconds.
+      val li = t(s, dir, "lineitem")
+      def statNum(c: String): DataFrame = li
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          round(min(col(c)).cast("double"), 4).as("min_num"),
+          round(max(col(c)).cast("double"), 4).as("max_num"),
+          lit(null).cast("double").as("avg_len"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_num"), col("max_num"), col("avg_len"))
+      def statStr(c: String): DataFrame = li
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          round(avg(length(col(c))), 4).as("avg_len"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_num"), col("max_num"), col("avg_len"))
+      def statTs(c: String): DataFrame = li
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("ndv"),
+          round(min(unix_timestamp(col(c))).cast("double"), 4).as("min_num"),
+          round(max(unix_timestamp(col(c))).cast("double"), 4).as("max_num"),
+          lit(null).cast("double").as("avg_len"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_num"), col("max_num"), col("avg_len"))
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(statNum)
+        .++(Seq("l_returnflag", "l_linestatus").map(statStr))
+        .:+(statTs("l_shipdate"))
+        .reduce(_ unionAll _)
+    }),
+
+    "q221_fk_integrity" -> ((s, dir) => {
+      // Referential-integrity audit across every FK edge of the star
+      // schema — the data-quality gate run before trusting joins to be
+      // lossless (an inner join over an orphaned FK silently DROPS
+      // facts; this query prices that risk edge by edge). Each edge is
+      // one child-side key aggregate LEFT-joined to the broadcastable
+      // parent key set: n_orphan_rows (child rows whose parent is
+      // missing), plus parent-side coverage (share of parent keys
+      // actually referenced — a low share flags dead dimension weight).
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val ch = child.groupBy(col(ck).as("_k")).agg(count(lit(1)).as("_c"))
+        val par = parent.select(col(pk).cast("long").as("_p")).distinct()
+        val j = ch.join(par, col("_k") === col("_p"), "full_outer")
+        j.agg(
+            sum(when(col("_k").isNotNull, col("_c")).otherwise(0L)).as("n_child_rows"),
+            sum(when(col("_p").isNull, col("_c")).otherwise(0L)).as("n_orphan_rows"),
+            sum(when(col("_p").isNull && col("_k").isNotNull, 1L).otherwise(0L)).as("n_orphan_keys"),
+            sum(when(col("_p").isNotNull, 1L).otherwise(0L)).as("n_parent_keys"),
+            sum(when(col("_p").isNotNull && col("_k").isNotNull, 1L).otherwise(0L)).as("n_parent_referenced"))
+          .select(lit(name).as("fk_edge"), col("n_child_rows"), col("n_orphan_rows"),
+            col("n_orphan_keys"), col("n_parent_keys"),
+            round(col("n_parent_referenced").cast("double") / col("n_parent_keys"), 4)
+              .as("parent_coverage"))
+      }
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        edge("orders.o_custkey->customer", ord, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        edge("customer.c_nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionAll _)
+    }),
+
+    "q222_table_fingerprint" -> ((s, dir) => {
+      // Order-independent table fingerprints — the replication/migration
+      // validation primitive: two copies of a table match iff their
+      // fingerprints match, computed WITHOUT moving either copy (one
+      // map-side-combining aggregate per table, a constant-width result
+      // to compare across clusters). Row hash = first 8 hex nibbles of
+      // md5 over a canonical '|'-joined string form (money in exact
+      // cents, dates as ISO strings); the fingerprint is the SUM of the
+      // 32-bit row hashes — commutative, so partitioning and row order
+      // can't move it, and mergeable across shards/partial loads.
+      def fp(name: String, rows: DataFrame, canonical: Column): DataFrame =
+        rows.agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(canonical), 1, 8), 16, 10).cast("long"))
+              .as("fingerprint"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+      val ord = fp("orders", t(s, dir, "orders"),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"),
+          col("o_orderdate").cast("date").cast("string"), col("o_orderpriority")))
+      val cust = fp("customer", t(s, dir, "customer"),
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment")))
+      val sup = fp("supplier", t(s, dir, "supplier"),
+        concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal") * 100).cast("long")))
+      ord.unionAll(cust).unionAll(sup)
+    }),
+
+    "q223_triangle_census" -> ((s, dir) => {
+      // Triangle census of the part co-purchase graph — the clustering
+      // structure behind "bought together" analysis, computed the
+      // node-iterator way (Suri & Vassilvitskii 2011, "Counting triangles
+      // and the curse of the last reducer"): edges canonicalized u < v,
+      // wedges formed by ONE equi-join on the shared endpoint, closed by
+      // an equi-join back onto the edge list — never an all-pairs
+      // product. Support >= 2 (parts co-ordered at least twice)
+      // sparsifies the edge set first, the standard mining cut that also
+      // bounds wedge fan-out at scale. Global clustering coefficient =
+      // 3·triangles / wedges, every term an exact integer.
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select("u", "v")
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val base = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      val tri = edges.as("e1").join(edges.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("x"), col("e2.v").as("z"))
+        .join(edges.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      base.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("global_cc"))
+    }),
+
+    "q224_median_of_means" -> ((s, dir) => {
+      // Median-of-means robust mean of event values: 16 deterministic
+      // buckets (first hex nibble of md5(event_id) — engine-neutral, no
+      // RNG state), per-bucket means pinned to 6 dp so partial-sum order
+      // can't flip a bit, then the median of the 16 bucket means — the
+      // classic distributed robust-mean construction with sub-Gaussian
+      // deviation under heavy tails (each bucket is a shared-nothing
+      // partial aggregate; only 16 doubles cross the wire). Reported
+      // beside the plain mean: a large gap flags tail contamination.
+      val ev = t(s, dir, "events")
+        .select(col("value"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("b"))
+      val bm = ev.groupBy("b").agg(round(avg("value"), 6).as("m"))
+      val mom = bm.agg(count(lit(1)).as("n_buckets"),
+        round(expr("percentile(m, 0.5)"), 4).as("mom_mean"))
+      val plain = ev.agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("plain_mean"))
+      plain.crossJoin(mom)
+        .select(col("n_events"), col("n_buckets"), col("plain_mean"),
+          col("mom_mean"))
+    }),
+
+    "q225_revenue_drawdown" -> ((s, dir) => {
+      // Demand-drawdown audit: daily order revenue against its running
+      // historical peak — peak-to-date minus today, the standard
+      // collapse/recovery diagnostic (how far below the best day ever
+      // each period sits). The running maximum rides GlobalRank
+      // .withRunningMax (range exchange + per-partition prefix max — the
+      // same two-pass shape as the prefix sum, no single-partition
+      // window, so the grain could be per-minute over years of a 100 TB
+      // stream). Revenue in exact integer cents; per-year rollup reports
+      // the worst drawdown and its depth share against the peak.
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val hw = graft.operators.GlobalRank.withRunningMax(
+        daily, Seq(col("day").asc), col("cents"), "peak")
+      hw.select(year(col("day")).as("yr"), col("cents"), col("peak"),
+          (col("peak") - col("cents")).as("dd"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_days"),
+          max("peak").as("peak_cents"),
+          max("dd").as("max_drawdown_cents"))
+        .select(col("yr"), col("n_days"), col("peak_cents"),
+          col("max_drawdown_cents"),
+          round(col("max_drawdown_cents").cast("double") / col("peak_cents"), 4)
+            .as("max_drawdown_share"))
+    }),
+
+    "q226_join_estimate_audit" -> ((s, dir) => {
+      // CBO join-cardinality audit: the EXACT join size Σₖ c_A(k)·c_B(k)
+      // computed from two per-key count aggregates equi-joined key to
+      // key — the join's cardinality WITHOUT materializing the join —
+      // against the System-R independence estimate |A|·|B| / max(ndv_A,
+      // ndv_B) every textbook optimizer (and Spark's CBO) plans with.
+      // On clean FK edges the estimate is near-exact (ratio ≈ 1); on the
+      // skewed m:n self-edge Cauchy–Schwarz forces Σc² ≥ n²/ndv, so the
+      // ratio drops below 1 by exactly the key-skew factor — the
+      // mis-estimate AQE exists to re-plan around.
+      def edge(name: String, left: DataFrame, lk: String,
+          right: DataFrame, rk: String): DataFrame = {
+        val la = left.groupBy(col(lk).as("_k")).agg(count(lit(1)).as("_ca"))
+        val ra = right.groupBy(col(rk).as("_j")).agg(count(lit(1)).as("_cb"))
+        val actual = la.join(ra, col("_k") === col("_j"))
+          .agg(sum(col("_ca") * col("_cb")).as("actual_rows"))
+        val sa = la.agg(sum("_ca").as("n_left"), count(lit(1)).as("ndv_left"))
+        val sb = ra.agg(sum("_cb").as("n_right"), count(lit(1)).as("ndv_right"))
+        sa.crossJoin(sb).crossJoin(actual)
+          .select(lit(name).as("join_edge"), col("n_left"), col("n_right"),
+            col("ndv_left"), col("ndv_right"), col("actual_rows"),
+            round(col("n_left").cast("double") * col("n_right") /
+              greatest(col("ndv_left"), col("ndv_right")), 2).as("est_rows"),
+            round(col("n_left").cast("double") * col("n_right") /
+              greatest(col("ndv_left"), col("ndv_right")) / col("actual_rows"), 4)
+              .as("est_over_actual"))
+      }
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val ev = t(s, dir, "events")
+      Seq(
+        edge("lineitem*orders.orderkey", li, "l_orderkey", ord, "o_orderkey"),
+        edge("lineitem*part.partkey", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        edge("orders*customer.custkey", ord, "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        edge("events*events.user_id", ev, "user_id", ev, "user_id"))
+        .reduce(_ unionAll _)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -6860,6 +7227,270 @@ object SparkEntry {
           |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
           |JOIN nation n ON n.n_nationkey = s.s_nationkey
           |GROUP BY n.n_name""".stripMargin,
+
+      "q215_late_supplier" ->
+        """WITH pos AS (SELECT l.l_orderkey, l.l_suppkey,
+          |   max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          |     THEN 1 ELSE 0 END) AS late
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  GROUP BY 1, 2),
+          |po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+          |   CAST(sum(late) AS BIGINT) AS n_late
+          |  FROM pos GROUP BY 1)
+          |SELECT n.n_name AS nation,
+          | CAST(count(*) AS BIGINT) AS n_blame_orders,
+          | CAST(count(DISTINCT pos.l_suppkey) AS BIGINT) AS n_suppliers_blamed
+          |FROM pos JOIN po USING (l_orderkey)
+          |JOIN supplier s ON s.s_suppkey = pos.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |WHERE pos.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+          |GROUP BY n.n_name""".stripMargin,
+
+      "q219_packing_audit" ->
+        s"""WITH d AS (SELECT doc_id, source, ${tokenCountSql("text")} AS n_tok
+           |  FROM documents),
+           |c AS (SELECT source, n_tok,
+           |   sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           |     AS cum FROM d),
+           |f AS (SELECT source, n_tok,
+           |   CASE WHEN n_tok > 0 AND floor((cum - 1) / 2048.0) >
+           |     floor((cum - n_tok) / 2048.0) THEN 1 ELSE 0 END AS split
+           |  FROM c)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           | CAST(sum(split) AS BIGINT) AS n_split,
+           | round(CAST(sum(split) AS DOUBLE) / count(*), 4) AS split_share
+           |FROM f GROUP BY source""".stripMargin,
+
+      "q220_table_stats" -> {
+        def num(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_null,
+             | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             | round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+             | round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+             | CAST(NULL AS DOUBLE) AS avg_len FROM lineitem"""
+        def str(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_null,
+             | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             | round(avg(length($c)), 4) AS avg_len FROM lineitem"""
+        def ts(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_null,
+             | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             | round(CAST(epoch(min($c)) AS DOUBLE), 4) AS min_num,
+             | round(CAST(epoch(max($c)) AS DOUBLE), 4) AS max_num,
+             | CAST(NULL AS DOUBLE) AS avg_len FROM lineitem"""
+        (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num)
+          ++ Seq("l_returnflag", "l_linestatus").map(str)
+          ++ Seq(ts("l_shipdate")))
+          .map(q => q.stripMargin.replace('\n', ' '))
+          .mkString(" UNION ALL ")
+      },
+
+      "q221_fk_integrity" -> {
+        def edge(name: String, child: String, ck: String,
+            parent: String, pk: String) =
+          s"""SELECT '$name' AS fk_edge,
+             | CAST(sum(CASE WHEN k IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+             |   AS n_child_rows,
+             | CAST(sum(CASE WHEN p IS NULL THEN c ELSE 0 END) AS BIGINT)
+             |   AS n_orphan_rows,
+             | CAST(sum(CASE WHEN p IS NULL AND k IS NOT NULL THEN 1 ELSE 0
+             |   END) AS BIGINT) AS n_orphan_keys,
+             | CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_parent_keys,
+             | round(CAST(sum(CASE WHEN p IS NOT NULL AND k IS NOT NULL
+             |     THEN 1 ELSE 0 END) AS DOUBLE) /
+             |   sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END), 4)
+             |   AS parent_coverage
+             |FROM (SELECT $ck AS k, CAST(count(*) AS BIGINT) AS c
+             |      FROM $child GROUP BY $ck) ch
+             |FULL OUTER JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS p
+             |      FROM $parent) pa ON ch.k = pa.p"""
+        Seq(
+          edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          edge("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"))
+          .map(q => q.stripMargin.replace('\n', ' '))
+          .mkString(" UNION ALL ")
+      },
+
+      "q222_table_fingerprint" -> {
+        def hex8(h: String): String = (1 to 8).map(i =>
+          s"CAST(strpos('0123456789abcdef', substring($h, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
+          .mkString(" + ")
+        def fp(name: String, table: String, canonical: String) =
+          s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(sum(${hex8(s"md5($canonical)")}) AS BIGINT) AS fingerprint
+             |FROM $table"""
+        Seq(
+          fp("orders", "orders",
+            """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+              | CAST(round(o_totalprice * 100) AS BIGINT),
+              | CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"""
+              .stripMargin.replace('\n', ' ')),
+          fp("customer", "customer",
+            """concat_ws('|', c_custkey, c_name, c_nationkey,
+              | CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment)"""
+              .stripMargin.replace('\n', ' ')),
+          fp("supplier", "supplier",
+            """concat_ws('|', s_suppkey, s_name, s_nationkey,
+              | CAST(round(s_acctbal * 100) AS BIGINT))"""
+              .stripMargin.replace('\n', ' ')))
+          .map(q => q.stripMargin.replace('\n', ' '))
+          .mkString(" UNION ALL ")
+      },
+
+      "q223_triangle_census" ->
+        """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+          |   CAST(count(*) AS BIGINT) AS w
+          |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2),
+          |e AS (SELECT u, v FROM p WHERE w >= 2),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+          |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+          |  GROUP BY node),
+          |base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          |   CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+          |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+          |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+          |SELECT base.n_nodes, ne.n_edges, base.n_wedges, tri.n_triangles,
+          | round(tri.n_triangles * 3.0 / base.n_wedges, 6) AS global_cc
+          |FROM base, ne, tri""".stripMargin,
+
+      "q224_median_of_means" ->
+        """WITH ev AS (SELECT value,
+          |   substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS b
+          |  FROM events),
+          |bm AS (SELECT b, round(avg(value), 6) AS m FROM ev GROUP BY b),
+          |mom AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+          |   round(quantile_cont(m, 0.5), 4) AS mom_mean FROM bm),
+          |pl AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+          |   round(avg(value), 4) AS plain_mean FROM ev)
+          |SELECT pl.n_events, mom.n_buckets, pl.plain_mean, mom.mom_mean
+          |FROM pl, mom""".stripMargin,
+
+      "q225_revenue_drawdown" ->
+        """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS cents
+          |  FROM orders GROUP BY 1),
+          |h AS (SELECT day, cents,
+          |   max(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+          |  FROM d)
+          |SELECT CAST(year(day) AS INT) AS yr, CAST(count(*) AS BIGINT)
+          |   AS n_days,
+          | CAST(max(peak) AS BIGINT) AS peak_cents,
+          | CAST(max(peak - cents) AS BIGINT) AS max_drawdown_cents,
+          | round(CAST(max(peak - cents) AS DOUBLE) / max(peak), 4)
+          |   AS max_drawdown_share
+          |FROM h GROUP BY 1""".stripMargin,
+
+      "q226_join_estimate_audit" -> {
+        def edge(name: String, left: String, lk: String,
+            right: String, rk: String) =
+          s"""SELECT '$name' AS join_edge,
+             | CAST((SELECT count(*) FROM $left) AS BIGINT) AS n_left,
+             | CAST((SELECT count(*) FROM $right) AS BIGINT) AS n_right,
+             | CAST((SELECT count(DISTINCT $lk) FROM $left) AS BIGINT)
+             |   AS ndv_left,
+             | CAST((SELECT count(DISTINCT $rk) FROM $right) AS BIGINT)
+             |   AS ndv_right,
+             | CAST((SELECT sum(ca * cb) FROM
+             |    (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
+             |     FROM $left GROUP BY 1) la
+             |    JOIN (SELECT $rk AS j, CAST(count(*) AS BIGINT) AS cb
+             |     FROM $right GROUP BY 1) ra ON la.k = ra.j) AS BIGINT)
+             |   AS actual_rows,
+             | round(CAST((SELECT count(*) FROM $left) AS DOUBLE) *
+             |    (SELECT count(*) FROM $right) /
+             |    greatest((SELECT count(DISTINCT $lk) FROM $left),
+             |      (SELECT count(DISTINCT $rk) FROM $right)), 2) AS est_rows,
+             | round(CAST((SELECT count(*) FROM $left) AS DOUBLE) *
+             |    (SELECT count(*) FROM $right) /
+             |    greatest((SELECT count(DISTINCT $lk) FROM $left),
+             |      (SELECT count(DISTINCT $rk) FROM $right)) /
+             |    (SELECT sum(ca * cb) FROM
+             |     (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
+             |      FROM $left GROUP BY 1) la
+             |     JOIN (SELECT $rk AS j, CAST(count(*) AS BIGINT) AS cb
+             |      FROM $right GROUP BY 1) ra ON la.k = ra.j), 4)
+             |   AS est_over_actual"""
+        Seq(
+          edge("lineitem*orders.orderkey", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem*part.partkey", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("orders*customer.custkey", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          edge("events*events.user_id", "events", "user_id",
+            "events", "user_id"))
+          .map(q => q.stripMargin.replace('\n', ' '))
+          .mkString(" UNION ALL ")
+      },
+
+      "q216_custdist" ->
+        """WITH pc AS (SELECT c.c_custkey,
+          |   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer c LEFT JOIN (
+          |    SELECT o_custkey, o_orderkey FROM orders
+          |    WHERE o_orderpriority <> '1-URGENT') o
+          |  ON c.c_custkey = o.o_custkey
+          |  GROUP BY c.c_custkey)
+          |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM pc GROUP BY c_count""".stripMargin,
+
+      "q217_dormant_rich" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey,
+          |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+          |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+          |   CAST(count(*) AS BIGINT) AS n FROM c WHERE cents > 0),
+          |mx AS (SELECT max(o_orderdate) AS m FROM orders)
+          |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+          | round(CAST(sum(c.cents) AS DOUBLE) / 100.0, 2) AS total_balance
+          |FROM c, t, mx
+          |WHERE c.c_nationkey IN (1, 3, 5, 7, 9) AND c.cents * t.n > t.s
+          | AND NOT EXISTS (SELECT 1 FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey
+          |     AND o.o_orderdate > mx.m - INTERVAL 180 DAY)
+          |GROUP BY c.c_nationkey""".stripMargin,
+
+      "q218_shuffle_skew" ->
+        """WITH r AS (SELECT l_orderkey,
+          |   ((strpos('0123456789abcdef',
+          |       substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          |    + (strpos('0123456789abcdef',
+          |       substring(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1)) % 32
+          |     AS bucket
+          |  FROM lineitem),
+          |pk AS (SELECT bucket, l_orderkey, CAST(count(*) AS BIGINT) AS c
+          |  FROM r GROUP BY 1, 2),
+          |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys,
+          |   CAST(sum(c) AS BIGINT) AS n_rows,
+          |   CAST(max(c) AS BIGINT) AS max_key_rows
+          |  FROM pk GROUP BY bucket),
+          |tt AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM pb)
+          |SELECT pb.bucket, pb.n_keys, pb.n_rows, pb.max_key_rows,
+          | round(CAST(pb.n_rows AS DOUBLE) * 32 / tt.tot, 4) AS load_factor
+          |FROM pb, tt""".stripMargin,
 
       "q210_pareto_revenue" ->
         """WITH rev AS (SELECT o_custkey,

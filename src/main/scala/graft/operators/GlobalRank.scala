@@ -100,6 +100,48 @@ object GlobalRank {
     spark.createDataFrame(withSum, schema).drop("_gsum_v")
   }
 
+  /** Appends the GLOBAL running maximum of `valueCol` (inclusive of the
+    * current row) under the total order `sortCols` — `max(v) OVER (ORDER
+    * BY ... ROWS UNBOUNDED PRECEDING)` without the single-partition
+    * window. Max is associative like sum, so the [[withRunningSum]]
+    * two-pass shape transfers verbatim: range exchange + per-partition
+    * MAXES to the driver (#partitions longs) + per-partition local
+    * prefix-max seeded with the prefix of earlier partitions' maxes.
+    * NULL values are treated as no-ops (the running max passes through);
+    * rows before any non-null value carry NULL. Foundation for
+    * watermark/lateness audits (how far behind the high-water mark each
+    * event arrives) and any high-water-mark dataflow over a 100 TB order.
+    */
+  def withRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      out: String, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val tagged = df.withColumn("_gmax_v", valueCol.cast("long"))
+    val sorted = tagged.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("_gmax_v")
+    // ONE RDD object for both passes (see withRunningSum's scaladoc note).
+    val rdd = sorted.rdd
+    val maxes = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var m = Long.MinValue
+        while (it.hasNext) { val r = it.next(); if (!r.isNullAt(vIdx)) m = math.max(m, r.getLong(vIdx)) }
+        m
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = maxes.scanLeft(Long.MinValue)(math.max)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withMax = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc = math.max(acc, r.getLong(vIdx))
+        val v: Any = if (acc == Long.MinValue) null else acc
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = true))
+    spark.createDataFrame(withMax, schema).drop("_gmax_v")
+  }
+
   /** Shared core: returns (df + rank column, total row count). */
   private def ranked(df: DataFrame, sortCols: Seq[Column], out: String,
       numPartitions: Option[Int]): (DataFrame, Long) = {

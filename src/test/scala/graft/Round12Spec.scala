@@ -1109,4 +1109,313 @@ class Round12Spec extends SparkSpec {
       .where(col("doc_id") === row.getLong(0)).collect().head
     assert(viaOp == direct)
   }
+
+  test("withRunningMax: matches a driver prefix-max scan, nulls pass through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, Some(9L)),
+      (5L, None), (6L, Some(9L)), (7L, Some(1L)))
+    val df = rows.toDF("id", "v")
+    val got = graft.operators.GlobalRank.withRunningMax(
+        df, Seq(col("id").asc), col("v"), "rmax", numPartitions = Some(3))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    var acc: Option[Long] = None
+    val want = rows.map { case (id, v) =>
+      acc = (acc.toSeq ++ v.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+      (id, acc)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("withRunningMax: all-null prefix stays null across partition boundaries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, if (i > 15) Some(i) else None)).toDF("id", "v")
+    val got = graft.operators.GlobalRank.withRunningMax(
+        df, Seq(col("id").asc), col("v"), "rmax", numPartitions = Some(5))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id <= 15) assert(r.isNullAt(2), s"id $id should carry null")
+      else assert(r.getLong(2) == id, s"id $id running max")
+    }
+  }
+
+  test("q215: blamed orders recompute — exactly one late supplier among >= 2") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q215_late_supplier")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, orders, supps) =>
+      assert(supps <= orders, "a supplier is blamed at most once per order")
+    }
+    // independent driver recompute of the total blame count
+    import org.apache.spark.sql.functions.unix_timestamp
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_timestamp(col("l_shipdate")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ord = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cut = 60L * 24 * 3600
+    val perOS = li.groupBy(r => (r._1, r._2)).map { case ((o, s), ls) =>
+      (o, s, ls.exists(l => l._3 > ord(o) + cut))
+    }.toSeq
+    val perO = perOS.groupBy(_._1).map { case (o, ss) =>
+      o -> ((ss.size, ss.count(_._3)))
+    }
+    val blame = perOS.filter(_._3).count { case (o, _, _) =>
+      val (nSupp, nLate) = perO(o); nSupp >= 2 && nLate == 1
+    }
+    assert(rows.map(_._2).sum == blame, s"total blame orders = $blame")
+  }
+
+  test("q216: distribution covers every customer and the zero bucket exists") {
+    val rows = SparkEntry.queries("q216_custdist")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = graft.sources.Tables.table(spark, sf(), "customer").count()
+    assert(rows.map(_._2).sum == nCust, "buckets tile the customer set")
+    // the shape's point: dormant customers are NOT dropped
+    val nWith = graft.sources.Tables.table(spark, sf(), "orders")
+      .where(org.apache.spark.sql.functions.col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val zero = rows.find(_._1 == 0L).map(_._2).getOrElse(0L)
+    assert(zero == nCust - nWith, "zero bucket = customers minus matched")
+  }
+
+  test("q217: every reported customer is rich and recently dormant") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q217_dormant_rich")(spark, sf()).collect()
+    val cust = graft.sources.Tables.table(spark, sf(), "customer").collect()
+      .map(r => (r.getLong(0), r.getInt(2), math.round(r.getDouble(3) * 100)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (s0, n0) = (pos.sum, pos.length.toLong)
+    val ords = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cutoff = ords.map(_._2).max - 180L * 24 * 3600
+    val recent = ords.filter(_._2 > cutoff).map(_._1).toSet
+    val want = cust.filter { case (k, nat, c) =>
+      Seq(1, 3, 5, 7, 9).contains(nat) && c * n0 > s0 && !recent(k)
+    }
+    val wantByNat = want.groupBy(_._2).map { case (nat, cs) =>
+      (nat, (cs.length.toLong, cs.map(_._3).sum)) }
+    assert(rows.map(_.getLong(1)).sum == want.length.toLong, "customer total")
+    rows.foreach { r =>
+      val (n, cents) = wantByNat(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - cents / 100.0) < 0.005)
+    }
+  }
+
+  test("q218: buckets tile lineitem; load factors average to 1") {
+    val rows = SparkEntry.queries("q218_shuffle_skew")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val n = graft.sources.Tables.table(spark, sf(), "lineitem").count()
+    assert(rows.map(_._3).sum == n, "bucket rows tile the table")
+    assert(rows.forall(r => r._4 <= r._3), "heaviest key bounded by bucket rows")
+    assert(rows.forall(r => r._2 <= r._3), "keys never exceed rows")
+    val mean = rows.map(_._5).sum / rows.length
+    assert(math.abs(mean - 1.0) < 0.05, s"load factors center on 1, got $mean")
+    assert(rows.map(_._1).distinct.length == rows.length, "buckets distinct")
+  }
+
+  test("q219: split docs recompute from a driver prefix sum in doc_id order") {
+    val rows = SparkEntry.queries("q219_packing_audit")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        graft.functions.TextExprs.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cum = 0L
+    val split = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val total = scala.collection.mutable.Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    docs.foreach { case (_, src, n) =>
+      val first = (cum) / 2048; cum += n
+      val last = (cum - 1) / 2048
+      if (n > 0 && last > first) split(src) += 1
+      val (d, t0) = total(src); total(src) = (d + 1, t0 + n)
+    }
+    rows.foreach { case (src, nd, nt, ns) =>
+      assert((nd, nt) == total(src), s"docs/tokens for $src")
+      assert(ns == split(src), s"split count for $src")
+    }
+    assert(rows.map(_._4).sum > 0, "the fixture produces at least one straddle")
+  }
+
+  test("q220: stats recompute for a numeric, a string, and the date column") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q220_table_stats")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 11, "one row per lineitem column")
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+    val n = li.count()
+    assert(rows.values.forall(_.getLong(1) == n))
+    val qty = li.select("l_quantity").collect().map(_.getDouble(0))
+    val r = rows("l_quantity")
+    assert(r.getLong(3) == qty.distinct.length.toLong, "NDV l_quantity")
+    assert(r.getDouble(4) == qty.min && r.getDouble(5) == qty.max)
+    val rf = rows("l_returnflag")
+    val flags = li.select("l_returnflag").collect().map(_.getString(0))
+    assert(rf.getLong(3) == flags.distinct.length.toLong)
+    assert(math.abs(rf.getDouble(6) - flags.map(_.length).sum.toDouble / n) < 1e-4)
+    val sd = rows("l_shipdate")
+    val eps = li.select(unix_timestamp(col("l_shipdate"))).collect().map(_.getLong(0))
+    assert(sd.getDouble(4) == eps.min.toDouble && sd.getDouble(5) == eps.max.toDouble)
+  }
+
+  test("q221: the fixture is referentially intact and coverage is sane") {
+    val rows = SparkEntry.queries("q221_fk_integrity")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 5)
+    rows.foreach { case (edge, child, orphanR, orphanK, parents, cov) =>
+      assert(child > 0, edge)
+      assert(orphanR == 0 && orphanK == 0, s"$edge must be intact in the fixture")
+      assert(cov > 0 && cov <= 1.0, edge)
+      assert(parents > 0, edge)
+    }
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem").count()
+    assert(rows.filter(_._1.startsWith("lineitem")).forall(_._2 == li))
+    // nation: 25 parents, every one referenced by some customer at sf0.001?
+    val natRow = rows.find(_._1.contains("c_nationkey")).get
+    assert(natRow._5 == 25L)
+  }
+
+  test("q222: fingerprint is order-independent and flips on a 1-cent change") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q222_table_fingerprint")(spark, sf()).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("orders", "customer", "supplier"))
+    // independent recompute of the supplier fingerprint, rows reversed —
+    // same sum (commutativity is the operator's point)
+    val sup = graft.sources.Tables.table(spark, sf(), "supplier").collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getInt(2)}|${math.round(r.getDouble(3) * 100)}")
+      .reverse
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    assert(sup.map(h8).sum == got("supplier")._2, "supplier fingerprint recompute")
+    assert(sup.length.toLong == got("supplier")._1)
+    // sensitivity: one cent on one row moves the fingerprint
+    val tweaked = sup.updated(0, {
+      val parts = sup(0).split('|'); parts(3) = (parts(3).toLong + 1).toString
+      parts.mkString("|")
+    })
+    assert(tweaked.map(h8).sum != got("supplier")._2)
+  }
+
+  test("q223: triangle count recomputes from a driver edge scan") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q223_triangle_census")(spark, sf()).collect().head
+    val (nodes, nEdges, wedges, tris, cc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val items = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val byOrder = items.groupBy(_._1).values
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { its =>
+      val ps = its.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    assert(nEdges == edges.size.toLong, "edge count")
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(nodes == adj.size.toLong)
+    val wantW = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(wedges == wantW, "wedges from degree sequence")
+    val wantT = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(z => u < z && v < z)
+    }.sum.toLong
+    assert(tris == wantT, s"triangles: got $tris want $wantT")
+    assert(math.abs(cc - 3.0 * tris / wedges) < 1e-6)
+  }
+
+  test("q224: median-of-means recomputes; buckets cover the stream") {
+    val r = SparkEntry.queries("q224_median_of_means")(spark, sf()).collect().head
+    assert(r.getLong(1) == 16L, "all 16 hex nibbles occupied")
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select("event_id", "value").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.getLong(0) == ev.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def nib(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val means = ev.groupBy(e => nib(e._1)).values
+      .map(vs => r6(vs.map(_._2).sum / vs.size)).toSeq.sorted
+    val mid = means.length / 2
+    val median = if (means.length % 2 == 1) means(mid)
+      else (means(mid - 1) + means(mid)) / 2
+    assert(r.getDouble(3) == r4(median), "median of bucket means")
+  }
+
+  test("q225: drawdown is non-negative, peaks are monotone across years") {
+    val rows = SparkEntry.queries("q225_revenue_drawdown")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nd, peak, dd, share) =>
+      assert(nd > 0 && peak > 0 && dd >= 0 && dd <= peak)
+      assert(math.abs(share - dd.toDouble / peak) < 1e-4)
+    }
+    // running peak never decreases year over year
+    rows.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, "yearly peak_cents must be monotone")
+      case _ =>
+    }
+    // driver recompute of one year's max drawdown
+    val daily = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderdate").cast("date").as("d"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("d").agg(org.apache.spark.sql.functions.sum("c").as("cents"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    var peak = 0L
+    val byYear = scala.collection.mutable.Map.empty[Int, Long]
+    daily.foreach { case (day, c) =>
+      peak = math.max(peak, c)
+      val yr = day.substring(0, 4).toInt
+      byYear(yr) = math.max(byYear.getOrElse(yr, 0L), peak - c)
+    }
+    rows.foreach { case (yr, _, _, dd, _) =>
+      assert(dd == byYear(yr), s"max drawdown recompute for $yr")
+    }
+  }
+
+  test("q226: FK edges estimate near 1; the skewed self-join under-estimates") {
+    val rows = SparkEntry.queries("q226_join_estimate_audit")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(rows.length == 4)
+    val byName = rows.map(r => r._1 -> r).toMap
+    // FK edge: every lineitem row matches exactly one order, so the join
+    // size equals |lineitem| and the independence estimate is exact
+    val fk = byName("lineitem*orders.orderkey")
+    assert(fk._6 == fk._2, "FK join size = child rows")
+    assert(math.abs(fk._8 - 1.0) < 0.05, s"FK estimate ratio ${fk._8}")
+    // self m:n edge: Cauchy-Schwarz makes sum(c^2) >= n^2/ndv, so the
+    // independence estimate cannot exceed the actual
+    val self = byName("events*events.user_id")
+    assert(self._8 <= 1.0 + 1e-9, s"self-join ratio ${self._8}")
+    assert(self._6 >= self._2.toDouble * self._2 / self._4 - 1, "Cauchy-Schwarz floor")
+    // actual recompute for the self edge
+    val users = graft.sources.Tables.table(spark, sf(), "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val want = users.groupBy(identity).values.map(v => v.size.toLong * v.size).sum
+    assert(self._6 == want, "self-join actual recompute")
+  }
 }
