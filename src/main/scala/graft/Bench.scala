@@ -38,7 +38,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    val names = SparkEntry.queries.keys.toSeq
+    // Optional comma-separated name-prefix filter (local iteration only;
+    // the driver never sets it, so round benches always cover the suite).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").toSeq
+        SparkEntry.queries.keys.toSeq.filter(n => prefixes.exists(n.startsWith))
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     // Pass 0 (untimed): Janino + JIT + parquet footers. Runs on a driver
