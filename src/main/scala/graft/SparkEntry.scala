@@ -66,6 +66,13 @@ object SparkEntry {
   private def isFillerSql(e: String): String =
     s"lower(trim(coalesce($e, ''))) IN ($fillerList)"
 
+  /** Benford first-digit shares log10(1 + 1/d), pinned to 10 dp — shared
+    * by q230's Spark side and its generated DuckDB twin (the lexicon-twin
+    * pattern: both engines compare against the SAME literals). */
+  private[graft] val benfordShares: Seq[(Int, Double)] = (1 to 9).map(d =>
+    d -> BigDecimal(math.log10(1 + 1.0 / d))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   /** DuckDB twin of TextExprs.tokenCount — empty tokens dropped, so the
     * whole suite shares ONE token-counting convention. */
   private def tokenCountSql(e: String): String =
@@ -5093,6 +5100,141 @@ object SparkEntry {
         .reduce(_ unionAll _)
     }),
 
+    "q227_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al. 2013, "Improving the
+      // sensitivity of online controlled experiments") — THE experiment-
+      // platform primitive: adjust each user's post-period metric by the
+      // pooled regression on their PRE-period covariate, shrinking metric
+      // variance without touching the mean. Deterministic md5 arm split;
+      // pre/post cut at the integer epoch midpoint of the stream. Every
+      // moment is an exact integer sum per arm (one user-grain aggregate
+      // then a 2-row arm rollup), and the adjusted variance uses the
+      // CLOSED FORM var(Y−θX) = varY − 2θcov + θ²varX — no second pass
+      // over users. θ is pooled across arms (the standard, unbiased
+      // choice) via a broadcast one-row cross join.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("e"))
+      val mid = ev.agg(floor((min("e") + max("e")) / 2).cast("long").as("_mid"))
+      val perUser = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("e") < col("_mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("e") >= col("_mid"), 1L).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val pooled = arms.agg(sum("n").as("pn"), sum("sx").as("psx"),
+          sum("sy").as("psy"), sum("sxy").as("psxy"), sum("sxx").as("psxx"))
+        .select(((col("pn") * col("psxy") - col("psx") * col("psy")).cast("double") /
+          (col("pn") * col("psxx") - col("psx") * col("psx")).cast("double"))
+          .as("theta"))
+      val nD = col("n").cast("double")
+      val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double") / (nD * nD)
+      val covXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / (nD * nD)
+      val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / (nD * nD)
+      val varAdj = varY - lit(2) * col("theta") * covXY + col("theta") * col("theta") * varX
+      arms.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n").as("n_users"),
+          round(col("sy").cast("double") / nD, 4).as("mean_post"),
+          round(varY, 4).as("var_post"),
+          round(varAdj, 4).as("var_cuped"),
+          round(lit(1) - varAdj / varY, 4).as("var_reduction"),
+          round(col("theta"), 6).as("theta"))
+    }),
+
+    "q228_reorder_gaps" -> ((s, dir) => {
+      // Inter-purchase cadence per market segment: the days between a
+      // customer's consecutive orders (lag over a PARTITIONED window —
+      // keyed by custkey, so it scales; never a global window), rolled
+      // up to exact p50/p90 via the Percentiles rank dataflow (no task
+      // ever holds a segment's gaps). The replenishment-cycle read
+      // behind inventory and win-back timing.
+      val seg = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), col("prev").cast("date"))
+            .cast("long").as("gap_days"))
+        .join(seg, col("o_custkey") === col("c_custkey"))
+      val stats = gaps.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct(col("o_custkey")).as("n_repeat_customers"),
+          round(avg("gap_days"), 4).as("mean_gap_days"))
+      val pct = graft.operators.Percentiles.exactByGroup(
+          gaps, col("c_mktsegment"), col("gap_days"),
+          Seq(0.5, 0.9), Seq("p50_gap_days", "p90_gap_days"))
+        .withColumnRenamed("group", "c_mktsegment")
+      stats.join(broadcast(pct), "c_mktsegment")
+        .select(col("c_mktsegment"), col("n_gaps"), col("n_repeat_customers"),
+          col("mean_gap_days"),
+          round(col("p50_gap_days"), 4).as("p50_gap_days"),
+          round(col("p90_gap_days"), 4).as("p90_gap_days"))
+    }),
+
+    "q229_path_trigrams" -> ((s, dir) => {
+      // Order-sensitive 3-step behavioral paths: consecutive event-type
+      // triples within a session (both inter-step gaps <= 30 min) —
+      // one partitioned window with two leads, completing the n-gram
+      // ladder over the event stream (q200 = adjacent transitions,
+      // q209 = order-free co-presence). Output is bounded by |types|³;
+      // share normalizes over observed triples.
+      val w = Window.partitionBy("user_id").orderBy(col("e"), col("event_id"))
+      val tri = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("e2", lead(col("e"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .withColumn("e3", lead(col("e"), 2).over(w))
+        .where(col("t3").isNotNull &&
+          col("e2") - col("e") <= 1800 && col("e3") - col("e2") <= 1800)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum("n").as("_tot"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("step1"), col("step2"), col("step3"), col("n"),
+          round(col("n").cast("double") / col("_tot"), 4).as("share"))
+    }),
+
+    "q230_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals — the forensic-
+      // accounting screen for fabricated or systematically-capped
+      // amounts: observed leading-digit shares vs log10(1 + 1/d), with
+      // the χ² distance. The expected shares are SCALA CONSTANTS
+      // injected into both engines (the lexicon-twin pattern), so the
+      // two sides cannot drift; digit extraction is string-first on
+      // exact integer cents. One corpus aggregate; everything after is
+      // 9 rows.
+      import s.implicits._
+      val expected = broadcast(SparkEntry.benfordShares.toSeq
+        .toDF("digit", "benford_share"))
+      val digits = t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = digits.agg(sum("n_orders").as("_tot"))
+      val joined = digits.join(expected, "digit").crossJoin(broadcast(tot))
+      val exp = col("_tot") * col("benford_share")
+      val chi2 = joined
+        .agg(sum((col("n_orders") - exp) * (col("n_orders") - exp) / exp)
+          .as("_chi2"))
+      joined.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") / col("_tot"), 4).as("obs_share"),
+          col("benford_share"),
+          round(col("_chi2"), 4).as("chi2_total"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -7445,6 +7587,104 @@ object SparkEntry {
             "events", "user_id"))
           .map(q => q.stripMargin.replace('\n', ' '))
           .mkString(" UNION ALL ")
+      },
+
+      "q227_cuped" ->
+        """WITH ev AS (SELECT user_id,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |b AS (SELECT CAST(floor((min(e) + max(e)) / 2) AS BIGINT) AS mid
+          |  FROM ev),
+          |pu AS (SELECT user_id,
+          |   CAST(sum(CASE WHEN e < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          |   CAST(sum(CASE WHEN e >= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS y,
+          |   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) IN
+          |     ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+          |  FROM ev, b GROUP BY user_id),
+          |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |   CAST(sum(x * y) AS BIGINT) AS sxy,
+          |   CAST(sum(x * x) AS BIGINT) AS sxx,
+          |   CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM pu GROUP BY arm),
+          |pool AS (SELECT CAST((sum(n) * sum(sxy) - sum(sx) * sum(sy))
+          |     AS DOUBLE) /
+          |   CAST(sum(n) * sum(sxx) - sum(sx) * sum(sx) AS DOUBLE) AS theta
+          |  FROM arms),
+          |t AS (SELECT arm, n, sy,
+          |   CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+          |     AS var_y,
+          |   CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+          |     AS cov_xy,
+          |   CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+          |     AS var_x
+          |  FROM arms)
+          |SELECT arm, n AS n_users,
+          | round(CAST(sy AS DOUBLE) / n, 4) AS mean_post,
+          | round(var_y, 4) AS var_post,
+          | round(var_y - 2 * p.theta * cov_xy
+          |   + p.theta * p.theta * var_x, 4) AS var_cuped,
+          | round(1 - (var_y - 2 * p.theta * cov_xy
+          |   + p.theta * p.theta * var_x) / var_y, 4) AS var_reduction,
+          | round(p.theta, 6) AS theta
+          |FROM t, pool p""".stripMargin,
+
+      "q228_reorder_gaps" ->
+        """WITH g AS (SELECT o_custkey,
+          |   date_diff('day',
+          |     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+          |       ORDER BY o_orderdate, o_orderkey) AS DATE),
+          |     CAST(o_orderdate AS DATE)) AS gap_days
+          |  FROM orders),
+          |gs AS (SELECT c.c_mktsegment, g.o_custkey,
+          |   CAST(g.gap_days AS BIGINT) AS gap_days
+          |  FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+          |  WHERE g.gap_days IS NOT NULL)
+          |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+          | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+          | round(avg(gap_days), 4) AS mean_gap_days,
+          | round(quantile_cont(gap_days, 0.5), 4) AS p50_gap_days,
+          | round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days
+          |FROM gs GROUP BY c_mktsegment""".stripMargin,
+
+      "q229_path_trigrams" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |w AS (SELECT event_type AS step1,
+          |   lead(event_type, 1) OVER win AS step2,
+          |   lead(e, 1) OVER win AS e2,
+          |   lead(event_type, 2) OVER win AS step3,
+          |   lead(e, 2) OVER win AS e3, e
+          |  FROM ev WINDOW win AS (PARTITION BY user_id
+          |    ORDER BY e, event_id)),
+          |tri AS (SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+          |  FROM w WHERE step3 IS NOT NULL
+          |    AND e2 - e <= 1800 AND e3 - e2 <= 1800
+          |  GROUP BY 1, 2, 3),
+          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tri)
+          |SELECT step1, step2, step3, n,
+          | round(CAST(n AS DOUBLE) / tt.tot, 4) AS share
+          |FROM tri, tt""".stripMargin,
+
+      "q230_benford" -> {
+        val caseExpr = benfordShares.map { case (d, p) =>
+          s"WHEN $d THEN $p" }.mkString("CASE digit ", " ", " END")
+        s"""WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice
+           |     * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM orders),
+           |dg AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+           |  FROM d GROUP BY digit),
+           |be AS (SELECT digit, n_orders, $caseExpr AS benford_share
+           |  FROM dg),
+           |tt AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM be),
+           |ch AS (SELECT sum((n_orders - tt.tot * benford_share) *
+           |    (n_orders - tt.tot * benford_share) /
+           |    (tt.tot * benford_share)) AS chi2
+           |  FROM be, tt)
+           |SELECT be.digit, be.n_orders,
+           | round(CAST(be.n_orders AS DOUBLE) / tt.tot, 4) AS obs_share,
+           | be.benford_share,
+           | round(ch.chi2, 4) AS chi2_total
+           |FROM be, tt, ch""".stripMargin
       },
 
       "q216_custdist" ->

@@ -1418,4 +1418,112 @@ class Round12Spec extends SparkSpec {
     val want = users.groupBy(identity).values.map(v => v.size.toLong * v.size).sum
     assert(self._6 == want, "self-join actual recompute")
   }
+
+  test("q227: CUPED arithmetic recomputes from raw per-user counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q227_cuped")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("A", "B"))
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): String = {
+      val nib = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if ("01234567".contains(nib)) "A" else "B"
+    }
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (arm(u), es.count(_._2 < mid).toLong, es.count(_._2 >= mid).toLong)
+    }.toSeq
+    assert(rows.map(_._2).sum == perUser.length.toLong, "users tile the arms")
+    // pooled theta from integer moments
+    val (pn, psx, psy, psxy, psxx) = (perUser.length.toLong,
+      perUser.map(_._2).sum, perUser.map(_._3).sum,
+      perUser.map(p => p._2 * p._3).sum, perUser.map(p => p._2 * p._2).sum)
+    val theta = (pn * psxy - psx * psy).toDouble / (pn * psxx - psx * psx)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (a, n, meanY, varY, varAdj, redu, th) =>
+      assert(th == r6(theta), "pooled theta")
+      val arm0 = perUser.filter(_._1 == a)
+      assert(n == arm0.length.toLong)
+      val (sy, syy) = (arm0.map(_._3).sum, arm0.map(p => p._3 * p._3).sum)
+      assert(math.abs(meanY - sy.toDouble / n) < 1e-3)
+      val vY = (n * syy - sy * sy).toDouble / (n.toDouble * n)
+      assert(math.abs(varY - vY) < 1e-3)
+      // variance identity: var_cuped = varY - 2θcov + θ²varX >= varY·(1-ρ²)
+      assert(varAdj >= 0)
+      assert(math.abs(redu - (1 - varAdj / varY)) < 1e-3)
+    }
+  }
+
+  test("q228: gaps recompute per customer; p50 <= p90; segments partition gaps") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q228_reorder_gaps")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nGaps, nCust, mean, p50, p90) =>
+      assert(nCust <= nGaps && nCust > 0)
+      assert(p50 <= p90 && mean > 0)
+    }
+    val ords = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+    val nGapsWant = ords.groupBy(_._1).values.map(os => math.max(0, os.size - 1)).sum
+    assert(rows.map(_._2).sum == nGapsWant.toLong, "gaps = orders minus customers-with-orders")
+    // one customer's gap sequence recomputed
+    val cust = ords.groupBy(_._1).filter(_._2.size >= 3).keys.min
+    val days = ords.filter(_._1 == cust).sortBy(o => (o._3, o._2))
+      .map(o => java.time.LocalDate.parse(o._3).toEpochDay).toSeq
+    val gaps = days.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    assert(gaps.forall(_ >= 0L))
+  }
+
+  test("q229: trigram counts recompute for one user; shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q229_path_trigrams")(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01, "shares sum to ~1")
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = scala.collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { es =>
+      val s = es.sortBy(x => (x._4, x._2)).toSeq
+      s.sliding(3).foreach {
+        case Seq(a, b, c) if b._4 - a._4 <= 1800 && c._4 - b._4 <= 1800 =>
+          val k = (a._3, b._3, c._3)
+          want(k) = want(k) + 1
+        case _ =>
+      }
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap == want.toMap, "full trigram recompute")
+  }
+
+  test("q230: digit shares recompute; benford shares are the pinned constants") {
+    val rows = SparkEntry.queries("q230_benford")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq == (1 to 9).toSeq, "all nine digits appear")
+    val exp = SparkEntry.benfordShares.toMap
+    rows.foreach { case (d, _, obs, ben, chi2) =>
+      assert(ben == exp(d), s"pinned Benford share for digit $d")
+      assert(obs >= 0 && obs <= 1 && chi2 >= 0)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01)
+    assert(rows.map(_._5).distinct.length == 1, "chi2 repeated identically")
+    // leading digits recomputed from raw prices
+    val want = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.charAt(0).asDigit)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (d, n, _, _, _) => assert(n == want(d), s"digit $d count") }
+  }
 }
