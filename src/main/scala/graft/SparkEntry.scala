@@ -5235,6 +5235,100 @@ object SparkEntry {
           round(col("_chi2"), 4).as("chi2_total"))
     }),
 
+    "q231_ivm_merge" -> ((s, dir) => {
+      // Incremental view maintenance for distributive/algebraic
+      // aggregates: the standing slice (orders before 2000-01-01) and
+      // the delta batch (after) are aggregated SEPARATELY to mergeable
+      // partials (n, Σx, Σx²), then merged by pure arithmetic — the
+      // dataflow that maintains a 100 TB rollup by touching only the
+      // delta (the standing partial would be a stored table; parity vs
+      // the full-recompute oracle proves merge ≡ recompute). Variance
+      // from the merged moments via the usual (nΣx² − (Σx)²)/n²;
+      // dollars (not cents) keep Σx² inside long range under ANSI.
+      val cut = "2000-01-01"
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice")).cast("long").as("x"),
+          (col("o_orderdate") < lit(cut).cast("timestamp")).as("_standing"))
+      def partial(df: DataFrame, tag: String): DataFrame = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("ss"))
+        .withColumn("slice", lit(tag))
+      val partials = partial(ord.where(col("_standing")), "standing")
+        .unionAll(partial(ord.where(!col("_standing")), "delta"))
+      val merged = partials.groupBy("o_orderpriority")
+        .agg(sum("n").as("n_orders"), sum("s").as("_s"), sum("ss").as("_ss"),
+          sum(when(col("slice") === "standing", col("n")).otherwise(0L))
+            .as("n_standing"),
+          sum(when(col("slice") === "delta", col("n")).otherwise(0L))
+            .as("n_delta"))
+      // mean/var from the EXACT merged longs, finished in doubles whose
+      // op order the oracle mirrors token for token (n·Σx² and (Σx)²
+      // would overflow long under ANSI at sf >= 0.1)
+      merged.select(col("o_orderpriority"), col("n_orders"),
+        col("n_standing"), col("n_delta"),
+        round(col("_s").cast("double") / col("n_orders"), 4).as("mean_dollars"),
+        round((col("_ss").cast("double") -
+          col("_s").cast("double") * col("_s") / col("n_orders")) /
+          col("n_orders"), 4).as("var_dollars"))
+    }),
+
+    "q232_skyline" -> ((s, dir) => {
+      // 2-D Pareto frontier (skyline) of the part catalog — minimize
+      // price, maximize size; a part is dominated iff some part is
+      // strictly cheaper with at least its size, or same-priced and
+      // strictly bigger. The classic O(n log n) sweep re-expressed as a
+      // distributed prefix-max: collapse to price levels (groupBy max
+      // size), rank levels by price (GlobalRank range exchange), running
+      // max of size over the price order (withRunningMax), shift to
+      // EXCLUSIVE via a rank self-join — then one broadcast hop back to
+      // parts. No n² dominance join anywhere.
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val levels = parts.groupBy("cents").agg(max("p_size").as("lvl_max"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        levels, Seq(col("cents").asc), "rn")
+      val incl = graft.operators.GlobalRank.withRunningMax(
+        ranked, Seq(col("rn").asc), col("lvl_max"), "incl_max")
+      val excl = incl.as("cur").join(
+          incl.select((col("rn") + 1).as("rn_next"), col("incl_max").as("excl_max"))
+            .as("prev"),
+          col("cur.rn") === col("rn_next"), "left")
+        .select(col("cur.cents").as("lv_cents"), col("cur.lvl_max").as("lvl_max"),
+          coalesce(col("excl_max"), lit(Int.MinValue.toLong)).as("excl_max"))
+      parts.join(broadcast(excl), col("cents") === col("lv_cents"))
+        .where(!(col("excl_max") >= col("p_size") ||
+          col("lvl_max") > col("p_size")))
+        .select(col("p_partkey"),
+          round(col("cents").cast("double") / 100.0, 2).as("price"),
+          col("p_size"))
+    }),
+
+    "q233_weighted_sample" -> ((s, dir) => {
+      // Weighted sampling without replacement, Efraimidis–Spirakis 2006:
+      // each doc draws u from md5 (13 nibbles / 2⁵², deterministic and
+      // engine-neutral) and ranks by ln(u)/w — the top-k under that key
+      // IS an exact weight-proportional sample without replacement, in
+      // one pass with no sequential state (the mixture-construction
+      // sampler: length-weighted here, quality-weighted in production).
+      // Keys pinned to 12 dp (libm drift is ~1e-16 relative, far below)
+      // with doc_id tie-break; top-64 via the GlobalRank range exchange,
+      // never a driver-side sort.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .where(col("n_chars") > 0)
+        .withColumn("u",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("double") + lit(0.5)) / lit(4503599627370496.0))
+        .withColumn("key", round(log(col("u")) / col("n_chars"), 12))
+      graft.operators.GlobalRank.withRowNumber(
+          docs, Seq(col("key").desc, col("doc_id").asc), "rank")
+        .where(col("rank") <= 64)
+        .select(col("rank"), col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -7686,6 +7780,53 @@ object SparkEntry {
            | round(ch.chi2, 4) AS chi2_total
            |FROM be, tt, ch""".stripMargin
       },
+
+      "q231_ivm_merge" ->
+        """WITH o AS (SELECT o_orderpriority,
+          |   CAST(round(o_totalprice) AS BIGINT) AS x,
+          |   CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0
+          |     END AS st
+          |  FROM orders),
+          |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss,
+          |   CAST(sum(st) AS BIGINT) AS n_standing,
+          |   CAST(sum(1 - st) AS BIGINT) AS n_delta
+          |  FROM o GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, n AS n_orders, n_standing, n_delta,
+          | round(CAST(s AS DOUBLE) / n, 4) AS mean_dollars,
+          | round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 4)
+          |   AS var_dollars
+          |FROM a""".stripMargin,
+
+      "q232_skyline" ->
+        """WITH p AS (SELECT p_partkey, p_size,
+          |   CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+          |lv AS (SELECT cents, max(p_size) AS lvl_max FROM p GROUP BY cents),
+          |ex AS (SELECT cents, lvl_max,
+          |   coalesce(max(lvl_max) OVER (ORDER BY cents
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |     -2147483648) AS excl_max
+          |  FROM lv)
+          |SELECT p.p_partkey, round(CAST(p.cents AS DOUBLE) / 100.0, 2)
+          |   AS price, p.p_size
+          |FROM p JOIN ex ON p.cents = ex.cents
+          |WHERE NOT (ex.excl_max >= p.p_size OR ex.lvl_max > p.p_size)"""
+          .stripMargin,
+
+      "q233_weighted_sample" ->
+        s"""WITH d AS (SELECT doc_id, source, n_chars,
+           |   md5(CAST(doc_id AS VARCHAR)) AS h
+           |  FROM documents WHERE n_chars > 0),
+           |k AS (SELECT doc_id, source, n_chars,
+           |   round(ln((($hexNum13) + 0.5) / 4503599627370496.0)
+           |     / n_chars, 12) AS key
+           |  FROM d),
+           |r AS (SELECT doc_id, source, n_chars,
+           |   CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+           |     AS BIGINT) AS rank
+           |  FROM k)
+           |SELECT rank, doc_id, source, n_chars FROM r
+           |WHERE rank <= 64""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -1526,4 +1526,77 @@ class Round12Spec extends SparkSpec {
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     rows.foreach { case (d, n, _, _, _) => assert(n == want(d), s"digit $d count") }
   }
+
+  test("q231: merged partials equal a direct full recompute per priority") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q231_ivm_merge")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, st, dl, _, v) =>
+      assert(st + dl == n, "slices partition each group")
+      assert(v >= 0)
+    }
+    val raw = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderpriority"), round(col("o_totalprice")).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byP = raw.groupBy(_._1)
+    rows.foreach { case (p, n, _, _, mean, v) =>
+      val xs = byP(p).map(_._2)
+      assert(n == xs.length.toLong)
+      val s0 = xs.sum
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean == r4(s0.toDouble / n), s"mean for $p")
+      val ss = xs.map(x => x * x).sum
+      assert(v == r4((ss.toDouble - s0.toDouble * s0 / n) / n), s"var for $p")
+    }
+  }
+
+  test("q232: frontier matches a brute-force dominance scan and is an antichain") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q232_skyline")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val parts = graft.sources.Tables.table(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def dominated(p: (Long, Int, Long)): Boolean = parts.exists { q =>
+      q._1 != p._1 && q._3 <= p._3 && q._2 >= p._2 &&
+        (q._3 < p._3 || q._2 > p._2)
+    }
+    val want = parts.filterNot(dominated)
+      .map(p => (p._1, p._3.toDouble / 100.0, p._2)).toSet
+    assert(got.map(_._1) == want.map(_._1), s"frontier ids: got ${got.size} want ${want.size}")
+    // antichain: no frontier point dominates another
+    val f = got.toSeq
+    for (a <- f; b <- f if a != b)
+      assert(!(a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)),
+        s"$a dominates $b inside the frontier")
+  }
+
+  test("q233: the top-64 reproduces an independent E-S draw; sample skews long") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q233_weighted_sample")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.length == 64 && got.map(_._1).sorted.toSeq == (1L to 64L))
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("n_chars")).where(col("n_chars") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(64).map(_._1).toSeq
+    assert(got.sortBy(_._1).map(_._2).toSeq == want, "exact E-S top-64")
+    // weight-proportional: the sample over-represents long docs
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean vs corpus $corpusMean")
+  }
 }
