@@ -496,6 +496,63 @@ class PlanSpec extends SparkSpec {
       s"no join on the shingle key allowed:\n${fin.take(600)}")
   }
 
+  test("q215: decorrelated blame plans equi-joins only; dims broadcast") {
+    val p = executed("q215_late_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the EXISTS/NOT EXISTS decorrelation must stay equi-join-only:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation must broadcast")
+  }
+
+  test("q223: wedge and closing joins are equi-joins, never nested loops") {
+    val p = executed("q223_triangle_census")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins allowed are the Cross assemblies of the
+    // three SINGLE-ROW summary aggregates; every edge-carrying join
+    // (items self-join, wedge join, closing join) must be an equi-join
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { l =>
+      assert(l.contains("Cross"), s"non-cross nested loop in the edge path: $l")
+    }
+    val equi = "BroadcastHashJoin".r.findAllIn(p).length +
+      "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(equi >= 3, s"items/wedge/closing joins must be equi-joins, got $equi")
+  }
+
+  test("q228: the gap window is custkey-partitioned; percentiles stay range-based") {
+    val p = executed("q228_reorder_gaps")
+    // the lag window must carry a partition spec (no global-order collapse)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "expected the partitioned lag window")
+    val winLine = p.substring(winIdx, math.min(p.length, winIdx + 400))
+    assert(winLine.contains("o_custkey"),
+      s"lag window must partition by custkey:\n$winLine")
+  }
+
+  test("q233: the weighted sample plans no Window operator at all") {
+    val p = executed("q233_weighted_sample")
+    assert(!p.contains("Window "),
+      "top-k must ride the GlobalRank range exchange, not a global window")
+  }
+
+  test("q219/q225: packing and drawdown plan no Window; prefix ops are range-based") {
+    assert(!executed("q219_packing_audit").contains("Window "),
+      "the token prefix sum must be GlobalRank.withRunningSum")
+    assert(!executed("q225_revenue_drawdown").contains("Window "),
+      "the running peak must be GlobalRank.withRunningMax")
+  }
+
+  test("q220: each per-column stat scans only its own column") {
+    val p = formatted("q220_table_stats")
+    // every scan's ReadSchema should be narrow — no scan reads the full
+    // 11-column lineitem schema
+    val reads = "ReadSchema: [^\\n]+".r.findAllIn(p).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      val cols = "l_[a-z]+".r.findAllIn(r).toSeq.distinct
+      assert(cols.size <= 1, s"a stats scan must read one column, got: $r")
+    }
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
