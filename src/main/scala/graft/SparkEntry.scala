@@ -5329,6 +5329,136 @@ object SparkEntry {
         .select(col("rank"), col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    "q234_phrase_search" -> ((s, dir) => {
+      // Positional phrase search — the inverted-index primitive BM25
+      // (q52/q132) can't express: "A B" matches only where the terms are
+      // ADJACENT. The engine side builds positional postings (token,
+      // doc, pos) once and answers each phrase with an equi-join of the
+      // two term posting lists on (doc, pos+1) — the indexed path that
+      // at 100 TB reads two posting lists, never the corpus text. The
+      // oracle proves the same result by per-doc bigram scanning.
+      val posts = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(TextExprs.cleanText(col("text"))), " ")))
+        .toDF("doc_id", "pos", "tok")
+      val phrases = Seq("fast table", "table table", "spark window")
+      phrases.map { ph =>
+        val Array(a, b) = ph.split(" ")
+        posts.where(col("tok") === a).as("pa")
+          .join(posts.where(col("tok") === b).as("pb"),
+            col("pa.doc_id") === col("pb.doc_id") &&
+              col("pb.pos") === col("pa.pos") + 1)
+          .agg(countDistinct(col("pa.doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .select(lit(ph).as("phrase"), col("n_docs"), col("n_occurrences"))
+      }.reduce(_ unionAll _)
+    }),
+
+    "q235_price_dispersion" -> ((s, dir) => {
+      // Cross-supplier price dispersion per part — the arbitrage /
+      // procurement-leakage audit: per-supplier mean unit price (exact
+      // integer unit cents per row, so the mean is a deterministic
+      // long-sum division), then the per-part spread between the
+      // cheapest and dearest supplier. Top-20 by relative spread rides
+      // the GlobalRank range exchange with partkey tie-break — no
+      // global window, no driver sort.
+      val unit = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100 / col("l_quantity"))
+            .cast("long").as("uc"))
+      val perSupp = unit.groupBy("l_partkey", "l_suppkey")
+        .agg((sum("uc").cast("double") / count(lit(1))).as("mean_uc"))
+      val perPart = perSupp.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          min("mean_uc").as("_lo"), max("mean_uc").as("_hi"))
+        .where(col("n_suppliers") >= 2)
+        .select(col("l_partkey"), col("n_suppliers"),
+          round(col("_lo") / 100.0, 2).as("min_unit_price"),
+          round(col("_hi") / 100.0, 2).as("max_unit_price"),
+          ((col("_hi") - col("_lo")) / col("_lo")).as("_rel"))
+      graft.operators.GlobalRank.withRowNumber(perPart,
+          Seq(col("_rel").desc, col("l_partkey").asc), "rank")
+        .where(col("rank") <= 20)
+        .select(col("rank"), col("l_partkey"), col("n_suppliers"),
+          col("min_unit_price"), col("max_unit_price"),
+          round(col("_rel"), 4).as("rel_spread"))
+    }),
+
+    "q236_engagement_revenue" -> ((s, dir) => {
+      // Engagement-to-revenue linkage: users bucketed into event-count
+      // deciles (GlobalRank ntile — range exchange, no global window),
+      // LEFT-joined to their order revenue in exact cents so silent
+      // users with zero orders stay in the curve (the monetization-
+      // by-engagement read; an inner join would fabricate a correlation
+      // by dropping exactly the flat part of the curve).
+      val ev = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val dec = graft.operators.GlobalRank.withNtile(ev, 10,
+        Seq(col("n_events").asc, col("user_id").asc), "decile")
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      dec.join(rev, col("user_id") === col("o_custkey"), "left")
+        .select(col("decile"), col("n_events"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"),
+          sum(when(col("cents") > 0, 1L).otherwise(0L)).as("n_buyers"),
+          round(sum("cents").cast("double") / 100.0, 2).as("revenue"),
+          round(sum("cents").cast("double") / count(lit(1)) / 100.0, 4)
+            .as("revenue_per_user"))
+    }),
+
+    "q237_funnel_latency" -> ((s, dir) => {
+      // Time-to-convert for the view→purchase funnel: first purchase
+      // STRICTLY after the user's first view (q186's sequential
+      // semantics), latency distribution via the Percentiles rank
+      // dataflow — the conversion-window sizing read (how long to keep
+      // retargeting state). Two keyed min-aggregates + one broadcast-
+      // sized join; no corpus-sized shuffle beyond the event grain.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("e").as("tv"))
+      val firstBuy = ev.where(col("event_type") === "purchase").as("p")
+        .join(broadcast(firstView).as("v"), col("p.user_id") === col("v.user_id"))
+        .where(col("e") > col("tv"))
+        .groupBy(col("p.user_id").as("user_id"))
+        .agg(min("e").as("tp"), min("tv").as("tv0"))
+      val lat = firstBuy
+        .select(lit("all").as("g"), (col("tp") - col("tv0")).as("lat_s"))
+      val pct = graft.operators.Percentiles.exactByGroup(
+        lat, col("g"), col("lat_s"), Seq(0.5, 0.9), Seq("p50_s", "p90_s"))
+      val agg = lat.agg(count(lit(1)).as("n_converted"),
+        round(avg("lat_s"), 4).as("mean_s"))
+      agg.crossJoin(broadcast(pct))
+        .select(col("n_converted"), col("mean_s"),
+          round(col("p50_s"), 4).as("p50_s"), round(col("p90_s"), 4).as("p90_s"))
+    }),
+
+    "q238_dwell_time" -> ((s, dir) => {
+      // Dwell-time attribution per event type: the time a user spends
+      // ON an event = gap to their next event, session-gated at 30 min
+      // (open-ended tails drop out rather than fabricating dwell) — the
+      // engagement-quality complement of q200's transition counts. One
+      // partitioned lead window; exact p50/p90 via the rank dataflow.
+      val w = Window.partitionBy("user_id").orderBy(col("e"), col("event_id"))
+      val dwell = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+        .withColumn("gap", lead(col("e"), 1).over(w) - col("e"))
+        .where(col("gap").isNotNull && col("gap") <= 1800)
+      val stats = dwell.groupBy("event_type")
+        .agg(count(lit(1)).as("n_dwells"), round(avg("gap"), 4).as("mean_s"))
+      val pct = graft.operators.Percentiles.exactByGroup(
+          dwell, col("event_type"), col("gap"),
+          Seq(0.5, 0.9), Seq("p50_s", "p90_s"))
+        .withColumnRenamed("group", "event_type")
+      stats.join(broadcast(pct), "event_type")
+        .select(col("event_type"), col("n_dwells"), col("mean_s"),
+          round(col("p50_s"), 4).as("p50_s"), round(col("p90_s"), 4).as("p90_s"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -7827,6 +7957,100 @@ object SparkEntry {
            |  FROM k)
            |SELECT rank, doc_id, source, n_chars FROM r
            |WHERE rank <= 64""".stripMargin,
+
+      "q234_phrase_search" -> {
+        def one(ph: String): String = {
+          val Array(a, b) = ph.split(" ")
+          s"""SELECT '$ph' AS phrase,
+             | CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_docs,
+             | CAST(sum(n) AS BIGINT) AS n_occurrences
+             |FROM (SELECT doc_id,
+             |   len(list_filter(range(1, len(toks)),
+             |     i -> toks[i] = '$a' AND toks[i + 1] = '$b')) AS n
+             |  FROM (SELECT doc_id,
+             |     string_split(lower(${cleanSql("text")}), ' ') AS toks
+             |    FROM documents) d) m"""
+        }
+        Seq("fast table", "table table", "spark window").map(one)
+          .map(q => q.stripMargin.replace('\n', ' '))
+          .mkString(" UNION ALL ")
+      },
+
+      "q235_price_dispersion" ->
+        """WITH u AS (SELECT l_partkey, l_suppkey,
+          |   CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+          |     AS uc
+          |  FROM lineitem),
+          |ps AS (SELECT l_partkey, l_suppkey,
+          |   CAST(sum(uc) AS DOUBLE) / count(*) AS mean_uc
+          |  FROM u GROUP BY 1, 2),
+          |pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |   min(mean_uc) AS lo, max(mean_uc) AS hi
+          |  FROM ps GROUP BY 1 HAVING count(*) >= 2),
+          |r AS (SELECT l_partkey, n_suppliers,
+          |   round(lo / 100.0, 2) AS min_unit_price,
+          |   round(hi / 100.0, 2) AS max_unit_price,
+          |   (hi - lo) / lo AS rel,
+          |   CAST(row_number() OVER (ORDER BY (hi - lo) / lo DESC,
+          |     l_partkey ASC) AS BIGINT) AS rank
+          |  FROM pp)
+          |SELECT rank, l_partkey, n_suppliers, min_unit_price,
+          | max_unit_price, round(rel, 4) AS rel_spread
+          |FROM r WHERE rank <= 20""".stripMargin,
+
+      "q236_engagement_revenue" ->
+        """WITH ev AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |  FROM events GROUP BY user_id),
+          |d AS (SELECT user_id, n_events,
+          |   CAST(ntile(10) OVER (ORDER BY n_events ASC, user_id ASC)
+          |     AS BIGINT) AS decile
+          |  FROM ev),
+          |rev AS (SELECT o_custkey,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS cents
+          |  FROM orders GROUP BY 1),
+          |j AS (SELECT d.decile, d.n_events,
+          |   coalesce(rev.cents, 0) AS cents
+          |  FROM d LEFT JOIN rev ON rev.o_custkey = d.user_id)
+          |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+          | CAST(sum(n_events) AS BIGINT) AS n_events,
+          | CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_buyers,
+          | round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4)
+          |   AS revenue_per_user
+          |FROM j GROUP BY decile""".stripMargin,
+
+      "q237_funnel_latency" ->
+        """WITH ev AS (SELECT user_id, event_type,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |v AS (SELECT user_id, min(e) AS tv FROM ev
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |p AS (SELECT ev.user_id, min(ev.e) AS tp, min(v.tv) AS tv0
+          |  FROM ev JOIN v ON v.user_id = ev.user_id AND ev.e > v.tv
+          |  WHERE ev.event_type = 'purchase' GROUP BY 1),
+          |l AS (SELECT tp - tv0 AS lat_s FROM p)
+          |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+          | round(avg(lat_s), 4) AS mean_s,
+          | round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+          | round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+          |FROM l""".stripMargin,
+
+      "q238_dwell_time" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |g AS (SELECT event_type,
+          |   lead(e, 1) OVER (PARTITION BY user_id ORDER BY e, event_id)
+          |     - e AS gap
+          |  FROM ev),
+          |d AS (SELECT event_type, gap FROM g
+          |  WHERE gap IS NOT NULL AND gap <= 1800)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_dwells,
+          | round(avg(gap), 4) AS mean_s,
+          | round(quantile_cont(gap, 0.5), 4) AS p50_s,
+          | round(quantile_cont(gap, 0.9), 4) AS p90_s
+          |FROM d GROUP BY event_type""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

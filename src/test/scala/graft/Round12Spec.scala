@@ -1599,4 +1599,116 @@ class Round12Spec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"length-weighted sample mean $sampleMean vs corpus $corpusMean")
   }
+
+  test("q234: postings-join phrase counts equal a driver bigram scan") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q234_phrase_search")(spark, sf()).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("fast table", "table table", "spark window"))
+    val texts = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(graft.functions.TextExprs.cleanText(col("text")).as("t"))
+      .collect().map(_.getString(0).toLowerCase.split(" ").toSeq)
+    got.foreach { case (ph, (nDocs, nOcc)) =>
+      val Array(a, b) = ph.split(" ")
+      val perDoc = texts.map(toks =>
+        toks.sliding(2).count { case Seq(x, y) => x == a && y == b; case _ => false })
+      assert(nOcc == perDoc.sum.toLong, s"occurrences for '$ph'")
+      assert(nDocs == perDoc.count(_ > 0).toLong, s"docs for '$ph'")
+      assert(nOcc >= nDocs && nDocs > 0, s"'$ph' must occur in the fixture")
+    }
+  }
+
+  test("q235: the top spread part recomputes; ranks dense and ordered") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q235_price_dispersion")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).sorted.toSeq == (1L to 20L))
+    val bySpread = rows.sortBy(_._1).map(_._6).toSeq
+    bySpread.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "rel_spread non-increasing in rank")
+      case _ =>
+    }
+    // recompute the winner from raw lineitem
+    val top = rows.minBy(_._1)
+    val unit = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .where(col("l_partkey") === top._2)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100 / col("l_quantity")).cast("long").as("uc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = unit.groupBy(_._1).values
+      .map(vs => vs.map(_._2).sum.toDouble / vs.size).toSeq
+    assert(top._3 == means.length.toLong)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top._6 == r4((means.max - means.min) / means.min), "winner spread")
+  }
+
+  test("q236: deciles tile users; zero-order users are retained") {
+    val rows = SparkEntry.queries("q236_engagement_revenue")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nUsers = graft.sources.Tables.table(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers, "deciles tile the user base")
+    assert(rows.map(_._1).sorted.toSeq == (1L to 10L))
+    rows.foreach { case (_, n, _, buyers, rev, rpu) =>
+      assert(buyers <= n)
+      assert(rev >= 0 && rpu >= 0)
+    }
+    // ntile balance: sizes differ by at most 1
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"ntile balance: $sizes")
+  }
+
+  test("q237: latency recomputes from a driver funnel scan") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q237_funnel_latency")(spark, sf()).collect().head
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("e"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val lat = ev.groupBy(_._1).values.flatMap { es =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val buys = es.filter(x => x._2 == "purchase" && x._3 > tv).map(_._3)
+        if (buys.isEmpty) None else Some(buys.min - tv)
+      }
+    }.toSeq.sorted
+    assert(r.getLong(0) == lat.length.toLong, "converted-user count")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(1) == r4(lat.sum.toDouble / lat.length), "mean latency")
+    // exact interpolated median recompute
+    val p = 1.0 + 0.5 * (lat.length - 1)
+    val (loIx, hiIx) = (math.floor(p).toInt - 1, math.ceil(p).toInt - 1)
+    val med = lat(loIx) + (p - math.floor(p)) * (lat(hiIx) - lat(loIx))
+    assert(r.getDouble(2) == r4(med), "p50 recompute")
+  }
+
+  test("q238: dwell stats recompute for every event type") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q238_dwell_time")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("e"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    val dwells = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(x => (x._4, x._2)).toSeq
+      s.sliding(2).flatMap {
+        case Seq(a, b) if b._4 - a._4 <= 1800 => Some((a._3, b._4 - a._4))
+        case _ => None
+      }
+    }.toSeq
+    val want = dwells.groupBy(_._1).map { case (t, vs) =>
+      t -> ((vs.length.toLong, vs.map(_._2).sum.toDouble / vs.length)) }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case (t, n, mean) =>
+      assert(n == want(t)._1, s"dwell count for $t")
+      assert(mean == r4(want(t)._2), s"mean dwell for $t")
+    }
+  }
 }
