@@ -96,6 +96,7 @@ object ScaleProbe {
     if (args.headOption.contains("bloom")) { bloomProbe(args.drop(1)); return }
     if (args.headOption.contains("knn")) { knnProbe(args.drop(1)); return }
     if (args.headOption.contains("backlog")) { backlogProbe(args.drop(1)); return }
+    if (args.headOption.contains("skyline")) { skylineProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -680,6 +681,79 @@ object ScaleProbe {
     * must grow the naive wall roughly linearly and leave the delta wall
     * flat, with both producing identical backlog tables (verified on the
     * full join, not a sample). */
+  /** Skyline mode: measure q232's claim about the naive dominance LEFT
+    * ANTI join (a nested-loop non-equi join) vs the prefix-max sweep
+    * (operators.Skyline.frontier2d) — in BOTH regimes, because the naive
+    * plan's cost is DISTRIBUTION-dependent, not just O(n²):
+    *
+    *  - dominator-DENSE data (the replicated catalog): the broadcast
+    *    nested loop's anti-join EARLY-EXITS on the first dominator, so
+    *    most probes stop after a few comparisons and the naive join
+    *    looks flat — the seductive benchmark that lies about scale;
+    *  - ANTICHAIN data (descending price, ascending size — every point
+    *    on the frontier): no dominator exists, the early exit never
+    *    fires, and the naive join does the full n² work, while the
+    *    sweep stays one-aggregate + one-range-exchange flat.
+    *
+    * Both routes must return the identical frontier at every size. */
+  private def skylineProbe(args: Array[String]): Unit = {
+    val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(20000)
+    val rep = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $dt%.2f s")
+      dt
+    }
+    def run(tag: String, pf: org.apache.spark.sql.DataFrame, n: Long): (Double, Double) = {
+      val sweep = graft.operators.Skyline.frontier2d(pf, col("c"), col("sz"))
+        .select("k")
+      var sweepDf: org.apache.spark.sql.DataFrame = null
+      val tS = timed(s"$tag sweep n=$n") {
+        sweepDf = sweep.localCheckpoint(true)
+      }
+      var naiveDf: org.apache.spark.sql.DataFrame = null
+      val tN = timed(s"$tag naive n=$n") {
+        naiveDf = pf.as("p").join(pf.as("q"),
+            col("q.c") <= col("p.c") && col("q.sz") >= col("p.sz") &&
+              (col("q.c") < col("p.c") || col("q.sz") > col("p.sz")),
+            "left_anti")
+          .select(col("p.k").as("k")).localCheckpoint(true)
+      }
+      val diff = sweepDf.exceptAll(naiveDf).count() + naiveDf.exceptAll(sweepDf).count()
+      require(diff == 0L, s"frontier mismatch for $tag n=$n")
+      println(s"[probe] $tag n=$n: sweep == naive (${sweepDf.count()} frontier rows)")
+      (tS, tN)
+    }
+    for (f <- Seq(1, rep)) {
+      val n = base.toLong * f
+      // dominator-dense: sizes cycle 1..50, price grows with the id —
+      // nearly every point is dominated by an early small-id row
+      val dense = spark.range(n).select(col("id").as("k"),
+          (col("id") % 50 + 1).as("sz"), (col("id") * 10 + col("id") % 7).as("c"))
+        .localCheckpoint(true)
+      run("dense", dense, n)
+      // antichain: price strictly RISES with size — more size always
+      // costs more, so no point dominates any other: every row is on
+      // the frontier and the anti-join's early exit never fires
+      val anti = spark.range(n).select(col("id").as("k"),
+          col("id").as("sz"), ((col("id") + 1) * 10).as("c"))
+        .localCheckpoint(true)
+      run("antichain", anti, n)
+    }
+    spark.stop()
+  }
+
   private def backlogProbe(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val widen = args.lift(1).map(_.toInt).getOrElse(4)

@@ -5283,24 +5283,12 @@ object SparkEntry {
       // size), rank levels by price (GlobalRank range exchange), running
       // max of size over the price order (withRunningMax), shift to
       // EXCLUSIVE via a rank self-join — then one broadcast hop back to
-      // parts. No n² dominance join anywhere.
+      // parts. No n² dominance join anywhere (operators.Skyline; the
+      // ScaleProbe skyline mode measures sweep-vs-naive scaling).
       val parts = t(s, dir, "part")
         .select(col("p_partkey"), col("p_size"),
           round(col("p_retailprice") * 100).cast("long").as("cents"))
-      val levels = parts.groupBy("cents").agg(max("p_size").as("lvl_max"))
-      val ranked = graft.operators.GlobalRank.withRowNumber(
-        levels, Seq(col("cents").asc), "rn")
-      val incl = graft.operators.GlobalRank.withRunningMax(
-        ranked, Seq(col("rn").asc), col("lvl_max"), "incl_max")
-      val excl = incl.as("cur").join(
-          incl.select((col("rn") + 1).as("rn_next"), col("incl_max").as("excl_max"))
-            .as("prev"),
-          col("cur.rn") === col("rn_next"), "left")
-        .select(col("cur.cents").as("lv_cents"), col("cur.lvl_max").as("lvl_max"),
-          coalesce(col("excl_max"), lit(Int.MinValue.toLong)).as("excl_max"))
-      parts.join(broadcast(excl), col("cents") === col("lv_cents"))
-        .where(!(col("excl_max") >= col("p_size") ||
-          col("lvl_max") > col("p_size")))
+      graft.operators.Skyline.frontier2d(parts, col("cents"), col("p_size"))
         .select(col("p_partkey"),
           round(col("cents").cast("double") / 100.0, 2).as("price"),
           col("p_size"))

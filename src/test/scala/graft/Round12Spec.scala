@@ -1711,4 +1711,21 @@ class Round12Spec extends SparkSpec {
       assert(mean == r4(want(t)._2), s"mean dwell for $t")
     }
   }
+
+  test("Skyline.frontier2d: hand frame with duplicates and shared levels") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // (id, price, size): 1 dominates nothing-cheaper; 2 duplicated; 5
+    // dominated same-price; 6 dominated cross-level; 7 cheapest-smallest
+    val rows = Seq(
+      (1L, 10L, 5), (2L, 20L, 8), (3L, 20L, 8), (4L, 30L, 9),
+      (5L, 20L, 7), (6L, 25L, 6), (7L, 5L, 1))
+    val df = rows.toDF("id", "price", "size")
+    val got = graft.operators.Skyline.frontier2d(df, col("price"), col("size"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 7: nothing cheaper. 1: cheaper rows max size 1 < 5. 2,3: duplicates
+    // both kept (20,8); 5 beaten by same-price 8; 6 beaten by (20,8);
+    // 4: strictly bigger than everything cheaper -> kept.
+    assert(got == Set(1L, 2L, 3L, 4L, 7L), s"got $got")
+  }
 }
