@@ -73,6 +73,34 @@ object SparkEntry {
     d -> BigDecimal(math.log10(1 + 1.0 / d))
       .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** q239's truncated-EWMA kernel: weight for lag j (1 = yesterday) is
+    * 7^(j−1)·8^(12−j) — the geometric (7/8)^(j−1) decay scaled by 8^11 so
+    * every weight is an exact LONG and the whole baseline stays integer
+    * until the final display division (the lexicon-twin pattern: the same
+    * literals are injected into the DuckDB oracle as a VALUES list). */
+  private[graft] val ewmaWeights: Seq[(Int, Long)] = (1 to 12).map { j =>
+    def ipow(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+    j -> ipow(7, j - 1) * ipow(8, 12 - j)
+  }
+
+  /** q241's engine-neutral minhash permutation constants: 52-bit XOR mixers
+    * derived from md5 so BOTH engines block with the same scheme (unlike
+    * the production path's Murmur3 `MinHashExprs`, which DuckDB cannot
+    * reproduce — this audit measures the SCHEME's blocking quality with a
+    * portable twin). */
+  private[graft] val blockPerms: Seq[(Int, Long)] = (0 until 32).map { p =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-perm-$p".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    p -> java.lang.Long.parseLong(hex.take(13), 16)
+  }
+
+  /** q241's band geometries under audit: the same 32 permutations regrouped
+    * as (bands × rows/band) — recall falls and precision rises with
+    * rows/band; the audit prices that tradeoff on real data. */
+  private[graft] val blockGeometries: Seq[(Int, Int)] =
+    Seq((16, 2), (8, 4), (4, 8))
+
   /** DuckDB twin of TextExprs.tokenCount — empty tokens dropped, so the
     * whole suite shares ONE token-counting convention. */
   private def tokenCountSql(e: String): String =
@@ -5447,6 +5475,243 @@ object SparkEntry {
           round(col("p50_s"), 4).as("p50_s"), round(col("p90_s"), 4).as("p90_s"))
     }),
 
+    "q239_ewma_anomaly" -> ((s, dir) => {
+      // Volume-spike monitor: each day's event total vs a truncated
+      // exponentially-weighted baseline of the 12 PRIOR days (exclusive —
+      // today must not vote on its own baseline). The (7/8)-decay kernel
+      // is pre-scaled to exact LONG weights ([[ewmaWeights]]) so numerator,
+      // denominator, and the spike test (y·Σw > 2·Σwy, cross-multiplied)
+      // are all integer-exact in both engines; doubles appear only in the
+      // two display columns. The lag join explodes the DAILY table (≤ a
+      // few thousand rows after the one corpus-sized aggregate) × 12 —
+      // scale-independent of the event count.
+      val ev = t(s, dir, "events").select(col("ts").cast("date").as("day"))
+      val daily = ev.groupBy("day").agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).cast("long").as("nd"))
+      val series = broadcast(bounds)
+        .select(col("d0"), explode(sequence(lit(1L), col("nd"))).as("i"))
+        .select(col("i"), date_add(col("d0"), (col("i") - 1).cast("int")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("i"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
+      val weights = s.createDataFrame(ewmaWeights.map { case (j, w) => (j.toLong, w) })
+        .toDF("j", "w")
+      val prior = series.select(col("i").as("pi"), col("n_events").as("py"))
+        .crossJoin(broadcast(weights))
+        .select((col("pi") + col("j")).as("i"), col("w"),
+          (col("w") * col("py")).as("wy"))
+      val base = prior.groupBy("i")
+        .agg(sum("w").as("denom"), sum("wy").as("numer"))
+      series.join(base, Seq("i"))
+        .select(col("day"), col("n_events"),
+          round(col("numer").cast("double") / col("denom"), 4).as("ewma"),
+          when(col("numer") > 0,
+            round((col("n_events") * col("denom")).cast("double") / col("numer"), 4))
+            .as("ratio"),
+          (col("n_events") * col("denom") > col("numer") * 2).as("is_spike"))
+    }),
+
+    "q240_heaps_law" -> ((s, dir) => {
+      // Heaps'-law SHINGLE-vocabulary growth: V(n) = #distinct token
+      // 3-grams whose FIRST occurrence lies in the first n docs — the
+      // curve that sizes the distinct-shingle table every minhash/dedup
+      // index materializes (the fixture's raw token vocabulary is a
+      // closed 31-word set, so growth is only measurable at the shingle
+      // grain — exactly the grain the index stores). One corpus explode,
+      // a min-per-gram aggregate (map-side combining), per-rank
+      // increments, and TWO GlobalRank.withRunningSum prefix sums (range
+      // exchange, no single-partition window); 20 checkpoints sampled
+      // from the running curve, then the Heaps β (V ≈ K·Nᵝ) as a
+      // closed-form log-log OLS over the 20 points. Checkpoints are
+      // all-integer; only the fit is float, with 9-dp-pinned logs so
+      // both engines regress identical inputs.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(TextExprs.cleanText(col("text"))), " "),
+            tk => tk =!= "").as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= 3, // sequence(1, 0) descends — guard
+            expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' '," +
+              " element_at(toks, i), element_at(toks, i + 1)," +
+              " element_at(toks, i + 2)))"))
+            .otherwise(typedLit(Seq.empty[String])).as("grams"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+          docs, Seq(col("doc_id").asc), "rk")
+        .select(col("rk"), col("grams"), size(col("grams")).cast("long").as("ng"))
+        .localCheckpoint() // feeds the explode AND the per-rank gram counts
+      val first = ranked.select(col("rk"), explode(col("grams")).as("g"))
+        .groupBy("g").agg(min("rk").as("frk"))
+      val vIncr = first.groupBy("frk").agg(count(lit(1)).as("v_incr"))
+      val perRank = ranked.select(col("rk"), col("ng"))
+        .join(vIncr, col("rk") === col("frk"), "left")
+        .select(col("rk"), col("ng"), coalesce(col("v_incr"), lit(0L)).as("v_incr"))
+      val run = graft.operators.GlobalRank.withRunningSum(
+        graft.operators.GlobalRank.withRunningSum(
+          perRank, Seq(col("rk").asc), col("ng"), "n_grams"),
+        Seq(col("rk").asc), col("v_incr"), "vocab")
+      val cuts = broadcast(ranked.agg(max("rk").as("nd")))
+        .select(explode(sequence(lit(1L), lit(20L))).as("checkpoint"), col("nd"))
+        .select(col("checkpoint"), expr("(checkpoint * nd) div 20").as("cut"))
+      val cp = run.join(broadcast(cuts), col("rk") === col("cut"))
+        .select(col("checkpoint"), col("rk").as("n_docs"),
+          col("n_grams"), col("vocab"))
+      val fit = cp.where(col("n_grams") > 0 && col("vocab") > 0)
+        .select(round(log(col("n_grams").cast("double")), 9).as("x"),
+          round(log(col("vocab").cast("double")), 9).as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      cp.crossJoin(broadcast(fit))
+        .select(col("checkpoint"), col("n_docs"), col("n_grams"), col("vocab"),
+          round(beta, 6).as("heaps_beta"),
+          round(exp((col("sy") - beta * col("sx")) / col("n")), 6).as("heaps_k"))
+    }),
+
+    "q241_blocking_quality" -> ((s, dir) => {
+      // Entity-resolution blocking audit: reduction ratio + pairs
+      // completeness + precision of minhash banding at THREE geometries
+      // ([[blockGeometries]]: 16×2, 8×4, 4×8 over one shared 32-perm
+      // signature) vs exact char-3-gram Jaccard ≥ 0.7 ground truth — the
+      // tuning table that decides which banding is safe at scale (and the
+      // MEASURED answer to q159's probabilistic-recall caveat: 16×2's
+      // completeness is the recall that caveat bounds). The scheme under
+      // audit is an engine-neutral md5+XOR minhash ([[blockPerms]]
+      // injected into both engines), because the verdict must be
+      // computable by the oracle; the production Murmur3 path (q27)
+      // shares the banding geometry. Ground truth is the q192-style
+      // gram-keyed equi-join (bounded by shared-gram pairs, never an
+      // unconditional n²), with the Jaccard threshold cross-multiplied to
+      // stay all-integer: shared·10 ≥ 7·(|a|+|b|−shared).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), lower(TextExprs.cleanText(col("text"))).as("tx"))
+        .where(length(col("tx")) >= 3)
+      val sh = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))")).as("g"))
+        .distinct()
+        .localCheckpoint() // feeds signatures, sizes, and the gram join
+      val hv = sh.select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("hv"))
+      val perms = s.createDataFrame(blockPerms.map { case (p, c) => (p.toLong, c) })
+        .toDF("p", "c")
+      val sig = hv.crossJoin(broadcast(perms))
+        .groupBy("doc_id", "p")
+        .agg(min(col("hv").bitwiseXOR(col("c"))).as("v"))
+        .localCheckpoint() // the 32-perm signature feeds all 3 geometries
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truth = sh.as("a")
+        .join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+        .where(col("shared") * 10 >= (col("sa") + col("sb") - col("shared")) * 7)
+        .select("id_a", "id_b")
+        .localCheckpoint() // counted AND intersected per geometry
+      val perGeom = blockGeometries.map { case (nb, r) =>
+        // band signature = the r per-band minhashes in perm order, as a
+        // canonical string (array_sort on (p, v) structs orders by p; the
+        // DuckDB twin is string_agg ORDER BY p)
+        val bands = sig.groupBy(col("doc_id"), expr(s"p div $r").as("band"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("v")))),
+            x => x("v").cast("string")), ",").as("sg"))
+        val cand = bands.as("a").join(bands.as("b"), Seq("band", "sg"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .where(col("id_a") < col("id_b"))
+          .distinct()
+          .localCheckpoint() // counted AND intersected with truth
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+          .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_found"))
+      }.reduce(_ unionAll _)
+      val base = sizes.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+        .select(col("n_docs"),
+          expr("(n_docs * (n_docs - 1)) div 2").as("n_all_pairs"),
+          col("n_true_pairs"))
+      perGeom.crossJoin(broadcast(base))
+        .select(col("n_bands"), col("rows_per_band"), col("n_docs"),
+          col("n_all_pairs"), col("n_true_pairs"), col("n_candidates"),
+          col("n_found"),
+          round(lit(1.0) - col("n_candidates").cast("double") / col("n_all_pairs"), 6)
+            .as("reduction_ratio"),
+          when(col("n_true_pairs") > 0,
+            round(col("n_found").cast("double") / col("n_true_pairs"), 6))
+            .as("pairs_completeness"),
+          when(col("n_candidates") > 0,
+            round(col("n_found").cast("double") / col("n_candidates"), 6))
+            .as("cand_precision"))
+    }),
+
+    "q242_rolling_active_users" -> ((s, dir) => {
+      // Exact 7-day rolling distinct users (WAU ending each day) + DAU +
+      // per-day stickiness. Sliding-window COUNT DISTINCT doesn't merge,
+      // so the scalable exact form fans each (user, day) out to the ≤7
+      // window END days it supports and de-dups — shuffle volume is
+      // 7×|user-days| (the post-distinct grain, NOT the raw event count),
+      // then two plain counting aggregates. Zero-filled day scaffold so
+      // silent days read 0, not missing.
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .localCheckpoint() // feeds DAU, the window fan-out, and the bounds
+      val scaffold = broadcast(
+          ud.agg(min("day").as("d0"), max("day").as("d1")))
+        .select(col("d0"), explode(
+          sequence(lit(0), datediff(col("d1"), col("d0")))).as("x"))
+        .select(date_add(col("d0"), col("x")).as("day"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      scaffold.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"))
+        .select(col("day"), col("dau"), col("wau"),
+          when(col("wau") > 0,
+            round(col("dau").cast("double") / col("wau"), 4)).as("stickiness"))
+    }),
+
+    "q243_order_reconciliation" -> ((s, dir) => {
+      // Header-vs-detail reconciliation audit: recompute each order's
+      // total from its lineitems (Σ round(extprice·(1−disc)·(1+tax)·100)
+      // — exact cents per line, LONG sums) and reconcile against the
+      // stored o_totalprice per order status: exact-match count, orders
+      // with no lines at all (a LEFT join — an inner join would silently
+      // pass them), and the mean/max absolute error. The migration /
+      // replication validation shape: two key-grain aggregates and one
+      // key join, no row ever leaves its grain.
+      val calc = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * 100).cast("long").as("lc"))
+        .groupBy("l_orderkey").agg(sum("lc").as("calc_cents"))
+      val joined = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("oc"))
+        .join(calc, col("o_orderkey") === col("l_orderkey"), "left")
+      val agg = joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("calc_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("oc") === col("calc_cents"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("calc_cents").isNotNull,
+            abs(col("oc") - col("calc_cents"))).otherwise(0L)).as("sae"),
+          max(when(col("calc_cents").isNotNull,
+            abs(col("oc") - col("calc_cents")))).as("mxe"))
+      agg.select(col("o_orderstatus"), col("n_orders"), col("n_no_lines"),
+        col("n_exact"),
+        when(col("n_orders") - col("n_no_lines") > 0,
+          round(col("sae").cast("double")
+            / (col("n_orders") - col("n_no_lines")) / 100.0, 4)).as("mean_abs_err"),
+        round(col("mxe").cast("double") / 100.0, 2).as("max_abs_err"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -8039,6 +8304,173 @@ object SparkEntry {
           | round(quantile_cont(gap, 0.5), 4) AS p50_s,
           | round(quantile_cont(gap, 0.9), 4) AS p90_s
           |FROM d GROUP BY event_type""".stripMargin,
+
+      "q239_ewma_anomaly" -> {
+        val vals = ewmaWeights.map { case (j, w) => s"($j, $w)" }.mkString(", ")
+        s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+           |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS c
+           |  FROM ev GROUP BY day),
+           |b AS (SELECT min(day) AS d0,
+           |   CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS nd
+           |  FROM ev),
+           |s AS (SELECT CAST(i.i AS BIGINT) AS i, b.d0 + CAST(i.i - 1 AS INT) AS day
+           |  FROM b, (SELECT unnest(range(1, (SELECT nd FROM b) + 1)) AS i) i),
+           |f AS (SELECT s.i, s.day, coalesce(daily.c, 0) AS n_events
+           |  FROM s LEFT JOIN daily USING (day)),
+           |w(j, wt) AS (VALUES $vals),
+           |p AS (SELECT f.i + w.j AS i, CAST(w.wt AS BIGINT) AS wt,
+           |   CAST(w.wt AS BIGINT) * f.n_events AS wy FROM f, w),
+           |base AS (SELECT i, CAST(sum(wt) AS BIGINT) AS denom,
+           |   CAST(sum(wy) AS BIGINT) AS numer FROM p GROUP BY i)
+           |SELECT f.day, f.n_events,
+           | round(CAST(numer AS DOUBLE) / denom, 4) AS ewma,
+           | CASE WHEN numer > 0 THEN
+           |   round(CAST(f.n_events * denom AS DOUBLE) / numer, 4) END AS ratio,
+           | (f.n_events * denom > numer * 2) AS is_spike
+           |FROM f JOIN base USING (i)""".stripMargin
+      },
+
+      "q240_heaps_law" ->
+        s"""WITH d0 AS (SELECT doc_id,
+           |   list_filter(string_split(lower(${cleanSql("text")}), ' '),
+           |     t -> t <> '') AS toks FROM documents),
+           |d AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |   list_transform(range(1, len(toks) - 1),
+           |     i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+           |       || ' ' || toks[CAST(i + 2 AS INT)])
+           |  ELSE [] END AS grams FROM d0),
+           |r AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk,
+           |   grams, CAST(len(grams) AS BIGINT) AS ng FROM d),
+           |e AS (SELECT rk, unnest(grams) AS g FROM r),
+           |fst AS (SELECT g, min(rk) AS frk FROM e GROUP BY g),
+           |vi AS (SELECT frk, CAST(count(*) AS BIGINT) AS v_incr
+           |  FROM fst GROUP BY frk),
+           |pr AS (SELECT r.rk, r.ng, coalesce(vi.v_incr, 0) AS v_incr
+           |  FROM r LEFT JOIN vi ON vi.frk = r.rk),
+           |run AS (SELECT rk,
+           |   CAST(sum(ng) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+           |     AS BIGINT) AS n_grams,
+           |   CAST(sum(v_incr) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+           |     AS BIGINT) AS vocab FROM pr),
+           |cuts AS (SELECT CAST(i.i AS BIGINT) AS checkpoint,
+           |   (CAST(i.i AS BIGINT) * (SELECT max(rk) FROM r)) // 20 AS cut
+           |  FROM (SELECT unnest(range(1, 21)) AS i) i),
+           |cp AS (SELECT c.checkpoint, run.rk AS n_docs, run.n_grams, run.vocab
+           |  FROM run JOIN cuts c ON run.rk = c.cut),
+           |l AS (SELECT round(ln(CAST(n_grams AS DOUBLE)), 9) AS x,
+           |   round(ln(CAST(vocab AS DOUBLE)), 9) AS y
+           |  FROM cp WHERE n_grams > 0 AND vocab > 0),
+           |fit AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+           |   sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM l)
+           |SELECT cp.checkpoint, cp.n_docs, cp.n_grams, cp.vocab,
+           | round((fit.n * fit.sxy - fit.sx * fit.sy)
+           |   / (fit.n * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta,
+           | round(exp((fit.sy - ((fit.n * fit.sxy - fit.sx * fit.sy)
+           |     / (fit.n * fit.sxx - fit.sx * fit.sx)) * fit.sx) / fit.n), 6)
+           |   AS heaps_k
+           |FROM cp, fit""".stripMargin,
+
+      "q241_blocking_quality" -> {
+        val vals = blockPerms.map { case (p, c) => s"($p, $c)" }.mkString(", ")
+        val geomCtes = blockGeometries.map { case (_, r) =>
+          s"""bands_$r AS (SELECT doc_id, p // $r AS band,
+             |   string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS sg
+             |  FROM sig GROUP BY 1, 2),
+             |cand_$r AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands_$r a JOIN bands_$r b ON a.band = b.band
+             |   AND a.sg = b.sg AND a.doc_id < b.doc_id)""".stripMargin
+        }.mkString(",\n")
+        val geomRows = blockGeometries.map { case (nb, r) =>
+          s"""SELECT $nb AS n_bands, $r AS rows_per_band,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM cand_$r) AS n_candidates,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM tr t JOIN cand_$r c
+             |    ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_found""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT doc_id, lower(${cleanSql("text")}) AS tx
+           |  FROM documents WHERE len(lower(${cleanSql("text")})) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, g FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(tx) - 1),
+           |    i -> substr(tx, CAST(i AS INT), 3))) AS g FROM d)),
+           |hs AS (SELECT doc_id, md5(g) AS h FROM sh),
+           |hv AS (SELECT doc_id, CAST($hexNum13 AS BIGINT) AS hv FROM hs),
+           |perms(p, c) AS (VALUES $vals),
+           |sig AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+           |   min(xor(hv, CAST(c AS BIGINT))) AS v
+           |  FROM hv, perms GROUP BY 1, 2),
+           |$geomCtes,
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           |  FROM sh GROUP BY doc_id),
+           |tr AS (SELECT i.id_a, i.id_b
+           |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |     CAST(count(*) AS BIGINT) AS shared
+           |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2) i
+           |  JOIN sz sa ON sa.doc_id = i.id_a
+           |  JOIN sz sb ON sb.doc_id = i.id_b
+           |  WHERE i.shared * 10 >= (sa.sz + sb.sz - i.shared) * 7),
+           |base AS (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_docs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true_pairs),
+           |geoms AS ($geomRows)
+           |SELECT g.n_bands, g.rows_per_band, base.n_docs,
+           | (base.n_docs * (base.n_docs - 1)) // 2 AS n_all_pairs,
+           | base.n_true_pairs, g.n_candidates, g.n_found,
+           | round(1.0 - CAST(g.n_candidates AS DOUBLE)
+           |   / ((base.n_docs * (base.n_docs - 1)) // 2), 6) AS reduction_ratio,
+           | CASE WHEN base.n_true_pairs > 0 THEN
+           |   round(CAST(g.n_found AS DOUBLE) / base.n_true_pairs, 6) END
+           |   AS pairs_completeness,
+           | CASE WHEN g.n_candidates > 0 THEN
+           |   round(CAST(g.n_found AS DOUBLE) / g.n_candidates, 6) END
+           |   AS cand_precision
+           |FROM geoms g, base""".stripMargin
+      },
+
+      "q242_rolling_active_users" ->
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |  FROM events),
+          |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+          |s AS (SELECT b.d0 + CAST(x.x AS INT) AS day
+          |  FROM b, (SELECT unnest(range(0,
+          |    (SELECT date_diff('day', d0, d1) FROM b) + 1)) AS x) x),
+          |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+          |  FROM ud GROUP BY day),
+          |t AS (SELECT DISTINCT user_id, day + CAST(o.o AS INT) AS day
+          |  FROM ud, (SELECT unnest(range(0, 7)) AS o) o),
+          |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+          |  FROM t GROUP BY day)
+          |SELECT s.day, coalesce(dau.dau, 0) AS dau,
+          | coalesce(wau.wau, 0) AS wau,
+          | CASE WHEN coalesce(wau.wau, 0) > 0 THEN
+          |   round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / wau.wau, 4) END
+          |   AS stickiness
+          |FROM s LEFT JOIN dau ON dau.day = s.day
+          |LEFT JOIN wau ON wau.day = s.day""".stripMargin,
+
+      "q243_order_reconciliation" ->
+        """WITH l AS (SELECT l_orderkey,
+          |   CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+          |     * 100) AS BIGINT) AS lc FROM lineitem),
+          |c AS (SELECT l_orderkey, CAST(sum(lc) AS BIGINT) AS calc_cents
+          |  FROM l GROUP BY l_orderkey),
+          |j AS (SELECT o.o_orderstatus,
+          |   CAST(round(o.o_totalprice * 100) AS BIGINT) AS oc, c.calc_cents
+          |  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey)
+          |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          | CAST(sum(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_no_lines,
+          | CAST(sum(CASE WHEN oc = calc_cents THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_exact,
+          | CASE WHEN count(*) - sum(CASE WHEN calc_cents IS NULL THEN 1
+          |     ELSE 0 END) > 0 THEN
+          |   round(CAST(sum(CASE WHEN calc_cents IS NOT NULL
+          |       THEN abs(oc - calc_cents) ELSE 0 END) AS DOUBLE)
+          |     / (count(*) - sum(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0
+          |       END)) / 100.0, 4) END AS mean_abs_err,
+          | round(CAST(max(CASE WHEN calc_cents IS NOT NULL
+          |     THEN abs(oc - calc_cents) END) AS DOUBLE) / 100.0, 2)
+          |   AS max_abs_err
+          |FROM j GROUP BY o_orderstatus""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -1728,4 +1728,166 @@ class Round12Spec extends SparkSpec {
     // 4: strictly bigger than everything cheaper -> kept.
     assert(got == Set(1L, 2L, 3L, 4L, 7L), s"got $got")
   }
+
+  private def cleanLower(s: String): String =
+    s.trim.replaceAll("[\\x{10000}-\\x{10FFFF}]", "")
+      .replaceAll("\\s+", " ").trim.toLowerCase
+
+  test("q239: EWMA baseline and spike flag recomputed driver-side for every day") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q239_ewma_anomaly")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val days = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("ts").cast("date")).collect().map(_.getDate(0).toLocalDate)
+    val counts = days.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val d0 = days.min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val w = SparkEntry.ewmaWeights.toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (day, n, ewma, spike) =>
+      val i = day.toEpochDay - d0.toEpochDay + 1
+      val terms = (1 to 12).filter(j => i - j >= 1).map { j =>
+        val y = counts.getOrElse(day.minusDays(j), 0L)
+        (w(j), w(j) * y)
+      }
+      val denom = terms.map(_._1).sum
+      val numer = terms.map(_._2).sum
+      assert(n == counts.getOrElse(day, 0L), s"count for $day")
+      assert(ewma == r4(numer.toDouble / denom), s"ewma for $day")
+      assert(spike == (n * denom > numer * 2), s"spike flag for $day")
+    }
+    // day 1 has no prior window and must be absent
+    assert(!out.exists(_._1 == d0))
+  }
+
+  test("q240: curve monotone, final checkpoint = corpus totals, fit recomputed") {
+    val rows = SparkEntry.queries("q240_heaps_law")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, "running curve monotone")
+    }
+    // corpus totals recomputed driver-side at the gram grain
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        cleanLower(r.getString(1)).split(" ").filter(_.nonEmpty))
+    val grams = docs.map { case (id, ts) =>
+      id -> (if (ts.length < 3) Seq.empty[String]
+             else (0 to ts.length - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}"))
+    }
+    val last = rows.last
+    assert(last._2 == docs.length.toLong, "checkpoint 20 covers every doc")
+    assert(last._3 == grams.map(_._2.size.toLong).sum, "total gram instances")
+    assert(last._4 == grams.flatMap(_._2).distinct.length.toLong, "distinct grams")
+    // Heaps fit recomputed with the same 9-dp log pinning
+    def rn(x: Double, n: Int) = BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = rows.filter(r => r._3 > 0 && r._4 > 0)
+      .map(r => (rn(math.log(r._3.toDouble), 9), rn(math.log(r._4.toDouble), 9)))
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(rows.forall(r => math.abs(r._5 - rn(beta, 6)) < 2e-6), s"beta ${rows.head._5} vs $beta")
+    assert(rows.forall(r => math.abs(r._6 - rn(math.exp((sy - beta * sx) / n), 6)) < 2e-6))
+  }
+
+  test("q241: full driver recompute of truth, candidates, and found per geometry") {
+    val got = SparkEntry.queries("q241_blocking_quality")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == SparkEntry.blockGeometries.toSet)
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> cleanLower(r.getString(1)))
+      .filter(_._2.length >= 3)
+    val shingles: Map[Long, Set[String]] = docs.map { case (id, tx) =>
+      id -> (0 to tx.length - 3).map(i => tx.substring(i, i + 3)).toSet
+    }.toMap
+    val ids = shingles.keys.toSeq.sorted
+    val truth = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      (a, b) = (ids(ai), ids(bi))
+      inter = (shingles(a) & shingles(b)).size
+      if inter * 10 >= (shingles(a).size + shingles(b).size - inter) * 7
+    } yield (a, b)).toSet
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val sig: Map[Long, IndexedSeq[Long]] = shingles.map { case (id, ss) =>
+      val hs = ss.toSeq.map(h)
+      id -> SparkEntry.blockPerms.map { case (_, c) => hs.map(_ ^ c).min }.toIndexedSeq
+    }
+    SparkEntry.blockGeometries.foreach { case (nb, r) =>
+      val cand = (0 until nb).flatMap { band =>
+        ids.groupBy(id => sig(id).slice(band * r, band * r + r))
+          .values.flatMap(g => for {
+            ai <- g.indices; bi <- (ai + 1) until g.length
+          } yield (g(ai), g(bi)))
+      }.toSet
+      val found = (truth & cand).size.toLong
+      val (nd, nap, ntr, nc, nf) = got((nb, r))
+      assert(nd == ids.length.toLong, s"n_docs at ${nb}x$r")
+      assert(nap == ids.length.toLong * (ids.length - 1) / 2, s"all pairs at ${nb}x$r")
+      assert(ntr == truth.size.toLong, s"truth at ${nb}x$r")
+      assert(nc == cand.size.toLong, s"candidates at ${nb}x$r")
+      assert(nf == found, s"found at ${nb}x$r")
+    }
+  }
+
+  test("q242: WAU covers DAU; busiest day's WAU recomputed from raw events") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q242_rolling_active_users")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau) => assert(wau >= dau, s"WAU >= DAU on $d") }
+    val ud = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val busiest = rows.maxBy(_._2)._1
+    val wantDau = ud.count(_._2 == busiest).toLong
+    val wantWau = ud.filter { case (_, d) =>
+      !d.isAfter(busiest) && !d.isBefore(busiest.minusDays(6))
+    }.map(_._1).distinct.length.toLong
+    val row = rows.find(_._1 == busiest).get
+    assert(row._2 == wantDau && row._3 == wantWau, s"busiest-day recompute $row")
+    // scaffold is dense: one row per day between min and max
+    val span = rows.map(_._1.toEpochDay)
+    assert(rows.length == (span.max - span.min + 1).toInt, "zero-filled scaffold")
+  }
+
+  test("q243: every status group recomputed from raw orders and lineitem") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q243_order_reconciliation")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val calc = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        math.round(r.getDouble(1) * (1.0 - r.getDouble(2)) * (1.0 + r.getDouble(3)) * 100))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val orders = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    orders.groupBy(_._2).foreach { case (st, os) =>
+      val withLines = os.flatMap(o => calc.get(o._1).map(c => math.abs(o._3 - c)))
+      val (n, nnl, nex, mae, mxe) = got(st)
+      assert(n == os.length.toLong, s"n_orders $st")
+      assert(nnl == (os.length - withLines.length).toLong, s"n_no_lines $st")
+      assert(nex == os.count(o => calc.get(o._1).contains(o._3)).toLong, s"n_exact $st")
+      assert(mae == r4(withLines.sum.toDouble / withLines.length / 100.0), s"mean err $st")
+      assert(mxe == BigDecimal(withLines.max.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"max err $st")
+    }
+  }
 }
