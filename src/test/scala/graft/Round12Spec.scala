@@ -1805,7 +1805,7 @@ class Round12Spec extends SparkSpec {
     val docs = graft.sources.Tables.table(spark, sf(), "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> cleanLower(r.getString(1)))
-      .filter(_._2.length >= 3)
+      .filter(d => d._1 < 500 && d._2.length >= 3) // the audit's fixed slice
     val shingles: Map[Long, Set[String]] = docs.map { case (id, tx) =>
       id -> (0 to tx.length - 3).map(i => tx.substring(i, i + 3)).toSet
     }.toMap
