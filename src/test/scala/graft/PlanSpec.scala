@@ -553,6 +553,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q239/q240/q242: prefix/fan-out dataflows plan no Window operator") {
+    assert(!executed("q239_ewma_anomaly").contains("Window "),
+      "the EWMA lag join must not fall back to a global window")
+    assert(!executed("q240_heaps_law").contains("Window "),
+      "rank + both running sums must ride the GlobalRank range exchange")
+    assert(!executed("q242_rolling_active_users").contains("Window "),
+      "the rolling distinct must be the bounded fan-out, not a window")
+  }
+
+  test("q241: the audit slice pushes doc_id < 500 into the documents scan") {
+    // q241 itself checkpoints its stages (the final plan reads RDDs), so
+    // pin the pushdown on the stage the query builds before checkpointing
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"), lower(graft.functions.TextExprs.cleanText(col("text"))).as("tx"))
+      .where(length(col("tx")) >= 3)
+    val p = docs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,500\\)".r.findFirstIn(p).isDefined,
+      s"doc_id < 500 must be pushed to the documents scan:\n" +
+        "PushedFilters[^\\n]*".r.findAllIn(p).mkString("\n"))
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
