@@ -101,6 +101,12 @@ object SparkEntry {
   private[graft] val blockGeometries: Seq[(Int, Int)] =
     Seq((16, 2), (8, 4), (4, 8))
 
+  /** q247's weekday labels for epoch-day mod 7 (1970-01-01 was a
+    * Thursday) — shared with the generated DuckDB twin so neither engine
+    * consults its own (mutually incompatible) dayofweek numbering. */
+  private[graft] val dowLabels: Seq[String] = Seq(
+    "Thu", "Fri", "Sat", "Sun", "Mon", "Tue", "Wed")
+
   /** DuckDB twin of TextExprs.tokenCount — empty tokens dropped, so the
     * whole suite shares ONE token-counting convention. */
   private def tokenCountSql(e: String): String =
@@ -5718,6 +5724,136 @@ object SparkEntry {
         round(col("mxe").cast("double") / 100.0, 2).as("max_abs_err"))
     }),
 
+    "q244_ks_drift" -> ((s, dir) => {
+      // Exact two-sample Kolmogorov–Smirnov drift test: did the order-
+      // value DISTRIBUTION shift between the stream's two epoch halves?
+      // D = max |F₁−F₂| evaluated at every distinct value via two
+      // GlobalRank.withRunningSum prefix passes over the per-value arm
+      // counts (one range exchange each, no single-partition window); the
+      // ECDF gap is cross-multiplied to the all-LONG |r₁·n₂ − r₂·n₁| so
+      // the argmax is exact in both engines — doubles appear only in the
+      // display D and the α=0.05 critical line (c(0.05)=1.358, the
+      // standard asymptotic constant, identical literal in both engines).
+      val o = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cut = broadcast(o.agg(min("ed").as("lo"), max("ed").as("hi"))
+        .select(expr("(lo + hi) div 2").as("cut")))
+      val perVal = o.crossJoin(cut)
+        .select(col("cents"), when(col("ed") <= col("cut"), 1L).otherwise(0L).as("a"))
+        .groupBy("cents")
+        .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+      val tot = broadcast(perVal.agg(sum("ca").as("na"), sum("cb").as("nb")))
+      val run = graft.operators.GlobalRank.withRunningSum(
+        graft.operators.GlobalRank.withRunningSum(
+          perVal, Seq(col("cents").asc), col("ca"), "ra"),
+        Seq(col("cents").asc), col("cb"), "rb")
+      val scored = run.crossJoin(tot)
+        .select(col("cents"), col("na"), col("nb"),
+          abs(col("ra") * col("nb") - col("rb") * col("na")).as("diff"))
+      val dStat = col("mx").cast("double") / (col("na") * col("nb")).cast("double")
+      val dCrit = lit(1.358) *
+        sqrt((col("na") + col("nb")).cast("double") / (col("na") * col("nb")).cast("double"))
+      scored.crossJoin(broadcast(scored.agg(max("diff").as("mx"))))
+        .where(col("diff") === col("mx"))
+        .groupBy("na", "nb", "mx").agg(min("cents").as("at_cents"))
+        .select(col("na").as("n_early"), col("nb").as("n_late"),
+          round(dStat, 6).as("d_stat"),
+          round(col("at_cents").cast("double") / 100.0, 2).as("at_price"),
+          round(dCrit, 6).as("d_crit_05"),
+          (dStat > dCrit).as("drifted"))
+    }),
+
+    "q245_gini_segment" -> ((s, dir) => {
+      // Exact Gini coefficient of customer revenue per market segment —
+      // the revenue-concentration number behind every "whale" narrative:
+      // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over revenue sorted ascending
+      // within the segment. Revenue is exact integer cents, the rank is
+      // a segment-partitioned window (groups are bounded — the q228
+      // posture, not a global order), and ties are rank-order-invariant
+      // because equal x contributes x·Σi regardless of permutation; both
+      // engines divide the same two LONGs once.
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), coalesce(col("cents"), lit(0L)).as("cents"),
+          col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents").asc, col("c_custkey").asc)
+      seg.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          round(col("sx").cast("double") / 100.0, 2).as("revenue"),
+          round((lit(2) * col("six") - (col("n_customers") + 1) * col("sx"))
+              .cast("double")
+            / (col("n_customers") * col("sx")).cast("double"), 6).as("gini"))
+    }),
+
+    "q246_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney U rank-sum test with tie correction: do URGENT
+      // orders draw from the same value distribution as the rest? Ranks
+      // come from one exclusive prefix sum over the per-value arm counts
+      // (GlobalRank.withRunningSum — values, never rows, cross the
+      // second exchange); midranks are kept DOUBLED (2·mid = 2·prefix +
+      // t + 1) so the rank sum and 2·U₁ stay exact LONGs, and the tie
+      // term Σ(t³−t) for the variance is integer too. Only the final
+      // z-score divides — mirrored op order, 6 dp.
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val perVal = o.groupBy("cents")
+        .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+        .select(col("cents"), col("ca"), col("cb"), (col("ca") + col("cb")).as("t"))
+      val run = graft.operators.GlobalRank.withRunningSum(
+          perVal, Seq(col("cents").asc), col("t"), "rt")
+        .select(col("ca"), col("cb"), col("t"),
+          // doubled midrank of the tie group ending at rt: 2·excl + t + 1
+          (lit(2) * (col("rt") - col("t")) + col("t") + 1).as("mid2"))
+      val agg = run.agg(sum("ca").as("n1"), sum("cb").as("n2"),
+        sum(col("ca") * col("mid2")).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = (col("n1") + col("n2")).cast("double")
+      // 2U₁ = 2R₁ − n₁(n₁+1); z = (U₁ − n₁n₂/2) / σ with the tie-corrected
+      // σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+      val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
+      val sigma = sqrt(n1d * n2d / 12.0 *
+        (nd + 1.0 - col("ties").cast("double") / (nd * (nd - 1.0))))
+      val z = (u1x2.cast("double") / 2.0 - n1d * n2d / 2.0) / sigma
+      agg.select(col("n1").as("n_urgent"), col("n2").as("n_other"),
+        u1x2.as("u1_x2"),
+        round(z, 6).as("z_score"),
+        (abs(z) > 1.96).as("significant_05"))
+    }),
+
+    "q247_dow_seasonality" -> ((s, dir) => {
+      // Day-of-week seasonality index per event type: share of the
+      // type's volume landing on each weekday vs the uniform 1/7 — the
+      // staffing/cadence read and the pre-check before any day-grain
+      // trend claim (q194) is trusted. Weekday = epoch-day mod 7
+      // (engine-neutral integer arithmetic — Spark and DuckDB disagree
+      // on dayofweek numbering), labels injected from one Scala map; the
+      // index is cross-multiplied integer counts until the final
+      // display division.
+      val labels = typedLit(dowLabels)
+      val ev = t(s, dir, "events").select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("long").as("dw"))
+      val cnt = ev.groupBy("event_type", "dw").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("event_type").agg(sum("c").as("n_type"))
+      cnt.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dw"),
+          element_at(labels, col("dw").cast("int") + 1).as("weekday"),
+          col("c").as("n_events"),
+          round((col("c") * 7).cast("double") / col("n_type"), 4)
+            .as("seasonality_index"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -8478,6 +8614,106 @@ object SparkEntry {
           |     THEN abs(oc - calc_cents) END) AS DOUBLE) / 100.0, 2)
           |   AS max_abs_err
           |FROM j GROUP BY o_orderstatus""".stripMargin,
+
+      "q244_ks_drift" ->
+        """WITH o AS (SELECT
+          |   CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+          |     AS ed,
+          |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM o),
+          |pv AS (SELECT cents,
+          |   CAST(sum(CASE WHEN ed <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |   CAST(count(*) - sum(CASE WHEN ed <= b.cut THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS cb
+          |  FROM o, b GROUP BY cents),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          |   CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+          |r AS (SELECT cents,
+          |   CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          |     AS BIGINT) AS ra,
+          |   CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          |     AS BIGINT) AS rb FROM pv),
+          |sc AS (SELECT cents, t.na, t.nb,
+          |   abs(ra * t.nb - rb * t.na) AS diff FROM r, t),
+          |p AS (SELECT max(diff) AS mx FROM sc),
+          |g AS (SELECT sc.na, sc.nb, p.mx, min(sc.cents) AS at_cents
+          |  FROM sc, p WHERE sc.diff = p.mx GROUP BY 1, 2, 3)
+          |SELECT na AS n_early, nb AS n_late,
+          | round(CAST(mx AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS d_stat,
+          | round(CAST(at_cents AS DOUBLE) / 100.0, 2) AS at_price,
+          | round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+          |   / CAST(na * nb AS DOUBLE)), 6) AS d_crit_05,
+          | (CAST(mx AS DOUBLE) / CAST(na * nb AS DOUBLE) >
+          |  1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)))
+          |   AS drifted
+          |FROM g""".stripMargin,
+
+      "q245_gini_segment" ->
+        """WITH rev AS (SELECT o_custkey,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS cents FROM orders GROUP BY o_custkey),
+          |seg AS (SELECT c.c_mktsegment, coalesce(rev.cents, 0) AS cents,
+          |   c.c_custkey
+          |  FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey),
+          |rk AS (SELECT c_mktsegment, cents,
+          |   CAST(row_number() OVER (PARTITION BY c_mktsegment
+          |     ORDER BY cents, c_custkey) AS BIGINT) AS i FROM seg),
+          |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+          |   CAST(sum(cents) AS BIGINT) AS sx,
+          |   CAST(sum(i * cents) AS BIGINT) AS six
+          |  FROM rk GROUP BY c_mktsegment)
+          |SELECT c_mktsegment, n_customers,
+          | round(CAST(sx AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(CAST(2 * six - (n_customers + 1) * sx AS DOUBLE)
+          |   / CAST(n_customers * sx AS DOUBLE), 6) AS gini
+          |FROM a""".stripMargin,
+
+      "q246_mann_whitney" ->
+        """WITH o AS (SELECT
+          |   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+          |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          |pv AS (SELECT cents, CAST(sum(a) AS BIGINT) AS ca,
+          |   CAST(count(*) - sum(a) AS BIGINT) AS cb,
+          |   CAST(count(*) AS BIGINT) AS t
+          |  FROM o GROUP BY cents),
+          |r AS (SELECT ca, cb, t,
+          |   2 * (CAST(sum(t) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          |     AS BIGINT) - t) + t + 1 AS mid2 FROM pv),
+          |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+          |   CAST(sum(cb) AS BIGINT) AS n2,
+          |   CAST(sum(ca * mid2) AS BIGINT) AS r1x2,
+          |   CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM r)
+          |SELECT n1 AS n_urgent, n2 AS n_other,
+          | r1x2 - n1 * (n1 + 1) AS u1_x2,
+          | round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+          |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+          |   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+          |     * (CAST(n1 + n2 AS DOUBLE) + 1.0 - CAST(ties AS DOUBLE)
+          |       / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+          |   6) AS z_score,
+          | (abs((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+          |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+          |   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+          |     * (CAST(n1 + n2 AS DOUBLE) + 1.0 - CAST(ties AS DOUBLE)
+          |       / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+          |   > 1.96) AS significant_05
+          |FROM agg""".stripMargin,
+
+      "q247_dow_seasonality" -> {
+        val labelCase = dowLabels.zipWithIndex
+          .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+        s"""WITH ev AS (SELECT event_type,
+           |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           |     AS BIGINT) % 7 AS dw FROM events),
+           |c AS (SELECT event_type, dw, CAST(count(*) AS BIGINT) AS c
+           |  FROM ev GROUP BY 1, 2),
+           |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_type
+           |  FROM c GROUP BY event_type)
+           |SELECT c.event_type, c.dw, CASE c.dw $labelCase END AS weekday,
+           | c.c AS n_events,
+           | round(CAST(c.c * 7 AS DOUBLE) / t.n_type, 4) AS seasonality_index
+           |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin
+      },
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

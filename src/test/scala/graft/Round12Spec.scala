@@ -1890,4 +1890,106 @@ class Round12Spec extends SparkSpec {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"max err $st")
     }
   }
+
+  private def ordersCentsEpoch() = {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    graft.sources.Tables.table(spark, sf(), "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getString(2)))
+  }
+
+  test("q244: KS statistic and argmax recomputed from a driver-side double ECDF") {
+    val row = SparkEntry.queries("q244_ks_drift")(spark, sf()).collect().head
+    val (n1, n2, d, at) = (row.getLong(0), row.getLong(1), row.getDouble(2),
+      row.getDouble(3))
+    val os = ordersCentsEpoch()
+    val cut = (os.map(_._1).min + os.map(_._1).max) / 2
+    val early = os.filter(_._1 <= cut).map(_._2).sorted
+    val late = os.filter(_._1 > cut).map(_._2).sorted
+    assert(n1 == early.length.toLong && n2 == late.length.toLong)
+    val values = (early ++ late).distinct.sorted
+    var best = 0L; var bestAt = Long.MaxValue
+    values.foreach { v =>
+      val diff = math.abs(early.count(_ <= v).toLong * n2 - late.count(_ <= v).toLong * n1)
+      if (diff > best) { best = diff; bestAt = v }
+      else if (diff == best && v < bestAt) bestAt = v
+    }
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d == r(best.toDouble / (n1 * n2).toDouble, 6), s"D: $d")
+    assert(at == r(bestAt.toDouble / 100.0, 2), s"argmax value: $at vs $bestAt")
+  }
+
+  test("q245: Gini recomputed for every segment; bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q245_gini_segment")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val rev = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val cust = graft.sources.Tables.table(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cust.groupBy(_._2).foreach { case (seg, cs) =>
+      val xs = cs.map(c => rev.getOrElse(c._1, 0L)).sorted
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = r6((2 * six - (n + 1) * sx).toDouble / (n * sx).toDouble)
+      val (gn, gg) = got(seg)
+      assert(gn == n, s"n for $seg")
+      assert(gg == want, s"gini for $seg: $gg vs $want")
+      assert(gg >= 0.0 && gg < 1.0, s"gini in range for $seg")
+    }
+  }
+
+  test("q246: U statistic and tie-corrected z recomputed from raw midranks") {
+    val row = SparkEntry.queries("q246_mann_whitney")(spark, sf()).collect().head
+    val (n1, n2, u1x2, z) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3))
+    val os = ordersCentsEpoch()
+    val urgent = os.filter(_._3 == "1-URGENT").map(_._2)
+    val other = os.filterNot(_._3 == "1-URGENT").map(_._2)
+    assert(n1 == urgent.length.toLong && n2 == other.length.toLong)
+    val pooled = (urgent.map((_, 1)) ++ other.map((_, 0))).sortBy(_._1)
+    // doubled midranks per tie group
+    var idx = 0; var r1x2 = 0L; var ties = 0L
+    while (idx < pooled.length) {
+      var j = idx
+      while (j < pooled.length && pooled(j)._1 == pooled(idx)._1) j += 1
+      val t = (j - idx).toLong
+      val mid2 = (idx + 1).toLong + j.toLong // first rank + last rank
+      r1x2 += pooled.slice(idx, j).count(_._2 == 1).toLong * mid2
+      ties += t * t * t - t
+      idx = j
+    }
+    assert(u1x2 == r1x2 - n1 * (n1 + 1), s"2*U1: $u1x2")
+    val nd = (n1 + n2).toDouble
+    val sigma = math.sqrt(n1.toDouble * n2.toDouble / 12.0 *
+      (nd + 1.0 - ties.toDouble / (nd * (nd - 1.0))))
+    val wantZ = (u1x2.toDouble / 2.0 - n1.toDouble * n2.toDouble / 2.0) / sigma
+    assert(math.abs(z - wantZ) < 1e-5, s"z: $z vs $wantZ")
+  }
+
+  test("q247: per-type seasonality indexes average to 1 and counts tile the stream") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q247_dow_seasonality")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val total = graft.sources.Tables.table(spark, sf(), "events").count()
+    assert(rows.map(_._4).sum == total, "dow counts tile every event")
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length, s"one row per dow for $tpe")
+      val n = rs.map(_._4).sum
+      // sum of c*7/n over present dows = 7 when all 7 weekdays appear
+      if (rs.length == 7)
+        assert(math.abs(rs.map(_._5).sum - 7.0) < 0.01, s"index mass for $tpe")
+      rs.foreach { case (_, dw, label, _, _) =>
+        assert(label == SparkEntry.dowLabels(dw.toInt), s"label for dow $dw")
+      }
+    }
+  }
 }
