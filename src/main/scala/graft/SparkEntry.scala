@@ -5854,6 +5854,164 @@ object SparkEntry {
             .as("seasonality_index"))
     }),
 
+    "q248_zonemap_audit" -> ((s, dir) => {
+      // Zone-map / data-layout effectiveness audit: for the canonical
+      // "last 30 days" predicate on l_shipdate, how many simulated
+      // 32-file zone maps (per-file min/max) can be SKIPPED under (a)
+      // arrival order (files keyed by md5 of the order key — q218's
+      // bucketing) vs (b) shipdate-sorted layout (GlobalRank ntile)?
+      // This is THE number that justifies sort/Z-order at 100 TB: the
+      // same scan prunes ~0% of arrival files and ~29/32 of sorted
+      // ones. All counts integer; the skip test (file max < predicate
+      // low bound) is exact day arithmetic.
+      val li = t(s, dir, "lineitem").select(
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
+        col("l_orderkey"), col("l_linenumber"))
+      val cutoff = broadcast(li.agg((max("ed") - 29).as("lo")))
+      val arrival = li.select(col("ed"),
+        (conv(substring(md5(col("l_orderkey").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 32).as("bucket"))
+      val sorted = graft.operators.GlobalRank.withNtile(li, 32,
+          Seq(col("ed").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+          "bucket")
+        .select(col("ed"), col("bucket"))
+      def audit(df: DataFrame, layout: String): DataFrame =
+        df.groupBy("bucket")
+          .agg(max("ed").as("mx"), count(lit(1)).as("rows"))
+          .crossJoin(cutoff)
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mx") < col("lo"), 1L).otherwise(0L)).as("files_skipped"),
+            sum("rows").as("rows_total"),
+            sum(when(col("mx") < col("lo"), col("rows")).otherwise(0L))
+              .as("rows_skipped"))
+          .select(lit(layout).as("layout"), col("n_files"), col("files_skipped"),
+            col("rows_total"), col("rows_skipped"),
+            round(col("rows_skipped").cast("double") / col("rows_total"), 4)
+              .as("skip_fraction"))
+      audit(arrival, "arrival").unionAll(audit(sorted, "shipdate_sorted"))
+    }),
+
+    "q249_km_survival" -> ((s, dir) => {
+      // Kaplan–Meier survival curve of SESSION duration (q35's 30-min
+      // sessionization), right-censored at the observation edge: a
+      // session whose last event falls within 30 min of stream end may
+      // still be open, so it contributes risk, not an event — dropping
+      // it instead would bias the curve short (the classic truncation
+      // mistake). Risk sets come from ONE exclusive prefix sum over
+      // per-duration counts (GlobalRank — durations, not sessions,
+      // cross the second exchange); the running product Π(1−dᵢ/nᵢ)
+      // rides the SAME prefix-sum machinery as a sum of logs scaled to
+      // exact LONGs (×1e9), so both engines accumulate identical
+      // integers and exp() only at display. A terminal d=n group would
+      // be ln(0): pinned to the shared −1e11 sentinel (S rounds to 0 at
+      // 6 dp) in both engines.
+      val w = Window.partitionBy("user_id").orderBy("e", "event_id")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("e"))
+      val endT = broadcast(ev.agg(max("e").as("end_e")))
+      val sess = ev
+        .withColumn("_new", when(lag("e", 1).over(w).isNull ||
+          col("e") - lag("e", 1).over(w) > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum("_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(min("e").as("fst"), max("e").as("lst"))
+        .crossJoin(endT)
+        .select(expr("(lst - fst) div 60").as("dur"),
+          when(col("end_e") - col("lst") >= 1800, 1L).otherwise(0L).as("ended"))
+      val perDur = sess.groupBy("dur")
+        .agg(sum("ended").as("d"), (count(lit(1)) - sum("ended")).as("c"))
+      val tot = broadcast(perDur.agg(sum(col("d") + col("c")).as("n_sessions")))
+      val run = graft.operators.GlobalRank.withRunningSum(
+          perDur, Seq(col("dur").asc), col("d") + col("c"), "rt")
+        .crossJoin(tot)
+        .select(col("dur"), col("d"), col("c"),
+          (col("n_sessions") - (col("rt") - col("d") - col("c"))).as("n_risk"))
+      val term = run.select(col("dur"), col("d"), col("c"), col("n_risk"),
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") / col("n_risk")) * 1e9))
+          .otherwise(lit(-1.0e11)).cast("long").as("lns"))
+      graft.operators.GlobalRank.withRunningSum(
+          term, Seq(col("dur").asc), col("lns"), "lsum")
+        .select(col("dur").as("duration_min"), col("n_risk").as("n_at_risk"),
+          col("d").as("n_ended"), col("c").as("n_censored"),
+          round(exp(col("lsum").cast("double") / 1e9), 6).as("survival"))
+    }),
+
+    "q250_markov_stationary" -> ((s, dir) => {
+      // Steady-state attention share of the behavioral Markov chain:
+      // damped power iteration (PageRank.ranks — the q130 fixed-point
+      // dataflow with its checkpoint-once contribution table) over
+      // q200's session-gated transition graph, normalized to a
+      // distribution and set against each type's RAW traffic share —
+      // where users SETTLE vs where they merely pass through. The graph
+      // is |types|² rows; five unrolled join+agg rounds touch only that.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_next", lead("event_type", 1).over(w))
+        .withColumn("_gap_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .where(col("_next").isNotNull && col("_gap_us") <= 1800L * 1000000L)
+        .groupBy(col("event_type").as("u"), col("_next").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint() // |types|² rows; 5 rounds must not rescan events
+      val pr = graft.operators.PageRank.ranks(edges, iters = 5,
+        materialize = false)
+      val mass = pr.agg(sum("pr").as("_mass"))
+      val raw = t(s, dir, "events").groupBy(col("event_type").as("tok"))
+        .agg(count(lit(1)).as("n_events"))
+      val rawTot = broadcast(raw.agg(sum("n_events").as("_tot")))
+      pr.crossJoin(broadcast(mass)).join(raw, "tok").crossJoin(rawTot)
+        .select(col("tok").as("event_type"), col("n_events"),
+          round(col("pr"), 6).as("pagerank"),
+          round(col("pr") / col("_mass"), 6).as("steady_share"),
+          round(col("n_events").cast("double") / col("_tot"), 6).as("raw_share"))
+    }),
+
+    "q251_growth_accounting" -> ((s, dir) => {
+      // Daily growth accounting (the Social-Capital decomposition):
+      // active = new + retained + resurrected, churned = yesterday's
+      // active not seen today, quick ratio = (new+resurrected)/churned.
+      // Days are epoch days (engine-neutral); everything flows from ONE
+      // distinct (user, day) projection — the corpus-sized step — then
+      // day-grain self-joins; all counts exact LONGs.
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("cast(datediff(cast(ts as date), date '1970-01-01') as bigint)")
+            .as("dy"))
+        .distinct()
+        .localCheckpoint() // feeds first-day, self-join, and actives
+      val firstDy = uw.groupBy("user_id").agg(min("dy").as("fdy"))
+      val active = uw.groupBy("dy").agg(count(lit(1)).as("active"))
+      val nw = firstDy.groupBy(col("fdy").as("dy")).agg(count(lit(1)).as("new_users"))
+      val ret = uw.as("cur")
+        .join(uw.select(col("user_id"), (col("dy") + 1).as("dy")).as("prv"),
+          Seq("user_id", "dy"))
+        .groupBy("dy").agg(count(lit(1)).as("retained"))
+      val scaffold = broadcast(uw.agg(min("dy").as("d0"), max("dy").as("d1")))
+        .select(explode(sequence(col("d0"), col("d1"))).as("dy"))
+      scaffold
+        .join(active, Seq("dy"), "left")
+        .join(nw, Seq("dy"), "left")
+        .join(ret, Seq("dy"), "left")
+        .join(active.select((col("dy") + 1).as("dy"),
+          col("active").as("prev_active")), Seq("dy"), "left")
+        .select(col("dy"),
+          coalesce(col("active"), lit(0L)).as("active"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          (coalesce(col("active"), lit(0L)) - coalesce(col("new_users"), lit(0L))
+            - coalesce(col("retained"), lit(0L))).as("resurrected"),
+          (coalesce(col("prev_active"), lit(0L)) - coalesce(col("retained"), lit(0L)))
+            .as("churned"))
+        .select(date_add(to_date(lit("1970-01-01")), col("dy").cast("int")).as("day"),
+          col("active"), col("new_users"), col("retained"), col("resurrected"),
+          col("churned"),
+          when(col("churned") > 0,
+            round((col("new_users") + col("resurrected")).cast("double")
+              / col("churned"), 4)).as("quick_ratio"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -8714,6 +8872,137 @@ object SparkEntry {
            | round(CAST(c.c * 7 AS DOUBLE) / t.n_type, 4) AS seasonality_index
            |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin
       },
+
+      "q248_zonemap_audit" ->
+        """WITH li AS (SELECT
+          |   CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+          |     AS ed, l_orderkey, l_linenumber FROM lineitem),
+          |co AS (SELECT max(ed) - 29 AS lo FROM li),
+          |arr AS (SELECT ed,
+          |   ((strpos('0123456789abcdef',
+          |       substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          |    + (strpos('0123456789abcdef',
+          |       substring(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1)) % 32
+          |     AS bucket FROM li),
+          |srt AS (SELECT ed, CAST(ntile(32) OVER (ORDER BY ed, l_orderkey,
+          |   l_linenumber) AS BIGINT) AS bucket FROM li),
+          |fa AS (SELECT bucket, max(ed) AS mx, CAST(count(*) AS BIGINT) AS rows_
+          |  FROM arr GROUP BY bucket),
+          |fs AS (SELECT bucket, max(ed) AS mx, CAST(count(*) AS BIGINT) AS rows_
+          |  FROM srt GROUP BY bucket),
+          |aa AS (SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+          |   CAST(sum(CASE WHEN mx < co.lo THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS files_skipped,
+          |   CAST(sum(rows_) AS BIGINT) AS rows_total,
+          |   CAST(sum(CASE WHEN mx < co.lo THEN rows_ ELSE 0 END) AS BIGINT)
+          |     AS rows_skipped
+          |  FROM fa, co),
+          |ss AS (SELECT 'shipdate_sorted' AS layout,
+          |   CAST(count(*) AS BIGINT) AS n_files,
+          |   CAST(sum(CASE WHEN mx < co.lo THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS files_skipped,
+          |   CAST(sum(rows_) AS BIGINT) AS rows_total,
+          |   CAST(sum(CASE WHEN mx < co.lo THEN rows_ ELSE 0 END) AS BIGINT)
+          |     AS rows_skipped
+          |  FROM fs, co)
+          |SELECT layout, n_files, files_skipped, rows_total, rows_skipped,
+          | round(CAST(rows_skipped AS DOUBLE) / rows_total, 4) AS skip_fraction
+          |FROM (SELECT * FROM aa UNION ALL SELECT * FROM ss)""".stripMargin,
+
+      "q249_km_survival" ->
+        """WITH ev AS (SELECT user_id, event_id,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |et AS (SELECT max(e) AS end_e FROM ev),
+          |g AS (SELECT user_id, event_id, e,
+          |   CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
+          |     THEN 1 ELSE 0 END AS new_s
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+          |sg AS (SELECT user_id, e,
+          |   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY e, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+          |sx AS (SELECT (max(e) - min(e)) // 60 AS dur,
+          |   CASE WHEN (SELECT end_e FROM et) - max(e) >= 1800
+          |     THEN 1 ELSE 0 END AS ended
+          |  FROM sg GROUP BY user_id, sid),
+          |pd AS (SELECT dur, CAST(sum(ended) AS BIGINT) AS d,
+          |   CAST(count(*) - sum(ended) AS BIGINT) AS c
+          |  FROM sx GROUP BY dur),
+          |n AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_sessions FROM pd),
+          |r AS (SELECT dur, d, c,
+          |   n.n_sessions - (CAST(sum(d + c) OVER (ORDER BY dur
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - d - c) AS n_risk
+          |  FROM pd, n),
+          |tm AS (SELECT dur, d, c, n_risk,
+          |   CASE WHEN d < n_risk THEN CAST(round(
+          |     ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e9) AS BIGINT)
+          |    ELSE CAST(-1e11 AS BIGINT) END AS lns FROM r),
+          |ls AS (SELECT dur, d, c, n_risk,
+          |   CAST(sum(lns) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+          |     AS BIGINT) AS lsum FROM tm)
+          |SELECT dur AS duration_min, n_risk AS n_at_risk, d AS n_ended,
+          | c AS n_censored, round(exp(CAST(lsum AS DOUBLE) / 1e9), 6)
+          |   AS survival
+          |FROM ls""".stripMargin,
+
+      "q250_markov_stationary" -> (
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |   lead(event_type) OVER w AS nxt,
+          |   lead(epoch_us(ts::TIMESTAMP)) OVER w
+          |     - epoch_us(ts::TIMESTAMP) AS gap_us
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |ed AS (SELECT event_type AS u, nxt AS v,
+          |   CAST(count(*) AS BIGINT) AS w
+          |  FROM o WHERE nxt IS NOT NULL AND gap_us <= 1800000000
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY u),
+          |p0 AS (SELECT u AS tok, 1.0 AS pr FROM ow)""".stripMargin +
+        prIterCtes(5) +
+        """,
+          |m AS (SELECT sum(pr) AS mass FROM p5),
+          |raw AS (SELECT event_type AS tok, CAST(count(*) AS BIGINT)
+          |   AS n_events FROM events GROUP BY 1),
+          |rt AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM raw)
+          |SELECT p5.tok AS event_type, raw.n_events,
+          | round(p5.pr, 6) AS pagerank,
+          | round(p5.pr / m.mass, 6) AS steady_share,
+          | round(CAST(raw.n_events AS DOUBLE) / rt.tot, 6) AS raw_share
+          |FROM p5 JOIN raw ON raw.tok = p5.tok, m, rt""".stripMargin),
+
+      "q251_growth_accounting" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS dy FROM events),
+          |fw AS (SELECT user_id, min(dy) AS fdy FROM uw GROUP BY user_id),
+          |act AS (SELECT dy, CAST(count(*) AS BIGINT) AS active
+          |  FROM uw GROUP BY dy),
+          |nw AS (SELECT fdy AS dy, CAST(count(*) AS BIGINT) AS new_users
+          |  FROM fw GROUP BY fdy),
+          |ret AS (SELECT cur.dy, CAST(count(*) AS BIGINT) AS retained
+          |  FROM uw cur JOIN uw prv
+          |   ON prv.user_id = cur.user_id AND prv.dy + 1 = cur.dy
+          |  GROUP BY cur.dy),
+          |b AS (SELECT min(dy) AS d0, max(dy) AS d1 FROM uw),
+          |s AS (SELECT CAST(x.x AS BIGINT) + b.d0 AS dy FROM b,
+          |  (SELECT unnest(range(0, (SELECT d1 - d0 FROM b) + 1)) AS x) x),
+          |j AS (SELECT s.dy,
+          |   coalesce(act.active, 0) AS active,
+          |   coalesce(nw.new_users, 0) AS new_users,
+          |   coalesce(ret.retained, 0) AS retained,
+          |   coalesce(act.active, 0) - coalesce(nw.new_users, 0)
+          |     - coalesce(ret.retained, 0) AS resurrected,
+          |   coalesce(pa.active, 0) - coalesce(ret.retained, 0) AS churned
+          |  FROM s LEFT JOIN act ON act.dy = s.dy
+          |  LEFT JOIN nw ON nw.dy = s.dy
+          |  LEFT JOIN ret ON ret.dy = s.dy
+          |  LEFT JOIN (SELECT dy + 1 AS dy, active FROM act) pa
+          |    ON pa.dy = s.dy)
+          |SELECT DATE '1970-01-01' + CAST(dy AS INT) AS day,
+          | active, new_users, retained, resurrected, churned,
+          | CASE WHEN churned > 0 THEN
+          |   round(CAST(new_users + resurrected AS DOUBLE) / churned, 4) END
+          |   AS quick_ratio
+          |FROM j""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -1992,4 +1992,133 @@ class Round12Spec extends SparkSpec {
       }
     }
   }
+
+  test("q248: both layouts' zone maps recomputed driver-side; sorted skips more") {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val got = SparkEntry.queries("q248_zonemap_audit")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val rows = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val lo = rows.map(_._1).max - 29
+    def md5b(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(2), 16) % 32
+    }
+    def audit(buckets: Map[Long, Array[(Long, Long, Int)]]): (Long, Long, Long, Long) = {
+      val skipped = buckets.values.filter(_.map(_._1).max < lo)
+      (buckets.size.toLong, skipped.size.toLong,
+        rows.length.toLong, skipped.map(_.length.toLong).sum)
+    }
+    assert(got("arrival") == audit(rows.groupBy(r => md5b(r._2))), "arrival layout")
+    // ntile: first rem tiles take base+1 rows over the total order
+    val sorted = rows.sortBy(r => (r._1, r._2, r._3))
+    val n = sorted.length; val base = n / 32; val rem = n % 32
+    val tiled = sorted.zipWithIndex.map { case (r, i) =>
+      val tile = if (i < rem * (base + 1)) i / (base + 1) else rem + (i - rem * (base + 1)) / base
+      (tile.toLong + 1, r)
+    }
+    assert(got("shipdate_sorted") ==
+      audit(tiled.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }),
+      "sorted layout")
+    assert(got("shipdate_sorted")._4 > got("arrival")._4, "sorting must win")
+  }
+
+  test("q249: KM curve recomputed from a driver-side sessionization") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val got = SparkEntry.queries("q249_km_survival")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    // survival non-increasing, risk sets non-increasing
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5 + 1e-12 && b._2 < a._2, "monotone curve and risk")
+    }
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val endE = ev.map(_._3).max
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._2))
+      val out = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      s.foreach { e =>
+        if (out.nonEmpty && e._3 - out.last.last <= 1800) out.last(1) = e._3
+        else out += Array(e._3, e._3)
+        // keep last updated via mutation above; Array(first, last)
+      }
+      out.map(a => ((a(1) - a(0)) / 60, if (endE - a(1) >= 1800) 1L else 0L))
+    }.toSeq
+    val perDur = sessions.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    val nTot = sessions.length.toLong
+    var seen = 0L; var lsum = 0L
+    def rn(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = perDur.map { case (dur, d, c) =>
+      val risk = nTot - seen
+      seen += d + c
+      lsum += (if (d < risk) math.round(math.log(1.0 - d.toDouble / risk) * 1e9)
+               else -100000000000L)
+      (dur, risk, d, c, rn(math.exp(lsum.toDouble / 1e9), 6))
+    }
+    assert(got.toSeq == want, s"KM recompute:\n got=${got.toSeq.take(5)}\nwant=${want.take(5)}")
+  }
+
+  test("q250: rank mass conserved; shares sum to 1; 5-round driver replay agrees") {
+    val rows = SparkEntry.queries("q250_markov_stationary")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "steady shares sum to 1")
+    assert(math.abs(rows.map(_._3).sum - rows.length) < 5e-6,
+      "rank mass = |V| (each displayed rank is 6-dp rounded)")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "raw shares sum to 1")
+    // driver replay of the damped iteration from the q200 transition matrix
+    import org.apache.spark.sql.functions.col
+    val tm = SparkEntry.queries("q200_event_transitions")(spark, sf())
+      .select(col("cur_type"), col("next_type"), col("n_transitions"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outw = tm.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nodes = outw.keys.toSeq.sorted
+    var pr = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val acc = tm.groupBy(_._2).map { case (v, es) =>
+        v -> es.collect { case (u, _, w) if pr.contains(u) =>
+          w.toDouble / outw(u) * pr(u) }.sum
+      }
+      pr = nodes.map(n => n -> (0.15 + 0.85 * acc.getOrElse(n, 0.0))).toMap
+    }
+    rows.foreach { case (tpe, _, rank, _, _) =>
+      assert(math.abs(rank - pr(tpe)) < 1e-5, s"replay for $tpe: $rank vs ${pr(tpe)}")
+    }
+  }
+
+  test("q251: decomposition identities hold; one day recomputed from raw activity") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q251_growth_accounting")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1.toEpochDay)
+    rows.foreach { case (d, active, nw, ret, res, _) =>
+      assert(active == nw + ret + res, s"decomposition on $d")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._6 == a._2 - b._4, s"churn(${b._1}) = active(prev) - retained")
+    }
+    val ud = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val firstDay = ud.groupBy(_._1).map { case (u, ds) =>
+      u -> ds.map(_._2.toEpochDay).min }
+    val mid = rows(rows.length / 2)._1
+    val today = ud.filter(_._2 == mid).map(_._1).toSet
+    val yesterday = ud.filter(_._2 == mid.minusDays(1)).map(_._1).toSet
+    val nw = today.count(u => firstDay(u) == mid.toEpochDay).toLong
+    val ret = (today & yesterday).size.toLong
+    val row = rows.find(_._1 == mid).get
+    assert(row._2 == today.size.toLong && row._3 == nw && row._4 == ret &&
+      row._5 == today.size - nw - ret && row._6 == (yesterday -- today).size.toLong,
+      s"mid-day recompute on $mid: $row")
+  }
 }
