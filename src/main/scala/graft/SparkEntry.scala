@@ -6012,6 +6012,147 @@ object SparkEntry {
               / col("churned"), 4)).as("quick_ratio"))
     }),
 
+    "q252_market_share" -> ((s, dir) => {
+      // TPC-H Q8-shaped market share, generalized to the full supplier-
+      // nation breakdown: of the PROMO-part revenue sold into the ASIA
+      // customer region, what share does EACH supplier nation carry per
+      // year? Four dimension joins broadcast-pinned (part filter FIRST,
+      // so the corpus stream shrinks before the one permissible shuffle
+      // join lineitem⋈orders); revenue exact cents; share = nation cents
+      // over a broadcast year total — integer until the final division.
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      val promo = broadcast(t(s, dir, "part")
+        .where(col("p_type") === "PROMO").select(col("p_partkey")))
+      val nat = t(s, dir, "nation")
+      val asia = broadcast(t(s, dir, "customer").as("c")
+        .join(nat.as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(t(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n.n_regionkey") === col("r_regionkey"))
+        .select(col("c.c_custkey")))
+      val ords = t(s, dir, "orders")
+        .join(asia, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val supN = broadcast(t(s, dir, "supplier").as("s2")
+        .join(nat.as("sn"), col("s2.s_nationkey") === col("sn.n_nationkey"))
+        .select(col("s2.s_suppkey"), col("sn.n_name").as("supp_nation")))
+      val rev = li.join(promo, col("l_partkey") === col("p_partkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("yr", "supp_nation").agg(sum("cents").as("nc"))
+      val tot = rev.groupBy("yr").agg(sum("nc").as("tc"))
+      rev.join(broadcast(tot), "yr")
+        .select(col("yr").as("year"), col("supp_nation"),
+          round(col("nc").cast("double") / 100.0, 2).as("revenue"),
+          round(col("nc").cast("double") / col("tc"), 6).as("mkt_share"))
+    }),
+
+    "q253_nation_flows" -> ((s, dir) => {
+      // TPC-H Q7-shaped trade-flow matrix, generalized to ALL nation
+      // pairs: revenue shipped from each supplier nation to each
+      // (different) customer nation per year — the cross-border flow
+      // table Q7 samples two cells of. Dims broadcast, lineitem⋈orders
+      // the one shuffle join, exact cents; output bounded by
+      // |nations|²·years.
+      val nat = t(s, dir, "nation")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      val custN = broadcast(t(s, dir, "customer").as("c")
+        .join(nat.as("cn"), col("c.c_nationkey") === col("cn.n_nationkey"))
+        .select(col("c.c_custkey"), col("cn.n_name").as("cust_nation")))
+      val ords = t(s, dir, "orders")
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      val supN = broadcast(t(s, dir, "supplier").as("s2")
+        .join(nat.as("sn"), col("s2.s_nationkey") === col("sn.n_nationkey"))
+        .select(col("s2.s_suppkey"), col("sn.n_name").as("supp_nation")))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("cents"))
+        .select(col("supp_nation"), col("cust_nation"), col("yr").as("year"),
+          col("n_lines"), round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+    }),
+
+    "q254_latency_histogram" -> ((s, dir) => {
+      // HdrHistogram-style log₂ latency histogram of session-gated dwell
+      // times: bucket = ⌊log₂ gap⌋ computed EXACTLY as the length of the
+      // binary string (length(conv(gap, 10, 2)) − 1 — no float log at a
+      // power-of-2 boundary can misbucket), bounds as exact powers of
+      // two. The fixed-bucket histogram is the mergeable latency sketch:
+      // per-partition partial counts combine losslessly, so the full
+      // distribution costs one map-side-combining aggregate at any
+      // scale.
+      val w = Window.partitionBy("user_id").orderBy(col("e"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+        .withColumn("gap", lead(col("e"), 1).over(w) - col("e"))
+        .where(col("gap").isNotNull && col("gap") >= 1 && col("gap") <= 1800)
+      val b = gaps.select(col("event_type"),
+        (length(conv(col("gap").cast("string"), 10, 2)) - 1).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_gaps"))
+      val tot = b.groupBy("event_type").agg(sum("n_gaps").as("n_type"))
+      b.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("bucket"),
+          pow(lit(2.0), col("bucket").cast("double")).cast("long").as("lo_s"),
+          (pow(lit(2.0), (col("bucket") + 1).cast("double")).cast("long") - 1)
+            .as("hi_s"),
+          col("n_gaps"),
+          round(col("n_gaps").cast("double") / col("n_type"), 4).as("share"))
+    }),
+
+    "q255_psi_drift" -> ((s, dir) => {
+      // Population Stability Index between the order-value distributions
+      // of the stream's two epoch halves — the credit-risk industry's
+      // drift gate (PSI < 0.1 stable, > 0.25 retrain), complementing
+      // q244's KS: PSI weights ALL bins, KS only the worst point. Bins
+      // are the REFERENCE half's deciles, found as exact cents cut
+      // points from one prefix sum over per-value counts (rank·10 ≥
+      // i·n₁, all integer — no interpolated percentile); both halves'
+      // bin counts are +1-smoothed so an empty comparison bin stays
+      // finite, and only the per-bin ln at display is float.
+      val o = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cut = broadcast(o.agg(min("ed").as("lo"), max("ed").as("hi"))
+        .select(expr("(lo + hi) div 2").as("cut")))
+      val armed = o.crossJoin(cut)
+        .select(col("cents"), when(col("ed") <= col("cut"), 1L).otherwise(0L).as("a"))
+      val perVal = armed.groupBy("cents")
+        .agg(sum("a").as("ca"), (count(lit(1)) - sum("a")).as("cb"))
+        .localCheckpoint() // feeds the decile scan AND the bin assignment
+      val n1 = broadcast(perVal.agg(sum("ca").as("n1"), sum("cb").as("n2")))
+      val run = graft.operators.GlobalRank.withRunningSum(
+        perVal, Seq(col("cents").asc), col("ca"), "ra")
+      // decile cut points of the reference half: smallest cents with
+      // 10·rank >= i·n1, i = 1..9
+      val cuts = run.crossJoin(n1)
+        .crossJoin(broadcast(s.range(1, 10).select(col("id").as("i"))))
+        .where(col("ra") * 10 >= col("i") * col("n1"))
+        .groupBy("i").agg(min("cents").as("cutv"))
+      val binned = perVal.crossJoin(broadcast(cuts))
+        .groupBy("cents", "ca", "cb")
+        .agg(sum(when(col("cents") >= col("cutv"), 1L).otherwise(0L)).as("bin"))
+        .groupBy("bin").agg(sum("ca").as("ra"), sum("cb").as("rb"))
+        .crossJoin(n1)
+      val pa = (col("ra") + 1).cast("double") / (col("n1") + 10).cast("double")
+      val pb = (col("rb") + 1).cast("double") / (col("n2") + 10).cast("double")
+      val contrib = (pb - pa) * log(pb / pa)
+      val rows = binned.select(col("bin"), col("ra").as("n_ref"),
+        col("rb").as("n_cmp"), round(pa, 6).as("p_ref"), round(pb, 6).as("p_cmp"),
+        round(contrib, 6).as("psi_contrib"))
+      rows.crossJoin(broadcast(
+          binned.agg(sum(contrib).as("_psi"))))
+        .select(col("bin"), col("n_ref"), col("n_cmp"), col("p_ref"),
+          col("p_cmp"), col("psi_contrib"), round(col("_psi"), 6).as("psi_total"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -9003,6 +9144,108 @@ object SparkEntry {
           |   round(CAST(new_users + resurrected AS DOUBLE) / churned, 4) END
           |   AS quick_ratio
           |FROM j""".stripMargin,
+
+      "q252_market_share" ->
+        """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+          |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |     AS cents FROM lineitem),
+          |promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+          |asia AS (SELECT c.c_custkey FROM customer c
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  JOIN region r ON n.n_regionkey = r.r_regionkey
+          |  WHERE r.r_name = 'ASIA'),
+          |ords AS (SELECT o.o_orderkey,
+          |   CAST(year(o.o_orderdate) AS BIGINT) AS yr
+          |  FROM orders o JOIN asia ON o.o_custkey = asia.c_custkey),
+          |sn AS (SELECT s.s_suppkey, n.n_name AS supp_nation FROM supplier s
+          |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+          |rev AS (SELECT o.yr, sn.supp_nation,
+          |   CAST(sum(li.cents) AS BIGINT) AS nc
+          |  FROM li JOIN promo ON li.l_partkey = promo.p_partkey
+          |  JOIN ords o ON li.l_orderkey = o.o_orderkey
+          |  JOIN sn ON li.l_suppkey = sn.s_suppkey
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT yr, CAST(sum(nc) AS BIGINT) AS tc FROM rev GROUP BY yr)
+          |SELECT rev.yr AS year, rev.supp_nation,
+          | round(CAST(rev.nc AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(CAST(rev.nc AS DOUBLE) / tot.tc, 6) AS mkt_share
+          |FROM rev JOIN tot ON rev.yr = tot.yr""".stripMargin,
+
+      "q253_nation_flows" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey,
+          |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |     AS cents FROM lineitem),
+          |cn AS (SELECT c.c_custkey, n.n_name AS cust_nation FROM customer c
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          |ords AS (SELECT o.o_orderkey, cn.cust_nation,
+          |   CAST(year(o.o_orderdate) AS BIGINT) AS yr
+          |  FROM orders o JOIN cn ON o.o_custkey = cn.c_custkey),
+          |sn AS (SELECT s.s_suppkey, n.n_name AS supp_nation FROM supplier s
+          |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+          |SELECT sn.supp_nation, o.cust_nation, o.yr AS year,
+          | CAST(count(*) AS BIGINT) AS n_lines,
+          | round(CAST(sum(li.cents) AS DOUBLE) / 100.0, 2) AS revenue
+          |FROM li JOIN ords o ON li.l_orderkey = o.o_orderkey
+          |JOIN sn ON li.l_suppkey = sn.s_suppkey
+          |WHERE sn.supp_nation <> o.cust_nation
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      "q254_latency_histogram" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+          |g AS (SELECT event_type,
+          |   lead(e, 1) OVER (PARTITION BY user_id ORDER BY e, event_id)
+          |     - e AS gap FROM ev),
+          |d AS (SELECT event_type, gap FROM g
+          |  WHERE gap IS NOT NULL AND gap >= 1 AND gap <= 1800),
+          |b AS (SELECT event_type,
+          |   CAST(len(bin(gap)) - 1 AS BIGINT) AS bucket,
+          |   CAST(count(*) AS BIGINT) AS n_gaps
+          |  FROM d GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(sum(n_gaps) AS BIGINT) AS n_type
+          |  FROM b GROUP BY event_type)
+          |SELECT b.event_type, b.bucket,
+          | CAST(power(2, b.bucket) AS BIGINT) AS lo_s,
+          | CAST(power(2, b.bucket + 1) AS BIGINT) - 1 AS hi_s,
+          | b.n_gaps,
+          | round(CAST(b.n_gaps AS DOUBLE) / t.n_type, 4) AS share
+          |FROM b JOIN t ON b.event_type = t.event_type""".stripMargin,
+
+      "q255_psi_drift" ->
+        """WITH o AS (SELECT
+          |   CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+          |     AS ed,
+          |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM o),
+          |pv AS (SELECT cents,
+          |   CAST(sum(CASE WHEN ed <= b.cut THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |   CAST(count(*) - sum(CASE WHEN ed <= b.cut THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS cb
+          |  FROM o, b GROUP BY cents),
+          |n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+          |   CAST(sum(cb) AS BIGINT) AS n2 FROM pv),
+          |r AS (SELECT cents,
+          |   CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          |     AS BIGINT) AS ra FROM pv),
+          |cuts AS (SELECT i.i, min(r.cents) AS cutv
+          |  FROM r, n, (SELECT unnest(range(1, 10)) AS i) i
+          |  WHERE r.ra * 10 >= CAST(i.i AS BIGINT) * n.n1 GROUP BY i.i),
+          |bv AS (SELECT pv.cents, pv.ca, pv.cb,
+          |   CAST(sum(CASE WHEN pv.cents >= cuts.cutv THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS bin
+          |  FROM pv, cuts GROUP BY 1, 2, 3),
+          |bn AS (SELECT bin, CAST(sum(ca) AS BIGINT) AS ra,
+          |   CAST(sum(cb) AS BIGINT) AS rb FROM bv GROUP BY bin),
+          |sc AS (SELECT bin, ra, rb,
+          |   CAST(ra + 1 AS DOUBLE) / CAST(n.n1 + 10 AS DOUBLE) AS pa,
+          |   CAST(rb + 1 AS DOUBLE) / CAST(n.n2 + 10 AS DOUBLE) AS pb
+          |  FROM bn, n),
+          |tp AS (SELECT sum((pb - pa) * ln(pb / pa)) AS psi FROM sc)
+          |SELECT sc.bin, sc.ra AS n_ref, sc.rb AS n_cmp,
+          | round(sc.pa, 6) AS p_ref, round(sc.pb, 6) AS p_cmp,
+          | round((sc.pb - sc.pa) * ln(sc.pb / sc.pa), 6) AS psi_contrib,
+          | round(tp.psi, 6) AS psi_total
+          |FROM sc, tp""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

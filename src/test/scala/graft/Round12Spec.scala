@@ -2121,4 +2121,135 @@ class Round12Spec extends SparkSpec {
       row._5 == today.size - nw - ret && row._6 == (yesterday -- today).size.toLong,
       s"mid-day recompute on $mid: $row")
   }
+
+  private def dimMaps() = {
+    import org.apache.spark.sql.functions.col
+    def nl(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val nat = graft.sources.Tables.table(spark, sf(), "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => nl(r, 0) -> (r.getString(1), nl(r, 2))).toMap
+    val reg = graft.sources.Tables.table(spark, sf(), "region")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => nl(r, 0) -> r.getString(1)).toMap
+    val cust = graft.sources.Tables.table(spark, sf(), "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => nl(r, 0) -> nl(r, 1)).toMap
+    val supp = graft.sources.Tables.table(spark, sf(), "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => nl(r, 0) -> nl(r, 1)).toMap
+    val ords = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        org.apache.spark.sql.functions.year(col("o_orderdate"))).collect()
+      .map(r => nl(r, 0) -> (nl(r, 1), nl(r, 2))).toMap
+    (nat, reg, cust, supp, ords)
+  }
+
+  test("q252: per-year shares sum to 1; one year fully recomputed driver-side") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q252_market_share")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (y, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"shares sum to 1 in $y")
+    }
+    val (nat, reg, cust, supp, ords) = dimMaps()
+    val promo = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_type").collect()
+      .filter(_.getString(1) == "PROMO").map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * (1.0 - r.getDouble(4)) * 100)))
+    val want = li.filter(l => promo(l._2))
+      .flatMap { l =>
+        val (ck, yr) = ords(l._1)
+        val custReg = reg(nat(cust(ck))._2)
+        if (custReg == "ASIA") Some(((yr, nat(supp(l._3))._1), l._4)) else None
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val yr = want.keys.map(_._1).min
+    rows.filter(_._1 == yr).foreach { case (_, sn, rev, _) =>
+      val cents = want((yr, sn))
+      assert(rev == BigDecimal(cents.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$yr/$sn revenue")
+    }
+    assert(rows.count(_._1 == yr) == want.keys.count(_._1 == yr), s"cells in $yr")
+  }
+
+  test("q253: flow matrix mass equals all cross-nation line revenue; one cell exact") {
+    val rows = SparkEntry.queries("q253_nation_flows")(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), (r.getLong(3), r.getDouble(4))))
+    val (nat, _, cust, supp, ords) = dimMaps()
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * (1.0 - r.getDouble(3)) * 100)))
+    val cells = li.flatMap { l =>
+      val (ck, yr) = ords(l._1)
+      val cn = nat(cust(ck))._1; val sn = nat(supp(l._2))._1
+      if (cn != sn) Some(((sn, cn, yr), l._3)) else None
+    }
+    val want = cells.groupBy(_._1).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._2).sum) }
+    assert(rows.length == want.size, "cell count")
+    assert(rows.map(_._2._1).sum == cells.length.toLong, "total line mass")
+    val probe = want.keys.minBy(k => (k._1, k._2, k._3))
+    val (gn, gr) = rows.toMap.apply(probe)
+    assert(gn == want(probe)._1 && gr == BigDecimal(want(probe)._2.toDouble / 100.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cell $probe")
+  }
+
+  test("q254: log2 buckets recomputed; bounds are exact powers of two") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val rows = SparkEntry.queries("q254_latency_histogram")(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    rows.foreach { case ((_, b), (lo, hi, _)) =>
+      assert(lo == (1L << b) && hi == (1L << (b + 1)) - 1, s"bounds for bucket $b")
+    }
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._2))
+      s.zip(s.drop(1)).map { case (a, b) => (a._3, b._4 - a._4) }
+    }.filter(g => g._2 >= 1 && g._2 <= 1800)
+      .map { case (tpe, gap) => (tpe, 63L - java.lang.Long.numberOfLeadingZeros(gap)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map { case (k, v) => k -> v._3 }.toMap == want, "bucket counts")
+  }
+
+  test("q255: reference bins are near-even deciles; PSI recomputed driver-side") {
+    val rows = SparkEntry.queries("q255_psi_drift")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (0L to 9L))
+    val os = ordersCentsEpoch()
+    val cut = (os.map(_._1).min + os.map(_._1).max) / 2
+    val ref = os.filter(_._1 <= cut).map(_._2)
+    val cmp = os.filter(_._1 > cut).map(_._2)
+    assert(rows.map(_._2).sum == ref.length.toLong && rows.map(_._3).sum == cmp.length.toLong)
+    // decile cuts: smallest value with 10*rank >= i*n1 over the sorted reference
+    val sortedRef = ref.sorted
+    val cuts = (1 to 9).map { i =>
+      // smallest value whose 1-based rank satisfies 10*rank >= i*n1
+      sortedRef((0 until ref.length)
+        .find(j => 10L * (j + 1) >= i.toLong * ref.length).get)
+    }
+    def bin(v: Long) = cuts.count(v >= _).toLong
+    val wantRef = ref.groupBy(bin).map { case (b, v) => b -> v.length.toLong }
+    val wantCmp = cmp.groupBy(bin).map { case (b, v) => b -> v.length.toLong }
+    rows.foreach { case (b, nr, nc, _, _) =>
+      assert(nr == wantRef.getOrElse(b, 0L) && nc == wantCmp.getOrElse(b, 0L),
+        s"bin $b counts")
+    }
+    val n1 = ref.length.toLong; val n2 = cmp.length.toLong
+    val psi = rows.map { case (b, nr, nc, _, _) =>
+      val pa = (nr + 1).toDouble / (n1 + 10); val pb = (nc + 1).toDouble / (n2 + 10)
+      (pb - pa) * math.log(pb / pa)
+    }.sum
+    assert(math.abs(rows.head._5 - psi) < 1e-5, s"psi total ${rows.head._5} vs $psi")
+  }
 }
