@@ -6153,6 +6153,104 @@ object SparkEntry {
           col("p_cmp"), col("psi_contrib"), round(col("_psi"), 6).as("psi_total"))
     }),
 
+    "q256_cohort_ltv" -> ((s, dir) => {
+      // Cohort LTV triangle: users cohorted by FIRST-event day, purchase
+      // value (exact cents) accumulated by age-in-days since cohort —
+      // cum_ltv(cohort, age) is the curve every payback / CAC decision
+      // reads. One user-grain aggregate for cohorts, one (cohort, age)
+      // aggregate for revenue, then a cohort-partitioned running sum
+      // (ages are bounded by the stream span, so no partition outgrows a
+      // task) and a broadcast size join; cents stay LONG into the final
+      // two display divisions.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("dy"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val cohort = ev.groupBy("user_id").agg(min("dy").as("cd"))
+      val sizes = cohort.groupBy("cd").agg(count(lit(1)).as("cohort_size"))
+      val rev = ev.where(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cd"), (col("dy") - col("cd")).as("age_days"))
+        .agg(sum("cents").as("rc"))
+      val w = Window.partitionBy("cd").orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum("rc").over(w))
+        .join(broadcast(sizes), "cd")
+        .select(
+          date_add(to_date(lit("1970-01-01")), col("cd").cast("int")).as("cohort_day"),
+          col("cohort_size"), col("age_days"),
+          round(col("rc").cast("double") / 100.0, 2).as("revenue"),
+          // 4-dp LTV by integer FLOOR division — a round() of the double
+          // quotient can land on a .00005 boundary and split the engines
+          (expr("(cum * 100) div cohort_size").cast("double") / 10000.0)
+            .as("cum_ltv_per_user"))
+    }),
+
+    "q257_brand_movers" -> ((s, dir) => {
+      // Which part brands MOVED between the stream's epoch halves? A
+      // two-proportion z-test per brand on line share — the per-group
+      // A/B screen run before any "brand X is growing" claim: counts
+      // and totals are exact LONGs, p's and the z only divide at
+      // display; |z| > 2.576 flags at α=0.01 (25 brands make a
+      // multiple-comparisons correction the reader's job — the raw z is
+      // the deliverable).
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+      val cut = broadcast(li.agg(min("ed").as("lo"), max("ed").as("hi"))
+        .select(expr("(lo + hi) div 2").as("cut")))
+      val brands = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      val perBrand = li.crossJoin(cut)
+        .join(brands, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(col("ed") <= col("cut"), 1L).otherwise(0L)).as("k1"),
+          sum(when(col("ed") > col("cut"), 1L).otherwise(0L)).as("k2"))
+      val tot = broadcast(perBrand.agg(sum("k1").as("n1"), sum("k2").as("n2")))
+      val joined = perBrand.crossJoin(tot)
+      val p1 = col("k1").cast("double") / col("n1")
+      val p2 = col("k2").cast("double") / col("n2")
+      val pp = (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2"))
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      joined.select(col("p_brand"), col("k1").as("n_early"), col("k2").as("n_late"),
+        round(p1, 6).as("share_early"), round(p2, 6).as("share_late"),
+        round(z, 4).as("z_score"), (abs(z) > 2.576).as("significant_01"))
+    }),
+
+    "q258_dead_stock" -> ((s, dir) => {
+      // Dead-stock aging report: days since each part last shipped,
+      // rolled into standard aging buckets (≤30/60/90/180/365/older,
+      // plus never-sold via the LEFT join that an inner join would
+      // silently hide) with part counts and catalog value share in
+      // exact cents — the working-capital writedown input. Two key-
+      // grain aggregates and one broadcast cutoff; nothing leaves the
+      // part grain.
+      val lastShip = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long")).as("last_ed"))
+      val mx = broadcast(lastShip.agg(max("last_ed").as("mx")))
+      val aged = t(s, dir, "part")
+        .select(col("p_partkey"), round(col("p_retailprice") * 100).cast("long").as("pc"))
+        .join(lastShip, col("p_partkey") === col("l_partkey"), "left")
+        .crossJoin(mx)
+        .select(col("pc"),
+          when(col("last_ed").isNull, lit("never_sold"))
+            .when(col("mx") - col("last_ed") <= 30, lit("0030_active"))
+            .when(col("mx") - col("last_ed") <= 60, lit("0060_slowing"))
+            .when(col("mx") - col("last_ed") <= 90, lit("0090_slow"))
+            .when(col("mx") - col("last_ed") <= 180, lit("0180_stale"))
+            .when(col("mx") - col("last_ed") <= 365, lit("0365_dormant"))
+            .otherwise(lit("9999_dead")).as("age_bucket"))
+      val agg = aged.groupBy("age_bucket")
+        .agg(count(lit(1)).as("n_parts"), sum("pc").as("vc"))
+      agg.crossJoin(broadcast(agg.agg(sum("n_parts").as("tp"), sum("vc").as("tv"))))
+        .select(col("age_bucket"), col("n_parts"),
+          round(col("vc").cast("double") / 100.0, 2).as("catalog_value"),
+          round(col("n_parts").cast("double") / col("tp"), 4).as("part_share"),
+          round(col("vc").cast("double") / col("tv"), 4).as("value_share"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -9246,6 +9344,79 @@ object SparkEntry {
           | round((sc.pb - sc.pa) * ln(sc.pb / sc.pa), 6) AS psi_contrib,
           | round(tp.psi, 6) AS psi_total
           |FROM sc, tp""".stripMargin,
+
+      "q256_cohort_ltv" ->
+        """WITH ev AS (SELECT user_id,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS dy, event_type,
+          |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          |co AS (SELECT user_id, min(dy) AS cd FROM ev GROUP BY user_id),
+          |sz AS (SELECT cd, CAST(count(*) AS BIGINT) AS cohort_size
+          |  FROM co GROUP BY cd),
+          |rev AS (SELECT co.cd, ev.dy - co.cd AS age_days,
+          |   CAST(sum(ev.cents) AS BIGINT) AS rc
+          |  FROM ev JOIN co ON ev.user_id = co.user_id
+          |  WHERE ev.event_type = 'purchase' GROUP BY 1, 2),
+          |cum AS (SELECT cd, age_days, rc,
+          |   CAST(sum(rc) OVER (PARTITION BY cd ORDER BY age_days
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM rev)
+          |SELECT DATE '1970-01-01' + CAST(cum.cd AS INT) AS cohort_day,
+          | sz.cohort_size, cum.age_days,
+          | round(CAST(cum.rc AS DOUBLE) / 100.0, 2) AS revenue,
+          | CAST((cum.cum * 100) // sz.cohort_size AS DOUBLE) / 10000.0
+          |   AS cum_ltv_per_user
+          |FROM cum JOIN sz ON sz.cd = cum.cd""".stripMargin,
+
+      "q257_brand_movers" ->
+        """WITH li AS (SELECT l_partkey,
+          |   CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+          |     AS ed FROM lineitem),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM li),
+          |pb AS (SELECT p.p_brand,
+          |   CAST(sum(CASE WHEN li.ed <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS k1,
+          |   CAST(sum(CASE WHEN li.ed > b.cut THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS k2
+          |  FROM li JOIN part p ON li.l_partkey = p.p_partkey, b
+          |  GROUP BY p.p_brand),
+          |t AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+          |   CAST(sum(k2) AS BIGINT) AS n2 FROM pb),
+          |sc AS (SELECT pb.p_brand, pb.k1, pb.k2, t.n1, t.n2,
+          |   CAST(pb.k1 AS DOUBLE) / t.n1 AS p1,
+          |   CAST(pb.k2 AS DOUBLE) / t.n2 AS p2,
+          |   CAST(pb.k1 + pb.k2 AS DOUBLE) / (t.n1 + t.n2) AS pp
+          |  FROM pb, t)
+          |SELECT p_brand, k1 AS n_early, k2 AS n_late,
+          | round(p1, 6) AS share_early, round(p2, 6) AS share_late,
+          | round((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)), 4)
+          |   AS z_score,
+          | (abs((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))
+          |   > 2.576) AS significant_01
+          |FROM sc""".stripMargin,
+
+      "q258_dead_stock" ->
+        """WITH ls AS (SELECT l_partkey,
+          |   CAST(max(date_diff('day', DATE '1970-01-01', l_shipdate))
+          |     AS BIGINT) AS last_ed FROM lineitem GROUP BY l_partkey),
+          |mx AS (SELECT max(last_ed) AS mx FROM ls),
+          |aged AS (SELECT CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc,
+          |   CASE WHEN ls.last_ed IS NULL THEN 'never_sold'
+          |    WHEN mx.mx - ls.last_ed <= 30 THEN '0030_active'
+          |    WHEN mx.mx - ls.last_ed <= 60 THEN '0060_slowing'
+          |    WHEN mx.mx - ls.last_ed <= 90 THEN '0090_slow'
+          |    WHEN mx.mx - ls.last_ed <= 180 THEN '0180_stale'
+          |    WHEN mx.mx - ls.last_ed <= 365 THEN '0365_dormant'
+          |    ELSE '9999_dead' END AS age_bucket
+          |  FROM part p LEFT JOIN ls ON p.p_partkey = ls.l_partkey, mx),
+          |agg AS (SELECT age_bucket, CAST(count(*) AS BIGINT) AS n_parts,
+          |   CAST(sum(pc) AS BIGINT) AS vc FROM aged GROUP BY age_bucket),
+          |t AS (SELECT CAST(sum(n_parts) AS BIGINT) AS tp,
+          |   CAST(sum(vc) AS BIGINT) AS tv FROM agg)
+          |SELECT agg.age_bucket, agg.n_parts,
+          | round(CAST(agg.vc AS DOUBLE) / 100.0, 2) AS catalog_value,
+          | round(CAST(agg.n_parts AS DOUBLE) / t.tp, 4) AS part_share,
+          | round(CAST(agg.vc AS DOUBLE) / t.tv, 4) AS value_share
+          |FROM agg, t""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

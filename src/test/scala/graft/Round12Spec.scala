@@ -2252,4 +2252,96 @@ class Round12Spec extends SparkSpec {
     }.sum
     assert(math.abs(rows.head._5 - psi) < 1e-5, s"psi total ${rows.head._5} vs $psi")
   }
+
+  test("q256: LTV curve monotone per cohort; largest cohort recomputed driver-side") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val rows = SparkEntry.queries("q256_cohort_ltv")(spark, sf()).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (cd, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5, s"LTV monotone in cohort $cd")
+        case _ =>
+      }
+    }
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("ts").cast("date"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getString(2), math.round(r.getDouble(3) * 100)))
+    val cohortOf = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val big = rows.groupBy(_._1).maxBy(_._2.head._2)._1
+    val cd = big.toEpochDay
+    val purch = ev.filter(e => e._3 == "purchase" && cohortOf(e._1) == cd)
+      .groupBy(e => e._2 - cd).map { case (a, es) => a -> es.map(_._4).sum }
+    val size = cohortOf.values.count(_ == cd).toLong
+    var cum = 0L
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    purch.toSeq.sortBy(_._1).foreach { case (age, cents) =>
+      cum += cents
+      val row = rows.find(x => x._1 == big && x._3 == age).get
+      assert(row._2 == size && row._4 == r(cents.toDouble / 100.0, 2) &&
+        row._5 == (cum * 100 / size).toDouble / 10000.0, s"cohort $big age $age")
+    }
+    assert(rows.count(_._1 == big) == purch.size, "one row per purchase age")
+  }
+
+  test("q257: every brand's two-proportion z recomputed driver-side") {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val rows = SparkEntry.queries("q257_brand_movers")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getBoolean(6))).toMap
+    val brandOf = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = (li.map(_._2).min + li.map(_._2).max) / 2
+    val per = li.groupBy(l => brandOf(l._1)).map { case (b, ls) =>
+      b -> (ls.count(_._2 <= cut).toLong, ls.count(_._2 > cut).toLong) }
+    val n1 = per.values.map(_._1).sum; val n2 = per.values.map(_._2).sum
+    per.foreach { case (b, (k1, k2)) =>
+      val (g1, g2, gz, gs) = rows(b)
+      assert(g1 == k1 && g2 == k2, s"counts for $b")
+      val p1 = k1.toDouble / n1; val p2 = k2.toDouble / n2
+      val pp = (k1 + k2).toDouble / (n1 + n2)
+      val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+      assert(math.abs(gz - z) < 1e-3 && gs == (math.abs(z) > 2.576), s"z for $b")
+    }
+  }
+
+  test("q258: aging buckets tile the catalog and match a driver recompute") {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val rows = SparkEntry.queries("q258_dead_stock")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lastOf = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    val mx = lastOf.values.max
+    val parts = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    def bucket(pk: Long): String = lastOf.get(pk) match {
+      case None => "never_sold"
+      case Some(le) =>
+        val age = mx - le
+        if (age <= 30) "0030_active" else if (age <= 60) "0060_slowing"
+        else if (age <= 90) "0090_slow" else if (age <= 180) "0180_stale"
+        else if (age <= 365) "0365_dormant" else "9999_dead"
+    }
+    val want = parts.groupBy(p => bucket(p._1)).map { case (b, ps) =>
+      b -> (ps.length.toLong, ps.map(_._2).sum) }
+    assert(rows.keySet == want.keySet, "bucket set")
+    assert(rows.values.map(_._1).sum == parts.length.toLong, "buckets tile parts")
+    want.foreach { case (b, (n, cents)) =>
+      assert(rows(b)._1 == n, s"n_parts in $b")
+      assert(rows(b)._2 == BigDecimal(cents.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"value in $b")
+    }
+  }
 }
