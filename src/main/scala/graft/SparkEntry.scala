@@ -6251,6 +6251,177 @@ object SparkEntry {
           round(col("vc").cast("double") / col("tv"), 4).as("value_share"))
     }),
 
+    "q259_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2's correlated-MIN decorrelation over observed prices:
+      // for every STANDARD part, the supplier with the lowest realized
+      // unit price. The correlated `cost = (SELECT min(cost) WHERE
+      // partkey = p.partkey)` becomes a (part, supplier)-grain
+      // aggregate, a part-grain MIN re-aggregate of that SMALL table,
+      // and an equality join back — the lineitem stream is scanned
+      // once; the MIN never rescans it. Unit price stays an exact LONG
+      // (cents·10⁴ div qty) through the comparison, and ties take the
+      // lowest suppkey, so the winner is deterministic.
+      val parts = broadcast(t(s, dir, "part")
+        .where(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name")))
+      val ps = t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("(cents * 10000) div qty").as("unit_e4"))
+      val best = ps.groupBy(col("l_partkey").as("bk"))
+        .agg(min("unit_e4").as("min_u"))
+      val winner = ps
+        .join(best, col("l_partkey") === col("bk") &&
+          col("unit_e4") === col("min_u"))
+        .groupBy(col("l_partkey"), col("min_u"))
+        .agg(min("l_suppkey").as("s_suppkey"))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"), col("s_name"),
+          col("n_name").as("supplier_nation")))
+      winner
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("s_suppkey") === col("sk"))
+        .select(col("l_partkey").as("p_partkey"), col("p_name"),
+          col("s_suppkey"), col("s_name"), col("supplier_nation"),
+          // exact-LONG truncation to 4dp, then ONE shared double
+          // division — round() at 4dp can land on a .xxxx5 tie and the
+          // two engines break ties differently
+          (expr("min_u div 100").cast("double") / 10000.0)
+            .as("best_unit_price"))
+    }),
+
+    "q260_important_parts" -> ((s, dir) => {
+      // TPC-H Q11's scalar-subquery decorrelation, made scale-free:
+      // parts whose lifetime revenue exceeds 1.5× the MEAN part
+      // revenue. The `HAVING sum(v) > (SELECT scalar)` is re-derived
+      // from the part-grain aggregate itself — one corpus scan; the
+      // threshold costs a re-agg of a |parts|-row table broadcast
+      // back. Q11's FIXED share threshold would empty out as the
+      // catalog grows (share ~ 1/|parts|); the mean-multiple keeps a
+      // stable selective fraction at any scale. The compare is
+      // all-integer (v·2 > avg_cents·3); doubles appear only at
+      // display.
+      val pv = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+      val scalar = broadcast(pv
+        .agg(sum("v").as("tot"), count(lit(1)).as("n"))
+        .select(col("tot"), expr("(tot div n)").as("avg_c")))
+      pv.crossJoin(scalar)
+        .where(col("v") * 2 > col("avg_c") * 3)
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("v").cast("double") / 100.0, 2).as("part_revenue"),
+          round(col("v").cast("double") / col("tot"), 6).as("revenue_share"),
+          round(col("v").cast("double") / col("avg_c"), 4).as("x_mean"))
+    }),
+
+    "q261_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: the revenue view + `WHERE total = (SELECT
+      // max(total) FROM view)` equality. The MAX re-aggregates the
+      // |suppliers|-row view — never the stream — and joins back by
+      // value, returning ALL tied winners (Q15's specified semantics)
+      // instead of an arbitrary LIMIT 1. The window is the trailing 90
+      // days anchored at the data's own max shipdate, so the query
+      // runs at any fixture vintage. Exact cents end-to-end.
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("c"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+      val mx = broadcast(li.agg(max("ed").as("mx")))
+      val rev = li.crossJoin(mx).where(col("ed") >= col("mx") - 89)
+        .groupBy(col("l_suppkey")).agg(sum("c").as("revc"))
+      val top = broadcast(rev.agg(max("revc").as("best")))
+      rev.crossJoin(top).where(col("revc") === col("best"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("revc").cast("double") / 100.0, 2).as("total_revenue"))
+    }),
+
+    "q262_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 large-volume orders: `o_orderkey IN (SELECT
+      // l_orderkey … HAVING sum(qty) > 250)` decorrelated to an
+      // order-grain aggregate that is its own semi-join — the HAVING
+      // shrinks the key set BEFORE the orders/customer joins, so the
+      // wide join only ever sees qualifying keys (~1% of orders).
+      // Quantity sums are exact LONGs; the customer dim broadcasts.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 250)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    }),
+
+    "q263_disjunctive_revenue" -> ((s, dir) => {
+      // TPC-H Q19 disjunctive-predicate revenue: three OR'd (brand ×
+      // size-range × qty-range) branches. The 100 TB lesson is the
+      // hand-lifted CNF hull: the UNION of the branch bounds is
+      // extracted from the OR and applied as plain conjuncts BEFORE
+      // the join — the lineitem scan prunes to qty ∈ [1,45] and the
+      // part scan to size ∈ [1,35] at the parquet reader
+      // (PushedFilters), while the exact disjunction runs post-join on
+      // the survivors only. Per-line discounted cents, exact sum.
+      val part = broadcast(t(s, dir, "part")
+        .where(col("p_size").between(1, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity").between(1, 45))
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("c"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(25, 45)))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("c").cast("double") / 100.0, 2).as("revenue"))
+    }),
+
+    "q264_return_risk" -> ((s, dir) => {
+      // TPC-H Q10-shaped returned-revenue ranking: the 20 customers
+      // with the most revenue lost to returns. The scale discipline is
+      // in the ORDER of operations: aggregate to customer grain, take
+      // the global top 20 THERE (TakeOrdered on the agg — never a full
+      // sort), and only then enrich the 20 survivors against the
+      // customer dim with the TINY side broadcast. Joining customer
+      // before the cut would drag the full dim through the shuffle.
+      // Exact cents; ties broken by custkey so the top-20 SET is
+      // deterministic.
+      val lost = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("c"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum("c").as("lostc"))
+      val top20 = lost.orderBy(col("lostc").desc, col("o_custkey")).limit(20)
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(top20), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+          col("c_acctbal"),
+          round(col("lostc").cast("double") / 100.0, 2)
+            .as("returned_revenue"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -9417,6 +9588,92 @@ object SparkEntry {
           | round(CAST(agg.n_parts AS DOUBLE) / t.tp, 4) AS part_share,
           | round(CAST(agg.vc AS DOUBLE) / t.tv, 4) AS value_share
           |FROM agg, t""".stripMargin,
+
+      "q259_min_cost_supplier" ->
+        """WITH parts AS (SELECT p_partkey, p_name FROM part
+          |  WHERE p_type = 'STANDARD'),
+          |ps AS (SELECT l_partkey, l_suppkey,
+          |   (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) * 10000)
+          |   // CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_e4
+          |  FROM lineitem JOIN parts ON l_partkey = p_partkey
+          |  GROUP BY l_partkey, l_suppkey),
+          |best AS (SELECT l_partkey AS bk, min(unit_e4) AS min_u
+          |  FROM ps GROUP BY 1),
+          |w AS (SELECT ps.l_partkey, best.min_u,
+          |   min(ps.l_suppkey) AS s_suppkey
+          |  FROM ps JOIN best ON ps.l_partkey = best.bk
+          |   AND ps.unit_e4 = best.min_u
+          |  GROUP BY 1, 2)
+          |SELECT w.l_partkey AS p_partkey, parts.p_name, w.s_suppkey,
+          | s.s_name, n.n_name AS supplier_nation,
+          | CAST(w.min_u // 100 AS DOUBLE) / 10000.0 AS best_unit_price
+          |FROM w JOIN parts ON w.l_partkey = parts.p_partkey
+          | JOIN supplier s ON w.s_suppkey = s.s_suppkey
+          | JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+
+      "q260_important_parts" ->
+        """WITH pv AS (SELECT l_partkey,
+          |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |     AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1),
+          |sc AS (SELECT CAST(sum(v) AS BIGINT) AS tot,
+          |   CAST(sum(v) AS BIGINT) // count(*) AS avg_c FROM pv)
+          |SELECT pv.l_partkey AS p_partkey,
+          | round(CAST(pv.v AS DOUBLE) / 100.0, 2) AS part_revenue,
+          | round(CAST(pv.v AS DOUBLE) / sc.tot, 6) AS revenue_share,
+          | round(CAST(pv.v AS DOUBLE) / sc.avg_c, 4) AS x_mean
+          |FROM pv, sc WHERE pv.v * 2 > sc.avg_c * 3""".stripMargin,
+
+      "q261_top_supplier" ->
+        """WITH li AS (SELECT l_suppkey,
+          |   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          |     AS c,
+          |   CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+          |     AS ed FROM lineitem),
+          |mx AS (SELECT max(ed) AS mx FROM li),
+          |rev AS (SELECT l_suppkey, CAST(sum(c) AS BIGINT) AS revc
+          |  FROM li, mx WHERE li.ed >= mx.mx - 89 GROUP BY 1),
+          |top AS (SELECT max(revc) AS best FROM rev)
+          |SELECT s.s_suppkey, s.s_name,
+          | round(CAST(rev.revc AS DOUBLE) / 100.0, 2) AS total_revenue
+          |FROM rev, top
+          | JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+          |WHERE rev.revc = top.best""".stripMargin,
+
+      "q262_large_orders" ->
+        """WITH big AS (SELECT l_orderkey,
+          |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |  FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+          |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+          | o.o_totalprice, big.total_qty
+          |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+          | JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q263_disjunctive_revenue" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+          | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+          |     * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+          |    AND l.l_quantity BETWEEN 1 AND 20)
+          |   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 25
+          |    AND l.l_quantity BETWEEN 10 AND 30)
+          |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+          |    AND l.l_quantity BETWEEN 25 AND 45)""".stripMargin,
+
+      "q264_return_risk" ->
+        """WITH lost AS (SELECT o_custkey,
+          |   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          |     AS BIGINT)) AS BIGINT) AS lostc
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_returnflag = 'R' GROUP BY 1),
+          |top AS (SELECT * FROM lost ORDER BY lostc DESC, o_custkey
+          |  LIMIT 20)
+          |SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+          | round(CAST(t.lostc AS DOUBLE) / 100.0, 2) AS returned_revenue
+          |FROM top t JOIN customer c ON t.o_custkey = c.c_custkey
+          | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -2344,4 +2344,145 @@ class Round12Spec extends SparkSpec {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"value in $b")
     }
   }
+
+  /** (partkey, suppkey, cents, qty) rows of the lineitem fixture, collected
+    * once for the q259-q264 driver recomputes. */
+  private lazy val liRows: Array[(Long, Long, Long, Long, Long, String)] = {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff, round}
+    graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+  }
+
+  test("q259: every STANDARD part's min-unit-price winner recomputed driver-side") {
+    val rows = SparkEntry.queries("q259_min_cost_supplier")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(5))).toMap
+    val std = graft.sources.Tables.table(spark, sf(), "part")
+      .where("p_type = 'STANDARD'").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val byPair = liRows.filter(l => std(l._1))
+      .groupBy(l => (l._1, l._2))
+      .map { case ((pk, sk), ls) =>
+        (pk, sk, ls.map(_._3).sum * 10000L / ls.map(_._4).sum) }
+    val want = byPair.groupBy(_._1).map { case (pk, ps) =>
+      val minU = ps.map(_._3).min
+      pk -> (ps.filter(_._3 == minU).map(_._2).min,
+        (minU / 100).toDouble / 10000.0)
+    }
+    assert(rows.keySet == want.keySet, "winner part set")
+    want.foreach { case (pk, w) => assert(rows(pk) == w, s"part $pk") }
+  }
+
+  test("q260: the 1.5x-mean revenue threshold recomputed driver-side") {
+    val rows = SparkEntry.queries("q260_important_parts")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pv = liRows.groupBy(_._1).map { case (pk, ls) => pk -> ls.map(_._3).sum }
+    val avg = pv.values.sum / pv.size
+    val want = pv.filter { case (_, v) => v * 2 > avg * 3 }
+    assert(rows.keySet == want.keySet, "important-part set")
+    want.foreach { case (pk, v) =>
+      assert(rows(pk) == BigDecimal(v.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"part $pk") }
+    assert(rows.nonEmpty, "threshold keeps a nonempty selective set")
+  }
+
+  test("q261: the trailing-90-day max-revenue supplier recomputed driver-side") {
+    val rows = SparkEntry.queries("q261_top_supplier")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mx = liRows.map(_._5).max
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff, round}
+    val disc = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val revd = disc.filter(_._3 >= mx - 89)
+      .groupBy(_._1).map { case (sk, ls) => sk -> ls.map(_._2).sum }
+    val best = revd.values.max
+    val want = revd.filter(_._2 == best)
+    assert(rows.keySet == want.keySet, "tied-winner set")
+    want.foreach { case (sk, c) =>
+      assert(rows(sk) == BigDecimal(c.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"supplier $sk") }
+  }
+
+  test("q262: large-order key set and quantity sums recomputed driver-side") {
+    val rows = SparkEntry.queries("q262_large_orders")(spark, sf())
+      .collect().map { r =>
+        (r.getLong(2), (r.getLong(0), r.getLong(5))) }.toMap
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = li.groupBy(_._1).map { case (ok, ls) => ok -> ls.map(_._2).sum }
+      .filter(_._2 > 250)
+    val custOf = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == want.keySet, "large-order key set")
+    want.foreach { case (ok, q) =>
+      assert(rows(ok) == ((custOf(ok), q)), s"order $ok") }
+    assert(rows.nonEmpty)
+  }
+
+  test("q263: disjunction count and revenue recomputed driver-side; hull is a superset") {
+    val row = SparkEntry.queries("q263_disjunctive_revenue")(spark, sf())
+      .collect().head
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val partOf = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def branch(b: String, s1: Int, s2: Int, q1: Long, q2: Long)
+              (pk: Long, q: Long): Boolean = {
+      val (pb, ps) = partOf(pk)
+      pb == b && ps >= s1 && ps <= s2 && q >= q1 && q <= q2
+    }
+    val in = li.filter { case (pk, q, _) =>
+      branch("Brand#3", 1, 15, 1, 20)(pk, q) ||
+      branch("Brand#11", 1, 25, 10, 30)(pk, q) ||
+      branch("Brand#21", 1, 35, 25, 45)(pk, q) }
+    assert(row.getLong(0) == in.length.toLong, "n_lines")
+    assert(row.getDouble(1) == BigDecimal(in.map(_._3).sum.toDouble / 100.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, "revenue")
+    // the hand-lifted hull never excludes a qualifying line
+    assert(in.forall { case (pk, q, _) =>
+      q >= 1 && q <= 45 && partOf(pk)._2 >= 1 && partOf(pk)._2 <= 35 },
+      "CNF hull is a superset of the disjunction")
+  }
+
+  test("q264: the top-20 returned-revenue set recomputed driver-side") {
+    val rows = SparkEntry.queries("q264_return_risk")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(rows.size == 20, "exactly 20 survivors")
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val custOf = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lost = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .where("l_returnflag = 'R'")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long"))
+      .collect().map(r => (custOf(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).map { case (ck, ls) => ck -> ls.map(_._2).sum }
+    val want = lost.toSeq.sortBy { case (ck, c) => (-c, ck) }.take(20)
+    assert(rows.keySet == want.map(_._1).toSet, "top-20 set")
+    want.foreach { case (ck, c) =>
+      assert(rows(ck) == BigDecimal(c.toDouble / 100.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cust $ck") }
+  }
 }
