@@ -6422,6 +6422,145 @@ object SparkEntry {
             .as("returned_revenue"))
     }),
 
+    "q265_kneser_ney" -> ((s, dir) => {
+      // Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995;
+      // Chen & Goodman 1998) — the LM-quality upgrade over q106's
+      // Laplace: P(w2|w1) = max(c−D,0)/c(w1) + λ(w1)·N1+(•w2)/B with
+      // D=0.75. The KN insight is that EVERY model table here is a
+      // re-aggregate of the one bigram-TYPE table (continuation counts
+      // N1+(w1•), N1+(•w2), the type total B) — the corpus shuffles
+      // once to bigram grain and never again; the type table is pinned
+      // so its four consumers share one computation.
+      val docs = t(s, dir, "documents")
+        .select(split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
+      val bg = docs.where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .where(col("w1") =!= "" && col("w2") =!= "")
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ctx = bc.groupBy("w1")
+        .agg(sum("c").as("cw1"), count(lit(1)).as("n1_fwd"))
+      val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1_rev"))
+      val btypes = broadcast(bc.agg(count(lit(1)).as("btypes")))
+      bc.join(ctx, Seq("w1")).join(cont, Seq("w2")).crossJoin(btypes)
+        .select(col("w1"), col("w2"), col("c"), col("cw1"),
+          col("n1_fwd"), col("n1_rev"),
+          round((col("c").cast("double") - 0.75) / col("cw1") +
+            (lit(0.75) * col("n1_fwd") / col("cw1")) *
+            (col("n1_rev").cast("double") / col("btypes")), 6).as("p_kn"))
+    }),
+
+    "q266_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala 2007) — the release gate
+      // q157's k-anonymity misses: a group can be large yet expose its
+      // members if the SENSITIVE value barely varies inside it. Quasi-
+      // identifier = (segment, nation, $1k-acctbal bucket); sensitive =
+      // order priority. Two-level aggregate (QI×sens counts, then QI) —
+      // distinct-l and the modal-value count fall out of plain counts,
+      // no countDistinct Expand. All-integer output, hash-exact.
+      val qi = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("n_name").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+        .join(qi, col("o_custkey") === col("c_custkey"))
+        .groupBy("segment", "nation", "bal_bucket", "sens")
+        .agg(count(lit(1)).as("cnt"))
+      per.groupBy("segment", "nation", "bal_bucket")
+        .agg(sum("cnt").as("n_orders"), count(lit(1)).as("l_distinct"),
+          max("cnt").as("top_sens_n"))
+        .withColumn("diverse_ok", col("l_distinct") >= 3)
+    }),
+
+    "q267_kcore" -> ((s, dir) => {
+      // k-core decomposition (k=3) of the part co-purchase graph —
+      // the standard community-mining prefilter (Seidman 1983): peel
+      // nodes of degree < k until a fixpoint. Edges = part pairs
+      // sharing ≥ 2 orders (pair fan-out bounded by C(items/order, 2)).
+      // The peel iterates DRIVER-side over distributed degree
+      // aggregates + semi-joins on the shrinking alive set, each round
+      // localCheckpoint-pinned so round n+1 never replays rounds 1..n
+      // — the star-contraction discipline; O(peel-depth) rounds, each
+      // one shuffle of the surviving edge list. The oracle mirrors it
+      // as a bounded recursive CTE (extra rounds are no-ops after
+      // convergence).
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        .select("p1", "p2")
+      graft.operators.KCore.core(edges, k = 3)
+        .select(col("node").as("p_partkey"), col("deg").as("core_degree"))
+    }),
+
+    "q268_overdispersion" -> ((s, dir) => {
+      // Poisson overdispersion screen per event type: the variance-to-
+      // mean ratio of DAILY volumes (VMR ≈ 1 under a Poisson arrival
+      // model; ≫ 1 means bursty/campaign-driven traffic whose "average
+      // day" is a fiction). Day-grain counts, then one moment aggregate
+      // per type — S1, S2 exact LONGs; mean/variance/VMR and the
+      // (days−1)·VMR dispersion statistic divide only at display.
+      val d = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+        .groupBy("event_type", "ed").agg(count(lit(1)).as("n"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("days"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("event_type"), col("days"), col("s1"), col("s2"),
+          round(col("s1").cast("double") / col("days"), 4).as("daily_mean"),
+          round((col("s2") - col("s1").cast("double") * col("s1") / col("days"))
+            / (col("days") - 1), 4).as("daily_var"),
+          round(((col("s2") - col("s1").cast("double") * col("s1") / col("days"))
+            / (col("days") - 1)) / (col("s1").cast("double") / col("days")), 4)
+            .as("vmr"))
+    }),
+
+    "q269_mase_backtest" -> ((s, dir) => {
+      // Forecast-skill backtest per event type: seasonal-naive (value 7
+      // days ago) scored against the naive (yesterday) scale — MASE =
+      // MAE₇/MAE₁ (Hyndman & Koehler 2006). Day-grain counts once,
+      // then two equi-joins at lag 1 and lag 7 — never a window over
+      // the raw stream; absolute errors sum as exact LONGs, the two
+      // MAEs and their ratio divide at display. MASE < 1 = weekly
+      // seasonality carries real signal for that type.
+      val d = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+        .groupBy("event_type", "ed").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val l1 = d.as("a").join(
+          d.select(col("event_type"), (col("ed") + 1).as("ed"),
+            col("n").as("n1")).as("b"), Seq("event_type", "ed"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("days_1"),
+          sum(abs(col("n") - col("n1"))).as("abs_err_1"))
+      val l7 = d.as("a").join(
+          d.select(col("event_type"), (col("ed") + 7).as("ed"),
+            col("n").as("n7")).as("b"), Seq("event_type", "ed"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("days_7"),
+          sum(abs(col("n") - col("n7"))).as("abs_err_7"))
+      l1.join(l7, Seq("event_type"))
+        .select(col("event_type"), col("days_1"), col("days_7"),
+          col("abs_err_1"), col("abs_err_7"),
+          round(col("abs_err_1").cast("double") / col("days_1"), 4).as("mae_naive"),
+          round(col("abs_err_7").cast("double") / col("days_7"), 4).as("mae_seasonal"),
+          round((col("abs_err_7").cast("double") / col("days_7"))
+            / (col("abs_err_1").cast("double") / col("days_1")), 4).as("mase"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -9674,6 +9813,105 @@ object SparkEntry {
           | round(CAST(t.lostc AS DOUBLE) / 100.0, 2) AS returned_revenue
           |FROM top t JOIN customer c ON t.o_custkey = c.c_custkey
           | JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+      "q265_kneser_ney" ->
+        s"""WITH toks AS (SELECT string_split(lower(${cleanSql("text")}), ' ')
+          |   AS ts FROM documents),
+          |bgs AS (SELECT unnest(list_transform(range(1, len(ts)),
+          |   i -> ts[i] || ' ' || ts[i + 1])) AS b
+          |  FROM toks WHERE len(ts) >= 2),
+          |pairs AS (SELECT string_split(b, ' ')[1] AS w1,
+          |   string_split(b, ' ')[2] AS w2 FROM bgs),
+          |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs
+          |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+          |   CAST(count(*) AS BIGINT) AS n1_fwd FROM bc GROUP BY 1),
+          |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_rev
+          |  FROM bc GROUP BY 1),
+          |bt AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM bc)
+          |SELECT bc.w1, bc.w2, bc.c, ctx.cw1, ctx.n1_fwd, cont.n1_rev,
+          | round((CAST(bc.c AS DOUBLE) - 0.75) / ctx.cw1 +
+          |   (0.75 * ctx.n1_fwd / ctx.cw1) *
+          |   (CAST(cont.n1_rev AS DOUBLE) / bt.btypes), 6) AS p_kn
+          |FROM bc JOIN ctx ON bc.w1 = ctx.w1
+          | JOIN cont ON bc.w2 = cont.w2, bt""".stripMargin,
+
+      "q266_l_diversity" ->
+        """WITH qi AS (SELECT c.c_custkey, c.c_mktsegment AS segment,
+          |   n.n_name AS nation,
+          |   CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          |per AS (SELECT qi.segment, qi.nation, qi.bal_bucket,
+          |   o.o_orderpriority AS sens, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM orders o JOIN qi ON o.o_custkey = qi.c_custkey
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT segment, nation, bal_bucket,
+          | CAST(sum(cnt) AS BIGINT) AS n_orders,
+          | CAST(count(*) AS BIGINT) AS l_distinct,
+          | CAST(max(cnt) AS BIGINT) AS top_sens_n,
+          | count(*) >= 3 AS diverse_ok
+          |FROM per GROUP BY 1, 2, 3""".stripMargin,
+
+      "q267_kcore" ->
+        """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey
+          |  FROM lineitem),
+          |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |peel(iter, node) AS (
+          |  SELECT 0, p1 FROM e UNION SELECT 0, p2 FROM e
+          |  UNION ALL
+          |  SELECT a.iter + 1, a.node FROM peel a
+          |  WHERE a.iter < 24 AND (SELECT count(*) FROM e
+          |     WHERE (e.p1 = a.node AND e.p2 IN
+          |        (SELECT b.node FROM peel b WHERE b.iter = a.iter))
+          |        OR (e.p2 = a.node AND e.p1 IN
+          |        (SELECT b.node FROM peel b WHERE b.iter = a.iter))) >= 3),
+          |core AS (SELECT node FROM peel WHERE iter = 24)
+          |SELECT c.node AS p_partkey,
+          | CAST((SELECT count(*) FROM e
+          |   WHERE (e.p1 = c.node AND e.p2 IN (SELECT node FROM core))
+          |      OR (e.p2 = c.node AND e.p1 IN (SELECT node FROM core)))
+          |   AS BIGINT) AS core_degree
+          |FROM core c""".stripMargin,
+
+      "q268_overdispersion" ->
+        """WITH d AS (SELECT event_type,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+          |   CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+          |  FROM d GROUP BY 1)
+          |SELECT event_type, days, s1, s2,
+          | round(CAST(s1 AS DOUBLE) / days, 4) AS daily_mean,
+          | round((s2 - CAST(s1 AS DOUBLE) * s1 / days) / (days - 1), 4)
+          |   AS daily_var,
+          | round(((s2 - CAST(s1 AS DOUBLE) * s1 / days) / (days - 1))
+          |   / (CAST(s1 AS DOUBLE) / days), 4) AS vmr
+          |FROM m""".stripMargin,
+
+      "q269_mase_backtest" ->
+        """WITH d AS (SELECT event_type,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |l1 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS days_1,
+          |   CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_1
+          |  FROM d a JOIN d b ON a.event_type = b.event_type
+          |   AND b.ed = a.ed - 1 GROUP BY 1),
+          |l7 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS days_7,
+          |   CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_7
+          |  FROM d a JOIN d b ON a.event_type = b.event_type
+          |   AND b.ed = a.ed - 7 GROUP BY 1)
+          |SELECT l1.event_type, l1.days_1, l7.days_7, l1.abs_err_1,
+          | l7.abs_err_7,
+          | round(CAST(l1.abs_err_1 AS DOUBLE) / l1.days_1, 4) AS mae_naive,
+          | round(CAST(l7.abs_err_7 AS DOUBLE) / l7.days_7, 4) AS mae_seasonal,
+          | round((CAST(l7.abs_err_7 AS DOUBLE) / l7.days_7)
+          |   / (CAST(l1.abs_err_1 AS DOUBLE) / l1.days_1), 4) AS mase
+          |FROM l1 JOIN l7 ON l1.event_type = l7.event_type""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -2485,4 +2485,143 @@ class Round12Spec extends SparkSpec {
       assert(rows(ck) == BigDecimal(c.toDouble / 100.0)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cust $ck") }
   }
+
+  test("kcore: a triangle with pendant tails peels to exactly the triangle at k=2") {
+    import spark.implicits._
+    // triangle 1-2-3 plus tails 3-4-5 and a 4-branch: tails peel over
+    // MULTIPLE rounds (5 first, then 4), so the fixpoint loop is exercised
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val core = graft.operators.KCore.core(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+    // k=3 on the same graph: nothing survives
+    assert(graft.operators.KCore.core(edges, k = 3).count() == 0L)
+  }
+
+  test("q267: the k=3 core matches an independent driver-side peel") {
+    val rows = SparkEntry.queries("q267_kcore")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions.col
+    val pp = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = pp.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (e, es) => e -> es.size }
+    val edges = pairCnt.filter(_._2 >= 2).keys.toSeq
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, ns) => n -> ns.size }
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= 3)
+      changed = next.size != alive.size
+      alive = next
+    }
+    val deg = edges.filter(e => alive(e._1) && alive(e._2))
+      .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, ns) => n -> ns.size.toLong }
+    assert(rows.keySet == alive, "core node set")
+    deg.foreach { case (n, d) => assert(rows(n) == d, s"core degree of $n") }
+  }
+
+  test("q265: KN probabilities per context sum to <= 1 and match a driver recompute") {
+    val rows = SparkEntry.queries("q265_kneser_ney")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val toks = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(split(lower(graft.functions.TextExprs.cleanText(col("text"))), " "))
+      .collect().map(_.getSeq[String](0))
+    val pairs = toks.filter(_.length >= 2).flatMap(ts =>
+      ts.sliding(2).map(p => (p(0), p(1))))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val bc = pairs.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val cw1 = bc.toSeq.groupBy(_._1._1).map { case (w, es) =>
+      w -> (es.map(_._2).sum, es.size.toLong) }
+    val n1r = bc.toSeq.groupBy(_._1._2).map { case (w, es) => w -> es.size.toLong }
+    val b = bc.size.toLong
+    assert(rows.keySet == bc.keySet, "bigram type set")
+    bc.foreach { case (p @ (w1, w2), c) =>
+      val (g_c, g_cw1, g_n1f, g_n1r, g_pkn) = rows(p)
+      assert(g_c == c && g_cw1 == cw1(w1)._1 && g_n1f == cw1(w1)._2 &&
+        g_n1r == n1r(w2), s"counts for $p")
+      val pkn = (c.toDouble - 0.75) / cw1(w1)._1 +
+        (0.75 * cw1(w1)._2 / cw1(w1)._1) * (n1r(w2).toDouble / b)
+      assert(math.abs(g_pkn - pkn) < 1e-6, s"pkn for $p")
+    }
+    // per-context total probability over SEEN continuations stays <= 1
+    // (the held-out mass is exactly what the discount D reserves); each
+    // row's display value is HALF_UP-rounded at 6dp, so allow the
+    // worst-case +0.5e-6 per continuation
+    rows.toSeq.groupBy(_._1._1).foreach { case (w1, es) =>
+      val tot = es.map(_._2._5).sum
+      assert(tot <= 1.0 + 5e-7 * es.size, s"context $w1 mass $tot")
+    }
+  }
+
+  test("q266: distinct-l, modal count, and the l>=3 flag recomputed driver-side") {
+    val rows = SparkEntry.queries("q266_l_diversity")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    import org.apache.spark.sql.functions.col
+    val nationOf = graft.sources.Tables.table(spark, sf(), "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val qi = graft.sources.Tables.table(spark, sf(), "customer")
+      .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        nationOf(r.getAs[Number](2).longValue),
+        math.floor(r.getDouble(3) / 1000).toLong)))
+      .toMap
+    val sens = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (qi(r.getLong(0)), r.getString(1)))
+    val want = sens.groupBy(_._1).map { case (g, os) =>
+      val bySens = os.groupBy(_._2).map(_._2.size.toLong)
+      g -> (os.size.toLong, bySens.size.toLong, bySens.max)
+    }
+    assert(rows.keySet == want.keySet, "QI group set")
+    want.foreach { case (g, (n, l, top)) =>
+      assert(rows(g) == ((n, l, top, l >= 3)), s"group $g") }
+    assert(want.values.exists(_._2 < 3) || want.size > 1,
+      "audit output is non-degenerate")
+  }
+
+  test("q268/q269: moments and backtest errors recomputed from day-grain counts") {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val dg = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val byType = dg.groupBy(_._1._1)
+    val od = SparkEntry.queries("q268_overdispersion")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6))).toMap
+    byType.foreach { case (et, ds) =>
+      val ns = ds.values.toSeq
+      val (days, s1, s2) = (ns.size.toLong, ns.sum, ns.map(n => n * n).sum)
+      val (gd, g1, g2, gv) = od(et)
+      assert(gd == days && g1 == s1 && g2 == s2, s"moments for $et")
+      val mean = s1.toDouble / days
+      val vr = (s2 - s1.toDouble * s1 / days) / (days - 1)
+      assert(math.abs(gv - vr / mean) < 1e-3, s"vmr for $et")
+    }
+    val mase = SparkEntry.queries("q269_mase_backtest")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    byType.foreach { case (et, ds) =>
+      val n = ds.map { case ((_, ed), c) => ed -> c }
+      def err(lag: Long) = n.toSeq.flatMap { case (ed, c) =>
+        n.get(ed - lag).map(p => math.abs(c - p)) }
+      val (e1, e7) = (err(1), err(7))
+      assert(mase(et) == ((e1.size.toLong, e7.size.toLong, e1.sum, e7.sum)),
+        s"errors for $et")
+    }
+  }
 }
