@@ -6264,6 +6264,8 @@ object SparkEntry {
       val parts = broadcast(t(s, dir, "part")
         .where(col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name")))
+      // (part, supplier)-grain table consumed by BOTH the part-grain MIN
+      // and the join back — pinned so the stream is scanned exactly once
       val ps = t(s, dir, "lineitem")
         .join(parts, col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -6271,6 +6273,7 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("qty"))
         .select(col("l_partkey"), col("l_suppkey"),
           expr("(cents * 10000) div qty").as("unit_e4"))
+        .localCheckpoint()
       val best = ps.groupBy(col("l_partkey").as("bk"))
         .agg(min("unit_e4").as("min_u"))
       val winner = ps
@@ -6309,6 +6312,7 @@ object SparkEntry {
       val pv = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+        .localCheckpoint() // scalar + filter both read the pinned part grain
       val scalar = broadcast(pv
         .agg(sum("v").as("tot"), count(lit(1)).as("n"))
         .select(col("tot"), expr("(tot div n)").as("avg_c")))
@@ -6334,8 +6338,12 @@ object SparkEntry {
         datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
           .cast("long").as("ed"))
       val mx = broadcast(li.agg(max("ed").as("mx")))
+      // |suppliers|-row view pinned: the MAX and the equality join both
+      // read it without a third pass over the stream (two stream scans
+      // total — the anchor MAX is inherently a separate first pass)
       val rev = li.crossJoin(mx).where(col("ed") >= col("mx") - 89)
         .groupBy(col("l_suppkey")).agg(sum("c").as("revc"))
+        .localCheckpoint()
       val top = broadcast(rev.agg(max("revc").as("best")))
       rev.crossJoin(top).where(col("revc") === col("best"))
         .join(broadcast(t(s, dir, "supplier")

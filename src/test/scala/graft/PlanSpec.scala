@@ -577,6 +577,61 @@ class PlanSpec extends SparkSpec {
         "PushedFilters[^\\n]*".r.findAllIn(p).mkString("\n"))
   }
 
+  test("q259/q260/q261: decorrelated re-agg tables are pinned — no stream scan in the final plan") {
+    // the TPC-H decorrelation batch: the (part,supplier)/part/supplier
+    // grain tables feed BOTH their scalar re-agg and the join back from
+    // one localCheckpoint; a lineitem re-scan regression fails here
+    Seq("q259_min_cost_supplier", "q260_important_parts",
+        "q261_top_supplier").foreach { q =>
+      val p = executed(q)
+      assert(!p.contains("lineitem.parquet"),
+        s"$q: lineitem must only be scanned at checkpoint materialization")
+      assert(p.contains("Scan ExistingRDD"), s"$q: pinned grain table missing")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+  }
+
+  test("q262/q264: the HAVING/top-k cut happens before the wide joins") {
+    val p262 = executed("q262_large_orders")
+    assert(p262.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(!p262.contains("CartesianProduct"))
+    // the order-grain aggregate (+ its >250 filter) sits BELOW the join
+    // with orders in the plan tree (plans print top-down: join before agg)
+    assert(p262.indexOf("HashAggregate") > -1 &&
+      p262.indexOf("Join") < p262.lastIndexOf("HashAggregate"),
+      "qualifying keys must be computed before the join")
+    val p264 = executed("q264_return_risk")
+    assert(p264.contains("TakeOrderedAndProject"),
+      s"global top-20 must plan TakeOrdered, never a full Sort:\n${p264.take(800)}")
+  }
+
+  test("q263: the hand-lifted CNF hull reaches both parquet scans") {
+    val p = formatted("q263_disjunctive_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,45.0)"),
+      s"qty hull must be pushed to the lineitem scan:\n" +
+        "PushedFilters[^\\n]*".r.findAllIn(p).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(p_size,1)") &&
+      p.contains("LessThanOrEqual(p_size,35)"),
+      "size hull must be pushed to the part scan")
+  }
+
+  test("q265: all four KN model tables read the pinned bigram-type blocks") {
+    val p = executed("q265_kneser_ney")
+    assert(!p.contains("documents.parquet"),
+      "the corpus must only be scanned at the type-table checkpoint")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q266/q268/q269: two-level aggregates plan no Expand and no Window") {
+    Seq("q266_l_diversity", "q268_overdispersion",
+        "q269_mase_backtest").foreach { q =>
+      val p = executed(q)
+      assert(!p.contains("Expand"), s"$q: distinct-l must avoid countDistinct Expand")
+      assert(!p.contains("Window "), s"$q: day/qi grain must not window")
+    }
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
