@@ -30,12 +30,14 @@ object KCore {
     var removed = 1L
     while (removed > 0) {
       val deg = degrees(e).localCheckpoint()
-      val alive = deg.where(col("deg") >= k).select("node")
-      removed = deg.count() - alive.count()
-      if (removed > 0)
+      // one action per round: count the casualties directly
+      removed = deg.where(col("deg") < k).count()
+      if (removed > 0) {
+        val alive = deg.where(col("deg") >= k).select("node")
         e = e.join(alive.withColumnRenamed("node", "p1"), Seq("p1"))
           .join(alive.withColumnRenamed("node", "p2"), Seq("p2"))
           .localCheckpoint()
+      }
     }
     degrees(e)
   }
