@@ -6569,6 +6569,184 @@ object SparkEntry {
             / (col("abs_err_1").cast("double") / col("days_1")), 4).as("mase"))
     }),
 
+    "q270_t_closeness" -> ((s, dir) => {
+      // t-closeness audit (Li 2007) over q266's quasi-identifier groups:
+      // a group can be l-diverse yet still leak if its sensitive
+      // DISTRIBUTION diverges from the table's. For the ordinal
+      // priority scale the distance is the Earth-Mover's Distance =
+      // mean |F_g − F_global| over the ordered values — computed as
+      // exact LONG cross-products |cum_g·N − Cum·n_g| on a DENSIFIED
+      // QI×sens scaffold (a missing value still shifts the CDF gap);
+      // the global CDF rides prevCumByKey (no partition-less window),
+      // the per-group one a bounded ≤|sens| window. One division at
+      // display.
+      val qi = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("n_name").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("sens"))
+        .join(qi, col("o_custkey") === col("c_custkey"))
+        .groupBy("segment", "nation", "bal_bucket", "sens")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds groups, the global CDF, and the scaffold
+      val groups = per.groupBy("segment", "nation", "bal_bucket")
+        .agg(sum("cnt").as("n_g"))
+      val gsens = per.groupBy("sens").agg(sum("cnt").as("gcnt"))
+      val gcum = gsens.join(prevCumByKey(gsens, "sens", "gcnt"), Seq("sens"))
+        .select(col("sens"), (col("prev_cum") + col("gcnt")).as("gcum"))
+      val scalars = broadcast(gsens
+        .agg(sum("gcnt").as("nn"), count(lit(1)).as("k")))
+      val dense = groups.crossJoin(broadcast(gcum))
+        .join(per, Seq("segment", "nation", "bal_bucket", "sens"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val wcum = Window.partitionBy("segment", "nation", "bal_bucket")
+        .orderBy("sens").rowsBetween(Window.unboundedPreceding, 0)
+      dense
+        .withColumn("cum_g", sum("cnt").over(wcum))
+        .crossJoin(scalars)
+        .groupBy(col("segment"), col("nation"), col("bal_bucket"),
+          col("n_g"), col("nn"), col("k"))
+        .agg(sum(abs(col("cum_g") * col("nn") - col("gcum") * col("n_g")))
+          .as("emd_num"))
+        .select(col("segment"), col("nation"), col("bal_bucket"),
+          col("n_g").as("n_orders"),
+          round(col("emd_num").cast("double")
+            / (col("n_g") * col("nn") * (col("k") - 1)), 6).as("t_emd"))
+        .withColumn("tclose_ok", col("t_emd") <= 0.2)
+    }),
+
+    "q271_clustering_coeff" -> ((s, dir) => {
+      // Local clustering coefficient over the q267 co-purchase graph:
+      // cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the per-node
+      // transitivity behind q223's global triangle census. Triangles
+      // come from the node-iterator wedge join (ab ⋈ bc ⋈ ac on the
+      // ordered edge list — each triangle counted once, attributed to
+      // all three corners); degrees from one edge-list aggregate. The
+      // edge list is pinned: four consumers, one materialization.
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        .select("p1", "p2").localCheckpoint()
+      val deg = e.select(col("p1").as("node"))
+        .unionAll(e.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
+        .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
+          col("ac.p2") === col("bc.p2"))
+        .select(col("ab.p1").as("x"), col("ab.p2").as("y"),
+          col("bc.p2").as("z"))
+      val triPerNode = tri.select(col("x").as("node"))
+        .unionAll(tri.select(col("y").as("node")))
+        .unionAll(tri.select(col("z").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(triPerNode, Seq("node"), "left")
+        .na.fill(0L, Seq("tri"))
+        .select(col("node").as("p_partkey"), col("deg"), col("tri"),
+          when(col("deg") >= 2,
+            round(col("tri") * 2.0 / (col("deg") * (col("deg") - 1)), 6))
+            .otherwise(0.0).as("clustering_coeff"))
+    }),
+
+    "q272_brier_decomposition" -> ((s, dir) => {
+      // Murphy decomposition of the Brier score for the q133 quality
+      // filter: BS = REL − RES + UNC, exact because the decomposition
+      // runs at the UNIQUE-forecast grain (≤ 10⁴+1 values — the
+      // log-odds weight mapped to a probability by a fixed linear
+      // clamp, kept in integer ten-thousandths). BS itself is computed
+      // from three exact LONG moments (Σn·f², Σs·f, Σy) — no float sum
+      // over the corpus at all; REL/RES are bounded-table doubles.
+      // Tells you WHY a score filters badly: miscalibration (REL) vs
+      // no discrimination (RES ≈ 0).
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val lab = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(
+          least(greatest(
+            expr("(CAST(round(quality_w * 10000) AS BIGINT) + 10000) div 2"),
+            lit(0L)), lit(10000L)).as("fu"),
+          when(col("source").isin(posSources: _*), 1L).otherwise(0L).as("y"))
+      val fg = lab.groupBy("fu")
+        .agg(count(lit(1)).as("n_k"), sum("y").as("s_k"))
+        .localCheckpoint() // unique-forecast grain: moments + both re-aggs
+      val tot = broadcast(fg.agg(sum("n_k").as("nn"), sum("s_k").as("ss"),
+        sum(col("n_k") * col("fu") * col("fu")).as("m2"),
+        sum(col("s_k") * col("fu")).as("m1")))
+      fg.crossJoin(tot)
+        .groupBy(col("nn"), col("ss"), col("m2"), col("m1"))
+        .agg(
+          sum(col("n_k") *
+            pow(col("fu") / 10000.0 - col("s_k").cast("double") / col("n_k"), 2))
+            .as("rel_sum"),
+          sum(col("n_k") *
+            pow(col("s_k").cast("double") / col("n_k")
+              - col("ss").cast("double") / col("nn"), 2)).as("res_sum"))
+        .withColumn("reliability", round(col("rel_sum") / col("nn"), 6))
+        .withColumn("resolution", round(col("res_sum") / col("nn"), 6))
+        .select(col("nn").as("n_docs"),
+          round(col("ss").cast("double") / col("nn"), 4).as("pos_rate"),
+          round((col("m2") - col("m1") * 20000L
+            + col("ss") * 100000000L).cast("double")
+            / (col("nn").cast("double") * 100000000L), 6).as("brier"),
+          col("reliability"), col("resolution"),
+          round((col("ss").cast("double") / col("nn"))
+            * (lit(1.0) - col("ss").cast("double") / col("nn")), 6)
+            .as("uncertainty"))
+    }),
+
+    "q273_rrf_fusion" -> ((s, dir) => {
+      // Hybrid-search fusion: Reciprocal Rank Fusion (Cormack 2009) of
+      // the sparse BM25 list and the dense cosine list — ranks, not
+      // scores, so the incompatible scales never need calibration.
+      // Both lists are bounded top-50 pools cut on ROUNDED scores with
+      // doc_id tie-breaks (TakeOrderedAndProject — deterministic sets,
+      // never a global sort); ranks come from the 50²-bounded
+      // triangular self-join (zero-window posture), the fused score is
+      // a two-term sum, and absent-from-list is an explicit rank 0.
+      val kPool = 50
+      def rank(df: DataFrame, score: String, name: String): DataFrame =
+        df.as("a").join(df.select(col("doc_id").as("_bid"),
+            col(score).as("_bs")).as("b"),
+            col("_bs") > col(score) ||
+            (col("_bs") === col(score) && col("_bid") < col("doc_id")), "left")
+          .groupBy(col("doc_id"))
+          .agg((count(col("_bid")) + 1L).as(name))
+      val lex = Retrieval.bm25(t(s, dir, "documents"), col("doc_id"),
+          col("text"), terms = Seq("spark", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kPool)
+        .localCheckpoint()
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val probe = broadcast(emb.where(col("doc_id") === 0)
+        .select(col("v").as("q")))
+      val dense = emb.crossJoin(probe)
+        .select(col("doc_id"),
+          round(VectorExprs.cosine(col("v"), col("q")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(kPool)
+        .localCheckpoint()
+      rank(lex, "score", "lex_rank")
+        .join(rank(dense, "cos", "dense_rank"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          round(
+            when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + 60))
+              .otherwise(0.0) +
+            when(col("dense_rank").isNotNull, lit(1.0) / (col("dense_rank") + 60))
+              .otherwise(0.0), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -9920,6 +10098,144 @@ object SparkEntry {
           | round((CAST(l7.abs_err_7 AS DOUBLE) / l7.days_7)
           |   / (CAST(l1.abs_err_1 AS DOUBLE) / l1.days_1), 4) AS mase
           |FROM l1 JOIN l7 ON l1.event_type = l7.event_type""".stripMargin,
+
+      "q270_t_closeness" ->
+        """WITH qi AS (SELECT c.c_custkey, c.c_mktsegment AS segment,
+          |   n.n_name AS nation,
+          |   CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          |per AS (SELECT qi.segment, qi.nation, qi.bal_bucket,
+          |   o.o_orderpriority AS sens, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM orders o JOIN qi ON o.o_custkey = qi.c_custkey
+          |  GROUP BY 1, 2, 3, 4),
+          |grp AS (SELECT segment, nation, bal_bucket,
+          |   CAST(sum(cnt) AS BIGINT) AS n_g FROM per GROUP BY 1, 2, 3),
+          |gs AS (SELECT sens, CAST(sum(cnt) AS BIGINT) AS gcnt
+          |  FROM per GROUP BY 1),
+          |gc AS (SELECT sens, CAST(sum(gcnt) OVER (ORDER BY sens
+          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum FROM gs),
+          |sc AS (SELECT CAST(sum(gcnt) AS BIGINT) AS nn,
+          |   CAST(count(*) AS BIGINT) AS k FROM gs),
+          |dense AS (SELECT grp.segment, grp.nation, grp.bal_bucket,
+          |   grp.n_g, gc.sens, gc.gcum, coalesce(per.cnt, 0) AS cnt
+          |  FROM grp CROSS JOIN gc
+          |  LEFT JOIN per ON per.segment = grp.segment
+          |   AND per.nation = grp.nation AND per.bal_bucket = grp.bal_bucket
+          |   AND per.sens = gc.sens),
+          |cum AS (SELECT segment, nation, bal_bucket, n_g, gcum,
+          |   CAST(sum(cnt) OVER (PARTITION BY segment, nation, bal_bucket
+          |     ORDER BY sens ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+          |  FROM dense)
+          |SELECT segment, nation, bal_bucket, n_g AS n_orders,
+          | round(CAST(sum(abs(cum_g * sc.nn - gcum * n_g)) AS DOUBLE)
+          |   / (n_g * sc.nn * (sc.k - 1)), 6) AS t_emd,
+          | round(CAST(sum(abs(cum_g * sc.nn - gcum * n_g)) AS DOUBLE)
+          |   / (n_g * sc.nn * (sc.k - 1)), 6) <= 0.2 AS tclose_ok
+          |FROM cum, sc GROUP BY 1, 2, 3, 4, sc.nn, sc.k""".stripMargin,
+
+      "q271_clustering_coeff" ->
+        """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          |   SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+          |  GROUP BY 1),
+          |tri AS (SELECT ab.p1 AS x, ab.p2 AS y, bc.p2 AS z
+          |  FROM e ab JOIN e bc ON ab.p2 = bc.p1
+          |   JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+          |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+          |   SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+          |SELECT deg.node AS p_partkey, deg.deg,
+          | CAST(coalesce(tpn.tri, 0) AS BIGINT) AS tri,
+          | CASE WHEN deg.deg >= 2 THEN
+          |   round(coalesce(tpn.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6)
+          |  ELSE 0.0 END AS clustering_coeff
+          |FROM deg LEFT JOIN tpn ON deg.node = tpn.node""".stripMargin,
+
+      "q272_brier_decomposition" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |l AS (SELECT least(greatest(
+           |    (CAST(round(q.quality_w * 10000) AS BIGINT) + 10000) // 2,
+           |    0), 10000) AS fu,
+           |   CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+           |        THEN 1 ELSE 0 END AS y
+           |  FROM q JOIN documents d USING (doc_id)),
+           |fg AS (SELECT fu, CAST(count(*) AS BIGINT) AS n_k,
+           |   CAST(sum(y) AS BIGINT) AS s_k FROM l GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS nn,
+           |   CAST(sum(s_k) AS BIGINT) AS ss,
+           |   CAST(sum(n_k * fu * fu) AS BIGINT) AS m2,
+           |   CAST(sum(s_k * fu) AS BIGINT) AS m1 FROM fg),
+           |parts AS (SELECT tot.nn, tot.ss, tot.m2, tot.m1,
+           |   sum(fg.n_k * pow(fg.fu / 10000.0
+           |     - CAST(fg.s_k AS DOUBLE) / fg.n_k, 2)) AS rel_sum,
+           |   sum(fg.n_k * pow(CAST(fg.s_k AS DOUBLE) / fg.n_k
+           |     - CAST(tot.ss AS DOUBLE) / tot.nn, 2)) AS res_sum
+           |  FROM fg, tot GROUP BY 1, 2, 3, 4)
+           |SELECT nn AS n_docs,
+           | round(CAST(ss AS DOUBLE) / nn, 4) AS pos_rate,
+           | round(CAST(m2 - m1 * 20000 + ss * 100000000 AS DOUBLE)
+           |   / (CAST(nn AS DOUBLE) * 100000000), 6) AS brier,
+           | round(rel_sum / nn, 6) AS reliability,
+           | round(res_sum / nn, 6) AS resolution,
+           | round((CAST(ss AS DOUBLE) / nn)
+           |   * (1.0 - CAST(ss AS DOUBLE) / nn), 6) AS uncertainty
+           |FROM parts""".stripMargin,
+
+      "q273_rrf_fusion" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |  FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |bsc AS (SELECT tf.doc_id,
+           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * (1.2 + 1.0)
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM tf
+           |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token)
+           |   dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st
+           |  WHERE tf.token IN ('spark', 'vector', 'stream')),
+           |bm AS (SELECT doc_id, round(sum(s), 4) AS rel FROM bsc
+           |  GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |   CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+           |     AS BIGINT) AS lex_rank
+           |  FROM bm ORDER BY rel DESC, doc_id LIMIT 50),
+           |pr AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+           |  WHERE vec_id = 0),
+           |cs AS (SELECT e.vec_id AS doc_id,
+           |   round(list_sum(list_transform(range(1, 65),
+           |      i -> e.embedding[i] * pr.q[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> e.embedding[i] * e.embedding[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65),
+           |      i -> pr.q[i] * pr.q[i])))), 6) AS cos
+           |  FROM embeddings e, pr),
+           |den AS (SELECT doc_id,
+           |   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+           |     AS BIGINT) AS dense_rank
+           |  FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
+           |fused AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           |   coalesce(lex.lex_rank, 0) AS lex_rank,
+           |   coalesce(den.dense_rank, 0) AS dense_rank,
+           |   round((CASE WHEN lex.lex_rank IS NOT NULL
+           |      THEN 1.0 / (lex.lex_rank + 60) ELSE 0.0 END) +
+           |     (CASE WHEN den.dense_rank IS NOT NULL
+           |      THEN 1.0 / (den.dense_rank + 60) ELSE 0.0 END), 6)
+           |     AS rrf_score
+           |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+           |SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -2624,4 +2624,119 @@ class Round12Spec extends SparkSpec {
         s"errors for $et")
     }
   }
+
+  test("q270: every group's EMD recomputed from raw CDFs; bounded to [0,1]") {
+    val rows = SparkEntry.queries("q270_t_closeness")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    import org.apache.spark.sql.functions.col
+    val nationOf = graft.sources.Tables.table(spark, sf(), "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val qi = graft.sources.Tables.table(spark, sf(), "customer")
+      .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        nationOf(r.getAs[Number](2).longValue),
+        math.floor(r.getDouble(3) / 1000).toLong))).toMap
+    val obs = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (qi(r.getLong(0)), r.getString(1)))
+    val sensVals = obs.map(_._2).distinct.sorted
+    val k = sensVals.length
+    val nTot = obs.length.toLong
+    val gCum = sensVals.map(v => obs.count(_._2 <= v).toLong)
+    obs.groupBy(_._1).foreach { case (g, os) =>
+      val nG = os.length.toLong
+      val cumG = sensVals.map(v => os.count(_._2 <= v).toLong)
+      val num = cumG.zip(gCum).map { case (cg, cG) =>
+        math.abs(cg * nTot - cG * nG) }.sum
+      val emd = num.toDouble / (nG * nTot * (k - 1))
+      val (gn, ge, gok) = rows(g)
+      assert(gn == nG, s"n for $g")
+      assert(math.abs(ge - emd) < 1e-6, s"emd for $g: $ge vs $emd")
+      assert(gok == (ge <= 0.2), s"flag for $g")
+      assert(ge >= 0.0 && ge < 1.0, s"emd bounds for $g")
+    }
+    assert(rows.size == obs.groupBy(_._1).size)
+  }
+
+  test("q271: per-node triangles and coefficients recomputed driver-side") {
+    val rows = SparkEntry.queries("q271_clustering_coeff")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    import org.apache.spark.sql.functions.col
+    val pp = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, ns) => n -> ns.map(_._2).toSet }
+    assert(rows.keySet == adj.keySet, "node set")
+    adj.foreach { case (n, nbrs) =>
+      val deg = nbrs.size.toLong
+      val tri = nbrs.toSeq.combinations(2)
+        .count(p => adj(p(0)).contains(p(1))).toLong
+      val (gd, gt, gc) = rows(n)
+      assert(gd == deg && gt == tri, s"deg/tri for $n")
+      val cc = if (deg >= 2) 2.0 * tri / (deg * (deg - 1)) else 0.0
+      assert(math.abs(gc - cc) < 1e-6, s"cc for $n")
+    }
+  }
+
+  test("q272: the Murphy identity BS = REL - RES + UNC holds exactly at unique-forecast grain") {
+    val r = SparkEntry.queries("q272_brier_decomposition")(spark, sf())
+      .collect().head
+    val (brier, rel, res, unc) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // each term is independently 6dp-rounded, so the identity holds to
+    // the rounding budget
+    assert(math.abs(brier - (rel - res + unc)) < 3e-6,
+      s"identity: $brier vs ${rel - res + unc}")
+    assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    assert(r.getLong(0) > 0)
+  }
+
+  test("q273: RRF fusion recomputed from independently-ranked lists") {
+    val rows = SparkEntry.queries("q273_rrf_fusion")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == 20)
+    import org.apache.spark.sql.functions.col
+    // lex list: BM25 via the operator (already differentially tested by
+    // q52), ranked driver-side on the rounded score
+    val bm = graft.operators.Retrieval.bm25(
+        graft.sources.Tables.table(spark, sf(), "documents"),
+        col("doc_id"), col("text"), terms = Seq("spark", "vector", "stream"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val lexRank = bm.sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val emb = graft.sources.Tables.table(spark, sf(), "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val q = emb.find(_._1 == 0L).get._2
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denseRank = emb.map { case (id, v) => (id, r6(cos(v, q))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = (lexRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+      val rr = lexRank.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        denseRank.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      (id, r6(rr))
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(rows.keySet == fused.map(_._1).toSet, "fused top-20 set")
+    fused.foreach { case (id, s) =>
+      val (gl, gd, gs) = rows(id)
+      assert(gs == s, s"rrf for $id")
+      assert(gl == lexRank.getOrElse(id, 0L), s"lex rank for $id")
+      assert(gd == denseRank.getOrElse(id, 0L), s"dense rank for $id")
+    }
+  }
 }
