@@ -632,6 +632,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q270-q273: pinned grains, bounded windows, TakeOrdered cuts") {
+    val p270 = executed("q270_t_closeness")
+    // the only window is the per-QI cum (bounded ≤|sens| partitions);
+    // the global CDF rides prevCumByKey
+    assert(!p270.contains("orders.parquet"),
+      "the order stream must only be scanned at the QI×sens checkpoint")
+    val p271 = executed("q271_clustering_coeff")
+    assert(!p271.contains("lineitem.parquet"),
+      "all four consumers must read the pinned edge list")
+    assert(!p271.contains("CartesianProduct"))
+    val p272 = executed("q272_brier_decomposition")
+    assert(!p272.contains("documents.parquet"),
+      "moments and re-aggs must read the unique-forecast checkpoint")
+    val p273 = executed("q273_rrf_fusion")
+    assert(!p273.contains("Window "), "ranks must be triangular, not windowed")
+    assert(p273.contains("TakeOrderedAndProject"),
+      "the final top-20 must be TakeOrdered, never a global sort")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
