@@ -97,6 +97,7 @@ object ScaleProbe {
     if (args.headOption.contains("knn")) { knnProbe(args.drop(1)); return }
     if (args.headOption.contains("backlog")) { backlogProbe(args.drop(1)); return }
     if (args.headOption.contains("skyline")) { skylineProbe(args.drop(1)); return }
+    if (args.headOption.contains("kcore")) { kcoreProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -696,6 +697,57 @@ object ScaleProbe {
     *    sweep stays one-aggregate + one-range-exchange flat.
     *
     * Both routes must return the identical frontier at every size. */
+  /** kcore mode: the q267 fixpoint peel on a synthetic graph with a CLOSED-
+    * FORM answer and a controllable peel depth — a C-cycle (every node
+    * degree 2 = the whole k=2 core) with an L-link pendant chain hanging
+    * off every cycle node. Chains peel exactly one link per round, so the
+    * peel runs L rounds regardless of C; doubling C must ~double the wall
+    * (per-round cost is linear in the surviving edge list) while rounds
+    * stay L. Verifies core size == C and every core degree == 2. */
+  private def kcoreProbe(args: Array[String]): Unit = {
+    val c = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(100000)
+    val l = args.lift(1).map(_.toInt).getOrElse(12)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $dt%.2f s")
+      dt
+    }
+    def edges(cc: Long): org.apache.spark.sql.DataFrame = {
+      val cyc = spark.range(cc).select(col("id").as("a"),
+        ((col("id") + 1) % cc).as("b"))
+      val hang = spark.range(cc).select(col("id").as("a"),
+        (lit(cc) + col("id") * l).as("b"))
+      val chain = spark.range(cc * (l - 1)).select(
+        (lit(cc) + expr(s"(id div ${l - 1})") * l + col("id") % (l - 1)).as("a"),
+        (lit(cc) + expr(s"(id div ${l - 1})") * l + col("id") % (l - 1) + 1).as("b"))
+      cyc.unionAll(hang).unionAll(chain)
+        .select(least(col("a"), col("b")).as("p1"),
+          greatest(col("a"), col("b")).as("p2"))
+    }
+    Seq(c.toLong, 2L * c).foreach { cc =>
+      var core: Array[(Long, Long)] = null
+      val dt = timed(s"kcore C=$cc L=$l (${cc * (l + 1)} edges)") {
+        core = graft.operators.KCore.core(edges(cc), k = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(core.length == cc, s"core size ${core.length} != $cc")
+      assert(core.forall(_._2 == 2L), "every cycle node keeps degree 2")
+      println(f"[probe] kcore C=$cc verified: core=${core.length} " +
+        f"rounds=$l-deep peel, ${dt / (cc * (l + 1))}%.2e s/edge")
+    }
+  }
+
   private def skylineProbe(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
       .getOrElse(20000)
