@@ -6747,6 +6747,135 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
     }),
 
+    "q274_constraint_audit" -> ((s, dir) => {
+      // Data-contract validation (the dbt-test / Deequ layer): one scan
+      // per table, every rule a conditional count, results unioned into
+      // a rule × violations ledger — the gate a 100 TB ingest runs
+      // before promoting a snapshot. Rules: line numbers form a
+      // contiguous 1..n per order (checked as max==count, no sort),
+      // price/discount/tax domains, ship-after-order via the one
+      // orders join, and enum domains. All-integer output.
+      val li = t(s, dir, "lineitem")
+      val lineChecks = li.select(
+          when(col("l_quantity") <= 0, 1L).otherwise(0L).as("bad_qty"),
+          when(col("l_extendedprice") <= 0, 1L).otherwise(0L).as("bad_price"),
+          when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L).as("bad_discount"),
+          when(col("l_tax") < 0 || col("l_tax") > 0.08, 1L)
+            .otherwise(0L).as("bad_tax"),
+          when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L).as("bad_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("bad_qty").as("v1"),
+          sum("bad_price").as("v2"), sum("bad_discount").as("v3"),
+          sum("bad_tax").as("v4"), sum("bad_returnflag").as("v5"))
+      val contig = li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nl"), max("l_linenumber").as("mx"),
+          min("l_linenumber").as("mn"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mx") =!= col("nl") || col("mn") =!= 1, 1L)
+            .otherwise(0L)).as("v"))
+      val shipAfter = li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).as("v"))
+      val sp = s
+      import sp.implicits._
+      def row(rule: String, scope: String, pair: (Long, Long)): DataFrame =
+        Seq((rule, scope, pair._2, pair._1)).toDF(
+          "rule", "scope", "violations", "n_checked")
+      val lc = lineChecks.collect().head
+      val cg = contig.collect().head
+      val sa = shipAfter.collect().head
+      row("quantity_positive", "lineitem", (lc.getLong(0), lc.getLong(1)))
+        .unionAll(row("extendedprice_positive", "lineitem",
+          (lc.getLong(0), lc.getLong(2))))
+        .unionAll(row("discount_in_[0,0.1]", "lineitem",
+          (lc.getLong(0), lc.getLong(3))))
+        .unionAll(row("tax_in_[0,0.08]", "lineitem",
+          (lc.getLong(0), lc.getLong(4))))
+        .unionAll(row("returnflag_domain", "lineitem",
+          (lc.getLong(0), lc.getLong(5))))
+        .unionAll(row("linenumbers_contiguous", "orders",
+          (cg.getLong(0), cg.getLong(1))))
+        .unionAll(row("ship_after_order", "lineitem",
+          (sa.getLong(0), sa.getLong(1))))
+        .withColumn("passed", col("violations") === 0L)
+    }),
+
+    "q275_median_ci" -> ((s, dir) => {
+      // Distribution-free 95% CI for the MEDIAN daily volume per event
+      // type, from binomial order statistics (rank l = ⌊(n−1.96√n)/2⌋,
+      // u = ⌈1+(n+1.96√n)/2⌉ — no normality assumption on the values,
+      // only on the rank of the median). Day-grain counts once; ranks
+      // via a bounded per-type window (≤ |days| rows per partition);
+      // the three order statistics fall out of one conditional
+      // aggregate. The honest summary for a bursty series where a bare
+      // median invites overconfidence.
+      val d = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+        .groupBy("event_type", "ed").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("n").asc, col("ed").asc)
+      val ranked = d.withColumn("rn", row_number().over(w).cast("long"))
+        .localCheckpoint() // rank pass feeds the cuts and the pick
+      val cuts = ranked.groupBy("event_type").agg(count(lit(1)).as("days"))
+        .select(col("event_type"), col("days"),
+          greatest(floor((col("days") - lit(1.96) * sqrt(col("days"))) / 2)
+            .cast("long"), lit(1L)).as("rank_lo"),
+          least(ceil(lit(1.0) +
+            (col("days") + lit(1.96) * sqrt(col("days"))) / 2).cast("long"),
+            col("days")).as("rank_hi"),
+          ceil(col("days").cast("double") / 2).cast("long").as("rank_med"))
+      ranked.join(broadcast(cuts), "event_type")
+        .groupBy(col("event_type"), col("days"),
+          col("rank_lo"), col("rank_hi"))
+        .agg(max(when(col("rn") === col("rank_med"), col("n")))
+            .as("median_daily"),
+          max(when(col("rn") === col("rank_lo"), col("n"))).as("ci_lo"),
+          max(when(col("rn") === col("rank_hi"), col("n"))).as("ci_hi"))
+    }),
+
+    "q276_edge_embeddedness" -> ((s, dir) => {
+      // Edge embeddedness over the co-purchase graph: common-neighbor
+      // count per EDGE (each triangle credits its three edges — the
+      // q271 wedge join re-keyed to edges), rolled into a distribution
+      // with the LOCAL-BRIDGE share (embeddedness 0 = Granovetter weak
+      // ties; at 100 TB these are the cross-community links a
+      // partitioner must not cut). Edge list pinned, one wedge join,
+      // |distinct embeddedness| output rows.
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        .select("p1", "p2").localCheckpoint()
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
+        .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
+          col("ac.p2") === col("bc.p2"))
+        .select(col("ab.p1").as("x"), col("ab.p2").as("y"),
+          col("bc.p2").as("z"))
+      // each triangle (x<y<z) credits edges (x,y), (y,z), (x,z)
+      val perEdge = tri.select(col("x").as("p1"), col("y").as("p2"))
+        .unionAll(tri.select(col("y").as("p1"), col("z").as("p2")))
+        .unionAll(tri.select(col("x").as("p1"), col("z").as("p2")))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("emb"))
+      val dist = e.join(perEdge, Seq("p1", "p2"), "left")
+        .na.fill(0L, Seq("emb"))
+        .groupBy("emb").agg(count(lit(1)).as("n_edges"))
+      dist.crossJoin(broadcast(dist.agg(sum("n_edges").as("te"))))
+        .select(col("emb").as("embeddedness"), col("n_edges"),
+          round(col("n_edges").cast("double") / col("te"), 6)
+            .as("edge_share"),
+          (col("emb") === 0L).as("is_local_bridge"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -10236,6 +10365,92 @@ object SparkEntry {
            |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
            |SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q274_constraint_audit" ->
+        """WITH lc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS v1,
+          |   CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS v2,
+          |   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+          |     THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+          |   CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 0.08
+          |     THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+          |   CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+          |     THEN 1 ELSE 0 END) AS BIGINT) AS v5
+          |  FROM lineitem),
+          |cg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CASE WHEN mx <> nl OR mn <> 1 THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS v
+          |  FROM (SELECT l_orderkey, count(*) AS nl,
+          |     max(l_linenumber) AS mx, min(l_linenumber) AS mn
+          |    FROM lineitem GROUP BY 1)),
+          |sa AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+          |     THEN 1 ELSE 0 END) AS BIGINT) AS v
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+          |SELECT rule, scope, violations, n_checked,
+          | violations = 0 AS passed FROM (
+          | SELECT 'quantity_positive' AS rule, 'lineitem' AS scope,
+          |   v1 AS violations, n AS n_checked FROM lc
+          | UNION ALL SELECT 'extendedprice_positive', 'lineitem', v2, n
+          |   FROM lc
+          | UNION ALL SELECT 'discount_in_[0,0.1]', 'lineitem', v3, n
+          |   FROM lc
+          | UNION ALL SELECT 'tax_in_[0,0.08]', 'lineitem', v4, n FROM lc
+          | UNION ALL SELECT 'returnflag_domain', 'lineitem', v5, n FROM lc
+          | UNION ALL SELECT 'linenumbers_contiguous', 'orders', v, n
+          |   FROM cg
+          | UNION ALL SELECT 'ship_after_order', 'lineitem', v, n
+          |   FROM sa)""".stripMargin,
+
+      "q275_median_ci" ->
+        """WITH d AS (SELECT event_type,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, n,
+          |   CAST(row_number() OVER (PARTITION BY event_type
+          |     ORDER BY n ASC, ed ASC) AS BIGINT) AS rn FROM d),
+          |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+          |   greatest(CAST(floor((count(*) - 1.96 * sqrt(count(*))) / 2)
+          |     AS BIGINT), 1) AS rank_lo,
+          |   least(CAST(ceil(1.0 + (count(*) + 1.96 * sqrt(count(*))) / 2)
+          |     AS BIGINT), CAST(count(*) AS BIGINT)) AS rank_hi,
+          |   CAST(ceil(count(*) / 2.0) AS BIGINT) AS rank_med
+          |  FROM d GROUP BY 1)
+          |SELECT r.event_type, c.days, c.rank_lo, c.rank_hi,
+          | CAST(max(CASE WHEN r.rn = c.rank_med THEN r.n END) AS BIGINT)
+          |   AS median_daily,
+          | CAST(max(CASE WHEN r.rn = c.rank_lo THEN r.n END) AS BIGINT)
+          |   AS ci_lo,
+          | CAST(max(CASE WHEN r.rn = c.rank_hi THEN r.n END) AS BIGINT)
+          |   AS ci_hi
+          |FROM r JOIN c ON r.event_type = c.event_type
+          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+      "q276_edge_embeddedness" ->
+        """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |tri AS (SELECT ab.p1 AS x, ab.p2 AS y, bc.p2 AS z
+          |  FROM e ab JOIN e bc ON ab.p2 = bc.p1
+          |   JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+          |pe AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS emb FROM (
+          |   SELECT x AS p1, y AS p2 FROM tri
+          |   UNION ALL SELECT y, z FROM tri
+          |   UNION ALL SELECT x, z FROM tri) GROUP BY 1, 2),
+          |dist AS (SELECT coalesce(pe.emb, 0) AS emb,
+          |   CAST(count(*) AS BIGINT) AS n_edges
+          |  FROM e LEFT JOIN pe ON e.p1 = pe.p1 AND e.p2 = pe.p2
+          |  GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS te FROM dist)
+          |SELECT dist.emb AS embeddedness, dist.n_edges,
+          | round(CAST(dist.n_edges AS DOUBLE) / t.te, 6) AS edge_share,
+          | dist.emb = 0 AS is_local_bridge
+          |FROM dist, t""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

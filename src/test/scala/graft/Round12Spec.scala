@@ -2739,4 +2739,91 @@ class Round12Spec extends SparkSpec {
       assert(gd == denseRank.getOrElse(id, 0L), s"dense rank for $id")
     }
   }
+
+  test("q274: every contract rule recomputed from raw rows") {
+    val rows = SparkEntry.queries("q274_constraint_audit")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows.size == 7, "seven rules in the ledger")
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("ship_ed")).collect()
+    val n = li.length.toLong
+    def viol(p: org.apache.spark.sql.Row => Boolean) = li.count(p).toLong
+    assert(rows("quantity_positive") ==
+      ((viol(_.getDouble(2) <= 0), n, viol(_.getDouble(2) <= 0) == 0L)))
+    assert(rows("extendedprice_positive")._1 == viol(_.getDouble(3) <= 0))
+    assert(rows("discount_in_[0,0.1]")._1 ==
+      viol(r => r.getDouble(4) < 0 || r.getDouble(4) > 0.1))
+    assert(rows("tax_in_[0,0.08]")._1 ==
+      viol(r => r.getDouble(5) < 0 || r.getDouble(5) > 0.08))
+    assert(rows("returnflag_domain")._1 ==
+      viol(r => !Set("A", "N", "R").contains(r.getString(6))))
+    val byOrder = li.groupBy(_.getLong(0))
+    val badContig = byOrder.count { case (_, ls) =>
+      val nums = ls.map(_.getAs[Number](1).longValue)
+      nums.max != ls.length.toLong || nums.min != 1L }.toLong
+    assert(rows("linenumbers_contiguous") ==
+      ((badContig, byOrder.size.toLong, badContig == 0L)))
+    val odate = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("oed")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val badShip = li.count(r => r.getLong(7) < odate(r.getLong(0))).toLong
+    assert(rows("ship_after_order") == ((badShip, n, badShip == 0L)))
+  }
+
+  test("q275: order-statistic CI recomputed; bounds bracket the median") {
+    val rows = SparkEntry.queries("q275_median_ci")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val dg = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    dg.groupBy(_._1._1).foreach { case (et, ds) =>
+      val sorted = ds.toSeq.map { case ((_, ed), c) => (c, ed) }.sorted
+      val n = sorted.length
+      val lo = math.max(math.floor((n - 1.96 * math.sqrt(n)) / 2).toLong, 1L)
+      val hi = math.min(math.ceil(1.0 + (n + 1.96 * math.sqrt(n)) / 2).toLong,
+        n.toLong)
+      val med = math.ceil(n / 2.0).toLong
+      val (gd, gl, gh, gm, gcl, gch) = rows(et)
+      assert(gd == n.toLong && gl == lo && gh == hi, s"ranks for $et")
+      assert(gm == sorted((med - 1).toInt)._1, s"median for $et")
+      assert(gcl == sorted((lo - 1).toInt)._1 &&
+        gch == sorted((hi - 1).toInt)._1, s"CI values for $et")
+      assert(gcl <= gm && gm <= gch, s"bracket for $et")
+    }
+  }
+
+  test("q276: embeddedness distribution recomputed; buckets tile the edge list") {
+    val rows = SparkEntry.queries("q276_edge_embeddedness")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(3))).toMap
+    import org.apache.spark.sql.functions.col
+    val pp = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val emb = edges.toSeq.map { case (u, v) =>
+      (adj(u) intersect adj(v)).size.toLong }
+    val want = emb.groupBy(identity).map { case (e, es) => e -> es.size.toLong }
+    assert(rows.keySet == want.keySet, "embeddedness bucket set")
+    want.foreach { case (e, c) =>
+      assert(rows(e) == ((c, e == 0L)), s"bucket $e") }
+    assert(rows.values.map(_._1).sum == edges.size.toLong, "buckets tile edges")
+  }
 }
