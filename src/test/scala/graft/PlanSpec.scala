@@ -651,6 +651,16 @@ class PlanSpec extends SparkSpec {
       "the final top-20 must be TakeOrdered, never a global sort")
   }
 
+  test("q274-q276: audit scans bounded; rank window bounded; edge list pinned") {
+    val p275 = executed("q275_median_ci")
+    assert(!p275.contains("events.parquet"),
+      "cuts and picks must read the pinned rank table")
+    val p276 = executed("q276_edge_embeddedness")
+    assert(!p276.contains("lineitem.parquet"),
+      "wedge join + distribution must read the pinned edge list")
+    assert(!p276.contains("CartesianProduct"))
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
