@@ -6876,6 +6876,154 @@ object SparkEntry {
           (col("emb") === 0L).as("is_local_bridge"))
     }),
 
+    "q277_seasonal_decompose" -> ((s, dir) => {
+      // Classical additive decomposition of the daily event series:
+      // trend = 7-day centered moving sum (kept as an exact LONG at ×7
+      // scale — the division to a mean happens only at display),
+      // seasonal = per-weekday mean of the ×7 detrended series
+      // (uncentered), residual = the rest. Day-grain counts once; the
+      // centered window is a ±3-day self-join of the tiny day table
+      // gated on ALL 7 neighbors present (edge days drop out, never
+      // fabricate a half-window trend); weekday labels ride q247's
+      // shared epoch-day-mod-7 list. The monitoring view that separates
+      // "weekends are slow" from "something broke".
+      val dd = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+        .groupBy("ed").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // both self-join sides + the DOW agg read it
+      val trend = dd.as("a")
+        .join(dd.select(col("ed").as("_bed"), col("cnt").as("_bc")).as("b"),
+          col("_bed") >= col("ed") - 3 && col("_bed") <= col("ed") + 3)
+        .groupBy(col("ed"), col("cnt"))
+        .agg(count(lit(1)).as("_nw"), sum("_bc").as("trend7"))
+        .where(col("_nw") === 7)
+        .localCheckpoint() // the DOW means and the per-day output share it
+      val dowLbl = dowLabels.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+      val sp = s
+      import sp.implicits._
+      val lbl = broadcast(dowLbl.toDF("dow_i", "dow"))
+      val seas = trend
+        .select((col("ed") % 7).as("dow_i"),
+          (col("cnt") * 7 - col("trend7")).as("detr7"))
+        .groupBy("dow_i")
+        .agg(sum("detr7").as("s_num"), count(lit(1)).as("s_den"))
+      trend.select((col("ed") % 7).as("dow_i"), col("ed"), col("cnt"),
+          col("trend7"))
+        .join(broadcast(seas), Seq("dow_i"))
+        .join(lbl, Seq("dow_i"))
+        .select(col("ed"), col("dow"), col("cnt"),
+          round(col("trend7").cast("double") / 7.0, 4).as("trend"),
+          round(col("s_num").cast("double") / (col("s_den") * 7), 4)
+            .as("seasonal"),
+          round(col("cnt").cast("double") - col("trend7").cast("double") / 7.0
+            - col("s_num").cast("double") / (col("s_den") * 7), 4)
+            .as("residual"))
+    }),
+
+    "q278_fightin_words" -> ((s, dir) => {
+      // "Fightin' words" (Monroe, Colaresi & Quinn 2008): per-source
+      // DISTINCTIVE vocabulary via log-odds ratios with an informative
+      // Dirichlet prior — the corpus-vs-rest comparison TF-IDF gets
+      // wrong for common-but-skewed tokens. All counts are exact LONG
+      // re-aggregates of the ONE (source, token) table; the prior
+      // α_w = α0·y_w/N shrinks rare-token noise; z = δ/√var with the
+      // variance from the standard 1/(y+α) approximation. Top-10 per
+      // source on the ROUNDED z (4dp) with token tie-break — a bounded
+      // per-source window over the vocab.
+      val st = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " "))
+            .as("token"))
+        .where(col("token") =!= "")
+        .groupBy("source", "token").agg(count(lit(1)).as("y_sw"))
+        .localCheckpoint() // token totals, source totals, N all re-agg it
+      val yw = st.groupBy("token").agg(sum("y_sw").as("y_w"))
+      val ns = st.groupBy("source").agg(sum("y_sw").as("n_s"))
+      val tot = broadcast(st.agg(sum("y_sw").as("nn")))
+      val a0 = 1000.0
+      val scored = st.join(yw, Seq("token")).join(broadcast(ns), Seq("source"))
+        .crossJoin(tot)
+        .withColumn("a_w", lit(a0) * col("y_w") / col("nn"))
+        .withColumn("delta",
+          log((col("y_sw") + col("a_w")) /
+            (col("n_s") + lit(a0) - col("y_sw") - col("a_w"))) -
+          log((col("y_w") - col("y_sw") + col("a_w")) /
+            (col("nn") - col("n_s") + lit(a0)
+              - (col("y_w") - col("y_sw")) - col("a_w"))))
+        .withColumn("z", round(col("delta") /
+          sqrt(lit(1.0) / (col("y_sw") + col("a_w")) +
+            lit(1.0) / (col("y_w") - col("y_sw") + col("a_w"))), 4))
+      val w = Window.partitionBy("source")
+        .orderBy(col("z").desc, col("token").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("token"), col("y_sw"),
+          col("z"))
+    }),
+
+    "q279_attribution" -> ((s, dir) => {
+      // Marketing-style revenue attribution over sessionized events:
+      // each session's purchase value (exact cents) credited to its
+      // FIRST-touch event type and to the LAST non-purchase type before
+      // the first purchase ('direct' when the purchase opens the
+      // session) — the two models whose disagreement quantifies how
+      // much the channel story depends on the attribution choice. One
+      // sessionize window pass (q35's lag + running sum, one shuffle),
+      // bounded per-session windows, and a spec-checked invariant:
+      // both models attribute the SAME total revenue.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("_gap_us"))
+        .withColumn("_new", when(col("_gap_us").isNull ||
+          col("_gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum("_new").over(wRun))
+      val wS = Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+      val rows = ev.withColumn("rn", row_number().over(wS).cast("long"))
+        .select("user_id", "session_no", "rn", "event_type", "cents")
+        .localCheckpoint() // first-purchase agg + both touch passes
+      val sess = rows.groupBy("user_id", "session_no")
+        .agg(sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("rev"),
+          min(when(col("event_type") === "purchase", col("rn"))).as("fprn"),
+          max(when(col("rn") === 1, col("event_type"))).as("first_type"))
+        .where(col("rev") > 0)
+        .localCheckpoint()
+      val lastTouch = rows
+        .join(sess.select(col("user_id"), col("session_no"), col("fprn")),
+          Seq("user_id", "session_no"))
+        .where(col("rn") < col("fprn") && col("event_type") =!= "purchase")
+        .groupBy("user_id", "session_no")
+        .agg(max(struct(col("rn"), col("event_type"))).as("_lt"))
+        .select(col("user_id"), col("session_no"),
+          col("_lt.event_type").as("last_type"))
+      val attributed = sess
+        .join(lastTouch, Seq("user_id", "session_no"), "left")
+        .na.fill("direct", Seq("last_type"))
+      val ft = attributed.groupBy(col("first_type").as("channel"))
+        .agg(count(lit(1)).as("sessions_first"),
+          sum("rev").as("rev_first"))
+      val lt = attributed.groupBy(col("last_type").as("channel"))
+        .agg(count(lit(1)).as("sessions_last"),
+          sum("rev").as("rev_last"))
+      ft.join(lt, Seq("channel"), "full_outer")
+        .na.fill(0L, Seq("sessions_first", "rev_first",
+          "sessions_last", "rev_last"))
+        .select(col("channel"), col("sessions_first"),
+          round(col("rev_first").cast("double") / 100.0, 2)
+            .as("first_touch_revenue"),
+          col("sessions_last"),
+          round(col("rev_last").cast("double") / 100.0, 2)
+            .as("last_touch_revenue"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -10451,6 +10599,101 @@ object SparkEntry {
           | round(CAST(dist.n_edges AS DOUBLE) / t.te, 6) AS edge_share,
           | dist.emb = 0 AS is_local_bridge
           |FROM dist, t""".stripMargin,
+
+      "q277_seasonal_decompose" -> {
+        val dowCase = "CASE CAST(ed % 7 AS BIGINT) " + dowLabels.zipWithIndex
+          .map { case (l, i) => s"WHEN $i THEN '$l' " }.mkString + "END"
+        s"""WITH dd AS (SELECT
+           |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1),
+           |trend AS (SELECT a.ed, a.cnt,
+           |   CAST(sum(b.cnt) AS BIGINT) AS trend7
+           |  FROM dd a JOIN dd b ON b.ed BETWEEN a.ed - 3 AND a.ed + 3
+           |  GROUP BY 1, 2 HAVING count(*) = 7),
+           |seas AS (SELECT CAST(ed % 7 AS BIGINT) AS dow_i,
+           |   CAST(sum(cnt * 7 - trend7) AS BIGINT) AS s_num,
+           |   CAST(count(*) AS BIGINT) AS s_den
+           |  FROM trend GROUP BY 1)
+           |SELECT t.ed, $dowCase AS dow, t.cnt,
+           | round(CAST(t.trend7 AS DOUBLE) / 7.0, 4) AS trend,
+           | round(CAST(s.s_num AS DOUBLE) / (s.s_den * 7), 4) AS seasonal,
+           | round(CAST(t.cnt AS DOUBLE) - CAST(t.trend7 AS DOUBLE) / 7.0
+           |   - CAST(s.s_num AS DOUBLE) / (s.s_den * 7), 4) AS residual
+           |FROM trend t JOIN seas s ON CAST(t.ed % 7 AS BIGINT) = s.dow_i"""
+          .stripMargin
+      },
+
+      "q278_fightin_words" ->
+        s"""WITH st AS (SELECT source, token,
+           |   CAST(count(*) AS BIGINT) AS y_sw FROM (
+           |   SELECT source,
+           |    unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token
+           |   FROM documents) WHERE token <> '' GROUP BY 1, 2),
+           |yw AS (SELECT token, CAST(sum(y_sw) AS BIGINT) AS y_w
+           |  FROM st GROUP BY 1),
+           |ns AS (SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s
+           |  FROM st GROUP BY 1),
+           |tot AS (SELECT CAST(sum(y_sw) AS BIGINT) AS nn FROM st),
+           |sc AS (SELECT st.source, st.token, st.y_sw,
+           |   1000.0 * yw.y_w / tot.nn AS a_w,
+           |   yw.y_w, ns.n_s, tot.nn
+           |  FROM st JOIN yw USING (token) JOIN ns USING (source), tot),
+           |z AS (SELECT source, token, y_sw,
+           |   round((ln((y_sw + a_w) / (n_s + 1000.0 - y_sw - a_w))
+           |     - ln((y_w - y_sw + a_w)
+           |        / (nn - n_s + 1000.0 - (y_w - y_sw) - a_w)))
+           |    / sqrt(1.0 / (y_sw + a_w) + 1.0 / (y_w - y_sw + a_w)), 4)
+           |    AS z FROM sc)
+           |SELECT source, CAST(row_number() OVER (PARTITION BY source
+           |   ORDER BY z DESC, token ASC) AS BIGINT) AS rnk,
+           | token, y_sw, z FROM z
+           |QUALIFY rnk <= 10""".stripMargin,
+
+      "q279_attribution" ->
+        """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+          |   CAST(round(value * 100) AS BIGINT) AS cents,
+          |   epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |     (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |sn AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+          |     OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          |  FROM ev),
+          |rows_ AS (SELECT user_id, session_no,
+          |   CAST(row_number() OVER (PARTITION BY user_id, session_no
+          |     ORDER BY ts, event_id) AS BIGINT) AS rn,
+          |   event_type, cents FROM sn),
+          |sess AS (SELECT user_id, session_no,
+          |   CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+          |     ELSE 0 END) AS BIGINT) AS rev,
+          |   min(CASE WHEN event_type = 'purchase' THEN rn END) AS fprn,
+          |   max(CASE WHEN rn = 1 THEN event_type END) AS first_type
+          |  FROM rows_ GROUP BY 1, 2 HAVING rev > 0),
+          |lt AS (SELECT r.user_id, r.session_no,
+          |   arg_max(r.event_type, r.rn) AS last_type
+          |  FROM rows_ r JOIN sess s USING (user_id, session_no)
+          |  WHERE r.rn < s.fprn AND r.event_type <> 'purchase'
+          |  GROUP BY 1, 2),
+          |att AS (SELECT sess.user_id, sess.session_no, sess.rev,
+          |   sess.first_type, coalesce(lt.last_type, 'direct') AS last_type
+          |  FROM sess LEFT JOIN lt USING (user_id, session_no)),
+          |ft AS (SELECT first_type AS channel,
+          |   CAST(count(*) AS BIGINT) AS sessions_first,
+          |   CAST(sum(rev) AS BIGINT) AS rf FROM att GROUP BY 1),
+          |l2 AS (SELECT last_type AS channel,
+          |   CAST(count(*) AS BIGINT) AS sessions_last,
+          |   CAST(sum(rev) AS BIGINT) AS rl FROM att GROUP BY 1)
+          |SELECT coalesce(ft.channel, l2.channel) AS channel,
+          | CAST(coalesce(ft.sessions_first, 0) AS BIGINT) AS sessions_first,
+          | round(CAST(coalesce(ft.rf, 0) AS DOUBLE) / 100.0, 2)
+          |   AS first_touch_revenue,
+          | CAST(coalesce(l2.sessions_last, 0) AS BIGINT) AS sessions_last,
+          | round(CAST(coalesce(l2.rl, 0) AS DOUBLE) / 100.0, 2)
+          |   AS last_touch_revenue
+          |FROM ft FULL OUTER JOIN l2 ON ft.channel = l2.channel"""
+          .stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

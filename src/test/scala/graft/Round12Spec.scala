@@ -2826,4 +2826,111 @@ class Round12Spec extends SparkSpec {
       assert(rows(e) == ((c, e == 0L)), s"bucket $e") }
     assert(rows.values.map(_._1).sum == edges.size.toLong, "buckets tile edges")
   }
+
+  test("q277: trend/seasonal/residual recomputed; components re-add to the series") {
+    val rows = SparkEntry.queries("q277_seasonal_decompose")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val dd = graft.sources.Tables.table(spark, sf(), "events")
+      .select(datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (d, ds) => d -> ds.size.toLong }
+    val trend = dd.flatMap { case (d, c) =>
+      val win = (-3L to 3L).flatMap(o => dd.get(d + o))
+      if (win.size == 7) Some(d -> (c, win.sum)) else None
+    }
+    val seas = trend.toSeq.groupBy(_._1 % 7).map { case (dow, ds) =>
+      dow -> (ds.map { case (_, (c, t7)) => c * 7 - t7 }.sum, ds.size.toLong) }
+    assert(rows.keySet == trend.keySet, "trended day set")
+    trend.foreach { case (d, (c, t7)) =>
+      val (_, gc, gt, gs, gr) = rows(d)
+      val (num, den) = seas(d % 7)
+      assert(gc == c, s"cnt at $d")
+      assert(math.abs(gt - t7 / 7.0) < 1e-4, s"trend at $d")
+      assert(math.abs(gs - num.toDouble / (den * 7)) < 1e-4, s"seasonal at $d")
+      assert(math.abs((gt + gs + gr) - c) < 2e-4,
+        s"components must re-add to the series at $d")
+    }
+  }
+
+  test("q278: log-odds z recomputed for one source; top-10 selection correct") {
+    val rows = SparkEntry.queries("q278_fightin_words")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4)))
+    import org.apache.spark.sql.functions.{col, lower, split, explode}
+    val toks = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(col("source"),
+        explode(split(lower(graft.functions.TextExprs.cleanText(col("text"))),
+          " ")).as("t"))
+      .where(col("t") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ysw = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val yw = toks.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val ns = toks.groupBy(_._1).map { case (s0, v) => s0 -> v.size.toLong }
+    val nn = toks.length.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val src = rows.head._1._1
+    val zAll = yw.keys.toSeq.flatMap { t =>
+      val y = ysw.getOrElse((src, t), 0L)
+      if (y == 0) None else {
+        val aw = 1000.0 * yw(t) / nn
+        val d = math.log((y + aw) / (ns(src) + 1000.0 - y - aw)) -
+          math.log((yw(t) - y + aw) / (nn - ns(src) + 1000.0 - (yw(t) - y) - aw))
+        Some((t, y, r4(d / math.sqrt(1.0 / (y + aw) + 1.0 / (yw(t) - y + aw)))))
+      }
+    }
+    val want = zAll.sortBy { case (t, _, z) => (-z, t) }.take(10)
+    val got = rows.filter(_._1._1 == src).sortBy(_._1._2).map(_._2)
+    assert(got.length == 10)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
+
+  test("q279: both attribution models conserve total revenue; recompute agrees") {
+    val rows = SparkEntry.queries("q279_attribution")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    val rf = rows.values.map(v => math.round(v._2 * 100)).sum
+    val rl = rows.values.map(v => math.round(v._4 * 100)).sum
+    assert(rf == rl, s"first-touch total $rf != last-touch total $rl")
+    assert(rows.values.map(_._1).sum == rows.values.map(_._3).sum,
+      "session counts conserved")
+    // independent driver recompute of the whole attribution
+    import org.apache.spark.sql.functions.{col, round, unix_micros}
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val ftRe = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val ltRe = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var sess = List.newBuilder[Vector[(Long, Long, Long, String, Long)]]
+      var cur = Vector.empty[(Long, Long, Long, String, Long)]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._3 - prev <= 1800L * 1000000L) cur :+= e
+        else { if (cur.nonEmpty) sess += cur; cur = Vector(e) }
+        prev = e._3
+      }
+      if (cur.nonEmpty) sess += cur
+      sess.result().foreach { ses =>
+        val rev = ses.filter(_._4 == "purchase").map(_._5).sum
+        if (rev > 0) {
+          ftRe(ses.head._4) += rev
+          val fp = ses.indexWhere(_._4 == "purchase")
+          val before = ses.take(fp).filter(_._4 != "purchase")
+          ltRe(if (before.isEmpty) "direct" else before.last._4) += rev
+        }
+      }
+    }
+    ftRe.foreach { case (ch, c) =>
+      assert(math.round(rows(ch)._2 * 100) == c, s"first-touch $ch") }
+    ltRe.foreach { case (ch, c) =>
+      assert(math.round(rows(ch)._4 * 100) == c, s"last-touch $ch") }
+  }
 }
