@@ -661,6 +661,19 @@ class PlanSpec extends SparkSpec {
     assert(!p276.contains("CartesianProduct"))
   }
 
+  test("q277-q279: pinned grains; the only corpus window is the sessionize pass") {
+    val p277 = executed("q277_seasonal_decompose")
+    assert(!p277.contains("events.parquet"),
+      "trend join + DOW agg must read the pinned day table")
+    assert(!p277.contains("Window "), "the centered window is a self-join")
+    val p278 = executed("q278_fightin_words")
+    assert(!p278.contains("documents.parquet"),
+      "all model tables must re-agg the pinned (source, token) table")
+    val p279 = executed("q279_attribution")
+    assert(!p279.contains("events.parquet"),
+      "both touch passes must read the pinned sessionized rows")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
