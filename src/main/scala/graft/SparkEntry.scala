@@ -7024,6 +7024,129 @@ object SparkEntry {
             .as("last_touch_revenue"))
     }),
 
+    "q280_discount_elasticity" -> ((s, dir) => {
+      // Per-brand discount→quantity response: OLS slope and Pearson r
+      // of quantity on discount points, all six moments exact LONGs
+      // from ONE scan-side aggregate (x = discount in integer percent,
+      // y = integer quantity; at extreme per-brand row counts the n·Σxy
+      // cross-products want DECIMAL(38) or mean-centered streaming
+      // moments — at any per-group n below ~10⁹ the LONG forms are
+      // exact). The merchandising question behind every promo budget:
+      // which brands actually move when discounted?
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_discount") * 100).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      li.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("p_brand"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+    }),
+
+    "q281_binary_segmentation" -> ((s, dir) => {
+      // Multi-changepoint detection by binary segmentation (depth 2):
+      // the level-1 split maximizes the CUSUM deviation — cross-
+      // multiplied to the exact LONG |n·cum_t − t·S| so no float mean
+      // moves the argmax — then each half is re-segmented once. Day-
+      // grain counts once; every window is bounded by |days| per
+      // (type, segment) partition; ties take the earliest day. Extends
+      // q195's single changepoint to the piecewise view monitoring
+      // actually needs.
+      val d = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+        .groupBy("event_type", "ed").agg(count(lit(1)).as("x"))
+      def splits(df: DataFrame, segCols: Seq[String]): DataFrame = {
+        val part = Window.partitionBy(segCols.map(col): _*)
+        val w = part.orderBy("ed")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        val ranked = df
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("x").over(wRun))
+          .withColumn("nseg", count(lit(1)).over(part))
+          .withColumn("sseg", sum("x").over(part))
+          .where(col("rn") < col("nseg")) // interior candidates only
+          .withColumn("dev", abs(col("nseg") * col("cum")
+            - col("rn") * col("sseg")))
+        val best = Window.partitionBy(segCols.map(col): _*)
+          .orderBy(col("dev").desc, col("ed").asc)
+        ranked.withColumn("_b", row_number().over(best))
+          .where(col("_b") === 1)
+          .select(segCols.map(col) :+ col("ed").as("split_ed") :+
+            col("dev").as("dev_num") :+ col("nseg").as("seg_days"): _*)
+      }
+      val dPinned = d.localCheckpoint()
+      val l1 = splits(dPinned, Seq("event_type")).localCheckpoint()
+      val seg2 = dPinned
+        .join(l1.select(col("event_type"), col("split_ed")), Seq("event_type"))
+        .withColumn("seg", when(col("ed") <= col("split_ed"), lit("L"))
+          .otherwise(lit("R")))
+        .select("event_type", "seg", "ed", "x")
+      val l2 = splits(seg2, Seq("event_type", "seg"))
+      l1.select(col("event_type"), lit(1L).as("level"),
+          lit("all").as("segment"), col("split_ed"), col("dev_num"),
+          col("seg_days"))
+        .unionAll(l2.where(col("seg_days") >= 2)
+          .select(col("event_type"), lit(2L).as("level"),
+            col("seg").as("segment"), col("split_ed"), col("dev_num"),
+            col("seg_days")))
+    }),
+
+    "q282_bfs_hops" -> ((s, dir) => {
+      // Hop-distance census by unrolled BFS (4 rounds) from the
+      // highest-degree hub of the co-purchase graph — the landmark-
+      // distance sketch behind graph-diameter estimates at scale: each
+      // round ONE join of the frontier against the pinned edge list +
+      // an anti-join on the visited set (ids only). Emits how much of
+      // the graph each hop ring reaches; 'unreached' rounds up the
+      // census so the rings provably tile the node set.
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        .select("p1", "p2").localCheckpoint()
+      val und = e.select(col("p1").as("u"), col("p2").as("v"))
+        .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+        .localCheckpoint()
+      val hub = und.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u").asc).limit(1)
+        .select(col("u").as("node"), lit(0L).as("hop"))
+      var visited = hub.localCheckpoint()
+      var frontier = visited
+      for (h <- 1L to 4L) {
+        val next = frontier.join(und, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited.select(col("node").as("_vn")),
+            col("node") === col("_vn"), "left_anti")
+          .select(col("node"), lit(h).as("hop"))
+          .localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+      val ringed = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      val allNodes = und.select(col("u").as("node")).distinct()
+      val unreached = allNodes
+        .join(visited.select(col("node").as("_vn")),
+          col("node") === col("_vn"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("hop"), col("n_nodes"))
+      ringed.unionAll(unreached.where(col("n_nodes") > 0))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -10693,6 +10816,116 @@ object SparkEntry {
           | round(CAST(coalesce(l2.rl, 0) AS DOUBLE) / 100.0, 2)
           |   AS last_touch_revenue
           |FROM ft FULL OUTER JOIN l2 ON ft.channel = l2.channel"""
+          .stripMargin,
+
+      "q280_discount_elasticity" ->
+        """WITH li AS (SELECT p.p_brand,
+          |   CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+          |   CAST(l.l_quantity AS BIGINT) AS y
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |   CAST(sum(x * y) AS BIGINT) AS sxy,
+          |   CAST(sum(x * x) AS BIGINT) AS sxx,
+          |   CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM li GROUP BY 1)
+          |SELECT p_brand, n,
+          | round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |   / (n * sxx - sx * sx), 6) AS slope,
+          | round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          |     * (n * syy - sy * sy)), 4) AS r
+          |FROM m""".stripMargin,
+
+      "q281_binary_segmentation" ->
+        """WITH d AS (SELECT event_type,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |r1 AS (SELECT event_type, ed, x,
+          |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY ed)
+          |     AS BIGINT) AS rn,
+          |   CAST(sum(x) OVER (PARTITION BY event_type ORDER BY ed
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nseg,
+          |   CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sseg
+          |  FROM d),
+          |l1 AS (SELECT event_type, ed AS split_ed,
+          |   abs(nseg * cum - rn * sseg) AS dev_num, nseg AS seg_days
+          |  FROM r1 WHERE rn < nseg
+          |  QUALIFY row_number() OVER (PARTITION BY event_type
+          |    ORDER BY abs(nseg * cum - rn * sseg) DESC, ed ASC) = 1),
+          |s2 AS (SELECT d.event_type,
+          |   CASE WHEN d.ed <= l1.split_ed THEN 'L' ELSE 'R' END AS seg,
+          |   d.ed, d.x
+          |  FROM d JOIN l1 ON d.event_type = l1.event_type),
+          |r2 AS (SELECT event_type, seg, ed, x,
+          |   CAST(row_number() OVER (PARTITION BY event_type, seg
+          |     ORDER BY ed) AS BIGINT) AS rn,
+          |   CAST(sum(x) OVER (PARTITION BY event_type, seg ORDER BY ed
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |   CAST(count(*) OVER (PARTITION BY event_type, seg) AS BIGINT)
+          |     AS nseg,
+          |   CAST(sum(x) OVER (PARTITION BY event_type, seg) AS BIGINT)
+          |     AS sseg
+          |  FROM s2),
+          |l2 AS (SELECT event_type, seg, ed AS split_ed,
+          |   abs(nseg * cum - rn * sseg) AS dev_num, nseg AS seg_days
+          |  FROM r2 WHERE rn < nseg
+          |  QUALIFY row_number() OVER (PARTITION BY event_type, seg
+          |    ORDER BY abs(nseg * cum - rn * sseg) DESC, ed ASC) = 1)
+          |SELECT event_type, CAST(1 AS BIGINT) AS level, 'all' AS segment,
+          | split_ed, dev_num, seg_days FROM l1
+          |UNION ALL
+          |SELECT event_type, CAST(2 AS BIGINT), seg, split_ed, dev_num,
+          | seg_days FROM l2 WHERE seg_days >= 2""".stripMargin,
+
+      "q282_bfs_hops" ->
+        """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |und AS (SELECT p1 AS u, p2 AS v FROM e
+          |  UNION ALL SELECT p2, p1 FROM e),
+          |hub AS (SELECT u AS node FROM und GROUP BY u
+          |  ORDER BY count(*) DESC, u ASC LIMIT 1),
+          |h0 AS (SELECT node FROM hub),
+          |h1 AS (SELECT DISTINCT und.v AS node FROM und
+          |  JOIN h0 ON und.u = h0.node
+          |  WHERE und.v NOT IN (SELECT node FROM h0)),
+          |h2 AS (SELECT DISTINCT und.v AS node FROM und
+          |  JOIN h1 ON und.u = h1.node
+          |  WHERE und.v NOT IN (SELECT node FROM h0)
+          |   AND und.v NOT IN (SELECT node FROM h1)),
+          |h3 AS (SELECT DISTINCT und.v AS node FROM und
+          |  JOIN h2 ON und.u = h2.node
+          |  WHERE und.v NOT IN (SELECT node FROM h0)
+          |   AND und.v NOT IN (SELECT node FROM h1)
+          |   AND und.v NOT IN (SELECT node FROM h2)),
+          |h4 AS (SELECT DISTINCT und.v AS node FROM und
+          |  JOIN h3 ON und.u = h3.node
+          |  WHERE und.v NOT IN (SELECT node FROM h0)
+          |   AND und.v NOT IN (SELECT node FROM h1)
+          |   AND und.v NOT IN (SELECT node FROM h2)
+          |   AND und.v NOT IN (SELECT node FROM h3)),
+          |rings AS (
+          | SELECT CAST(0 AS BIGINT) AS hop, CAST(count(*) AS BIGINT)
+          |   AS n_nodes FROM h0
+          | UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM h1
+          | UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM h2
+          | UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM h3
+          | UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM h4),
+          |unreach AS (SELECT CAST(-1 AS BIGINT) AS hop,
+          |   CAST(count(*) AS BIGINT) AS n_nodes
+          |  FROM (SELECT DISTINCT u AS node FROM und) an
+          |  WHERE an.node NOT IN (SELECT node FROM h0)
+          |   AND an.node NOT IN (SELECT node FROM h1)
+          |   AND an.node NOT IN (SELECT node FROM h2)
+          |   AND an.node NOT IN (SELECT node FROM h3)
+          |   AND an.node NOT IN (SELECT node FROM h4))
+          |SELECT hop, n_nodes FROM rings WHERE n_nodes > 0
+          |UNION ALL SELECT hop, n_nodes FROM unreach WHERE n_nodes > 0"""
           .stripMargin,
 
       "q216_custdist" ->

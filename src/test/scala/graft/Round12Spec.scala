@@ -2933,4 +2933,98 @@ class Round12Spec extends SparkSpec {
     ltRe.foreach { case (ch, c) =>
       assert(math.round(rows(ch)._4 * 100) == c, s"last-touch $ch") }
   }
+
+  test("q280: every brand's OLS slope and r recomputed from exact moments") {
+    val rows = SparkEntry.queries("q280_discount_elasticity")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    import org.apache.spark.sql.functions.{col, round}
+    val brandOf = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), round(col("l_discount") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (brandOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (b, ls) =>
+      val n = ls.length.toLong
+      val (sx, sy) = (ls.map(_._2).sum, ls.map(_._3).sum)
+      val sxy = ls.map(l => l._2 * l._3).sum
+      val sxx = ls.map(l => l._2 * l._2).sum
+      val syy = ls.map(l => l._3 * l._3).sum
+      val (gn, gs, gr) = rows(b)
+      assert(gn == n, s"n for $b")
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))
+      assert(math.abs(gs - slope) < 1e-6 && math.abs(gr - r) < 1e-4,
+        s"fit for $b")
+    }
+  }
+
+  test("q281: both segmentation levels recomputed; splits are interior") {
+    val rows = SparkEntry.queries("q281_binary_segmentation")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val dg = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def bestSplit(xs: Seq[(Long, Long)]): (Long, Long) = {
+      // xs sorted by day; returns (split day, |n·cum − t·S|)
+      val n = xs.length.toLong
+      val s0 = xs.map(_._2).sum
+      var cum = 0L
+      xs.dropRight(1).zipWithIndex.map { case ((ed, x), i) =>
+        cum += x
+        (ed, math.abs(n * cum - (i + 1) * s0))
+      }.maxBy { case (ed, d) => (d, -ed) }
+    }
+    dg.groupBy(_._1._1).foreach { case (et, ds) =>
+      val xs = ds.toSeq.map { case ((_, ed), x) => (ed, x) }.sortBy(_._1)
+      val (t1, d1) = bestSplit(xs)
+      assert(rows((et, 1L, "all")) == ((t1, d1, xs.length.toLong)), s"l1 $et")
+      val (left, right) = xs.partition(_._1 <= t1)
+      Seq(("L", left), ("R", right)).foreach { case (seg, part) =>
+        if (part.length >= 2) {
+          val (t2, d2) = bestSplit(part)
+          assert(rows((et, 2L, seg)) == ((t2, d2, part.length.toLong)),
+            s"l2 $et $seg")
+          assert(t2 < part.map(_._1).max, s"interior split $et $seg")
+        }
+      }
+    }
+  }
+
+  test("q282: BFS rings recomputed; rings + unreached tile the node set") {
+    val rows = SparkEntry.queries("q282_bfs_hops")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions.col
+    val pp = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hub = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .maxBy { case (n, d) => (d, -n) }._1
+    var visited = Set(hub)
+    var frontier = Set(hub)
+    val want = collection.mutable.Map(0L -> 1L)
+    (1L to 4L).foreach { h =>
+      val next = frontier.flatMap(adj(_)) -- visited
+      if (next.nonEmpty) want(h) = next.size.toLong
+      visited ++= next
+      frontier = next
+    }
+    val unreached = adj.keySet.size - visited.size
+    if (unreached > 0) want(-1L) = unreached.toLong
+    assert(rows == want.toMap, s"got $rows want $want")
+    assert(rows.values.sum == adj.keySet.size.toLong, "rings tile the nodes")
+  }
 }
