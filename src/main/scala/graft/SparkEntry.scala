@@ -7134,7 +7134,8 @@ object SparkEntry {
             col("node") === col("_vn"), "left_anti")
           .select(col("node"), lit(h).as("hop"))
           .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
+        // visited is a union of already-pinned rings — no re-checkpoint
+        visited = visited.unionAll(next)
         frontier = next
       }
       val ringed = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))

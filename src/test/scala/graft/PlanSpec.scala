@@ -674,6 +674,19 @@ class PlanSpec extends SparkSpec {
       "both touch passes must read the pinned sessionized rows")
   }
 
+  test("q280-q282: one-pass moments; bounded windows; BFS reads pinned rings") {
+    val p280 = executed("q280_discount_elasticity")
+    assert(p280.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert("lineitem\\.parquet".r.findAllIn(p280).length <= 2,
+      "all six moments come from ONE lineitem scan")
+    val p281 = executed("q281_binary_segmentation")
+    assert(!p281.contains("events.parquet"),
+      "both levels re-rank the pinned day table")
+    val p282 = executed("q282_bfs_hops")
+    assert(!p282.contains("lineitem.parquet"),
+      "rings and census read pinned frontiers, never the stream")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
