@@ -6498,14 +6498,7 @@ object SparkEntry {
       // one shuffle of the surviving edge list. The oracle mirrors it
       // as a bounded recursive CTE (extra rounds are no-ops after
       // convergence).
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-        .select("p1", "p2")
+      val edges = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
       graft.operators.KCore.core(edges, k = 3)
         .select(col("node").as("p_partkey"), col("deg").as("core_degree"))
     }),
@@ -6626,14 +6619,8 @@ object SparkEntry {
       // ordered edge list — each triangle counted once, attributed to
       // all three corners); degrees from one edge-list aggregate. The
       // edge list is pinned: four consumers, one materialization.
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-        .select("p1", "p2").localCheckpoint()
+      val e = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
+        .localCheckpoint()
       val deg = e.select(col("p1").as("node"))
         .unionAll(e.select(col("p2").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -6847,14 +6834,8 @@ object SparkEntry {
       // ties; at 100 TB these are the cross-community links a
       // partitioner must not cut). Edge list pinned, one wedge join,
       // |distinct embeddedness| output rows.
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-        .select("p1", "p2").localCheckpoint()
+      val e = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
+        .localCheckpoint()
       val tri = e.as("ab")
         .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
         .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
@@ -7111,14 +7092,8 @@ object SparkEntry {
       // an anti-join on the visited set (ids only). Emits how much of
       // the graph each hop ring reaches; 'unreached' rounds up the
       // census so the rings provably tile the node set.
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-        .select("p1", "p2").localCheckpoint()
+      val e = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
+        .localCheckpoint()
       val und = e.select(col("p1").as("u"), col("p2").as("v"))
         .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
         .localCheckpoint()

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The part co-purchase graph shared by the graph-analytics family
+  * (q267 k-core, q271 clustering coefficient, q276 embeddedness, q282 BFS):
+  * an undirected edge (p1 < p2) per part pair sharing at least `minOrders`
+  * orders.
+  *
+  * Scale shape: the pair fan-out is bounded by C(items-per-order, 2) per
+  * order (never all-parts²); the distinct projection collapses repeat lines
+  * before the self-join; the HAVING filter runs map-side-combinable. The
+  * caller decides whether to pin the result (every current consumer does —
+  * the edge list feeds 2-4 downstream passes).
+  */
+object CoPurchase {
+
+  /** Edge list (p1, p2) of the co-purchase graph over `lineitem`. */
+  def edges(lineitem: DataFrame, minOrders: Int = 2): DataFrame = {
+    val pp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    pp.as("a").join(pp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= minOrders)
+      .select("p1", "p2")
+  }
+}
