@@ -7123,6 +7123,121 @@ object SparkEntry {
       ringed.unionAll(unreached.where(col("n_nodes") > 0))
     }),
 
+    "q283_peak_concurrency" -> ((s, dir) => {
+      // Peak concurrent sessions per day by SWEEP-LINE interval
+      // counting: each q35 session emits +1 at its start and −1 one
+      // microsecond after its end; deltas collapse to the distinct-
+      // timestamp grain, the concurrency level is ONE distributed
+      // running sum over the timeline (GlobalRank — no single-partition
+      // window), and the daily peak is a max over that level. The
+      // capacity-planning number a naive per-minute GROUP BY gets
+      // wrong (it samples, the sweep is exact).
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("_gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("_new", when(col("_gap_us").isNull ||
+          col("_gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum("_new").over(wRun))
+        .groupBy("user_id", "session_no")
+        .agg(min("us").as("s_us"), max("us").as("e_us"))
+        .localCheckpoint() // deltas + the per-day start census read it
+      val deltas = sess.select(col("s_us").as("us"), lit(1L).as("d"))
+        .unionAll(sess.select((col("e_us") + 1).as("us"), lit(-1L).as("d")))
+        .groupBy("us").agg(sum("d").as("d"))
+      val level = graft.operators.GlobalRank.withRunningSum(
+        deltas, Seq(col("us").asc), col("d"), "conc")
+      val peaks = level
+        .select(expr("us div 86400000000").as("ed"), col("conc"))
+        .groupBy("ed").agg(max("conc").as("peak_concurrency"))
+      val started = sess
+        .select(expr("s_us div 86400000000").as("ed"))
+        .groupBy("ed").agg(count(lit(1)).as("sessions_started"))
+      peaks.join(started, Seq("ed"), "full_outer")
+        .na.fill(0L, Seq("peak_concurrency", "sessions_started"))
+    }),
+
+    "q284_eb_shrinkage" -> ((s, dir) => {
+      // Empirical-Bayes shrinkage of per-brand return rates (beta-
+      // binomial, method-of-moments prior): small brands get pulled
+      // toward the pooled mean in proportion to their evidence — the
+      // ranking discipline that stops a 3-line brand with one return
+      // from topping the "worst quality" report. Counts are exact
+      // LONGs; the prior moments are 10/12dp-pinned before the
+      // posterior so both engines shrink from identical (α, β).
+      val br = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+        .localCheckpoint() // prior moments re-agg the bounded brand table
+      val prior = broadcast(br
+        .select(col("n"), col("k"),
+          (col("k").cast("double") / col("n")).as("r"))
+        .agg(count(lit(1)).as("b"), sum("r").as("sr"),
+          sum(col("r") * col("r")).as("srr"))
+        .select(round(col("sr") / col("b"), 10).as("m"),
+          round((col("srr") - col("sr") * col("sr") / col("b"))
+            / (col("b") - 1), 12).as("v")))
+      br.crossJoin(prior)
+        .withColumn("ab", col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
+        .select(col("p_brand"), col("n"), col("k"),
+          round(col("k").cast("double") / col("n"), 6).as("raw_rate"),
+          round((col("k") + col("m") * col("ab"))
+            / (col("n") + col("ab")), 6).as("shrunk_rate"))
+    }),
+
+    "q285_oov_drift" -> ((s, dir) => {
+      // Frozen-vocabulary OOV drift: build the top-512 vocabulary on
+      // the corpus's FIRST half (by doc_id — the standing snapshot),
+      // then measure each source's out-of-vocabulary token rate on
+      // BOTH halves; the in-sample rate is the baseline that makes the
+      // second-half rate interpretable. The tokenizer-freeze question
+      // every multi-epoch ingest faces: is new data drifting out of
+      // the vocab the model was built on? Vocab cut on exact counts
+      // with token tie-break (TakeOrdered); OOV flags via one left
+      // join against the broadcast vocab.
+      val docs = t(s, dir, "documents")
+      val mx = broadcast(docs.agg(max("doc_id").as("mxid")))
+      val tk = docs.crossJoin(mx)
+        .select(when(col("doc_id") * 2 <= col("mxid"), lit("A"))
+            .otherwise(lit("B")).as("epoch"),
+          col("source"),
+          explode(split(lower(TextExprs.cleanText(col("text"))), " "))
+            .as("token"))
+        .where(col("token") =!= "")
+        .localCheckpoint() // vocab build + both epoch rates read it
+      val vocab = broadcast(tk.where(col("epoch") === "A")
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token").asc).limit(512)
+        .select(col("token").as("_vt")))
+      val flagged = tk.join(vocab, col("token") === col("_vt"), "left")
+        .select(col("epoch"), col("source"),
+          when(col("_vt").isNull, 1L).otherwise(0L).as("oov"))
+      val rates = flagged.groupBy("source", "epoch")
+        .agg(count(lit(1)).as("toks"), sum("oov").as("oovs"))
+      val a = rates.where(col("epoch") === "A")
+        .select(col("source"), col("toks").as("tokens_a"),
+          col("oovs").as("oov_a"))
+      val b = rates.where(col("epoch") === "B")
+        .select(col("source"), col("toks").as("tokens_b"),
+          col("oovs").as("oov_b"))
+      a.join(b, Seq("source"))
+        .select(col("source"), col("tokens_a"), col("oov_a"),
+          col("tokens_b"), col("oov_b"),
+          round(col("oov_a").cast("double") / col("tokens_a"), 6)
+            .as("oov_rate_a"),
+          round(col("oov_b").cast("double") / col("tokens_b"), 6)
+            .as("oov_rate_b"),
+          round(col("oov_b").cast("double") / col("tokens_b")
+            - col("oov_a").cast("double") / col("tokens_a"), 6)
+            .as("oov_drift"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -10903,6 +11018,82 @@ object SparkEntry {
           |SELECT hop, n_nodes FROM rings WHERE n_nodes > 0
           |UNION ALL SELECT hop, n_nodes FROM unreach WHERE n_nodes > 0"""
           .stripMargin,
+
+      "q283_peak_concurrency" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |   epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |     (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |sn AS (SELECT *, CAST(sum(CASE WHEN gap_us IS NULL
+          |     OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) OVER
+          |    (PARTITION BY user_id ORDER BY us, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          |  FROM ev),
+          |sess AS (SELECT user_id, session_no,
+          |   CAST(min(us) AS BIGINT) AS s_us, CAST(max(us) AS BIGINT) AS e_us
+          |  FROM sn GROUP BY 1, 2),
+          |deltas AS (SELECT us, CAST(sum(d) AS BIGINT) AS d FROM (
+          |   SELECT s_us AS us, 1 AS d FROM sess
+          |   UNION ALL SELECT e_us + 1, -1 FROM sess) GROUP BY 1),
+          |lvl AS (SELECT us, CAST(sum(d) OVER (ORDER BY us
+          |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM deltas),
+          |pk AS (SELECT us // 86400000000 AS ed,
+          |   CAST(max(conc) AS BIGINT) AS peak_concurrency
+          |  FROM lvl GROUP BY 1),
+          |st AS (SELECT s_us // 86400000000 AS ed,
+          |   CAST(count(*) AS BIGINT) AS sessions_started
+          |  FROM sess GROUP BY 1)
+          |SELECT coalesce(pk.ed, st.ed) AS ed,
+          | CAST(coalesce(pk.peak_concurrency, 0) AS BIGINT)
+          |   AS peak_concurrency,
+          | CAST(coalesce(st.sessions_started, 0) AS BIGINT)
+          |   AS sessions_started
+          |FROM pk FULL OUTER JOIN st ON pk.ed = st.ed""".stripMargin,
+
+      "q284_eb_shrinkage" ->
+        """WITH br AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS k
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |  GROUP BY 1),
+          |pr AS (SELECT round(sr / b, 10) AS m,
+          |   round((srr - sr * sr / b) / (b - 1), 12) AS v FROM (
+          |   SELECT count(*) AS b, sum(CAST(k AS DOUBLE) / n) AS sr,
+          |    sum((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) AS srr
+          |   FROM br))
+          |SELECT br.p_brand, br.n, br.k,
+          | round(CAST(br.k AS DOUBLE) / br.n, 6) AS raw_rate,
+          | round((br.k + pr.m * (pr.m * (1.0 - pr.m) / pr.v - 1.0))
+          |   / (br.n + (pr.m * (1.0 - pr.m) / pr.v - 1.0)), 6)
+          |   AS shrunk_rate
+          |FROM br, pr""".stripMargin,
+
+      "q285_oov_drift" ->
+        s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+           |tk AS (SELECT CASE WHEN d.doc_id * 2 <= mx.mxid THEN 'A'
+           |    ELSE 'B' END AS epoch, d.source, t.token
+           |  FROM (SELECT doc_id, source,
+           |     unnest(string_split(lower(${cleanSql("text")}), ' '))
+           |       AS token FROM documents) t
+           |  JOIN documents d USING (doc_id), mx
+           |  WHERE t.token <> ''),
+           |vocab AS (SELECT token FROM (
+           |   SELECT token, count(*) AS c FROM tk WHERE epoch = 'A'
+           |   GROUP BY 1) ORDER BY c DESC, token ASC LIMIT 512),
+           |rates AS (SELECT source, epoch,
+           |   CAST(count(*) AS BIGINT) AS toks,
+           |   CAST(sum(CASE WHEN tk.token IN (SELECT token FROM vocab)
+           |     THEN 0 ELSE 1 END) AS BIGINT) AS oovs
+           |  FROM tk GROUP BY 1, 2)
+           |SELECT a.source, a.toks AS tokens_a, a.oovs AS oov_a,
+           | b.toks AS tokens_b, b.oovs AS oov_b,
+           | round(CAST(a.oovs AS DOUBLE) / a.toks, 6) AS oov_rate_a,
+           | round(CAST(b.oovs AS DOUBLE) / b.toks, 6) AS oov_rate_b,
+           | round(CAST(b.oovs AS DOUBLE) / b.toks
+           |   - CAST(a.oovs AS DOUBLE) / a.toks, 6) AS oov_drift
+           |FROM (SELECT * FROM rates WHERE epoch = 'A') a
+           | JOIN (SELECT * FROM rates WHERE epoch = 'B') b
+           | USING (source)""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

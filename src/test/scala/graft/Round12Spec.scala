@@ -3027,4 +3027,84 @@ class Round12Spec extends SparkSpec {
     assert(rows == want.toMap, s"got $rows want $want")
     assert(rows.values.sum == adj.keySet.size.toLong, "rings tile the nodes")
   }
+
+  test("q283: sweep-line peaks recomputed from a full interval replay") {
+    val rows = SparkEntry.queries("q283_peak_concurrency")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val out = collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (s0, e0) = (sorted.head._3, sorted.head._3)
+      sorted.drop(1).foreach { e =>
+        if (e._3 - e0 <= 1800L * 1000000L) e0 = e._3
+        else { out += ((s0, e0)); s0 = e._3; e0 = e._3 }
+      }
+      out += ((s0, e0)); out
+    }.toSeq
+    val deltas = (sessions.map(s => (s._1, 1L)) ++
+      sessions.map(s => (s._2 + 1, -1L)))
+      .groupBy(_._1).map { case (us, ds) => us -> ds.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    var conc = 0L
+    val peak = collection.mutable.Map[Long, Long]()
+    deltas.foreach { case (us, d) =>
+      conc += d
+      val ed = us / 86400000000L
+      peak(ed) = math.max(peak.getOrElse(ed, Long.MinValue), conc)
+    }
+    val started = sessions.groupBy(_._1 / 86400000000L)
+      .map { case (ed, ss) => ed -> ss.size.toLong }
+    assert(rows.keySet == (peak.keySet ++ started.keySet), "day set")
+    rows.foreach { case (ed, (pk, st)) =>
+      assert(pk == peak.getOrElse(ed, 0L), s"peak at $ed")
+      assert(st == started.getOrElse(ed, 0L), s"starts at $ed")
+    }
+  }
+
+  test("q284: shrinkage pulls toward the pooled mean, hardest for small brands") {
+    val rows = SparkEntry.queries("q284_eb_shrinkage")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val rates = rows.map(_._2._3)
+    val m = rates.sum / rates.length
+    rows.foreach { case (b, (n, k, raw, shrunk)) =>
+      assert(math.abs(raw - k.toDouble / n) < 1e-6, s"raw for $b")
+      // the posterior lies strictly between the raw rate and the pooled
+      // mean (within display rounding)
+      assert((shrunk - raw) * (m - raw) >= -1e-6,
+        s"$b must shrink toward the mean: raw=$raw shrunk=$shrunk m=$m")
+      assert(math.abs(shrunk - raw) <= math.abs(m - raw) + 1e-6,
+        s"$b must not overshoot the mean")
+    }
+  }
+
+  test("q285: OOV rates recomputed against an independently-built vocab") {
+    val rows = SparkEntry.queries("q285_oov_drift")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    import org.apache.spark.sql.functions.{col, lower, split, explode}
+    val docs = graft.sources.Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(graft.functions.TextExprs.cleanText(col("text"))),
+          " ")).as("t"))
+      .where(col("t") =!= "").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mxid = docs.map(_._1).max
+    val (ea, eb) = docs.partition(_._1 * 2 <= mxid)
+    val vocab = ea.groupBy(_._3).map { case (t, ts) => (t, ts.size) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(512).map(_._1).toSet
+    def agg(part: Array[(Long, String, String)]) =
+      part.groupBy(_._2).map { case (src, ts) =>
+        src -> (ts.length.toLong, ts.count(x => !vocab(x._3)).toLong) }
+    val (wa, wb) = (agg(ea), agg(eb))
+    rows.foreach { case (src, (ta, oa, tb, ob)) =>
+      assert(wa(src) == ((ta, oa)), s"epoch A for $src")
+      assert(wb(src) == ((tb, ob)), s"epoch B for $src")
+    }
+    assert(rows.keySet == (wa.keySet intersect wb.keySet))
+  }
 }
