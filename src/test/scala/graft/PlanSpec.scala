@@ -687,6 +687,21 @@ class PlanSpec extends SparkSpec {
       "rings and census read pinned frontiers, never the stream")
   }
 
+  test("q283-q285: pinned grains; the concurrency level rides the range exchange") {
+    val p283 = executed("q283_peak_concurrency")
+    assert(!p283.contains("events.parquet"),
+      "deltas + start census read the pinned session table")
+    assert(p283.contains("Scan ExistingRDD"),
+      "the running concurrency must ride GlobalRank's RDD boundary")
+    val p284 = executed("q284_eb_shrinkage")
+    assert(!p284.contains("lineitem.parquet"),
+      "prior moments re-agg the pinned brand table")
+    val p285 = executed("q285_oov_drift")
+    assert(!p285.contains("documents.parquet"),
+      "vocab + both epoch rates read the pinned token stream")
+    assert(p285.contains("BroadcastHashJoin"), "the 512-token vocab broadcasts")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
