@@ -7238,6 +7238,124 @@ object SparkEntry {
             .as("oov_drift"))
     }),
 
+    "q286_link_prediction" -> ((s, dir) => {
+      // Common-neighbor link prediction over the co-purchase graph
+      // (Liben-Nowell & Kleinberg 2003): candidate pairs are EXACTLY
+      // the distance-2 wedge endpoints (never all-pairs), scored by
+      // neighborhood Jaccard cn/(deg_u + deg_v − cn), existing edges
+      // anti-joined away, top-20 on the rounded score via TakeOrdered.
+      // The "customers also bought" candidate generator, stated as a
+      // plan: one wedge join + one anti-join + two degree lookups.
+      val e = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
+        .localCheckpoint()
+      val und = e.select(col("p1").as("u"), col("p2").as("v"))
+        .unionAll(e.select(col("p2").as("u"), col("p1").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val wedges = und.as("a").join(und.as("b"),
+          col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+        .groupBy(col("a.u").as("p1"), col("b.v").as("p2"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = wedges.join(e, Seq("p1", "p2"), "left_anti")
+      cand
+        .join(deg.select(col("u").as("p1"), col("deg").as("d1")), Seq("p1"))
+        .join(deg.select(col("u").as("p2"), col("deg").as("d2")), Seq("p2"))
+        .select(col("p1"), col("p2"), col("cn"),
+          round(col("cn").cast("double")
+            / (col("d1") + col("d2") - col("cn")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+    }),
+
+    "q287_simpson_audit" -> ((s, dir) => {
+      // Simpson's-paradox screen on the q280 discount→quantity fit:
+      // for each brand, the GLOBAL OLS slope vs the per-customer-
+      // segment slopes — a sign flip between the aggregate and the
+      // (majority of) strata is the reversal that invalidates the
+      // naive "discounts work/don't work" read. All moments exact
+      // LONGs at (brand, segment) grain; the global fit re-aggregates
+      // the SAME moment table (moments are additive), so the stream is
+      // scanned once.
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        // customer joins UNHINTED: a real customer dim exceeds any
+        // broadcast threshold; AQE still broadcasts while it measures small
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("p_brand"), col("segment"),
+          round(col("l_discount") * 100).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val seg = li.groupBy("p_brand", "segment")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .localCheckpoint() // the global fit re-aggs these additive moments
+      def slope(n: Column, sx: Column, sy: Column, sxy: Column,
+          sxx: Column): Column =
+        (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx)
+      val segFit = seg.select(col("p_brand"),
+        when(slope(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx")) > 0, 1L).otherwise(0L).as("pos"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_segments"), sum("pos").as("n_seg_positive"))
+      val glob = seg.groupBy("p_brand")
+        .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+          sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+        .select(col("p_brand"),
+          round(slope(col("n"), col("sx"), col("sy"), col("sxy"),
+            col("sxx")), 6).as("global_slope"))
+      glob.join(segFit, Seq("p_brand"))
+        .select(col("p_brand"), col("global_slope"), col("n_segments"),
+          col("n_seg_positive"),
+          ((col("global_slope") > 0 &&
+            col("n_seg_positive") * 2 < col("n_segments")) ||
+           (col("global_slope") < 0 &&
+            col("n_seg_positive") * 2 > col("n_segments")))
+            .as("simpson_flag"))
+    }),
+
+    "q288_markov_order_test" -> ((s, dir) => {
+      // Memorylessness test for the q200/q250 first-order Markov view:
+      // in the 3-way table of session-gated (prev, cur, next) triples,
+      // test prev ⟂ next | cur — expected cell count E =
+      // T(prev,cur,·)·T(·,cur,next)/T(·,cur,·), χ² per middle state
+      // over observed cells. A large χ² says the chain remembers more
+      // than one step and the first-order transition matrix is a
+      // fiction. ALL margins re-aggregate the one pinned trigram
+      // table; doubles appear only in the (O−E)²/E display sum over
+      // ≤|types|² bounded cells.
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tri = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev", lag("event_type", 2).over(w))
+        .withColumn("cur", lag("event_type", 1).over(w))
+        .withColumn("g1", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("g2", lag(col("us"), 1).over(w) - lag(col("us"), 2).over(w))
+        .where(col("prev").isNotNull && col("g1") <= 1800L * 1000000L &&
+          col("g2") <= 1800L * 1000000L)
+        .groupBy(col("prev"), col("cur"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // three margins + the cell pass read it
+      val mPC = tri.groupBy("prev", "cur").agg(sum("o").as("t_pc"))
+      val mCN = tri.groupBy("cur", "next").agg(sum("o").as("t_cn"))
+      val mC = tri.groupBy("cur").agg(sum("o").as("t_c"))
+      tri.join(mPC, Seq("prev", "cur")).join(mCN, Seq("cur", "next"))
+        .join(broadcast(mC), Seq("cur"))
+        .select(col("cur"), col("o"),
+          ((col("t_pc") * col("t_cn")).cast("double") / col("t_c"))
+            .as("e"))
+        .groupBy("cur")
+        .agg(count(lit(1)).as("n_cells"), sum("o").as("n_trigrams"),
+          round(sum(pow(col("o") -
+            (col("e")), 2) / col("e")), 4).as("chi_sq"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11094,6 +11212,92 @@ object SparkEntry {
            |FROM (SELECT * FROM rates WHERE epoch = 'A') a
            | JOIN (SELECT * FROM rates WHERE epoch = 'B') b
            | USING (source)""".stripMargin,
+
+      "q286_link_prediction" ->
+        """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          |  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+          |   AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |und AS (SELECT p1 AS u, p2 AS v FROM e
+          |  UNION ALL SELECT p2, p1 FROM e),
+          |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+          |  FROM und GROUP BY 1),
+          |wedges AS (SELECT a.u AS p1, b.v AS p2,
+          |   CAST(count(*) AS BIGINT) AS cn
+          |  FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+          |  GROUP BY 1, 2),
+          |cand AS (SELECT w.* FROM wedges w
+          |  LEFT JOIN e ON w.p1 = e.p1 AND w.p2 = e.p2
+          |  WHERE e.p1 IS NULL)
+          |SELECT c.p1, c.p2, c.cn,
+          | round(CAST(c.cn AS DOUBLE) / (d1.deg + d2.deg - c.cn), 6)
+          |   AS jaccard
+          |FROM cand c JOIN deg d1 ON c.p1 = d1.u
+          | JOIN deg d2 ON c.p2 = d2.u
+          |ORDER BY jaccard DESC, c.p1 ASC, c.p2 ASC LIMIT 20""".stripMargin,
+
+      "q287_simpson_audit" ->
+        """WITH li AS (SELECT p.p_brand, c.c_mktsegment AS segment,
+          |   CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+          |   CAST(l.l_quantity AS BIGINT) AS y
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |   JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |   JOIN customer c ON o.o_custkey = c.c_custkey),
+          |seg AS (SELECT p_brand, segment, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |   CAST(sum(x * y) AS BIGINT) AS sxy,
+          |   CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM li GROUP BY 1, 2),
+          |sf AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_segments,
+          |   CAST(sum(CASE WHEN CAST(n * sxy - sx * sy AS DOUBLE)
+          |      / (n * sxx - sx * sx) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS n_seg_positive
+          |  FROM seg GROUP BY 1),
+          |gl AS (SELECT p_brand,
+          |   round(CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE)
+          |     / (sum(n) * sum(sxx) - sum(sx) * sum(sx)), 6)
+          |     AS global_slope
+          |  FROM seg GROUP BY 1)
+          |SELECT gl.p_brand, gl.global_slope, sf.n_segments,
+          | sf.n_seg_positive,
+          | ((gl.global_slope > 0 AND sf.n_seg_positive * 2 < sf.n_segments)
+          |  OR (gl.global_slope < 0
+          |   AND sf.n_seg_positive * 2 > sf.n_segments)) AS simpson_flag
+          |FROM gl JOIN sf ON gl.p_brand = sf.p_brand""".stripMargin,
+
+      "q288_markov_order_test" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          |   event_type,
+          |   lag(event_type, 2) OVER w AS prev,
+          |   lag(event_type, 1) OVER w AS cur,
+          |   epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS g1,
+          |   lag(epoch_us(ts), 1) OVER w - lag(epoch_us(ts), 2) OVER w
+          |     AS g2
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts),
+          |   event_id)),
+          |tri AS (SELECT prev, cur, event_type AS next,
+          |   CAST(count(*) AS BIGINT) AS o
+          |  FROM ev WHERE prev IS NOT NULL AND g1 <= 1800 * 1000000
+          |   AND g2 <= 1800 * 1000000
+          |  GROUP BY 1, 2, 3),
+          |mpc AS (SELECT prev, cur, CAST(sum(o) AS BIGINT) AS t_pc
+          |  FROM tri GROUP BY 1, 2),
+          |mcn AS (SELECT cur, next, CAST(sum(o) AS BIGINT) AS t_cn
+          |  FROM tri GROUP BY 1, 2),
+          |mc AS (SELECT cur, CAST(sum(o) AS BIGINT) AS t_c
+          |  FROM tri GROUP BY 1)
+          |SELECT tri.cur, CAST(count(*) AS BIGINT) AS n_cells,
+          | CAST(sum(tri.o) AS BIGINT) AS n_trigrams,
+          | round(sum(pow(tri.o - CAST(mpc.t_pc * mcn.t_cn AS DOUBLE)
+          |    / mc.t_c, 2)
+          |   / (CAST(mpc.t_pc * mcn.t_cn AS DOUBLE) / mc.t_c)), 4)
+          |   AS chi_sq
+          |FROM tri JOIN mpc ON tri.prev = mpc.prev AND tri.cur = mpc.cur
+          | JOIN mcn ON tri.cur = mcn.cur AND tri.next = mcn.next
+          | JOIN mc ON tri.cur = mc.cur
+          |GROUP BY 1""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

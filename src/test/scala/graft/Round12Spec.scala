@@ -3107,4 +3107,121 @@ class Round12Spec extends SparkSpec {
     }
     assert(rows.keySet == (wa.keySet intersect wb.keySet))
   }
+
+  /** Shared driver-side co-purchase graph (edges w>=2) for q286's replay. */
+  private lazy val coPurchaseAdj: Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val pp = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pp.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
+  test("q286: top-20 predicted links recomputed; no candidate is an existing edge") {
+    val rows = SparkEntry.queries("q286_link_prediction")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    val adj = coPurchaseAdj
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cand = (for {
+      // .toSeq on the inner generators: a Set-typed flatMap would dedupe
+      // the (u, v) wedge tuples and collapse every cn to 1
+      (u, nu) <- adj.toSeq; w <- nu.toSeq; v <- adj(w).toSeq
+      if u < v && !nu.contains(v)
+    } yield (u, v)).groupBy(identity).map { case ((u, v), ws) =>
+      val cn = ws.size.toLong
+      (u, v) -> (cn, r6(cn.toDouble / (adj(u).size + adj(v).size - cn)))
+    }
+    val want = cand.toSeq
+      .sortBy { case ((u, v), (_, j)) => (-j, u, v) }.take(20)
+    assert(rows.map(_._1).toSet == want.map(_._1).toSet, "top-20 pair set")
+    rows.foreach { case (p, got) =>
+      assert(got == cand(p), s"score for $p")
+      assert(!adj(p._1).contains(p._2), s"$p must not be an existing edge")
+    }
+  }
+
+  test("q287: global slope equals the moment-sum fit; flags recomputed") {
+    val rows = SparkEntry.queries("q287_simpson_audit")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    import org.apache.spark.sql.functions.{col, round}
+    val brandOf = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custOf = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val segOf = graft.sources.Tables.table(spark, sf(), "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"),
+        round(col("l_discount") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (brandOf(r.getLong(0)),
+        segOf(custOf(r.getLong(1))), r.getLong(2), r.getLong(3)))
+    def slope(ls: Seq[(Long, Long)]): Double = {
+      val n = ls.length.toLong
+      val (sx, sy) = (ls.map(_._1).sum, ls.map(_._2).sum)
+      val sxy = ls.map(l => l._1 * l._2).sum
+      val sxx = ls.map(l => l._1 * l._1).sum
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    }
+    li.groupBy(_._1).foreach { case (b, ls) =>
+      val g = slope(ls.map(l => (l._3, l._4)))
+      val segs = ls.groupBy(_._2).values
+        .map(ss => slope(ss.map(l => (l._3, l._4)))).toSeq
+      val (gg, gn, gp, gf) = rows(b)
+      assert(math.abs(gg - g) < 1e-5, s"global slope for $b")
+      assert(gn == segs.length.toLong, s"segment count for $b")
+      assert(gp == segs.count(_ > 0).toLong, s"positive segments for $b")
+      val wantFlag = (g > 0 && 2 * segs.count(_ > 0) < segs.length) ||
+        (g < 0 && 2 * segs.count(_ > 0) > segs.length)
+      assert(gf == wantFlag, s"simpson flag for $b")
+    }
+  }
+
+  test("q288: per-state chi-square recomputed from the trigram table") {
+    val rows = SparkEntry.queries("q288_markov_order_test")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val tris = ev.groupBy(_._1).values.flatMap { es =>
+      val s0 = es.sortBy(e => (e._3, e._2))
+      s0.sliding(3).filter(_.size == 3).flatMap { w =>
+        val gap1 = w(2)._3 - w(1)._3; val gap2 = w(1)._3 - w(0)._3
+        if (gap1 <= 1800000000L && gap2 <= 1800000000L)
+          Some((w(0)._4, w(1)._4, w(2)._4)) else None
+      }
+    }.toSeq
+    val o = tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tpc = o.groupBy(t => (t._1._1, t._1._2)).map { case (k, v) =>
+      k -> v.values.sum }
+    val tcn = o.groupBy(t => (t._1._2, t._1._3)).map { case (k, v) =>
+      k -> v.values.sum }
+    val tc = o.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    o.groupBy(_._1._2).foreach { case (cur, cells) =>
+      val chi = cells.map { case ((p, c, n), obs) =>
+        val e = tpc((p, c)).toDouble * tcn((c, n)) / tc(c)
+        (obs - e) * (obs - e) / e
+      }.sum
+      val (gcells, gtri, gchi) = rows(cur)
+      assert(gcells == cells.size.toLong && gtri == cells.values.sum,
+        s"margins for $cur")
+      assert(math.abs(gchi - chi) < 1e-3, s"chi for $cur")
+    }
+  }
 }
