@@ -702,6 +702,21 @@ class PlanSpec extends SparkSpec {
     assert(p285.contains("BroadcastHashJoin"), "the 512-token vocab broadcasts")
   }
 
+  test("q286-q288: wedge/moment/margin passes read pinned grains; no cartesian") {
+    val p286 = executed("q286_link_prediction")
+    assert(!p286.contains("lineitem.parquet"),
+      "wedges, degrees, and the anti-join read the pinned edge list")
+    assert(!p286.contains("CartesianProduct"),
+      "candidates are wedge endpoints, never all-pairs")
+    assert(p286.contains("TakeOrderedAndProject"))
+    val p287 = executed("q287_simpson_audit")
+    assert(!p287.contains("lineitem.parquet"),
+      "the global fit re-aggregates the pinned (brand, segment) moments")
+    val p288 = executed("q288_markov_order_test")
+    assert(!p288.contains("events.parquet"),
+      "all three margins re-aggregate the pinned trigram table")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
