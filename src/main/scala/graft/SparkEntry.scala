@@ -6624,12 +6624,7 @@ object SparkEntry {
       val deg = e.select(col("p1").as("node"))
         .unionAll(e.select(col("p2").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val tri = e.as("ab")
-        .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
-        .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
-          col("ac.p2") === col("bc.p2"))
-        .select(col("ab.p1").as("x"), col("ab.p2").as("y"),
-          col("bc.p2").as("z"))
+      val tri = graft.operators.CoPurchase.triangles(e)
       val triPerNode = tri.select(col("x").as("node"))
         .unionAll(tri.select(col("y").as("node")))
         .unionAll(tri.select(col("z").as("node")))
@@ -6836,12 +6831,7 @@ object SparkEntry {
       // |distinct embeddedness| output rows.
       val e = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
         .localCheckpoint()
-      val tri = e.as("ab")
-        .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
-        .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
-          col("ac.p2") === col("bc.p2"))
-        .select(col("ab.p1").as("x"), col("ab.p2").as("y"),
-          col("bc.p2").as("z"))
+      val tri = graft.operators.CoPurchase.triangles(e)
       // each triangle (x<y<z) credits edges (x,y), (y,z), (x,z)
       val perEdge = tri.select(col("x").as("p1"), col("y").as("p2"))
         .unionAll(tri.select(col("y").as("p1"), col("z").as("p2")))

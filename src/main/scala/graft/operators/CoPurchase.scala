@@ -26,4 +26,15 @@ object CoPurchase {
       .agg(count(lit(1)).as("w")).where(col("w") >= minOrders)
       .select("p1", "p2")
   }
+
+  /** Triangle enumeration (x < y < z, one row per triangle) by the
+    * node-iterator wedge join over an ordered edge list `e` (columns p1 <
+    * p2). Callers pin `e` first — the join reads it three times. */
+  def triangles(e: DataFrame): DataFrame =
+    e.as("ab")
+      .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
+      .join(e.as("ac"), col("ac.p1") === col("ab.p1") &&
+        col("ac.p2") === col("bc.p2"))
+      .select(col("ab.p1").as("x"), col("ab.p2").as("y"),
+        col("bc.p2").as("z"))
 }
