@@ -7346,6 +7346,85 @@ object SparkEntry {
             (col("e")), 2) / col("e")), 4).as("chi_sq"))
     }),
 
+    "q289_direct_adjustment" -> ((s, dir) => {
+      // Observational effect estimation by direct adjustment (stratified
+      // standardization): the naive discounted-vs-not quantity gap vs
+      // the stratum-weighted gap within (brand, segment) cells that
+      // have BOTH arms — the difference IS the confounding the naive
+      // read silently absorbs. One stream scan to exact per-(stratum,
+      // arm) LONG sums; everything downstream re-aggregates that
+      // bounded cell table. The causal-inference sanity check behind
+      // any "discounts increase volume by X" claim.
+      val cells = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("p_brand"), col("segment"),
+          (col("l_discount") > 0).as("treated"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+        .localCheckpoint() // naive + strata + weights all re-agg it
+      val naive = cells.groupBy("treated")
+        .agg(sum("n").as("n"), sum("sq").as("sq"))
+      val nT = naive.where(col("treated"))
+        .select(col("n").as("n_treated"), col("sq").as("sq_t"))
+      val nC = naive.where(!col("treated"))
+        .select(col("n").as("n_control"), col("sq").as("sq_c"))
+      val strata = cells.groupBy("p_brand", "segment")
+        .agg(count(lit(1)).as("arms"),
+          sum("n").as("n_s"),
+          sum(when(col("treated"), col("sq"))).as("sq_ts"),
+          sum(when(col("treated"), col("n"))).as("n_ts"),
+          sum(when(!col("treated"), col("sq"))).as("sq_cs"),
+          sum(when(!col("treated"), col("n"))).as("n_cs"))
+        .where(col("arms") === 2)
+      val adj = strata
+        .select(col("n_s"),
+          (col("n_s") * (col("sq_ts").cast("double") / col("n_ts")
+            - col("sq_cs").cast("double") / col("n_cs"))).as("wdiff"))
+        .agg(count(lit(1)).as("n_strata_used"), sum("n_s").as("w_tot"),
+          sum("wdiff").as("wd"))
+      adj.crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+        .select(col("n_strata_used"), col("n_treated"), col("n_control"),
+          round(col("sq_t").cast("double") / col("n_treated")
+            - col("sq_c").cast("double") / col("n_control"), 4)
+            .as("naive_effect"),
+          round(col("wd") / col("w_tot"), 4).as("adjusted_effect"),
+          round((col("sq_t").cast("double") / col("n_treated")
+            - col("sq_c").cast("double") / col("n_control"))
+            - col("wd") / col("w_tot"), 4).as("confounding_bias"))
+    }),
+
+    "q290_mix_independence" -> ((s, dir) => {
+      // χ² independence test on the source × language contingency
+      // table — the mix-stability check run before treating "source"
+      // and "language" as independent axes in a sampling plan. O and
+      // both margins are exact LONGs from one corpus scan; E =
+      // row·col/N and the per-source χ² contribution divide only at
+      // display, over the |sources|×|langs| bounded cell table.
+      val o = t(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint() // margins + the cell pass read it
+      val rowm = o.groupBy("source").agg(sum("o").as("r"))
+      val colm = o.groupBy("lang").agg(sum("o").as("c"))
+      val tot = broadcast(o.agg(sum("o").as("nn")))
+      o.join(rowm, Seq("source")).join(broadcast(colm), Seq("lang"))
+        .crossJoin(tot)
+        .select(col("source"), col("o"), col("r"),
+          ((col("r") * col("c")).cast("double") / col("nn")).as("e"))
+        .groupBy(col("source"), col("r").as("n_docs"))
+        .agg(count(lit(1)).as("n_langs"),
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 4)
+            .as("chi_sq_contrib"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("chi_sq_contrib"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11288,6 +11367,54 @@ object SparkEntry {
           | JOIN mcn ON tri.cur = mcn.cur AND tri.next = mcn.next
           | JOIN mc ON tri.cur = mc.cur
           |GROUP BY 1""".stripMargin,
+
+      "q289_direct_adjustment" ->
+        """WITH cells AS (SELECT p.p_brand, c.c_mktsegment AS segment,
+          |   l.l_discount > 0 AS treated, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |   JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |   JOIN customer c ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1, 2, 3),
+          |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_treated,
+          |   CAST(sum(sq) AS BIGINT) AS sq_t FROM cells WHERE treated),
+          |nc AS (SELECT CAST(sum(n) AS BIGINT) AS n_control,
+          |   CAST(sum(sq) AS BIGINT) AS sq_c FROM cells WHERE NOT treated),
+          |st AS (SELECT p_brand, segment, CAST(count(*) AS BIGINT) AS arms,
+          |   CAST(sum(n) AS BIGINT) AS n_s,
+          |   CAST(sum(CASE WHEN treated THEN sq END) AS BIGINT) AS sq_ts,
+          |   CAST(sum(CASE WHEN treated THEN n END) AS BIGINT) AS n_ts,
+          |   CAST(sum(CASE WHEN NOT treated THEN sq END) AS BIGINT)
+          |     AS sq_cs,
+          |   CAST(sum(CASE WHEN NOT treated THEN n END) AS BIGINT) AS n_cs
+          |  FROM cells GROUP BY 1, 2 HAVING count(*) = 2),
+          |adj AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+          |   CAST(sum(n_s) AS BIGINT) AS w_tot,
+          |   sum(n_s * (CAST(sq_ts AS DOUBLE) / n_ts
+          |     - CAST(sq_cs AS DOUBLE) / n_cs)) AS wd FROM st)
+          |SELECT adj.n_strata_used, nt.n_treated, nc.n_control,
+          | round(CAST(nt.sq_t AS DOUBLE) / nt.n_treated
+          |   - CAST(nc.sq_c AS DOUBLE) / nc.n_control, 4) AS naive_effect,
+          | round(adj.wd / adj.w_tot, 4) AS adjusted_effect,
+          | round((CAST(nt.sq_t AS DOUBLE) / nt.n_treated
+          |   - CAST(nc.sq_c AS DOUBLE) / nc.n_control)
+          |   - adj.wd / adj.w_tot, 4) AS confounding_bias
+          |FROM adj, nt, nc""".stripMargin,
+
+      "q290_mix_independence" ->
+        """WITH o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+          |  FROM documents GROUP BY 1, 2),
+          |rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+          |  FROM o GROUP BY 1),
+          |cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+          |  FROM o GROUP BY 1),
+          |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM o)
+          |SELECT o.source, rm.r AS n_docs,
+          | CAST(count(*) AS BIGINT) AS n_langs,
+          | round(sum(pow(o.o - CAST(rm.r * cm.c AS DOUBLE) / t.nn, 2)
+          |   / (CAST(rm.r * cm.c AS DOUBLE) / t.nn)), 4) AS chi_sq_contrib
+          |FROM o JOIN rm USING (source) JOIN cm USING (lang), t
+          |GROUP BY 1, 2""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

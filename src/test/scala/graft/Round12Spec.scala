@@ -3224,4 +3224,64 @@ class Round12Spec extends SparkSpec {
       assert(math.abs(gchi - chi) < 1e-3, s"chi for $cur")
     }
   }
+
+  test("q289: naive and adjusted effects recomputed from raw strata") {
+    val r = SparkEntry.queries("q289_direct_adjustment")(spark, sf())
+      .collect().head
+    import org.apache.spark.sql.functions.col
+    val brandOf = graft.sources.Tables.table(spark, sf(), "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val custOf = graft.sources.Tables.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val segOf = graft.sources.Tables.table(spark, sf(), "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_discount"),
+        col("l_quantity").cast("long"))
+      .collect().map(x => ((brandOf(x.getLong(0)),
+        segOf(custOf(x.getLong(1)))), x.getDouble(2) > 0, x.getLong(3)))
+    val t0 = li.filter(_._2); val c0 = li.filterNot(_._2)
+    val naive = t0.map(_._3).sum.toDouble / t0.length -
+      c0.map(_._3).sum.toDouble / c0.length
+    val strata = li.groupBy(_._1).filter { case (_, ls) =>
+      ls.exists(_._2) && ls.exists(!_._2) }
+    val wTot = strata.values.map(_.length.toLong).sum
+    val wd = strata.values.map { ls =>
+      val (ts, cs) = ls.partition(_._2)
+      ls.length.toLong * (ts.map(_._3).sum.toDouble / ts.length -
+        cs.map(_._3).sum.toDouble / cs.length)
+    }.sum
+    assert(r.getLong(0) == strata.size.toLong, "strata used")
+    assert(r.getLong(1) == t0.length.toLong && r.getLong(2) == c0.length.toLong)
+    assert(math.abs(r.getDouble(3) - naive) < 1e-3, "naive effect")
+    assert(math.abs(r.getDouble(4) - wd / wTot) < 1e-3, "adjusted effect")
+    assert(math.abs(r.getDouble(5) - (naive - wd / wTot)) < 1e-3, "bias")
+  }
+
+  test("q290: per-source chi-square contributions recomputed; margins exact") {
+    val rows = SparkEntry.queries("q290_mix_independence")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val o = graft.sources.Tables.table(spark, sf(), "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rm = o.groupBy(_._1._1).map { case (s0, v) => s0 -> v.values.sum }
+    val cm = o.groupBy(_._1._2).map { case (l, v) => l -> v.values.sum }
+    val nn = o.values.sum
+    rm.foreach { case (src, r0) =>
+      val cells = o.filter(_._1._1 == src)
+      val chi = cells.map { case ((_, l), obs) =>
+        val e = r0.toDouble * cm(l) / nn
+        (obs - e) * (obs - e) / e
+      }.sum
+      val (gn, gl, gchi) = rows(src)
+      assert(gn == r0 && gl == cells.size.toLong, s"margins for $src")
+      assert(math.abs(gchi - chi) < 1e-3, s"chi for $src")
+    }
+    assert(rows.keySet == rm.keySet)
+  }
 }
