@@ -717,6 +717,15 @@ class PlanSpec extends SparkSpec {
       "all three margins re-aggregate the pinned trigram table")
   }
 
+  test("q289/q290: everything downstream re-aggregates the pinned cell tables") {
+    val p289 = executed("q289_direct_adjustment")
+    assert(!p289.contains("lineitem.parquet"),
+      "naive + strata + weights re-agg the pinned (stratum, arm) cells")
+    val p290 = executed("q290_mix_independence")
+    assert(!p290.contains("documents.parquet"),
+      "margins + cells read the pinned contingency table")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
