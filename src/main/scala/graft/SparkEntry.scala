@@ -83,6 +83,17 @@ object SparkEntry {
     j -> ipow(7, j - 1) * ipow(8, 12 - j)
   }
 
+  /** q291's SPRT constants, ×10⁹-pinned to exact LONGs (the q249 scaled-log
+    * trick): per-success and per-failure log-likelihood-ratio increments for
+    * H0 p=0.19 vs H1 p=0.21, and the Wald boundaries ±ln(19) for
+    * α = β = 0.05. Shared with the generated DuckDB twin so both engines
+    * accumulate identical integers. */
+  private[graft] val sprtL1: Long =
+    math.round(math.log(0.21 / 0.19) * 1e9)
+  private[graft] val sprtL2: Long =
+    math.round(math.log((1 - 0.21) / (1 - 0.19)) * 1e9)
+  private[graft] val sprtBound: Long = math.round(math.log(19.0) * 1e9)
+
   /** q241's engine-neutral minhash permutation constants: 52-bit XOR mixers
     * derived from md5 so BOTH engines block with the same scheme (unlike
     * the production path's Murmur3 `MinHashExprs`, which DuckDB cannot
@@ -7425,6 +7436,71 @@ object SparkEntry {
           col("chi_sq_contrib"))
     }),
 
+    "q291_sprt_replay" -> ((s, dir) => {
+      // Sequential probability ratio test replay (Wald 1945) on the
+      // daily purchase rate: when would a sequential monitor have
+      // stopped? The log-likelihood ratio accumulates as an EXACT LONG
+      // (per-success/per-failure increments and the ±ln 19 boundaries
+      // are ×10⁹-pinned shared constants — the q249 scaled-log trick),
+      // so the crossing day is bit-determined, not float-lucky. Day
+      // grain once; the cumulative rides a bounded triangular self-join
+      // (prevCumByKey posture), zero partition-less windows.
+      val d = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("k"))
+        .groupBy("ed")
+        .agg(count(lit(1)).as("n"), sum("k").as("k"))
+        .withColumn("llr_day",
+          col("k") * sprtL1 + (col("n") - col("k")) * sprtL2)
+      val cum = d.join(prevCumByKey(
+          d.select(col("ed"), col("llr_day")), "ed", "llr_day"), Seq("ed"))
+        .withColumn("cum_llr", col("prev_cum") + col("llr_day"))
+      cum.select(col("ed"), col("n"), col("k"),
+        round(col("cum_llr").cast("double") / 1e9, 6).as("llr"),
+        when(col("cum_llr") >= sprtBound, lit("accept_h1"))
+          .when(col("cum_llr") <= -sprtBound, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+    }),
+
+    "q292_price_index" -> ((s, dir) => {
+      // Laspeyres / Paasche / Fisher price indices between the stream's
+      // shipdate halves — the index-number layer over q257's epoch
+      // split: per-part unit values (exact LONG cents and quantities)
+      // for both epochs, index sums over the parts traded in BOTH (the
+      // matched basket), Fisher as the geometric mean. The part-grain
+      // table is bounded, so the double index sums round safely at
+      // display; everything upstream is integer.
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("q"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+      val cut = broadcast(li.agg(min("ed").as("lo"), max("ed").as("hi"))
+        .select(expr("(lo + hi) div 2").as("cut")))
+      val pp = li.crossJoin(cut)
+        .groupBy("l_partkey")
+        .agg(sum(when(col("ed") <= col("cut"), col("c"))).as("v0"),
+          sum(when(col("ed") <= col("cut"), col("q"))).as("q0"),
+          sum(when(col("ed") > col("cut"), col("c"))).as("v1"),
+          sum(when(col("ed") > col("cut"), col("q"))).as("q1"))
+        .where(col("q0") > 0 && col("q1") > 0)
+      // p_e = v_e/q_e; Laspeyres = Σ p1·q0 / Σ p0·q0, Paasche with q1
+      pp.select(
+          (col("v1").cast("double") / col("q1") * col("q0")).as("p1q0"),
+          col("v0").cast("double").as("p0q0"), // v0 = p0·q0 exactly
+          col("v1").cast("double").as("p1q1"), // v1 = p1·q1 exactly
+          (col("v0").cast("double") / col("q0") * col("q1")).as("p0q1"))
+        .agg(count(lit(1)).as("n_parts_both"),
+          sum("p1q0").as("l_num"), sum("p0q0").as("l_den"),
+          sum("p1q1").as("p_num"), sum("p0q1").as("p_den"))
+        .select(col("n_parts_both"),
+          round(col("l_num") / col("l_den"), 4).as("laspeyres"),
+          round(col("p_num") / col("p_den"), 4).as("paasche"),
+          round(sqrt((col("l_num") / col("l_den"))
+            * (col("p_num") / col("p_den"))), 4).as("fisher"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11415,6 +11491,49 @@ object SparkEntry {
           |   / (CAST(rm.r * cm.c AS DOUBLE) / t.nn)), 4) AS chi_sq_contrib
           |FROM o JOIN rm USING (source) JOIN cm USING (lang), t
           |GROUP BY 1, 2""".stripMargin,
+
+      "q291_sprt_replay" ->
+        s"""WITH d AS (SELECT
+           |   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           |     AS BIGINT) AS ed, CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |     AS BIGINT) AS k
+           |  FROM events GROUP BY 1),
+           |l AS (SELECT ed, n, k,
+           |   k * CAST($sprtL1 AS BIGINT)
+           |    + (n - k) * CAST($sprtL2 AS BIGINT) AS llr_day FROM d),
+           |c AS (SELECT ed, n, k,
+           |   CAST(sum(llr_day) OVER (ORDER BY ed ROWS UNBOUNDED PRECEDING)
+           |     AS BIGINT) AS cum_llr FROM l)
+           |SELECT ed, n, k, round(CAST(cum_llr AS DOUBLE) / 1e9, 6) AS llr,
+           | CASE WHEN cum_llr >= $sprtBound THEN 'accept_h1'
+           |  WHEN cum_llr <= -$sprtBound THEN 'accept_h0'
+           |  ELSE 'continue' END AS decision
+           |FROM c""".stripMargin,
+
+      "q292_price_index" ->
+        """WITH li AS (SELECT l_partkey,
+          |   CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+          |   CAST(l_quantity AS BIGINT) AS q,
+          |   CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+          |     AS BIGINT) AS ed FROM lineitem),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM li),
+          |pp AS (SELECT l_partkey,
+          |   CAST(sum(CASE WHEN ed <= b.cut THEN c END) AS BIGINT) AS v0,
+          |   CAST(sum(CASE WHEN ed <= b.cut THEN q END) AS BIGINT) AS q0,
+          |   CAST(sum(CASE WHEN ed > b.cut THEN c END) AS BIGINT) AS v1,
+          |   CAST(sum(CASE WHEN ed > b.cut THEN q END) AS BIGINT) AS q1
+          |  FROM li, b GROUP BY 1
+          |  HAVING q0 > 0 AND q1 > 0),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_both,
+          |   sum(CAST(v1 AS DOUBLE) / q1 * q0) AS l_num,
+          |   sum(CAST(v0 AS DOUBLE)) AS l_den,
+          |   sum(CAST(v1 AS DOUBLE)) AS p_num,
+          |   sum(CAST(v0 AS DOUBLE) / q0 * q1) AS p_den FROM pp)
+          |SELECT n_parts_both, round(l_num / l_den, 4) AS laspeyres,
+          | round(p_num / p_den, 4) AS paasche,
+          | round(sqrt((l_num / l_den) * (p_num / p_den)), 4) AS fisher
+          |FROM s""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

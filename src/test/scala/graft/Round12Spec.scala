@@ -3284,4 +3284,61 @@ class Round12Spec extends SparkSpec {
     }
     assert(rows.keySet == rm.keySet)
   }
+
+  test("q291: the exact-LONG LLR replay and decisions recomputed") {
+    val rows = SparkEntry.queries("q291_sprt_replay")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toMap
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff}
+    val ev = graft.sources.Tables.table(spark, sf(), "events")
+      .select(datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDay = ev.groupBy(_._1).map { case (ed, es) =>
+      ed -> (es.length.toLong, es.count(_._2 == "purchase").toLong) }
+    var cum = 0L
+    byDay.toSeq.sortBy(_._1).foreach { case (ed, (n, k)) =>
+      cum += k * SparkEntry.sprtL1 + (n - k) * SparkEntry.sprtL2
+      val (gn, gk, gllr, gdec) = rows(ed)
+      assert(gn == n && gk == k, s"day counts at $ed")
+      assert(math.abs(gllr - cum.toDouble / 1e9) < 1e-6, s"llr at $ed")
+      val want = if (cum >= SparkEntry.sprtBound) "accept_h1"
+        else if (cum <= -SparkEntry.sprtBound) "accept_h0" else "continue"
+      assert(gdec == want, s"decision at $ed")
+    }
+    assert(rows.size == byDay.size)
+  }
+
+  test("q292: Fisher sits between Laspeyres and Paasche; indices recomputed") {
+    val r = SparkEntry.queries("q292_price_index")(spark, sf())
+      .collect().head
+    val (np, l, p, f) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(f >= math.min(l, p) - 1e-4 && f <= math.max(l, p) + 1e-4,
+      "Fisher is the geometric mean")
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-3)
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff, round}
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    val cut = (li.map(_._4).min + li.map(_._4).max) / 2
+    val pp = li.groupBy(_._1).flatMap { case (_, ls) =>
+      val (a, b) = ls.partition(_._4 <= cut)
+      if (a.nonEmpty && b.nonEmpty)
+        Some((a.map(_._2).sum, a.map(_._3).sum,
+          b.map(_._2).sum, b.map(_._3).sum))
+      else None
+    }.toSeq
+    assert(np == pp.length.toLong, "matched basket size")
+    val lNum = pp.map { case (_, q0, v1, q1) => v1.toDouble / q1 * q0 }.sum
+    val lDen = pp.map(_._1.toDouble).sum
+    val pNum = pp.map(_._3.toDouble).sum
+    val pDen = pp.map { case (v0, q0, _, q1) => v0.toDouble / q0 * q1 }.sum
+    assert(math.abs(l - lNum / lDen) < 1e-3, "laspeyres")
+    assert(math.abs(p - pNum / pDen) < 1e-3, "paasche")
+  }
 }
