@@ -7501,6 +7501,71 @@ object SparkEntry {
             * (col("p_num") / col("p_den"))), 4).as("fisher"))
     }),
 
+    "q293_segment_migration" -> ((s, dir) => {
+      // Customer spend-quintile MIGRATION matrix between the order
+      // stream's epoch halves — the CRM churn/upgrade view behind every
+      // "segment health" dashboard. Each half ranks its customers into
+      // quintiles via GlobalRank.withNtile (the range-exchange ntile —
+      // identical semantics to ntile(5) OVER, no single-partition
+      // window); customers absent from a half land in quintile 0, so
+      // new/churned mass stays visible and the matrix provably tiles
+      // the customer set. All-integer output with row shares at
+      // display.
+      val li = t(s, dir, "orders").select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+      val cut = broadcast(li.agg(min("ed").as("lo"), max("ed").as("hi"))
+        .select(expr("(lo + hi) div 2").as("cut")))
+      val pinned = li.crossJoin(cut).localCheckpoint()
+      def quintiles(half: DataFrame): DataFrame =
+        graft.operators.GlobalRank.withNtile(
+          half.groupBy("o_custkey").agg(sum("c").as("v")),
+          buckets = 5, Seq(col("v").asc, col("o_custkey").asc), "q")
+          .select(col("o_custkey"), col("q").cast("long").as("q"))
+      val q0 = quintiles(pinned.where(col("ed") <= col("cut")))
+        .withColumnRenamed("q", "q_early")
+      val q1 = quintiles(pinned.where(col("ed") > col("cut")))
+        .withColumnRenamed("q", "q_late")
+      val cellsM = q0.join(q1, Seq("o_custkey"), "full_outer")
+        .na.fill(0L, Seq("q_early", "q_late"))
+        .groupBy("q_early", "q_late").agg(count(lit(1)).as("n_customers"))
+      cellsM.join(cellsM.groupBy("q_early").agg(sum("n_customers").as("_r")),
+          Seq("q_early"))
+        .select(col("q_early"), col("q_late"), col("n_customers"),
+          round(col("n_customers").cast("double") / col("_r"), 4)
+            .as("row_share"))
+    }),
+
+    "q294_experiment_sizing" -> ((s, dir) => {
+      // Prospective A/B sizing from observed data: per event type, the
+      // minimum detectable effect on the ENGAGED-user rate (≥ 15
+      // events of the type — every user touches every type in this
+      // stream, so bare reach saturates at 1.0) at α=0.05 / 80% power
+      // if the CURRENT user base were split in two — the "is this
+      // experiment even worth running" number. Counts are exact LONGs
+      // from one (user, type) aggregate; z constants are shared
+      // literals; only the final MDE formula is a double. MDE above
+      // the effect you hope for ⇒ the test cannot conclude.
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_ev"))
+        .localCheckpoint() // reach per type + the user total share it
+      val totU = broadcast(users.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users")))
+      users.where(col("n_ev") >= 15)
+        .groupBy("event_type").agg(count(lit(1)).as("n_reached"))
+        .crossJoin(totU)
+        .select(col("event_type"), col("n_reached"), col("n_users"),
+          round(col("n_reached").cast("double") / col("n_users"), 6)
+            .as("reach_rate"),
+          // (z_{0.975} + z_{0.8}) · sqrt(2·p(1−p)/(n/2))
+          round(lit(1.959964 + 0.841621) *
+            sqrt(lit(2.0) * (col("n_reached").cast("double") / col("n_users"))
+              * (lit(1.0) - col("n_reached").cast("double") / col("n_users"))
+              / (col("n_users").cast("double") / 2)), 6).as("mde_abs"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11534,6 +11599,46 @@ object SparkEntry {
           | round(p_num / p_den, 4) AS paasche,
           | round(sqrt((l_num / l_den) * (p_num / p_den)), 4) AS fisher
           |FROM s""".stripMargin,
+
+      "q293_segment_migration" ->
+        """WITH li AS (SELECT o_custkey,
+          |   CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+          |   CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+          |     AS BIGINT) AS ed FROM orders),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM li),
+          |q0 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY v, o_custkey)
+          |   AS BIGINT) AS q_early FROM (
+          |   SELECT o_custkey, CAST(sum(c) AS BIGINT) AS v FROM li, b
+          |   WHERE ed <= b.cut GROUP BY 1)),
+          |q1 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY v, o_custkey)
+          |   AS BIGINT) AS q_late FROM (
+          |   SELECT o_custkey, CAST(sum(c) AS BIGINT) AS v FROM li, b
+          |   WHERE ed > b.cut GROUP BY 1)),
+          |cells AS (SELECT coalesce(q0.q_early, 0) AS q_early,
+          |   coalesce(q1.q_late, 0) AS q_late,
+          |   CAST(count(*) AS BIGINT) AS n_customers
+          |  FROM q0 FULL OUTER JOIN q1 USING (o_custkey)
+          |  GROUP BY 1, 2),
+          |rows_ AS (SELECT q_early, CAST(sum(n_customers) AS BIGINT) AS r
+          |  FROM cells GROUP BY 1)
+          |SELECT c.q_early, c.q_late, c.n_customers,
+          | round(CAST(c.n_customers AS DOUBLE) / r.r, 4) AS row_share
+          |FROM cells c JOIN rows_ r ON c.q_early = r.q_early""".stripMargin,
+
+      "q294_experiment_sizing" ->
+        """WITH u AS (SELECT user_id, event_type,
+          |   CAST(count(*) AS BIGINT) AS n_ev FROM events GROUP BY 1, 2),
+          |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |  FROM u),
+          |r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reached
+          |  FROM u WHERE n_ev >= 15 GROUP BY 1)
+          |SELECT r.event_type, r.n_reached, t.n_users,
+          | round(CAST(r.n_reached AS DOUBLE) / t.n_users, 6) AS reach_rate,
+          | round((1.959964 + 0.841621) *
+          |   sqrt(2.0 * (CAST(r.n_reached AS DOUBLE) / t.n_users)
+          |    * (1.0 - CAST(r.n_reached AS DOUBLE) / t.n_users)
+          |    / (CAST(t.n_users AS DOUBLE) / 2)), 6) AS mde_abs
+          |FROM r, t""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

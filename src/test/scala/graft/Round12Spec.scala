@@ -3341,4 +3341,58 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(l - lNum / lDen) < 1e-3, "laspeyres")
     assert(math.abs(p - pNum / pDen) < 1e-3, "paasche")
   }
+
+  test("q293: the migration matrix tiles every customer once; quintiles recomputed") {
+    val rows = SparkEntry.queries("q293_segment_migration")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff, round}
+    val os = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (os.map(_._3).min + os.map(_._3).max) / 2
+    def quint(half: Seq[(Long, Long)]): Map[Long, Long] = {
+      val byCust = half.groupBy(_._1).map { case (ck, ls) =>
+        (ck, ls.map(_._2).sum) }.toSeq.sortBy { case (ck, v) => (v, ck) }
+      val n = byCust.length
+      byCust.zipWithIndex.map { case ((ck, _), i) =>
+        // ntile(5): first n%5 buckets get one extra row
+        val base = n / 5; val extra = n % 5
+        val q = if (i < (base + 1) * extra) i / (base + 1)
+          else extra + (i - (base + 1) * extra) / base
+        ck -> (q + 1L)
+      }.toMap
+    }
+    val q0 = quint(os.filter(_._3 <= cut).map(o => (o._1, o._2)))
+    val q1 = quint(os.filter(_._3 > cut).map(o => (o._1, o._2)))
+    val want = (q0.keySet ++ q1.keySet).toSeq
+      .map(ck => (q0.getOrElse(ck, 0L), q1.getOrElse(ck, 0L)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet == want.keySet, "cell set")
+    want.foreach { case (cell, n) => assert(rows(cell)._1 == n, s"cell $cell") }
+    assert(rows.values.map(_._1).sum == (q0.keySet ++ q1.keySet).size.toLong,
+      "matrix tiles the customer set")
+  }
+
+  test("q294: engaged reach and MDE recomputed; MDE shrinks with reach toward 0.5") {
+    val rows = SparkEntry.queries("q294_experiment_sizing")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(4))).toMap
+    import org.apache.spark.sql.functions.col
+    val pc = graft.sources.Tables.table(spark, sf(), "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val nUsers = pc.keySet.map(_._1).size.toLong
+    pc.keySet.map(_._2).foreach { et =>
+      val reached = pc.count { case ((_, t), n) => t == et && n >= 15 }.toLong
+      val (gr, gn, gm) = rows(et)
+      assert(gr == reached && gn == nUsers, s"reach for $et")
+      val p = reached.toDouble / nUsers
+      val mde = (1.959964 + 0.841621) *
+        math.sqrt(2 * p * (1 - p) / (nUsers / 2.0))
+      assert(math.abs(gm - mde) < 1e-5, s"mde for $et")
+    }
+  }
 }
