@@ -7453,6 +7453,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("k"))
         .withColumn("llr_day",
           col("k") * sprtL1 + (col("n") - col("k")) * sprtL2)
+        .localCheckpoint() // the triangular cum + the final join share it
       val cum = d.join(prevCumByKey(
           d.select(col("ed"), col("llr_day")), "ed", "llr_day"), Seq("ed"))
         .withColumn("cum_llr", col("prev_cum") + col("llr_day"))
