@@ -6779,6 +6779,8 @@ object SparkEntry {
       def row(rule: String, scope: String, pair: (Long, Long)): DataFrame =
         Seq((rule, scope, pair._2, pair._1)).toDF(
           "rule", "scope", "violations", "n_checked")
+      // bounded collects: three ONE-ROW aggregate results assembled into
+      // the 7-row ledger — the corpus-facing work is entirely distributed
       val lc = lineChecks.collect().head
       val cg = contig.collect().head
       val sa = shipAfter.collect().head
