@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object CoPurchase {
 
-  /** Edge list (p1, p2) of the co-purchase graph over `lineitem`. */
+  /** Edge list (p1, p2) of the co-purchase graph over `lineitem`.
+    *
+    * Pair generation collapses to order grain FIRST (one shuffle, basket
+    * arrays bounded by items-per-order) and expands C(k,2) ordered pairs
+    * with array lambdas — the alternative pp⋈pp self-join costs a join for
+    * the same two exchanges. The lambdas are interpreted, but they run on
+    * ≤items-per-order arrays once per ORDER, not per pair. */
   def edges(lineitem: DataFrame, minOrders: Int = 2): DataFrame = {
-    val pp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    pp.as("a").join(pp.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+    baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS p1, y AS p2))))")).as("e"))
+      .groupBy(col("e.p1").as("p1"), col("e.p2").as("p2"))
       .agg(count(lit(1)).as("w")).where(col("w") >= minOrders)
       .select("p1", "p2")
   }
