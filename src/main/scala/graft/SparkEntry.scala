@@ -5033,15 +5033,9 @@ object SparkEntry {
       // sparsifies the edge set first, the standard mining cut that also
       // bounds wedge fan-out at scale. Global clustering coefficient =
       // 3·triangles / wedges, every term an exact integer.
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select("u", "v")
+      val edges = graft.operators.CoPurchase.edges(t(s, dir, "lineitem"))
+        .select(col("p1").as("u"), col("p2").as("v"))
+        .localCheckpoint() // degree census + both wedge sides + the closer
       val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val base = deg.agg(count(lit(1)).as("n_nodes"),
