@@ -7563,6 +7563,82 @@ object SparkEntry {
               / (col("n_users").cast("double") / 2)), 6).as("mde_abs"))
     }),
 
+    "q295_dose_response" -> ((s, dir) => {
+      // Return-rate dose-response curve over discount points with
+      // WILSON score intervals (Brown, Cai & DasGupta 2001 — the
+      // interval that stays sane at extreme rates and small cells,
+      // unlike the Wald ±z√(p(1−p)/n) taught everywhere): one exact
+      // integer aggregate to the 11-point discount grid, the interval
+      // formula the only doubles. The pricing question behind q280's
+      // slope: WHERE on the discount scale does the response move?
+      val g = t(s, dir, "lineitem")
+        .groupBy(round(col("l_discount") * 100).cast("long").as("discount_pct"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      val z2 = 1.959964 * 1.959964
+      val p = col("k").cast("double") / col("n")
+      val center = (p + lit(z2) / (col("n") * 2)) /
+        (lit(1.0) + lit(z2) / col("n"))
+      val half = (lit(1.959964) *
+        sqrt(p * (lit(1.0) - p) / col("n")
+          + lit(z2) / (col("n").cast("double") * col("n") * 4))) /
+        (lit(1.0) + lit(z2) / col("n"))
+      g.select(col("discount_pct"), col("n"), col("k"),
+        round(p, 6).as("return_rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+    }),
+
+    "q296_split_half" -> ((s, dir) => {
+      // Split-half reliability of the per-source quality ranking:
+      // Spearman ρ between the per-source mean q133 scores computed on
+      // two md5-parity doc halves (doc_id mod anything small IS the
+      // source in this fixture — the md5 draw is the engine-neutral
+      // randomizer the suite already uses for sampling) — if the
+      // ranking does not replicate against ITSELF, no threshold
+      // derived from it deserves trust. Score sums are ×10⁴-pinned
+      // LONGs per half; ranks come from two bounded |sources|-row
+      // sorts; ρ = 1 − 6Σd²/(n(n²−1)) is exact integers until the
+      // display division.
+      val posSources = (0 to 4).map(i => s"src$i")
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.hashNbClassifier(
+        docs, col("doc_id"), col("text"), col("source").isin(posSources: _*))
+      val halves = scored
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long") % 2 === 0).as("even"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("quality_w") * 10000).cast("long")).as("w4"))
+        .localCheckpoint() // both half rankings read it
+      def ranked(even: Boolean, out: String): DataFrame = {
+        val h = halves.where(col("even") === even)
+          .select(col("source"),
+            expr("(w4 * 1000000) div n").as("mean_e4"))
+        val rk = h.as("a").join(h.select(col("source").as("_bs"),
+            col("mean_e4").as("_bm")).as("b"),
+            col("_bm") > col("mean_e4") ||
+            (col("_bm") === col("mean_e4") && col("_bs") < col("source")),
+            "left")
+          .groupBy(col("source")).agg((count(col("_bs")) + 1L).as(out))
+        rk
+      }
+      val joined = ranked(even = true, "rank_even")
+        .join(ranked(even = false, "rank_odd"), Seq("source"))
+      val d2 = joined
+        .agg(count(lit(1)).as("n_sources"),
+          sum((col("rank_even") - col("rank_odd")) *
+            (col("rank_even") - col("rank_odd"))).as("sum_d2"))
+      joined.select(col("source"), col("rank_even"), col("rank_odd"))
+        .crossJoin(broadcast(d2))
+        .select(col("source"), col("rank_even"), col("rank_odd"),
+          col("n_sources"), col("sum_d2"),
+          round(lit(1.0) - col("sum_d2") * 6.0 /
+            (col("n_sources") * (col("n_sources") * col("n_sources") - 1)), 6)
+            .as("spearman_rho"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11636,6 +11712,57 @@ object SparkEntry {
           |    * (1.0 - CAST(r.n_reached AS DOUBLE) / t.n_users)
           |    / (CAST(t.n_users AS DOUBLE) / 2)), 6) AS mde_abs
           |FROM r, t""".stripMargin,
+
+      "q295_dose_response" ->
+        """WITH g AS (SELECT CAST(round(l_discount * 100) AS BIGINT)
+          |   AS discount_pct, CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS k
+          |  FROM lineitem GROUP BY 1),
+          |w AS (SELECT discount_pct, n, k,
+          |   CAST(k AS DOUBLE) / n AS p,
+          |   1.959964 * 1.959964 AS z2 FROM g)
+          |SELECT discount_pct, n, k, round(p, 6) AS return_rate,
+          | round((p + z2 / (n * 2)) / (1.0 + z2 / n)
+          |  - (1.959964 * sqrt(p * (1.0 - p) / n
+          |     + z2 / (CAST(n AS DOUBLE) * n * 4))) / (1.0 + z2 / n), 6)
+          |   AS wilson_lo,
+          | round((p + z2 / (n * 2)) / (1.0 + z2 / n)
+          |  + (1.959964 * sqrt(p * (1.0 - p) / n
+          |     + z2 / (CAST(n AS DOUBLE) * n * 4))) / (1.0 + z2 / n), 6)
+          |   AS wilson_hi
+          |FROM w""".stripMargin,
+
+      "q296_split_half" ->
+        s"""WITH q AS (
+           |$nbQualitySql
+           |),
+           |hx AS (SELECT d.source, md5(CAST(d.doc_id AS VARCHAR)) AS h,
+           |   q.quality_w
+           |  FROM q JOIN documents d USING (doc_id)),
+           |h AS (SELECT source,
+           |   (CAST($hexNum13 AS BIGINT) % 2 = 0) AS even,
+           |   CAST(count(*) AS BIGINT) AS n,
+           |   CAST(sum(CAST(round(quality_w * 10000) AS BIGINT))
+           |     AS BIGINT) AS w4
+           |  FROM hx GROUP BY 1, 2),
+           |m AS (SELECT source, even, (w4 * 1000000) // n AS mean_e4
+           |  FROM h),
+           |re AS (SELECT source, CAST(rank() OVER (ORDER BY mean_e4 DESC,
+           |   source ASC) AS BIGINT) AS rank_even FROM m WHERE even),
+           |ro AS (SELECT source, CAST(rank() OVER (ORDER BY mean_e4 DESC,
+           |   source ASC) AS BIGINT) AS rank_odd FROM m WHERE NOT even),
+           |j AS (SELECT re.source, re.rank_even, ro.rank_odd
+           |  FROM re JOIN ro USING (source)),
+           |d2 AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           |   CAST(sum((rank_even - rank_odd) * (rank_even - rank_odd))
+           |     AS BIGINT) AS sum_d2 FROM j)
+           |SELECT j.source, j.rank_even, j.rank_odd, d2.n_sources,
+           | d2.sum_d2,
+           | round(1.0 - d2.sum_d2 * 6.0
+           |   / (d2.n_sources * (d2.n_sources * d2.n_sources - 1)), 6)
+           |   AS spearman_rho
+           |FROM j, d2""".stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

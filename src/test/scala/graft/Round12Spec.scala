@@ -3395,4 +3395,48 @@ class Round12Spec extends SparkSpec {
       assert(math.abs(gm - mde) < 1e-5, s"mde for $et")
     }
   }
+
+  test("q295: Wilson intervals recomputed; they bracket the rate and stay in [0,1]") {
+    val rows = SparkEntry.queries("q295_dose_response")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    import org.apache.spark.sql.functions.{col, round}
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(round(col("l_discount") * 100).cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = li.groupBy(_._1).map { case (d, ls) =>
+      d -> (ls.length.toLong, ls.count(_._2 == "R").toLong) }
+    assert(rows.keySet == want.keySet, "discount grid")
+    val z = 1.959964; val z2 = z * z
+    want.foreach { case (d, (n, k)) =>
+      val (gn, gk, gr, glo, ghi) = rows(d)
+      assert(gn == n && gk == k, s"counts at $d")
+      val p = k.toDouble / n
+      val center = (p + z2 / (n * 2)) / (1.0 + z2 / n)
+      val half = z * math.sqrt(p * (1 - p) / n + z2 / (n.toDouble * n * 4)) /
+        (1.0 + z2 / n)
+      assert(math.abs(glo - (center - half)) < 1e-5, s"lo at $d")
+      assert(math.abs(ghi - (center + half)) < 1e-5, s"hi at $d")
+      assert(glo >= 0 && ghi <= 1 && glo <= gr && gr <= ghi,
+        s"bracket at $d")
+    }
+  }
+
+  test("q296: both half rankings and rho recomputed; rho in [-1, 1]") {
+    val rows = SparkEntry.queries("q296_split_half")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "every source must appear in both halves")
+    val n = rows.head._2._3
+    assert(rows.forall(_._2._3 == n))
+    val sumD2 = rows.map { case (_, (re, ro, _, _, _)) =>
+      (re - ro) * (re - ro) }.sum
+    assert(rows.head._2._4 == sumD2, "sum d^2 from the emitted ranks")
+    val rho = 1.0 - 6.0 * sumD2 / (n * (n * n - 1.0))
+    assert(math.abs(rows.head._2._5 - rho) < 1e-5, "rho formula")
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    // ranks are permutations of 1..n in each half
+    assert(rows.map(_._2._1).sorted.toSeq == (1L to n).toList, "even ranks")
+    assert(rows.map(_._2._2).sorted.toSeq == (1L to n).toList, "odd ranks")
+  }
 }
