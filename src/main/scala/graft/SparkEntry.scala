@@ -7639,6 +7639,79 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    "q297_priority_exists" -> ((s, dir) => {
+      // TPC-H Q4-shaped order-priority check: per priority, how many
+      // orders had AT LEAST ONE slow line (shipped > 60 days after the
+      // order date — the fixture's proxy for Q4's commitdate breach)?
+      // The correlated EXISTS becomes an order-grain MAX aggregate
+      // that IS its own semi-join (exists = any line breaching); the
+      // priority rollup then counts orders, never lines. Share at
+      // display.
+      val slow = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+          1L).otherwise(0L)).as("has_slow"))
+      slow.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("has_slow").as("n_with_slow"))
+        .select(col("o_orderpriority"), col("n_orders"), col("n_with_slow"),
+          round(col("n_with_slow").cast("double") / col("n_orders"), 4)
+            .as("slow_share"))
+    }),
+
+    "q298_promo_share" -> ((s, dir) => {
+      // TPC-H Q14-shaped promo revenue share per month: both the PROMO
+      // numerator and the total denominator are conditional sums in
+      // ONE aggregate over the joined stream (Q14's lesson — never two
+      // scans for a ratio); exact per-line discounted cents; the share
+      // divides at display.
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          (col("p_type") === "PROMO").as("is_promo"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("c"))
+      li.groupBy("month")
+        .agg(sum(when(col("is_promo"), col("c")).otherwise(0L))
+            .as("promo_cents"),
+          sum("c").as("total_cents"))
+        .select(col("month"),
+          round(col("promo_cents").cast("double") / 100.0, 2)
+            .as("promo_revenue"),
+          round(col("total_cents").cast("double") / 100.0, 2)
+            .as("total_revenue"),
+          round(col("promo_cents") * 100.0 / col("total_cents"), 4)
+            .as("promo_share_pct"))
+    }),
+
+    "q299_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6-shaped forecast-revenue delta: the revenue increase
+      // from ELIMINATING discounts in a band (qty < 24, discount
+      // 0.05–0.07, a one-year shipdate window anchored at the data's
+      // max) = Σ extendedprice·discount over the filtered lines — one
+      // scan whose predicates all reach the parquet reader, exact
+      // cents via per-line rounding.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"), col("l_discount"),
+          round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long").as("dc"),
+          datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+      val mx = broadcast(li.agg(max("ed").as("mx")))
+      li.crossJoin(mx)
+        .where(col("ed") > col("mx") - 365 &&
+          col("l_quantity") < 24 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("dc").cast("double") / 100.0, 2).as("forecast_delta"))
+    }),
+
     "q92_heavy_hitters_grouped" -> ((s, dir) => {
       // per-language frequent tokens: the MG-summary Aggregator riding an
       // ordinary groupBy (map-side partial merge), exact pass on the
@@ -11763,6 +11836,50 @@ object SparkEntry {
            |   / (d2.n_sources * (d2.n_sources * d2.n_sources - 1)), 6)
            |   AS spearman_rho
            |FROM j, d2""".stripMargin,
+
+      "q297_priority_exists" ->
+        """WITH s AS (SELECT o.o_orderkey, o.o_orderpriority,
+          |   CAST(max(CASE WHEN date_diff('day', o.o_orderdate,
+          |      l.l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT)
+          |     AS has_slow
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  GROUP BY 1, 2)
+          |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          | CAST(sum(has_slow) AS BIGINT) AS n_with_slow,
+          | round(CAST(sum(has_slow) AS DOUBLE) / count(*), 4)
+          |   AS slow_share
+          |FROM s GROUP BY 1""".stripMargin,
+
+      "q298_promo_share" ->
+        """WITH li AS (SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+          |   p.p_type = 'PROMO' AS is_promo,
+          |   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+          |     AS BIGINT) AS c
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |g AS (SELECT month,
+          |   CAST(sum(CASE WHEN is_promo THEN c ELSE 0 END) AS BIGINT)
+          |     AS promo_cents,
+          |   CAST(sum(c) AS BIGINT) AS total_cents
+          |  FROM li GROUP BY 1)
+          |SELECT month,
+          | round(CAST(promo_cents AS DOUBLE) / 100.0, 2) AS promo_revenue,
+          | round(CAST(total_cents AS DOUBLE) / 100.0, 2) AS total_revenue,
+          | round(promo_cents * 100.0 / total_cents, 4) AS promo_share_pct
+          |FROM g""".stripMargin,
+
+      "q299_forecast_revenue" ->
+        """WITH li AS (SELECT l_quantity, l_discount,
+          |   CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+          |     AS dc,
+          |   CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+          |     AS BIGINT) AS ed FROM lineitem),
+          |mx AS (SELECT max(ed) AS mx FROM li)
+          |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+          | round(CAST(sum(dc) AS DOUBLE) / 100.0, 2) AS forecast_delta
+          |FROM li, mx
+          |WHERE li.ed > mx.mx - 365 AND li.l_quantity < 24
+          | AND li.l_discount >= 0.05 AND li.l_discount <= 0.07"""
+          .stripMargin,
 
       "q216_custdist" ->
         """WITH pc AS (SELECT c.c_custkey,

@@ -3439,4 +3439,42 @@ class Round12Spec extends SparkSpec {
     assert(rows.map(_._2._1).sorted.toSeq == (1L to n).toList, "even ranks")
     assert(rows.map(_._2._2).sorted.toSeq == (1L to n).toList, "odd ranks")
   }
+
+  test("q297-q299: the closing TPC-H shapes recomputed from raw rows") {
+    import org.apache.spark.sql.functions.{col, to_date, lit, datediff, round}
+    // q297: EXISTS-per-order slow-line flags
+    val od = graft.sources.Tables.table(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val li = graft.sources.Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        round(col("l_extendedprice") * col("l_discount") * 100).cast("long"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val slowByPrio = li.groupBy(_._1).toSeq.map { case (ok, ls) =>
+      val (prio, oed) = od(ok)
+      (prio, ls.exists(_._5 - oed > 60))
+    }.groupBy(_._1).map { case (p, os) =>
+      p -> (os.size.toLong, os.count(_._2).toLong) }
+    val r297 = SparkEntry.queries("q297_priority_exists")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    slowByPrio.foreach { case (p, w) => assert(r297(p) == w, s"priority $p") }
+    // q299: band-filtered discount revenue
+    val mx = li.map(_._5).max
+    val band = li.filter(l => l._5 > mx - 365 && l._2 < 24 &&
+      l._3 >= 0.05 && l._3 <= 0.07)
+    val r299 = SparkEntry.queries("q299_forecast_revenue")(spark, sf())
+      .collect().head
+    assert(r299.getLong(0) == band.length.toLong, "q299 line count")
+    assert(r299.getDouble(1) == BigDecimal(band.map(_._4).sum.toDouble / 100)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, "q299 delta")
+    // q298: promo share sums to the same total as the unconditional sum
+    val r298 = SparkEntry.queries("q298_promo_share")(spark, sf()).collect()
+    assert(r298.forall(r => r.getDouble(1) <= r.getDouble(2) + 1e-9),
+      "promo revenue never exceeds the month total")
+    assert(r298.nonEmpty)
+  }
 }
