@@ -46,8 +46,6 @@ object Bench {
         SparkEntry.queries.keys.toSeq.filter(n => prefixes.exists(n.startsWith))
       case None => SparkEntry.queries.keys.toSeq
     }
-    val tStart = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     // Pass 0 (untimed): Janino + JIT + parquet footers. Runs on a driver
     // thread pool — Spark's scheduler is thread-safe and the one-time costs
     // being absorbed (codegen compilation, footer reads, cache fills) are
@@ -68,14 +66,26 @@ object Bench {
     // by minutes, and extra passes widen that separation further. A wall
     // budget (driver-side timeout protection: the round-3 harness run was
     // killed at ~55 min) drops the later passes if the host is stalling.
+    //
+    // The budget clock starts AFTER the warm-up pool and a further pass is
+    // started only if the previous pass's duration still fits the remaining
+    // budget — so warm-up cost can't silently eat the multi-pass protocol
+    // (round-12 failure mode: 298 queries' warm-up + one contended pass
+    // consumed the whole budget and the emitted JSON degraded to a single
+    // unlabelled sample). The JSON now records "passes" so a degraded run
+    // is visible to the reader.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val tTimed = System.nanoTime()
+    def timedElapsed: Double = (System.nanoTime() - tTimed) / 1e9
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       runQuery(name)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = scala.collection.mutable.ArrayBuffer(timedPass())
-    while (passes.size < 3 && elapsed < budgetS) passes += timedPass()
+    def lastPassS: Double = passes.last.values.sum
+    while (passes.size < 3 && timedElapsed + lastPassS <= budgetS)
+      passes += timedPass()
     val results = names.map(n => n -> passes.map(_(n)).min)
     // Short keys ("q01" for "q01_agg_pricing"): the driver's line capture
     // has truncated the head of long JSON lines, losing the first ~13
@@ -84,7 +94,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":${passes.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/** Real pure-JVM image codec behind the [[MediaCodec]] seam: JPEG/PNG/GIF/
+  * BMP via `javax.imageio` — no native dependency, ships in every JDK.
+  * Audio/video kinds still fall back to [[StubCodec]] (no pure-JVM
+  * ffmpeg equivalent exists; that decode stays behind the seam).
+  *
+  * Scale posture mirrors a production decode stage:
+  *  - `decodeMeta` is HEADER-ONLY — `ImageReader.getWidth/getHeight(0)`
+  *    parse the container header without decoding pixel data, so a
+  *    metadata pass over 100 TB of images reads a few hundred bytes per
+  *    payload, not the payload;
+  *  - `encodeFeature` is the full pixel decode (the expensive pass a real
+  *    pipeline fuses with the encoder forward call), executed executor-
+  *    side in partition batches via the existing Multimodal plumbing.
+  * The object is a serializable singleton: no per-record reader state
+  * survives a call, so the closure ships cleanly to executors. */
+object ImageIoCodec extends MediaCodec {
+
+  override def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta =
+    if (kind != "image") StubCodec.decodeMeta(id, bytes, kind)
+    else {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"payload $id: no ImageIO reader recognises the byte stream")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          // GIF reports its frame count; single-frame formats return 1.
+          // allowSearch = true may scan the stream but never decodes pixels.
+          val frames = try math.max(r.getNumImages(true), 1)
+                       catch { case _: java.io.IOException => 1 }
+          MediaMeta(id, kind, bytes.length.toLong, r.getWidth(0), r.getHeight(0), frames)
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+  override def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int): MediaFeature =
+    if (kind != "image") StubCodec.encodeFeature(id, bytes, kind, dim)
+    else {
+      val acc = new Array[Float](dim)
+      foreachLuminance(id, bytes) { v => acc(v * dim / 256) += 1f }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
+      val n = math.sqrt(norm)
+      if (n > 0) { j = 0; while (j < dim) { acc(j) = (acc(j) / n).toFloat; j += 1 } }
+      MediaFeature(id, kind, acc)
+    }
+
+  /** Exact sum of per-pixel luminance over the decoded image — the
+    * round-trip witness q300 hash-checks against a closed form. Integer
+    * BT.601 luma (×1000) for multi-band images; band 0 directly for
+    * grayscale, so a TYPE_BYTE_GRAY round trip is bit-exact. */
+  def luminanceSum(id: Long, bytes: Array[Byte]): Long = {
+    var s = 0L
+    foreachLuminance(id, bytes) { v => s += v }
+    s
+  }
+
+  private def foreachLuminance(id: Long, bytes: Array[Byte])(f: Int => Unit): Unit = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"payload $id: ImageIO could not decode the byte stream")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v =
+          if (bands == 1) raster.getSample(x, y, 0)
+          else {
+            val r = raster.getSample(x, y, 0)
+            val g = raster.getSample(x, y, 1)
+            val b = raster.getSample(x, y, 2)
+            (r * 299 + g * 587 + b * 114) / 1000
+          }
+        f(v)
+        x += 1
+      }
+      y += 1
+    }
+  }
+}
+
+/** Deterministic synthetic image source for the oracle-checked round-trip
+  * queries and specs: PNG is lossless, so the decoded pixels equal the
+  * generated pixels exactly and DuckDB can predict decode results from the
+  * SAME arithmetic (the lexicon-twin pattern, applied to pixels). */
+object ImageGen {
+  /** w×h grayscale PNG with pixel(x, y) = x + y. Callers keep
+    * w + h ≤ 256 so the ramp never wraps and the luminance sum has the
+    * closed form h·w(w−1)/2 + w·h(h−1)/2. */
+  def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, x + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

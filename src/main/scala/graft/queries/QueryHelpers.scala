@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Lexicons
+import graft.operators.Profiler
+import graft.sources.Tables
+
+/** Shared helpers for the per-family query books: fixture table reader,
+  * DuckDB-twin SQL generators, and the engine-neutral constants that are
+  * injected into BOTH the Spark plan and the generated oracle SQL (the
+  * lexicon-twin pattern — one set of literals, two engines). */
+private[graft] object QueryHelpers {
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exclusive prefix sum (`prev_cum`) of `value` over `key` order for a
+    * KEY-CARDINALITY-sized table (language quotas: a handful of rows) —
+    * as a triangular self-join instead of a partition-less window. Same
+    * values as `sum(value) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING
+    * AND -1)`, but declarative: no `WindowExec` single-partition stage
+    * (and no its unbounded-data warning) anywhere in the plan. The L²
+    * pair fan-out is bounded by the key cardinality squared — trivial for
+    * any real language/source/phase dimension. */
+  private[graft] def prevCumByKey(counts: DataFrame, key: String, value: String): DataFrame =
+    counts.select(col(key), col(value)).as("a")
+      .join(counts.select(col(key).as("_bk"), col(value).as("_bv")).as("b"),
+        col("_bk") < col(key), "left")
+      .groupBy(col(key))
+      .agg(coalesce(sum(col("_bv")), lit(0L)).as("prev_cum"))
+
+  /** The reference's shipped memo-cache fixture (q122). Overridable via
+    * GRAFT_REF_CACHE so the query is runnable outside this machine layout;
+    * the same resolved path feeds both the engine parse and the DuckDB
+    * oracle's read_text, so the two sides cannot diverge. */
+  private[graft] def refCachePath: String =
+    sys.env.getOrElse("GRAFT_REF_CACHE", "/root/reference/.analysis_cache.json")
+
+  // ----------------------------------------------------------------
+  // Oracle SQL fragments generated from the shared constants
+  // ----------------------------------------------------------------
+  private[graft] val fillerList = Lexicons.FillerValues.map(v => s"'$v'").mkString(", ")
+
+  /** DuckDB twin of TextExprs.cleanText (note the 'g' flags: DuckDB
+    * regexp_replace is first-match-only by default, Spark replaces all). */
+  private[graft] def cleanSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(trim(coalesce($e, '')), '[\\x{10000}-\\x{10FFFF}]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private[graft] def isFillerSql(e: String): String =
+    s"lower(trim(coalesce($e, ''))) IN ($fillerList)"
+
+  /** Benford first-digit shares log10(1 + 1/d), pinned to 10 dp — shared
+    * by q230's Spark side and its generated DuckDB twin (the lexicon-twin
+    * pattern: both engines compare against the SAME literals). */
+  private[graft] val benfordShares: Seq[(Int, Double)] = (1 to 9).map(d =>
+    d -> BigDecimal(math.log10(1 + 1.0 / d))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** q239's truncated-EWMA kernel: weight for lag j (1 = yesterday) is
+    * 7^(j−1)·8^(12−j) — the geometric (7/8)^(j−1) decay scaled by 8^11 so
+    * every weight is an exact LONG and the whole baseline stays integer
+    * until the final display division (the lexicon-twin pattern: the same
+    * literals are injected into the DuckDB oracle as a VALUES list). */
+  private[graft] val ewmaWeights: Seq[(Int, Long)] = (1 to 12).map { j =>
+    def ipow(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+    j -> ipow(7, j - 1) * ipow(8, 12 - j)
+  }
+
+  /** q291's SPRT constants, ×10⁹-pinned to exact LONGs (the q249 scaled-log
+    * trick): per-success and per-failure log-likelihood-ratio increments for
+    * H0 p=0.19 vs H1 p=0.21, and the Wald boundaries ±ln(19) for
+    * α = β = 0.05. Shared with the generated DuckDB twin so both engines
+    * accumulate identical integers. */
+  private[graft] val sprtL1: Long =
+    math.round(math.log(0.21 / 0.19) * 1e9)
+  private[graft] val sprtL2: Long =
+    math.round(math.log((1 - 0.21) / (1 - 0.19)) * 1e9)
+  private[graft] val sprtBound: Long = math.round(math.log(19.0) * 1e9)
+
+  /** q241's engine-neutral minhash permutation constants: 52-bit XOR mixers
+    * derived from md5 so BOTH engines block with the same scheme (unlike
+    * the production path's Murmur3 `MinHashExprs`, which DuckDB cannot
+    * reproduce — this audit measures the SCHEME's blocking quality with a
+    * portable twin). */
+  private[graft] val blockPerms: Seq[(Int, Long)] = (0 until 32).map { p =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-perm-$p".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    p -> java.lang.Long.parseLong(hex.take(13), 16)
+  }
+
+  /** q241's band geometries under audit: the same 32 permutations regrouped
+    * as (bands × rows/band) — recall falls and precision rises with
+    * rows/band; the audit prices that tradeoff on real data. */
+  private[graft] val blockGeometries: Seq[(Int, Int)] =
+    Seq((16, 2), (8, 4), (4, 8))
+
+  /** q247's weekday labels for epoch-day mod 7 (1970-01-01 was a
+    * Thursday) — shared with the generated DuckDB twin so neither engine
+    * consults its own (mutually incompatible) dayofweek numbering. */
+  private[graft] val dowLabels: Seq[String] = Seq(
+    "Thu", "Fri", "Sat", "Sun", "Mon", "Tue", "Wed")
+
+  /** DuckDB twin of TextExprs.tokenCount — empty tokens dropped, so the
+    * whole suite shares ONE token-counting convention. */
+  private[graft] def tokenCountSql(e: String): String =
+    s"CAST(len(list_filter(string_split(lower(${cleanSql(e)}), ' '), t -> t <> '')) AS BIGINT)"
+
+  /** DuckDB twin of Spark's `conv(substring(h, 1, 13), 16, 10)`: decode the
+    * first 13 hex nibbles of column `h` positionally (the q28 strpos-on-hex
+    * pattern). 13 nibbles = 52 bits, exactly representable as DOUBLE. */
+  private[graft] val hexNum13: String = (1 to 13).map(i =>
+    s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (13 - i))}")
+    .mkString(" + ")
+
+  private[graft] def sentimentSql(filler: String, low: String): String =
+    s"CASE WHEN $filler THEN 'Neutral' " +
+      s"WHEN regexp_matches($low, '${Lexicons.positiveAlt}') AND regexp_matches($low, '${Lexicons.negativeAlt}') THEN 'Mixed' " +
+      s"WHEN regexp_matches($low, '${Lexicons.positiveAlt}') THEN 'Positive' " +
+      s"WHEN regexp_matches($low, '${Lexicons.negativeAlt}') THEN 'Negative' " +
+      s"ELSE 'Neutral' END"
+
+  private[graft] def categorySql(filler: String, low: String): String =
+    s"CASE WHEN $filler THEN 'No Feedback' " +
+      Lexicons.categoryAlts.map { case (c, alt) =>
+        s"WHEN regexp_matches($low, '$alt') THEN '$c' "
+      }.mkString +
+      "ELSE 'General' END"
+
+  private[graft] def hitSql(e: String, pattern: String): String =
+    s"len(regexp_extract_all(lower(coalesce($e, '')), '$pattern'))"
+
+  /** Shared CTE prefix for shingle-based dedup oracles (3-gram shingles of
+    * the cleaned text, distinct, docs with >= 3 tokens). */
+  private[graft] def shingleCte: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |       FROM docs WHERE len(toks) >= 3)""".stripMargin
+
+  private[graft] def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct(list_concat($a, $b)))"
+
+  /** DuckDB twin of TextAnalysis.hashNbClassifier over documents with the
+    * q133 seed (sources src0–src4) — (doc_id, n_toks, quality_w, keep);
+    * shared by q133 (raw scores) and q145 (calibration deciles). */
+  private[graft] lazy val nbQualitySql: String =
+    s"""WITH tok0 AS (SELECT doc_id, source,
+       |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok FROM documents),
+       |tk AS (SELECT doc_id,
+       |   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END AS y,
+       |   substring(md5(tok), 1, 3) AS b
+       |  FROM tok0 WHERE tok <> ''),
+       |c AS (SELECT b, CAST(sum(y) AS BIGINT) AS cpos,
+       |   CAST(sum(1 - y) AS BIGINT) AS cneg FROM tk GROUP BY b),
+       |tt AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+       |   CAST(sum(cneg) AS BIGINT) AS tneg, CAST(count(*) AS BIGINT) AS nb FROM c),
+       |m AS (SELECT b, ln((cpos + 1.0) / (tpos + nb)) - ln((cneg + 1.0) / (tneg + nb)) AS w
+       |  FROM c, tt)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       | round(avg(w), 4) + 0.0 AS quality_w,
+       | (round(avg(w), 4) + 0.0) > 0.0 AS keep
+       |FROM tk JOIN m USING (b) GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextExprs.withLangId over documents — (doc_id, lang,
+    * lang_pred); shared by q24 (raw predictions) and q144 (confusion
+    * matrix). Generated from the SAME Lexicons stopword constants as the
+    * Spark expressions. */
+  private[graft] lazy val langPredSql: String = {
+    val en = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEn))
+    val es = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsEs))
+    val de = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsDe))
+    val fr = hitSql("text", Lexicons.wordAlternation(Lexicons.StopwordsFr))
+    val cjk = hitSql("text", "[\\x{4e00}-\\x{9fff}]")
+    s"""WITH h AS (SELECT doc_id, lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+       |  $cjk AS s_cjk, greatest($en, $es, $de, $fr) AS s_best FROM documents)
+       |SELECT doc_id, lang,
+       | CASE WHEN s_cjk > 0 THEN 'zh' WHEN s_best = 0 THEN 'und'
+       |  WHEN s_en = s_best THEN 'en' WHEN s_es = s_best THEN 'es'
+       |  WHEN s_de = s_best THEN 'de' ELSE 'fr' END AS lang_pred
+       |FROM h""".stripMargin
+  }
+
+  /** Augmented-Gram PCA CTEs (q131/q140): one 65×65 second-moment pass,
+    * then 3 power iterations mirrored CTE-for-loop against Pca
+    * .topComponent's driver-side math (v0 = 1/sqrt(64) = 0.125 exactly;
+    * λ = final ‖C·v‖). Leaves `v3(i, v)` (the unit component, 0-based
+    * dim index) and `n3(l)` (λ) in scope. */
+  private[graft] def pcaCtes: String = {
+    val gram =
+      """WITH aug AS (SELECT list_concat(embedding::DOUBLE[], [CAST(1.0 AS DOUBLE)]) AS xa
+        |  FROM embeddings),
+        |pe AS (SELECT unnest(flatten(list_transform(xa, x -> list_transform(xa, y -> x * y)))) AS p,
+        |              unnest(range(1, 4226)) AS idx FROM aug),
+        |g AS (SELECT CAST((idx - 1) // 65 AS BIGINT) AS i, CAST((idx - 1) % 65 AS BIGINT) AS j,
+        |             sum(p) AS g FROM pe GROUP BY 1, 2),
+        |nn AS (SELECT g AS n FROM g WHERE i = 64 AND j = 64),
+        |mu AS (SELECT i, g / n AS mu FROM g, nn WHERE j = 64 AND i < 64),
+        |c AS (SELECT g.i, g.j, g.g / nn.n - ma.mu * mb.mu AS c
+        |      FROM g, nn, mu ma, mu mb
+        |      WHERE g.i < 64 AND g.j < 64 AND ma.i = g.i AND mb.i = g.j),
+        |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM mu)""".stripMargin
+    val iters = (1 to 3).map { k =>
+      s""",
+         |w$k AS (SELECT c.i, sum(c.c * v.v) AS w FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+         |n$k AS (SELECT sqrt(sum(w * w)) AS l FROM w$k),
+         |v$k AS (SELECT i, w / l AS v FROM w$k, n$k)""".stripMargin
+    }.mkString
+    gram + iters
+  }
+
+  /** Unrolled PageRank iteration CTEs (q130/q134): expects CTEs `ed(u,v,w)`
+    * and `ow(u, outw)` plus `p0(tok, pr)` in scope; emits p1..p`iters`.
+    * Damping constants written as (1.0 - 0.85)/0.85 so BOTH engines derive
+    * them by the same IEEE subtraction (PageRank.ranks uses
+    * lit(1.0 - damping)). */
+  private[graft] def prIterCtes(iters: Int): String = (1 to iters).map { k =>
+    s""",
+       |p$k AS (SELECT o.u AS tok, (1.0 - 0.85) + 0.85 * coalesce(s.acc, 0.0) AS pr
+       |  FROM ow o LEFT JOIN (
+       |    SELECT e.v AS tok2, sum(e.w / o2.outw * p.pr) AS acc
+       |    FROM ed e JOIN ow o2 ON e.u = o2.u JOIN p${k - 1} p ON e.u = p.tok
+       |    GROUP BY e.v) s ON s.tok2 = o.u)""".stripMargin
+  }.mkString
+
+  /** q132: phrase queries — shared by the Spark operator call and the
+    * generated DuckDB oracle. Mixed 2- and 3-token phrases; a phrase with
+    * zero corpus occurrences simply contributes no rows (both sides). */
+  private[graft] val phraseQueries: Seq[String] =
+    Seq("hash join", "table scan", "merge sort", "fast key order")
+
+  /** q87: correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
+    * per high-balance customer. The identical string runs on both engines
+    * (Spark decorrelates the lateral limit into a partitioned rank). */
+  private[graft] val lateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      | LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |          WHERE o_custkey = c.c_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      |WHERE c.c_acctbal > 9000""".stripMargin
+
+  /** q75: the exact string runs on BOTH engines (Spark via spark.sql, the
+    * oracle via DuckDB) — ANSI subquery semantics parity by construction. */
+  private[graft] val subquerySql: String =
+    """SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                              WHERE o2.o_orderpriority = o.o_orderpriority)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)""".stripMargin
+
+  /** Column specs for the q55 profiler — shared by the Spark side and the
+    * generated DuckDB twin (Profiler.oracleSql). */
+  private[graft] val ordersProfile: Seq[(String, Profiler.Kind)] = Seq(
+    "o_orderkey" -> Profiler.Num, "o_custkey" -> Profiler.Num,
+    "o_totalprice" -> Profiler.Num, "o_orderdate" -> Profiler.Ts,
+    "o_orderstatus" -> Profiler.Str, "o_orderpriority" -> Profiler.Str)
+
+
+  private[graft] lazy val low = "low"
+  private[graft] lazy val cln = "cln"
+  private[graft] lazy val classifiedCte =
+    s"""WITH c1 AS (SELECT *, ${cleanSql("text")} AS $cln FROM documents),
+       |c2 AS (SELECT *, lower($cln) AS $low FROM c1)""".stripMargin
+
+  // q115's full twin, factored out so q119 (recall@k) can embed the
+  // IDENTICAL approximate result as a derived table
+  private[graft] lazy val q115Oracle: String = {
+    def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
+      "embeddings", "vec_id",
+      s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+      k = 4, iters = 2, dim = 16) + s"\n) a$m"
+    def cb(m: Int): String = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+      "embeddings", "vec_id",
+      s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
+      k = 4, iters = 2, dim = 16) + s"\n) cb$m"
+    val asgFull = "(" + graft.operators.KMeansOp.oracleSql(
+      "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) ac"
+    val cbFull = "(" + graft.operators.KMeansOp.oracleCentroidsSql(
+      "embeddings", "vec_id", "embedding", k = 4, iters = 2, dim = 64) + "\n) cc"
+    val cd = "round(list_inner_product(cc.c, cc.c) - 2 * list_inner_product(q.qv, cc.c), 6)"
+    val lut = (0 until 4).map { m =>
+      s"""(list_inner_product(cb$m.c, cb$m.c)
+         |  - 2 * list_inner_product(list_slice(p.qv, ${m * 16 + 1}, ${m * 16 + 16}), cb$m.c))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |probed AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, cc.cid AS cell,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY $cd ASC, cc.cid ASC) AS crnk
+       |  FROM q CROSS JOIN $cbFull) WHERE crnk <= 2)
+       |SELECT query_id, corpus_id, adc,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
+       |FROM (
+       |  SELECT p.query_id, ac.vec_id AS corpus_id,
+       |   round(list_inner_product(p.qv, p.qv) + $lut, 6) AS adc
+       |  FROM probed p
+       |   JOIN $asgFull ON ac.cluster = p.cell
+       |   JOIN ${asg(0)} ON a0.vec_id = ac.vec_id
+       |   JOIN ${asg(1)} ON a1.vec_id = ac.vec_id
+       |   JOIN ${asg(2)} ON a2.vec_id = ac.vec_id
+       |   JOIN ${asg(3)} ON a3.vec_id = ac.vec_id
+       |   JOIN ${cb(0)} ON cb0.cid = a0.cluster
+       |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
+       |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
+       |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
+       |QUALIFY rnk <= 5""".stripMargin
+  }
+
+}
