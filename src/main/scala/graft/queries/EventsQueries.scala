@@ -780,6 +780,16 @@ private[graft] object EventsQueries extends QueryBook {
       // suite's cents discipline (exact LONGs through the streaming state,
       // display division at the end), so partial-agg order across
       // micro-batches cannot flip a bit.
+      // prior run dirs are dead weight (executions never overlap: Bench's
+      // warm-up pool runs q302 once, timed passes are sequential, Verify is
+      // a separate JVM) — reap them before carving this run's dir
+      val root = new java.io.File("target/stream/q302")
+      Option(root.listFiles()).foreach(_.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      })
       val base = s"target/stream/q302/${java.util.UUID.randomUUID()}"
       val src = s"$base/src"; val out = s"$base/out"
       t(s, dir, "events")

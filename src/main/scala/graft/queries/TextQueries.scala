@@ -807,9 +807,84 @@ private[graft] object TextQueries extends QueryBook {
           round(avg(-log(col("c") / col("n"))), 4).as("xent"),
           round(exp(avg(-log(col("c") / col("n")))), 4).as("ppl"))
     }),
+
+    "q303_langdetect_nb" -> ((s, dir) => {
+      // langdetect-parity language ID (the reference's print-only
+      // diagnostic, survey_analysis.py:95-103, made a first-class
+      // operator): charset 1..3-gram Naive Bayes over the PUBLISHED
+      // langdetect profiles, deterministic (no sampling trials), with
+      // ×10⁶-pinned integer log-likelihoods materialized once so the
+      // DuckDB twin scores from the SAME model table — order-free LONG
+      // sums, no logarithm recomputed oracle-side. One executor pass;
+      // no shuffle carries text.
+      graft.functions.LangDetectNB.withPrediction(t(s, dir, "documents"))
+    }),
+
+    "q304_langdetect_confusion" -> ((s, dir) => {
+      // The q144-style confusion matrix for the NB detector: fixture
+      // label × prediction, with each label-row's share. On THIS
+      // fixture the text carries no language signal (the same synthetic
+      // vocabulary under every label — see BASELINE.md), so the matrix
+      // measures the detector's prior on English-ish ASCII, not its
+      // skill; LangDetectNBSpec carries the real-text evaluation.
+      val p = graft.functions.LangDetectNB
+        .withPrediction(t(s, dir, "documents"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+      p.join(p.groupBy("lang").agg(sum("n_docs").as("_t")), Seq("lang"))
+        .select(col("lang"), col("pred"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("_t"), 4).as("share"))
+    }),
   )
 
+  /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
+    * the IDENTICAL gram occurrences (same normalization regex, same cap,
+    * same leading-space-only rule) and sums the SAME integer weights from
+    * the materialized model parquet. Ends with a `pred(doc_id, lang, pred,
+    * n_grams)` relation. */
+  private def langNbCte: String = {
+    val model = graft.functions.LangDetectNB.modelPath
+    val cap = graft.functions.LangDetectNB.MaxChars
+    s"""WITH nrm AS (SELECT doc_id, lang,
+       |   ' ' || substring(trim(regexp_replace(lower(text),
+       |     '[^a-zà-öø-ÿ]+', ' ', 'g')), 1, $cap) || ' ' AS s
+       |  FROM documents),
+       |g1 AS (
+       |  SELECT doc_id, substring(s, x.range + 1, 1) AS g
+       |   FROM nrm JOIN range(${cap + 2}) x ON x.range < length(s)
+       |  UNION ALL
+       |  SELECT doc_id, substring(s, x.range + 1, 2)
+       |   FROM nrm JOIN range(${cap + 2}) x ON x.range + 1 < length(s)
+       |  UNION ALL
+       |  SELECT doc_id, substring(s, x.range + 1, 3)
+       |   FROM nrm JOIN range(${cap + 2}) x ON x.range + 2 < length(s)),
+       |gk AS (SELECT doc_id, g FROM g1
+       |  WHERE right(g, 1) <> ' ' AND substring(g, 2) NOT LIKE '% %'),
+       |sc AS (SELECT k.doc_id, m.lang AS cand,
+       |   CAST(sum(m.w) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n
+       |  FROM gk k JOIN '$model/*.parquet' m ON m.gram = k.g
+       |  GROUP BY 1, 2),
+       |pick AS (SELECT doc_id, cand, n FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cand ASC) = 1),
+       |pred AS (SELECT d.doc_id, d.lang, coalesce(p.cand, 'unknown') AS pred,
+       |   CAST(coalesce(p.n, 0) AS BIGINT) AS n_grams
+       |  FROM documents d LEFT JOIN pick p USING (doc_id))""".stripMargin
+  }
+
   val oracleSql: ListMap[String, String] = ListMap(
+      "q303_langdetect_nb" ->
+        s"""$langNbCte
+           |SELECT doc_id, lang, pred, n_grams FROM pred""".stripMargin,
+
+      "q304_langdetect_confusion" ->
+        s"""$langNbCte,
+           |m AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM pred GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tt
+           |  FROM m GROUP BY 1)
+           |SELECT m.lang, m.pred, m.n_docs,
+           | round(CAST(m.n_docs AS DOUBLE) / t.tt, 4) AS share
+           |FROM m JOIN t USING (lang)""".stripMargin,
       "q24_lang_id" -> langPredSql,
 
       "q25_text_profile" -> {
