@@ -464,22 +464,49 @@ private[graft] object DedupQueries extends QueryBook {
       // tokens (equi-join, never all-pairs); the O(len²) verify runs
       // only inside blocks and only on ≤512-char docs — the length cap
       // is what licenses Levenshtein at scale.
-      val base = t(s, dir, "documents")
+      // EXACT-DUPLICATE COLLAPSE before the O(len²) verify (round 13): the
+      // DP runs once per DISTINCT-TEXT pair, never per doc pair — on a
+      // duplicate-heavy corpus (web crawls; the 10× replicated sf1 bench
+      // fixture) candidate doc pairs grow as copies² while distinct-text
+      // pairs don't grow at all, and identical-text pairs need no DP
+      // (dist 0 by definition). Verified text pairs expand back to doc
+      // pairs through two slim equi-joins; the result set is provably the
+      // pair-for-pair original (levenshtein depends only on content; the
+      // md5 text fingerprint stands in for the string join key under the
+      // q97 md5≡raw-grouping license).
+      val m = t(s, dir, "documents")
         .where(col("n_chars") <= 512)
         .select(col("doc_id"), TextExprs.cleanText(col("text")).as("t"))
         .select(col("doc_id"), col("t"), split(col("t"), " ").as("toks"))
         .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("t"),
+        .select(col("doc_id"), col("t"), md5(col("t")).as("tid"),
           md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
-      val a = base.select(col("h"), col("doc_id").as("id_a"), col("t").as("ta"))
-      val b = base.select(col("h"), col("doc_id").as("id_b"), col("t").as("tb"))
+        .localCheckpoint() // three slim consumers, one text scan
+      val g = m.select("h", "tid", "t").distinct()
       val sim = lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
         greatest(length(col("ta")), length(col("tb")))
-      a.join(b, Seq("h")).where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
+      val vx = g.select(col("h"), col("tid").as("tid_a"), col("t").as("ta"))
+        .join(g.select(col("h"), col("tid").as("tid_b"), col("t").as("tb")),
+          Seq("h"))
+        .where(col("tid_a") < col("tid_b"))
+        .select(col("h"), col("tid_a"), col("tid_b"),
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           round(sim, 4).as("sim"))
-        .where(round(sim, 4) >= 0.8)
+        .where(col("sim") >= 0.8)
+      val cross = vx
+        .join(m.select(col("h"), col("tid").as("tid_a"),
+          col("doc_id").as("_ia")), Seq("h", "tid_a"))
+        .join(m.select(col("h"), col("tid").as("tid_b"),
+          col("doc_id").as("_ib")), Seq("h", "tid_b"))
+        .select(least(col("_ia"), col("_ib")).as("id_a"),
+          greatest(col("_ia"), col("_ib")).as("id_b"),
+          col("edit_dist"), col("sim"))
+      val same = m.as("x").join(m.as("y"),
+          col("x.h") === col("y.h") && col("x.tid") === col("y.tid") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(0L).as("edit_dist"), lit(1.0).as("sim"))
+      cross.unionByName(same)
     }),
 
     "q201_crosssource_leakage" -> ((s, dir) => {

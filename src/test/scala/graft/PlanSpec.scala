@@ -236,7 +236,11 @@ class PlanSpec extends SparkSpec {
       ("q76_agg_suite", "lineitem", 3),   // rank pass + 2 boundary-rank sides
       ("q97_span_dedup", "documents", 2), // the two recompute md5 passes
       ("q108_source_overlap", "documents", 4), // shingle sides; exchange reused (test above)
-      ("q88_fuzzy_match", "part", 2),     // both blocked join sides
+      ("q88_fuzzy_match", "part", 0),     // one scan into the eager
+                                          // localCheckpoint pin; the final
+                                          // plan's distinct-name verify +
+                                          // both expansion sides read its
+                                          // blocks (round-13 collapse)
       ("q121_curation_pipeline", "documents", 0), // all scans pre-RDD-boundary
       ("q112_curation_funnel", "documents", 3),   // pinned by its own test too
       ("q103_semdedup", "embeddings", 3), // assign + both self-join sides
