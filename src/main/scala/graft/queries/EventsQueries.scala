@@ -20,6 +20,54 @@ import graft.queries.QueryHelpers._
   * aggregated by [[graft.SparkEntry]]. Conventions in QueryHelpers. */
 private[graft] object EventsQueries extends QueryBook {
 
+  /** Shared replay rig for the streaming-under-oracle queries (q302/q305/
+    * q306): reshard the events projection into 4 parquet files, stream
+    * them back ONE FILE PER MICRO-BATCH (real cross-batch state), run the
+    * caller's writeStream to `out`, and read the materialization back.
+    * Prior run dirs are reaped first — executions never overlap (Bench's
+    * warm-up pool runs each query once, timed passes are sequential,
+    * Verify is a separate JVM). */
+  private def streamReplay(s: SparkSession, dir: String, tag: String,
+      timeOrdered: Boolean = false)(
+      project: DataFrame => DataFrame)(
+      run: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    val root = new java.io.File(s"target/stream/$tag")
+    Option(root.listFiles()).foreach(_.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    })
+    val base = s"target/stream/$tag/${java.util.UUID.randomUUID()}"
+    val src = s"$base/src"; val out = s"$base/out"
+    val projected = project(t(s, dir, "events"))
+    // timeOrdered: shard into contiguous TIME slices and replay them
+    // oldest-first (ascending mtimes break FileStreamSource's tie), so the
+    // event stream is in event-time order and a 0-delay watermark never
+    // late-drops — the arrival discipline a watermarked APPEND aggregation
+    // assumes. Hash-sharding (the default) interleaves the full time range
+    // into every batch, which is fine for complete-mode/unwatermarked ops
+    // (q302/q306) but makes everything after batch 1 late.
+    (if (timeOrdered) projected.repartitionByRange(4, col("ts"))
+     else projected.repartition(4, col("event_type")))
+      .write.mode("overwrite").parquet(src)
+    if (timeOrdered) {
+      val parts = new java.io.File(src).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = run(stream, s"$base/ckpt", out)
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(out)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q35_sessionize" -> ((s, dir) => {
       // gap-based sessionization: one window pass (lag + running sum share
@@ -820,6 +868,74 @@ private[graft] object EventsQueries extends QueryBook {
           col("n"),
           round(col("cents").cast("double") / 100.0, 2).as("sum_value"))
     }),
+
+    "q305_stream_sessions" -> ((s, dir) => {
+      // Session windows under the batch oracle, WITH watermark-eviction
+      // semantics made explicit: gap-based session_window aggregation in
+      // APPEND mode emits a session only once the event-time watermark
+      // passes its end (last event + gap) — so after a bounded replay the
+      // materialized set is exactly the sessions that CLOSED strictly
+      // before the corpus's max timestamp, and the still-open tail
+      // sessions are withheld, which is what a production job would hand
+      // the next trigger. The DuckDB twin sessionizes identically (q35's
+      // lag/cumsum dataflow, 30-min gap) and applies the same eviction
+      // predicate: last_ts + gap < global max ts. Cents discipline keeps
+      // per-session sums exact across micro-batch state merges.
+      streamReplay(s, dir, "q305", timeOrdered = true) {
+        _.select(col("ts"), col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      } { (stream, ckpt, out) =>
+        stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("n_events"),
+          round(col("cents").cast("double") / 100.0, 2).as("sess_value"))
+    }),
+
+    "q306_stream_state_totals" -> ((s, dir) => {
+      // Arbitrary stateful processing under the batch oracle:
+      // mapGroupsWithState running (count, cents) per event type across 4
+      // micro-batches. Update-mode emissions land in an append sink with
+      // their batch id; totals are CUMULATIVE, so the latest emission per
+      // key IS the full total regardless of which batch last touched the
+      // key — that final slice must equal the one-shot batch GROUP BY,
+      // bit-for-bit (exact LONGs through the state store).
+      val mat = streamReplay(s, dir, "q306") {
+        _.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      } { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.runningCentTotals(stream)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              batch.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      import org.apache.spark.sql.expressions.Window
+      mat.withColumn("_rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("batch_id").desc)))
+        .where(col("_rk") === 1)
+        .select(col("event_type"), col("n"),
+          round(col("cents").cast("double") / 100.0, 2).as("sum_value"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1372,5 +1488,40 @@ private[graft] object EventsQueries extends QueryBook {
           |   / 100.0, 2) AS sum_value
           |FROM events
           |GROUP BY 1, 2""".stripMargin,
+
+      // Spark session_window boundary semantics, mirrored exactly: an event
+      // at ts >= prev + gap opens a NEW session (the window is end-
+      // exclusive), and append mode materializes exactly the sessions whose
+      // end (last event + gap) the final watermark (= max corpus ts, delay
+      // 0) has passed.
+      "q305_stream_sessions" ->
+        """WITH o AS (SELECT user_id, event_id, ts,
+          |    CAST(round(value * 100) AS BIGINT) AS cents,
+          |    epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |s AS (SELECT user_id, ts, cents,
+          |    CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM o),
+          |c AS (SELECT user_id, ts, cents,
+          |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          |  FROM s),
+          |g AS (SELECT user_id, session_no, min(ts) AS sess_start,
+          |    max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(sum(cents) AS BIGINT) AS cents
+          |  FROM c GROUP BY 1, 2),
+          |wm AS (SELECT max(ts) AS mx FROM events)
+          |SELECT user_id, sess_start, n_events,
+          | round(CAST(cents AS DOUBLE) / 100.0, 2) AS sess_value
+          |FROM g, wm
+          |WHERE last_ts + INTERVAL 30 MINUTE <= wm.mx""".stripMargin,
+
+      "q306_stream_state_totals" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+          |   / 100.0, 2) AS sum_value
+          |FROM events
+          |GROUP BY 1""".stripMargin,
   )
 }

@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 /** Per-key accumulator for [[EventStreams.runningTotals]]. */
 case class TypeState(n: Long, sum: Double)
 
+/** Exact-integer accumulator for [[EventStreams.runningCentTotals]]. */
+case class CentState(n: Long, cents: Long)
+
 /** Open-session accumulator for [[EventStreams.closedSessions]]. */
 case class SessionState(n: Long, sum: Double, t0: Long, t1: Long)
 
@@ -61,6 +64,29 @@ object EventStreams {
           (key, next.n, next.sum)
       }
       .toDF("event_type", "n", "sum_value")
+  }
+
+  /** [[runningTotals]] with the suite's cents discipline: the state carries
+    * exact LONGs, so totals are bit-identical under ANY batch split — the
+    * variant the q306 oracle hash-checks. Expects a pre-scaled `cents`
+    * column. Emits the UPDATED cumulative totals each micro-batch; the last
+    * emission per key is the full total by construction (totals are
+    * cumulative), which is what the materializer keeps. */
+  def runningCentTotals(events: DataFrame): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.selectExpr("event_type", "cents").as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CentState, (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var n = 0L; var c = 0L
+          rows.foreach { r => n += 1; c += r._2 }
+          val prev = state.getOption.getOrElse(CentState(0L, 0L))
+          val next = CentState(prev.n + n, prev.cents + c)
+          state.update(next)
+          (key, next.n, next.cents)
+      }
+      .toDF("event_type", "n", "cents")
   }
 
   /** Streaming exact dedup: replayed/duplicate ids within the watermark

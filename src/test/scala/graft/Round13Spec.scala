@@ -47,6 +47,47 @@ class Round13Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q305: append-mode sessions = batch sessionize minus the open tail") {
+    import graft.sources.Tables
+    val emitted = SparkEntry.queries("q305_stream_sessions")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .toSet
+    // driver-side replay: sessionize every user's ordered events with the
+    // 30-min gap (>= opens a new session, Spark's end-exclusive window),
+    // then apply the watermark eviction: emitted iff last + gap <= max ts
+    val ev = Tables.table(spark, sf(), "events")
+      .selectExpr("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val maxTs = ev.map(_._2).max
+    val gap = 30L * 60 * 1000
+    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.head.head < gap =>
+          (t :: acc.head) :: acc.tail
+        case (acc, t) => List(t) :: acc
+      }
+      sessions.filter(_.head + gap <= maxTs)
+        .map(sess => (u, sess.last, sess.length.toLong))
+    }.toSet
+    assert(emitted === expect)
+    assert(emitted.size < ev.map(_._1).distinct.length * 1000) // sanity
+  }
+
+  test("q306: latest mapGroupsWithState emission per key equals the batch totals") {
+    import graft.sources.Tables
+    val r = SparkEntry.queries("q306_stream_state_totals")(spark, sf())
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    val b = Tables.table(spark, sf(), "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS LONG) AS cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("cents").cast("double") / 100.0, 2).as("sum_value"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r === b)
+  }
+
   test("q267: the oracle-twinned convergence witness is true on the fixture") {
     val r = SparkEntry.queries("q267_kcore")(spark, sf())
     assert(r.where(!col("converged")).count() === 0)
