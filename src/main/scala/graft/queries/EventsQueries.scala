@@ -936,6 +936,59 @@ private[graft] object EventsQueries extends QueryBook {
         .select(col("event_type"), col("n"),
           round(col("cents").cast("double") / 100.0, 2).as("sum_value"))
     }),
+
+    "q307_stream_stream_join" -> ((s, dir) => {
+      // Stream-stream interval join under the batch oracle — the last
+      // spec-only streaming surface brought under the gate. Errors and
+      // purchases are two watermarked filters of the SAME replayed file
+      // stream (a streaming self-join); the join condition bounds
+      // event-time distance in both directions, so each side's state is
+      // provably droppable once the watermark passes, and over a bounded
+      // time-ordered replay every matched pair emits exactly once —
+      // append materialization == the batch theta-join, which DuckDB
+      // twins verbatim. Values pass through unaggregated (bit-identical
+      // from the same parquet), no rounding needed.
+      streamReplay(s, dir, "q307", timeOrdered = true) {
+        _.select(col("ts"), col("event_type"), col("user_id"),
+          col("event_id"), col("value"))
+      } { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.errorPurchaseJoin(
+            stream.where(col("event_type") === "error"),
+            stream.where(col("event_type") === "purchase"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+        .select(col("error_id"), col("user_id"), col("error_ts"),
+          col("purchase_ts"), col("purchase_value"))
+    }),
+
+    "q314_purchase_interarrival" -> ((s, dir) => {
+      // Repeat-purchase inter-arrival distribution, bucketed to hours —
+      // the empirical replacement for an assumed-exponential arrival
+      // model. Gaps are exact integer microsecond diffs from one
+      // per-user window pass (q35's partitioning), floored to hours so
+      // the output table is bounded (≤ the fixture's time span in hours)
+      // and every value is engine-neutral integer arithmetic.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("_gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("_gap_us").isNotNull)
+        .select((col("_gap_us") / lit(3600000000L)).cast("long").as("gap_h"))
+      val g = gaps.groupBy("gap_h").agg(count(lit(1)).as("n_gaps"))
+      g.crossJoin(broadcast(g.agg(sum("n_gaps").as("_t"))))
+        .select(col("gap_h"), col("n_gaps"),
+          round(col("n_gaps").cast("double") / col("_t"), 4).as("share"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1523,5 +1576,25 @@ private[graft] object EventsQueries extends QueryBook {
           |   / 100.0, 2) AS sum_value
           |FROM events
           |GROUP BY 1""".stripMargin,
+
+      "q307_stream_stream_join" ->
+        """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+          | p.ts AS purchase_ts, p.value AS purchase_value
+          |FROM events e JOIN events p ON e.user_id = p.user_id
+          |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+          |  AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR""".stripMargin,
+
+      "q314_purchase_interarrival" ->
+        """WITH p AS (SELECT user_id, ts, event_id,
+          |    epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events WHERE event_type = 'purchase'),
+          |g AS (SELECT gap_us // 3600000000 AS gap_h,
+          |   CAST(count(*) AS BIGINT) AS n_gaps
+          |  FROM p WHERE gap_us IS NOT NULL GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS tt FROM g)
+          |SELECT CAST(g.gap_h AS BIGINT) AS gap_h, g.n_gaps,
+          | round(CAST(g.n_gaps AS DOUBLE) / t.tt, 4) AS share
+          |FROM g, t""".stripMargin,
   )
 }

@@ -568,9 +568,67 @@ private[graft] object GraphQueries extends QueryBook {
           round(sum(pow(col("o") -
             (col("e")), 2) / col("e")), 4).as("chi_sq"))
     }),
+
+    "q318_markov_entropy" -> ((s, dir) => {
+      // Entropy RATE of the q200 behavioral Markov chain (empirical
+      // H = −Σᵢⱼ (Tᵢⱼ/N)·ln(Tᵢⱼ/Tᵢ·)) plus its ceiling ln(|states|) and
+      // the predictability ratio — how much of the event stream a
+      // sequence model can hope to compress. Per-cell log terms are
+      // ×10⁶-pinned LONGs weighted by exact counts (Tᵢⱼ·t6 ≤ ~1e13 at
+      // sf0.1; at count ~1e12 the weighted sum needs ×10³ rescaling —
+      // the q280 overflow-ceiling note applies); the whole computation
+      // past the one window pass lives on the |types|² cell table.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("_next", lead("event_type", 1).over(w))
+        .withColumn("_gap_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .where(col("_next").isNotNull && col("_gap_us") <= 1800L * 1000000L)
+        .groupBy(col("event_type").as("cur"), col("_next").as("nxt"))
+        .agg(count(lit(1)).as("tij"))
+      val tot = trans.groupBy("cur").agg(sum("tij").as("ti"))
+      val terms = trans.join(broadcast(tot), "cur")
+        .select(col("tij"),
+          round(log(col("tij").cast("double") / col("ti")) * 1e6)
+            .cast("long").as("t6"))
+      terms.agg(sum("tij").as("n_transitions"),
+          sum(col("tij") * col("t6")).as("_w"))
+        .crossJoin(broadcast(tot.agg(count(lit(1)).as("n_states"))))
+        .select(col("n_transitions"), col("n_states"),
+          round((-col("_w")).cast("double")
+            / (col("n_transitions") * lit(1e6)), 6).as("h_rate"),
+          round(log(col("n_states").cast("double")), 6).as("h_max"),
+          round(((-col("_w")).cast("double")
+            / (col("n_transitions") * lit(1e6)))
+            / log(col("n_states").cast("double")), 4).as("predictability"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+      "q318_markov_entropy" ->
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS nxt,
+          |    lead(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) - epoch_us(ts::TIMESTAMP) AS gap_us
+          |  FROM events),
+          |tr AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS tij
+          |  FROM o WHERE nxt IS NOT NULL AND gap_us <= 1800000000
+          |  GROUP BY 1, 2),
+          |tt AS (SELECT cur, CAST(sum(tij) AS BIGINT) AS ti FROM tr GROUP BY 1),
+          |te AS (SELECT tr.tij,
+          |   CAST(round(ln(CAST(tr.tij AS DOUBLE) / tt.ti) * 1e6) AS BIGINT)
+          |     AS t6 FROM tr JOIN tt ON tr.cur = tt.cur),
+          |k AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM tt),
+          |a AS (SELECT CAST(sum(tij) AS BIGINT) AS n_transitions,
+          |   CAST(sum(tij * t6) AS BIGINT) AS w FROM te)
+          |SELECT a.n_transitions, k.n_states,
+          | round(CAST(-a.w AS DOUBLE) / (a.n_transitions * 1e6), 6) AS h_rate,
+          | round(ln(CAST(k.n_states AS DOUBLE)), 6) AS h_max,
+          | round((CAST(-a.w AS DOUBLE) / (a.n_transitions * 1e6))
+          |   / ln(CAST(k.n_states AS DOUBLE)), 4) AS predictability
+          |FROM a, k""".stripMargin,
       "q99_pmi_cooccur" ->
         s"""WITH docs AS (SELECT doc_id,
            |   list_distinct(string_split(${cleanSql("text")}, ' ')) AS ts FROM documents),

@@ -1638,9 +1638,124 @@ private[graft] object RelationalQueries extends QueryBook {
         concat_ws("|", map_values(transform_values(m,
           (k, v) => when(k === "type", upper(v)).otherwise(v)))).as("vals_up"))
     }),
+
+    "q308_inventory_turnover" -> ((s, dir) => {
+      // Per-brand shipped-quantity turnover between shipdate epoch halves
+      // (q256's integer midpoint cut): both half-sums are conditional
+      // LONG aggregates in ONE scan-side pass; the ratio divides at
+      // display, NULL when a brand shipped nothing early (no synthetic
+      // infinities through the gate). The brand table broadcasts.
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_quantity").cast("long").as("qty"),
+          datediff(col("l_shipdate").cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("ed"))
+      val cut = li.agg(((min("ed") + max("ed")) / 2).cast("long").as("cut"))
+      li.crossJoin(broadcast(cut))
+        .groupBy("p_brand")
+        .agg(sum(when(col("ed") <= col("cut"), col("qty")).otherwise(0L))
+          .as("qty_early"),
+          sum(when(col("ed") > col("cut"), col("qty")).otherwise(0L))
+            .as("qty_late"))
+        .select(col("p_brand"), col("qty_early"), col("qty_late"),
+          when(col("qty_early") > 0,
+            round(col("qty_late").cast("double") / col("qty_early"), 4))
+            .as("turnover"))
+    }),
+
+    "q315_leadtime_by_nation" -> ((s, dir) => {
+      // Order-to-ship lead time by SUPPLIER nation: integer day lags from
+      // one lineitem⋈orders pass (the supplier→nation dim chain rides as
+      // one broadcast); exact LONG day-sums divide only at display.
+      val supN = broadcast(t(s, dir, "supplier").as("s")
+        .join(t(s, dir, "nation").as("n"),
+          col("s.s_nationkey") === col("n.n_nationkey"))
+        .select(col("s.s_suppkey"), col("n.n_name").as("nation")))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_shipdate").cast("date").as("sd"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .select(col("nation"), datediff(col("sd"), col("od")).cast("long").as("lag"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_lines"), sum("lag").as("_sl"),
+          max("lag").as("max_lag_days"))
+        .select(col("nation"), col("n_lines"),
+          round(col("_sl").cast("double") / col("n_lines"), 4).as("avg_lag_days"),
+          col("max_lag_days"))
+    }),
+
+    "q316_discount_bridge" -> ((s, dir) => {
+      // Revenue bridge by discount band: integer discount percent buckets
+      // into four labeled bands, exact per-line discounted cents, band
+      // shares against the one-row broadcast total (the BM25 N/avgdl
+      // pattern) — the waterfall a pricing review reads.
+      val li = t(s, dir, "lineitem")
+        .select(round(col("l_discount") * 100).cast("long").as("pct"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        .withColumn("band",
+          when(col("pct") <= 2, "00-02").when(col("pct") <= 5, "03-05")
+            .when(col("pct") <= 8, "06-08").otherwise("09-10"))
+      val byBand = li.groupBy("band")
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("_c"))
+      byBand.crossJoin(broadcast(byBand.agg(sum("_c").as("_t"))))
+        .select(col("band"), col("n_lines"),
+          round(col("_c").cast("double") / 100.0, 2).as("revenue"),
+          round(col("_c").cast("double") / col("_t"), 4).as("share"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+      "q308_inventory_turnover" ->
+        """WITH li AS (SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty,
+          |   CAST(date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+          |     AS BIGINT) AS ed
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |b AS (SELECT (min(ed) + max(ed)) // 2 AS cut FROM li),
+          |g AS (SELECT p_brand,
+          |   CAST(sum(CASE WHEN ed <= b.cut THEN qty ELSE 0 END) AS BIGINT)
+          |     AS qty_early,
+          |   CAST(sum(CASE WHEN ed > b.cut THEN qty ELSE 0 END) AS BIGINT)
+          |     AS qty_late
+          |  FROM li, b GROUP BY 1)
+          |SELECT p_brand, qty_early, qty_late,
+          | CASE WHEN qty_early > 0
+          |  THEN round(CAST(qty_late AS DOUBLE) / qty_early, 4) END AS turnover
+          |FROM g""".stripMargin,
+
+      "q315_leadtime_by_nation" ->
+        """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_lines,
+          | round(CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+          |     CAST(l.l_shipdate AS DATE))) AS DOUBLE) / count(*), 4)
+          |   AS avg_lag_days,
+          | CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+          |     CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_lag_days
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |GROUP BY 1""".stripMargin,
+
+      "q316_discount_bridge" ->
+        """WITH li AS (SELECT
+          |   CASE WHEN CAST(round(l_discount * 100) AS BIGINT) <= 2 THEN '00-02'
+          |    WHEN CAST(round(l_discount * 100) AS BIGINT) <= 5 THEN '03-05'
+          |    WHEN CAST(round(l_discount * 100) AS BIGINT) <= 8 THEN '06-08'
+          |    ELSE '09-10' END AS band,
+          |   CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+          |     AS cents FROM lineitem),
+          |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+          |   CAST(sum(cents) AS BIGINT) AS c FROM li GROUP BY 1),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM g)
+          |SELECT g.band, g.n_lines,
+          | round(CAST(g.c AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(CAST(g.c AS DOUBLE) / t.tt, 4) AS share
+          |FROM g, t""".stripMargin,
       "q01_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
           | round(sum(l_extendedprice), 2) AS sum_base_price,

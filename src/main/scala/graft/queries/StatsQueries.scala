@@ -1502,9 +1502,143 @@ private[graft] object StatsQueries extends QueryBook {
         .where(col("item") =!= "")
       graft.operators.HeavyHitters.topFrequent(toks, col("item"), k = 50)
     }),
+
+    "q309_sla_order_stats" -> ((s, dir) => {
+      // Order-to-ship SLA per priority as ORDER STATISTICS (p50/p90 = the
+      // value at rank ⌈q·n⌉ — integers end to end, no interpolation to
+      // float-drift): the corpus reduces to the bounded (priority, lag)
+      // count table in one pass; cumulative ranks come from a triangular
+      // join on that ~priorities×|lag| table, never a corpus window.
+      // Rank cuts are integer-exact: r50 = (n+1)//2, r90 = (9n+9)//10.
+      val d = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+            col("o_orderdate").cast("date").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("priority"), datediff(col("sd"), col("od")).cast("long").as("lag"))
+      val g = d.groupBy("priority", "lag").agg(count(lit(1)).as("cnt"))
+        .cache() // bounded (~priorities x |lag| rows); three consumers
+      val cum = g.as("a")
+        .join(g.select(col("priority"), col("lag").as("_l2"),
+          col("cnt").as("_c2")).as("b"), Seq("priority"))
+        .where(col("_l2") <= col("lag"))
+        .groupBy("priority", "lag").agg(sum("_c2").as("cum"))
+      val tot = g.groupBy("priority").agg(sum("cnt").as("n"))
+      val ranked = cum.join(broadcast(tot), "priority")
+      def orderStat(r: org.apache.spark.sql.Column) =
+        min(when(col("cum") >= r, col("lag")))
+      ranked.groupBy("priority")
+        .agg(first("n").as("n_lines"),
+          // cast truncates the double division -> floor for positives,
+          // matching the twin's integer // (r50 = (n+1)//2 = ceil(n/2))
+          orderStat(((col("n") + 1) / 2).cast("long")).as("p50_days"),
+          orderStat(((col("n") * 9 + 9) / 10).cast("long")).as("p90_days"))
+    }),
+
+    "q313_hill_tail" -> ((s, dir) => {
+      // Hill tail-index estimate of the token frequency distribution
+      // (Zipf exponent from the top of the tail): the k=100 head set is
+      // cut under the total order (freq DESC, token ASC); the reference
+      // frequency is max(freq) OUTSIDE the head (tie-free, order-free);
+      // each log-ratio is ×10⁶-pinned to a LONG before summing so
+      // partial-agg order can't flip a bit (the q249 scaled-log trick).
+      // One corpus pass; everything after is vocab-bounded.
+      val freq = t(s, dir, "documents")
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .localCheckpoint() // head cut + outside-max re-read it
+      val head = freq.orderBy(col("f").desc, col("tok").asc).limit(100)
+        .localCheckpoint() // bounded 100 rows; two consumers
+      val ref = freq.join(head.select(col("tok")), Seq("tok"), "left_anti")
+        .agg(max("f").as("ref"))
+      head.crossJoin(broadcast(ref))
+        .select((round(log(col("f").cast("double") / col("ref")) * 1e6))
+          .cast("long").as("t6"))
+        .agg(count(lit(1)).as("k"), sum("t6").as("hill_sum_e6"))
+        .select(col("k"), col("hill_sum_e6"),
+          when(col("hill_sum_e6") > 0,
+            round(col("k").cast("double") * 1e6 / col("hill_sum_e6"), 4))
+            .as("alpha"))
+    }),
+
+    "q317_customer_lorenz" -> ((s, dir) => {
+      // Customer-revenue Lorenz curve at deciles (the LTV-concentration
+      // counterpart of q188's event concentration): decile assignment is
+      // GlobalRank.withNtile's range exchange — ntile(10) semantics, no
+      // single-partition window; cumulative share via the triangular
+      // suffix-sum on the 10-row decile table. Exact cents everywhere.
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("c"))
+      val dec = graft.operators.GlobalRank.withNtile(
+        rev, 10, Seq(col("c").asc, col("o_custkey").asc), "decile")
+      val byDec = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("c").as("_c"))
+      val cum = byDec.select(col("decile").as("_d2"), col("_c").as("_c2"))
+        .join(byDec.select(col("decile")), col("_d2") <= col("decile"))
+        .groupBy("decile").agg(sum("_c2").as("_cum"))
+      byDec.join(cum, "decile")
+        .crossJoin(broadcast(byDec.agg(sum("_c").as("_t"))))
+        .select(col("decile"), col("n_customers"),
+          round(col("_c").cast("double") / 100.0, 2).as("revenue"),
+          round(col("_cum").cast("double") / col("_t"), 4).as("cum_share"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
+      "q309_sla_order_stats" ->
+        """WITH d AS (SELECT o.o_orderpriority AS priority,
+          |   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          |     CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          |g AS (SELECT priority, lag, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM d GROUP BY 1, 2),
+          |c AS (SELECT priority, lag,
+          |   CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY lag
+          |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |   CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n
+          |  FROM g)
+          |SELECT priority, CAST(min(n) AS BIGINT) AS n_lines,
+          | CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag END) AS BIGINT)
+          |   AS p50_days,
+          | CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lag END) AS BIGINT)
+          |   AS p90_days
+          |FROM c GROUP BY 1""".stripMargin,
+
+      "q313_hill_tail" ->
+        s"""WITH tok AS (SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS tok
+           |  FROM documents),
+           |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tok
+           |  WHERE tok <> '' GROUP BY 1),
+           |head AS (SELECT tok, f FROM f
+           |  QUALIFY row_number() OVER (ORDER BY f DESC, tok ASC) <= 100),
+           |r AS (SELECT CAST(max(f) AS BIGINT) AS ref FROM f
+           |  WHERE tok NOT IN (SELECT tok FROM head)),
+           |t AS (SELECT CAST(round(ln(CAST(head.f AS DOUBLE) / r.ref) * 1e6)
+           |   AS BIGINT) AS t6 FROM head, r)
+           |SELECT CAST(count(*) AS BIGINT) AS k,
+           | CAST(sum(t6) AS BIGINT) AS hill_sum_e6,
+           | CASE WHEN sum(t6) > 0
+           |  THEN round(count(*) * 1e6 / sum(t6), 4) END AS alpha
+           |FROM t""".stripMargin,
+
+      "q317_customer_lorenz" ->
+        """WITH rev AS (SELECT o_custkey,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |     AS c FROM orders GROUP BY 1),
+          |d AS (SELECT c, CAST(ntile(10) OVER (ORDER BY c, o_custkey)
+          |   AS BIGINT) AS decile FROM rev),
+          |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+          |   CAST(sum(c) AS BIGINT) AS c FROM d GROUP BY 1),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM g)
+          |SELECT g.decile, g.n_customers,
+          | round(CAST(g.c AS DOUBLE) / 100.0, 2) AS revenue,
+          | round(CAST(sum(g.c) OVER (ORDER BY g.decile
+          |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.tt, 4) AS cum_share
+          |FROM g, t""".stripMargin,
       "q37_percentile" ->
         """SELECT o_orderpriority,
           | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
