@@ -98,6 +98,7 @@ object ScaleProbe {
     if (args.headOption.contains("backlog")) { backlogProbe(args.drop(1)); return }
     if (args.headOption.contains("skyline")) { skylineProbe(args.drop(1)); return }
     if (args.headOption.contains("kcore")) { kcoreProbe(args.drop(1)); return }
+    if (args.headOption.contains("dupcollapse")) { dupCollapseProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -704,6 +705,78 @@ object ScaleProbe {
     * peel runs L rounds regardless of C; doubling C must ~double the wall
     * (per-round cost is linear in the surviving edge list) while rounds
     * stay L. Verifies core size == C and every core degree == 2. */
+  /** Dup-collapse mode: the round-13 claim under test — the edit-distance
+    * verifier's cost is FLAT in exact-copy count. The corpus is replicated
+    * rep× with IDENTICAL text (doc pairs grow as rep², distinct-text pairs
+    * don't grow at all), the operator runs at rep = 1 and rep = N, and the
+    * probe VERIFIES the rep-N pair set against the closed form derived
+    * from the rep-1 output: cross pairs ×rep², plus C(m·rep, 2) same-text
+    * pairs per distinct text. Wall clock is printed for the read; the
+    * assertions are on the counts (timing on a shared VM is advisory). */
+  private def dupCollapseProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+    val base = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where(col("n_chars") <= 512)
+      .select(col("doc_id"), col("text")).cache()
+    val nBase = base.count()
+    // per-distinct-text copy counts in the BASE corpus (texts may already
+    // repeat) — the closed form needs them
+    val mT = base
+      .select(graft.functions.TextExprs.cleanText(col("text")).as("t"))
+      .where(size(split(col("t"), " ")) >= 3) // the operator's survivor set
+      .select(md5(col("t")).as("tid"))
+      .groupBy("tid").count().select(col("count").as("m"))
+      .collect().map(_.getLong(0))
+    val p1 = timed(s"verify rep=1 ($nBase docs)") {
+      graft.operators.Dedup.editDistNearDups(base, col("doc_id"), col("text"))
+        .cache()
+    }
+    val n1 = p1.count()
+    val cross1 = p1.where(col("edit_dist") > 0 || col("sim") < 1.0).count()
+    // cross pairs at rep=1 per TEXT pair: each base text pair (m_a, m_b)
+    // contributes m_a*m_b doc pairs; at rep=r it contributes m_a*m_b*r².
+    // Same-text pairs at rep=1: sum C(m,2); at rep=r: sum C(m*r, 2).
+    val same1 = n1 - cross1
+    val sameExpect1 = mT.map(m => m * (m - 1) / 2).sum
+    assert(same1 == sameExpect1, s"same-text pairs: $same1 vs $sameExpect1")
+    val crossTextPairs = cross1 // equals Σ m_a·m_b over verified text pairs? No:
+    // cross1 COUNTS doc pairs already = Σ m_a·m_b at rep=1; at rep=r it is ×r².
+    val big = base.crossJoin(spark.range(rep).select(col("id").as("_r")))
+      .select((col("doc_id") * rep + col("_r")).as("doc_id"), col("text"))
+      .repartition(64).cache()
+    val nBig = big.count()
+    val pN = timed(s"verify rep=$rep ($nBig docs, doc pairs x${rep * rep})") {
+      graft.operators.Dedup.editDistNearDups(big, col("doc_id"), col("text"))
+        .cache()
+    }
+    val nN = pN.count()
+    val crossN = pN.where(col("edit_dist") > 0 || col("sim") < 1.0).count()
+    val sameN = nN - crossN
+    val crossExpectN = crossTextPairs * rep * rep
+    val sameExpectN = mT.map(m => (m * rep) * (m * rep - 1) / 2).sum
+    println(s"[probe] pairs rep=1: $n1 (cross $cross1, same $same1); " +
+      s"rep=$rep: $nN (cross $crossN, same $sameN)")
+    assert(crossN == crossExpectN, s"cross pairs: $crossN vs $crossExpectN")
+    assert(sameN == sameExpectN, s"same pairs: $sameN vs $sameExpectN")
+    println(f"[probe] closed form holds: DP volume constant, output x${nN.toDouble / n1}%.1f")
+    spark.stop()
+  }
+
   private def kcoreProbe(args: Array[String]): Unit = {
     val c = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
       .getOrElse(100000)

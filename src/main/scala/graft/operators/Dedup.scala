@@ -571,4 +571,53 @@ object Dedup {
         col("v_a"), col("v_b"), col("_na"), col("_nb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Edit-distance-verified near-dup pairs with EXACT-DUPLICATE COLLAPSE
+    * (round 13): candidates block on the md5 of the first 3 tokens, the
+    * O(len²) Levenshtein runs once per DISTINCT-TEXT candidate pair, and
+    * identical-text pairs emit dist-0 rows with no DP at all — verified
+    * text pairs expand back to doc pairs through slim equi-joins. On a
+    * duplicate-heavy corpus (web crawls; k exact copies per text) doc
+    * pairs grow as k² while the DP volume doesn't grow at all; the output
+    * pair set is provably the per-doc-pair original (levenshtein depends
+    * only on content; md5 stands in for the string join key under the q97
+    * md5≡raw-grouping license). Caller pre-filters to short docs — the
+    * length cap is what licenses Levenshtein at scale.
+    * Output: (id_a, id_b, edit_dist, sim) with id_a < id_b, sim ≥
+    * `simThreshold` at 4 dp. */
+  def editDistNearDups(docs: DataFrame, id: Column, text: Column,
+      simThreshold: Double = 0.8): DataFrame = {
+    val m = docs
+      .select(id.as("doc_id"), TextExprs.cleanText(text).as("t"))
+      .select(col("doc_id"), col("t"), split(col("t"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("tid"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
+      .localCheckpoint() // three slim consumers, one text scan
+    val g = m.select("h", "tid", "t").distinct()
+    val sim = lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+      greatest(length(col("ta")), length(col("tb")))
+    val vx = g.select(col("h"), col("tid").as("tid_a"), col("t").as("ta"))
+      .join(g.select(col("h"), col("tid").as("tid_b"), col("t").as("tb")),
+        Seq("h"))
+      .where(col("tid_a") < col("tid_b"))
+      .select(col("h"), col("tid_a"), col("tid_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        round(sim, 4).as("sim"))
+      .where(col("sim") >= simThreshold)
+    val cross = vx
+      .join(m.select(col("h"), col("tid").as("tid_a"),
+        col("doc_id").as("_ia")), Seq("h", "tid_a"))
+      .join(m.select(col("h"), col("tid").as("tid_b"),
+        col("doc_id").as("_ib")), Seq("h", "tid_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("edit_dist"), col("sim"))
+    val same = m.as("x").join(m.as("y"),
+        col("x.h") === col("y.h") && col("x.tid") === col("y.tid") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0L).as("edit_dist"), lit(1.0).as("sim"))
+    cross.unionByName(same)
+  }
 }

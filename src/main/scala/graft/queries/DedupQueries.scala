@@ -474,39 +474,9 @@ private[graft] object DedupQueries extends QueryBook {
       // pair-for-pair original (levenshtein depends only on content; the
       // md5 text fingerprint stands in for the string join key under the
       // q97 md5≡raw-grouping license).
-      val m = t(s, dir, "documents")
-        .where(col("n_chars") <= 512)
-        .select(col("doc_id"), TextExprs.cleanText(col("text")).as("t"))
-        .select(col("doc_id"), col("t"), split(col("t"), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("t"), md5(col("t")).as("tid"),
-          md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
-        .localCheckpoint() // three slim consumers, one text scan
-      val g = m.select("h", "tid", "t").distinct()
-      val sim = lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
-        greatest(length(col("ta")), length(col("tb")))
-      val vx = g.select(col("h"), col("tid").as("tid_a"), col("t").as("ta"))
-        .join(g.select(col("h"), col("tid").as("tid_b"), col("t").as("tb")),
-          Seq("h"))
-        .where(col("tid_a") < col("tid_b"))
-        .select(col("h"), col("tid_a"), col("tid_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-          round(sim, 4).as("sim"))
-        .where(col("sim") >= 0.8)
-      val cross = vx
-        .join(m.select(col("h"), col("tid").as("tid_a"),
-          col("doc_id").as("_ia")), Seq("h", "tid_a"))
-        .join(m.select(col("h"), col("tid").as("tid_b"),
-          col("doc_id").as("_ib")), Seq("h", "tid_b"))
-        .select(least(col("_ia"), col("_ib")).as("id_a"),
-          greatest(col("_ia"), col("_ib")).as("id_b"),
-          col("edit_dist"), col("sim"))
-      val same = m.as("x").join(m.as("y"),
-          col("x.h") === col("y.h") && col("x.tid") === col("y.tid") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          lit(0L).as("edit_dist"), lit(1.0).as("sim"))
-      cross.unionByName(same)
+      Dedup.editDistNearDups(
+        t(s, dir, "documents").where(col("n_chars") <= 512),
+        col("doc_id"), col("text"), simThreshold = 0.8)
     }),
 
     "q201_crosssource_leakage" -> ((s, dir) => {
