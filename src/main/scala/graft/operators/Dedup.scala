@@ -255,31 +255,48 @@ object Dedup {
       maxHamming: Int = 7, shingleLen: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       "band blocking is only exact for maxHamming < 8 (pigeonhole over 8 bands)")
-    // Cache posture: sigs is referenced three times in the returned plan
-    // (banding + both sides of the verify join) and is SKETCH-SIZED — one
-    // (id, long) pair per doc, ~16 bytes/doc ≈ 16 GB per trillion docs
+    // Cache posture: the member table is referenced three times in the
+    // returned plan and is SKETCH-SIZED — (id, tid, sig), ~32 bytes/doc
     // spread across the cluster — so the persisted footprint is acceptable,
     // unlike a full-corpus persist. ContextCleaner reclaims it once the
     // returned DataFrame is unreferenced.
-    val sigs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+    //
+    // EXACT-DUPLICATE COLLAPSE (round 13, the editDistNearDups move): the
+    // signature is a pure function of the cleaned text, so banding,
+    // candidate generation, and the hamming verify all run at the
+    // DISTINCT-TEXT grain; identical-text doc pairs are hamming-0 by
+    // definition and expand through slim equi-joins. k exact copies per
+    // text grow doc pairs as k² but add ZERO band-join and verify work.
+    val m = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
       .where(size(split(col("cln"), " ")) >= shingleLen)
-      .select(col("id"),
+      .select(col("id"), md5(col("cln")).as("tid"),
         graft.plans.SimHash.simhashMd5Shingled(col("cln"), shingleLen).as("sig"))
       .localCheckpoint() // GC-released pin (see `pinned`)
+    val g = m.select("tid", "sig").distinct()
     val bandSlices = (0 until 8).map(b =>
       shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
-    val banded = sigs.select(col("id"), posexplode(array(bandSlices: _*)))
+    val banded = g.select(col("tid"), posexplode(array(bandSlices: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
     val candidates = banded.as("l").join(banded.as("r"), Seq("band", "band_val"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("l.tid").as("tid_a"), col("r.tid").as("tid_b"))
+      .where(col("tid_a") < col("tid_b"))
       .distinct()
-    candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val vx = candidates
+      .join(g.select(col("tid").as("tid_a"), col("sig").as("sig_a")), "tid_a")
+      .join(g.select(col("tid").as("tid_b"), col("sig").as("sig_b")), "tid_b")
+      .select(col("tid_a"), col("tid_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+    val cross = vx
+      .join(m.select(col("tid").as("tid_a"), col("id").as("_ia")), "tid_a")
+      .join(m.select(col("tid").as("tid_b"), col("id").as("_ib")), "tid_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    val same = m.as("x").join(m.as("y"),
+        col("x.tid") === col("y.tid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** Pairwise n-gram Jaccard over *blocked* candidates: block by a cheap
@@ -292,26 +309,42 @@ object Dedup {
     // Staged projections: cln and toks become ATTRIBUTES before any lambda
     // touches them (each is referenced >1x downstream, so CollapseProject
     // keeps the boundary and nothing is re-evaluated per array element).
-    val docs = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
-      .select(col("id"),
+    //
+    // EXACT-DUPLICATE COLLAPSE (round 13): Jaccard is a pure function of
+    // the text, so candidates and the exact verify run at the DISTINCT-
+    // TEXT grain (identical-text pairs are jaccard 1.0 by definition);
+    // member ids expand back through slim equi-joins. k exact copies per
+    // text grow doc pairs as k² but add zero verify work.
+    val m = df.select(id.as("id"), TextExprs.cleanText(text).as("cln"))
+      .select(col("id"), md5(col("cln")).as("tid"),
         MinHashExprs.shingleHashes(col("cln"), shingleLen).as("shh"),
         split(col("cln"), " ").as("toks"))
       .where(size(col("shh")) > 0)
-      .select(col("id"), col("shh"),
+      .select(col("id"), col("tid"), col("shh"),
         array_min(shinglesOfToks(col("toks"), shingleLen)).as("blk"))
       .localCheckpoint() // GC-released pin (see `pinned`)
-    // candidate pairs on ids only; hash sets join back for the exact verify
-    val keys = docs.select(col("blk"), col("id"))
+    val g = m.select("blk", "tid", "shh").distinct()
+    val keys = g.select(col("blk"), col("tid"))
     val candidates = keys.as("l").join(keys.as("r"), Seq("blk"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("l.tid").as("tid_a"), col("r.tid").as("tid_b"))
+      .where(col("tid_a") < col("tid_b"))
       .distinct()
-    candidates
-      .join(docs.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val vx = candidates
+      .join(g.select(col("tid").as("tid_a"), col("shh").as("shh_a")), "tid_a")
+      .join(g.select(col("tid").as("tid_b"), col("shh").as("shh_b")), "tid_b")
+      .select(col("tid_a"), col("tid_b"),
         MinHashExprs.jaccardSorted(col("shh_a"), col("shh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    val cross = vx
+      .join(m.select(col("tid").as("tid_a"), col("id").as("_ia")), "tid_a")
+      .join(m.select(col("tid").as("tid_b"), col("id").as("_ib")), "tid_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("jaccard"))
+    val same = m.as("x").join(m.as("y"),
+        col("x.tid") === col("y.tid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(same)
   }
 
   /** Connected components over an undirected edge list `(id_a, id_b)` —
