@@ -67,16 +67,23 @@ object ImageIoCodec extends MediaCodec {
     require(img != null, s"payload $id: ImageIO could not decode the byte stream")
     val raster = img.getRaster
     val bands = raster.getNumBands
+    // Normalize every sample to 8 bits BEFORE the luma/histogram math: a
+    // 16-bit PNG's samples run to 65535 and would otherwise index past the
+    // feature histogram. Shift, not divide — bit-exact no-op at 8 bits, so
+    // the TYPE_BYTE_GRAY round trip (q300's closed form) is untouched.
+    val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
       while (x < img.getWidth) {
         val v =
-          if (bands == 1) raster.getSample(x, y, 0)
+          // < 3 bands covers grayscale AND grayscale+alpha (2-band PNG):
+          // band 0 is the luminance either way, alpha is not color
+          if (bands < 3) raster.getSample(x, y, 0) >> shift
           else {
-            val r = raster.getSample(x, y, 0)
-            val g = raster.getSample(x, y, 1)
-            val b = raster.getSample(x, y, 2)
+            val r = raster.getSample(x, y, 0) >> shift
+            val g = raster.getSample(x, y, 1) >> shift
+            val b = raster.getSample(x, y, 2) >> shift
             (r * 299 + g * 587 + b * 114) / 1000
           }
         f(v)

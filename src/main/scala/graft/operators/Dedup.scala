@@ -620,14 +620,22 @@ object Dedup {
     * `simThreshold` at 4 dp. */
   def editDistNearDups(docs: DataFrame, id: Column, text: Column,
       simThreshold: Double = 0.8): DataFrame = {
-    val m = docs
+    val base = docs
       .select(id.as("doc_id"), TextExprs.cleanText(text).as("t"))
       .select(col("doc_id"), col("t"), split(col("t"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("t"), md5(col("t")).as("tid"),
         md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
-      .localCheckpoint() // three slim consumers, one text scan
-    val g = m.select("h", "tid", "t").distinct()
+    // Pin posture (round 14): the checkpointed member table is SLIM —
+    // (doc_id, tid, h), no text — because its three consumers (the two
+    // expand joins and `same`) never read the text; the text-bearing side
+    // is pinned separately at the DISTINCT-TEXT grain, which is what the
+    // collapse bounds on a dup-heavy corpus. Costs one extra source scan,
+    // keeps full-corpus text out of the pinned blocks.
+    val m = base.select("doc_id", "tid", "h")
+      .localCheckpoint() // GC-released pin (see `pinned`)
+    val g = base.select("h", "tid", "t").distinct()
+      .localCheckpoint() // distinct-text grain, two verify-side consumers
     val sim = lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
       greatest(length(col("ta")), length(col("tb")))
     val vx = g.select(col("h"), col("tid").as("tid_a"), col("t").as("ta"))

@@ -21,12 +21,18 @@ import graft.queries.QueryHelpers._
 private[graft] object EventsQueries extends QueryBook {
 
   /** Shared replay rig for the streaming-under-oracle queries (q302/q305/
-    * q306): reshard the events projection into 4 parquet files, stream
+    * q306/q307): reshard the events projection into 4 parquet files, stream
     * them back ONE FILE PER MICRO-BATCH (real cross-batch state), run the
     * caller's writeStream to `out`, and read the materialization back.
     * Prior run dirs are reaped first — executions never overlap (Bench's
     * warm-up pool runs each query once, timed passes are sequential,
-    * Verify is a separate JVM). */
+    * Verify is a separate JVM). The streaming execution runs under
+    * [[QueryHelpers.withStreamShuffle]]: at sf0.1 the dominant cost of a
+    * 4-batch replay is not the data but 4 × default-width state-store and
+    * shuffle tasks per stateful operator side, so the rig scopes
+    * `spark.sql.shuffle.partitions` down for the drain (values are
+    * partition-count invariant; a real deployment sizes the same knob to
+    * its key cardinality, not to a 4-file replay). */
   private def streamReplay(s: SparkSession, dir: String, tag: String,
       timeOrdered: Boolean = false)(
       project: DataFrame => DataFrame)(
@@ -63,8 +69,10 @@ private[graft] object EventsQueries extends QueryBook {
       .schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
-    val q = run(stream, s"$base/ckpt", out)
-    try { q.processAllAvailable() } finally q.stop()
+    QueryHelpers.withStreamShuffle(s) {
+      val q = run(stream, s"$base/ckpt", out)
+      try { q.processAllAvailable() } finally q.stop()
+    }
     s.read.parquet(out)
   }
 
@@ -828,42 +836,24 @@ private[graft] object EventsQueries extends QueryBook {
       // suite's cents discipline (exact LONGs through the streaming state,
       // display division at the end), so partial-agg order across
       // micro-batches cannot flip a bit.
-      // prior run dirs are dead weight (executions never overlap: Bench's
-      // warm-up pool runs q302 once, timed passes are sequential, Verify is
-      // a separate JVM) — reap them before carving this run's dir
-      val root = new java.io.File("target/stream/q302")
-      Option(root.listFiles()).foreach(_.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(d)
-      })
-      val base = s"target/stream/q302/${java.util.UUID.randomUUID()}"
-      val src = s"$base/src"; val out = s"$base/out"
-      t(s, dir, "events")
-        .select(col("ts"), col("event_type"),
+      streamReplay(s, dir, "q302") {
+        _.select(col("ts"), col("event_type"),
           round(col("value") * 100).cast("long").as("cents"))
-        .repartition(4, col("event_type"))
-        .write.mode("overwrite").parquet(src)
-      val stream = s.readStream
-        .schema(s.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-      val agg = stream
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.read.parquet(out)
+      } { (stream, ckpt, out) =>
+        stream
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+      }
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"),
           round(col("cents").cast("double") / 100.0, 2).as("sum_value"))
@@ -874,12 +864,13 @@ private[graft] object EventsQueries extends QueryBook {
       // semantics made explicit: gap-based session_window aggregation in
       // APPEND mode emits a session only once the event-time watermark
       // passes its end (last event + gap) — so after a bounded replay the
-      // materialized set is exactly the sessions that CLOSED strictly
-      // before the corpus's max timestamp, and the still-open tail
-      // sessions are withheld, which is what a production job would hand
-      // the next trigger. The DuckDB twin sessionizes identically (q35's
-      // lag/cumsum dataflow, 30-min gap) and applies the same eviction
-      // predicate: last_ts + gap < global max ts. Cents discipline keeps
+      // materialized set is exactly the sessions whose end the final
+      // watermark has reached (end <= the corpus's max timestamp), and the
+      // still-open tail sessions are withheld, which is what a production
+      // job would hand the next trigger. The DuckDB twin sessionizes
+      // identically (q35's lag/cumsum dataflow, 30-min gap) and applies the
+      // same eviction predicate: last_ts + gap <= global max ts. Cents
+      // discipline keeps
       // per-session sums exact across micro-batch state merges.
       streamReplay(s, dir, "q305", timeOrdered = true) {
         _.select(col("ts"), col("event_type"), col("user_id"),

@@ -30,6 +30,69 @@ private[graft] object QueryHelpers {
       .groupBy(col(key))
       .agg(coalesce(sum(col("_bv")), lit(0L)).as("prev_cum"))
 
+  /** Scope `spark.sql.shuffle.partitions` down for a bounded stream replay
+    * and restore it afterwards. A 4-micro-batch replay at sf0.1 pays per
+    * batch per stateful operator one task per shuffle partition — at the
+    * session default that fixed fan-out, not the data, dominates the
+    * drain (r13 close bench: q307 17.7 s with the join itself sub-second).
+    * Measured at sf0.1 min-of-3 on q307 (stream-stream join, the worst
+    * case: 4 state stores per partition per batch): 32 partitions 17.7 s,
+    * 8 → 9.6 s, 4 → 8.4 s, 2 → 4.3 s, 1 → 5.5 s (loses the 2-way task
+    * overlap) — so 2. Safe to scope: Bench/Verify run queries sequentially
+    * on this session, each replay creates a FRESH checkpoint (the
+    * state-store partition count is pinned per checkpoint, never inherited
+    * across runs), and aggregation values are partition-count invariant. */
+  private[graft] def withStreamShuffle[T](s: SparkSession, n: Int = 2)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
+  /** File-stream replay over EXPLICIT slices: writes slice `i` as the
+    * single file `b0i.parquet` with ascending mtimes (FileStreamSource
+    * replays oldest-first), runs the caller's writeStream with
+    * `maxFilesPerTrigger 1` (slice i == micro-batch i, deterministically —
+    * unlike a hash/range reshard, the batch membership is a pure function
+    * the DuckDB twin can recompute), drains, and reads back the
+    * materialization. Used by the streaming-under-oracle queries whose
+    * semantics depend on WHICH batch a row lands in (q310). */
+  private[graft] def streamReplaySlices(s: SparkSession, tag: String,
+      slices: Seq[DataFrame])(
+      run: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    val root = new java.io.File(s"target/stream/$tag")
+    Option(root.listFiles()).foreach(_.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    })
+    val base = s"target/stream/$tag/${java.util.UUID.randomUUID()}"
+    val src = new java.io.File(s"$base/src"); src.mkdirs()
+    val out = s"$base/out"
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/tmp$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"replay slice $i produced no part file"))
+      val dst = new java.io.File(src, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(src.getPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(src.getPath)
+    withStreamShuffle(s) {
+      val q = run(stream, s"$base/ckpt", out)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    s.read.parquet(out)
+  }
+
   /** The reference's shipped memo-cache fixture (q122). Overridable via
     * GRAFT_REF_CACHE so the query is runnable outside this machine layout;
     * the same resolved path feeds both the engine parse and the DuckDB
