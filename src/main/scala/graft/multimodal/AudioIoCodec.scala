@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real pure-JVM audio codec behind the [[MediaCodec]] seam: WAV/AIFF/AU
+  * via `javax.sound.sampled` — no native dependency, ships in every JDK.
+  * Non-audio kinds chain to [[ImageIoCodec]] (which itself falls back to
+  * [[StubCodec]] for video), so passing THIS codec to the Multimodal
+  * plumbing gives the full real-codec stack: image + audio real, video
+  * stubbed (no pure-JVM ffmpeg equivalent exists).
+  *
+  * Scale posture mirrors [[ImageIoCodec]]:
+  *  - `decodeMeta` is HEADER-ONLY — `AudioSystem.getAudioFileFormat`
+  *    parses the RIFF/AIFF container header without touching sample data,
+  *    so a metadata pass over 100 TB of audio reads tens of bytes per
+  *    payload, not the payload;
+  *  - `encodeFeature` is the full PCM decode (the expensive pass a real
+  *    pipeline fuses with the encoder forward call), executor-side in
+  *    partition batches via the existing Multimodal plumbing.
+  * [[MediaMeta]] field mapping for audio (documented, not overloaded
+  * schema): `width` = sample rate in Hz, `height` = channel count,
+  * `n_frames` = PCM frame count from the header.
+  * Serializable singleton: no per-record state survives a call, the
+  * closure ships cleanly to executors. */
+object AudioIoCodec extends MediaCodec {
+
+  override def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta =
+    if (kind != "audio") ImageIoCodec.decodeMeta(id, bytes, kind)
+    else {
+      val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val f = ff.getFormat
+      MediaMeta(id, kind, bytes.length.toLong,
+        math.round(f.getSampleRate), f.getChannels, math.max(ff.getFrameLength, 0))
+    }
+
+  override def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int): MediaFeature =
+    if (kind != "audio") ImageIoCodec.encodeFeature(id, bytes, kind, dim)
+    else {
+      // amplitude histogram over the full 16-bit range, L2-normalized —
+      // the same integer-bucket + normalize shape as the image codec's
+      // luminance histogram, so downstream similarity/dedup operators
+      // consume both modalities identically
+      val acc = new Array[Float](dim)
+      foreachSample(id, bytes) { v => acc(((v + 32768) * dim) >>> 16) += 1f }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
+      val n = math.sqrt(norm)
+      if (n > 0) { j = 0; while (j < dim) { acc(j) = (acc(j) / n).toFloat; j += 1 } }
+      MediaFeature(id, kind, acc)
+    }
+
+  /** Exact peak |amplitude| over the decoded PCM — the integer round-trip
+    * witness q320 hash-checks against a closed form (PCM is lossless, so
+    * decoded samples equal generated samples bit-for-bit). */
+  def peakAbs(id: Long, bytes: Array[Byte]): Long = {
+    var p = 0L
+    foreachSample(id, bytes) { v => val a = math.abs(v.toLong); if (a > p) p = a }
+    p
+  }
+
+  /** Decode the payload to PCM and visit every 16-bit sample (interleaved
+    * channel order, as stored). Signed 16-bit PCM only — the dominant
+    * uncompressed interchange format; anything else fails loudly rather
+    * than mis-bucketing. */
+  private def foreachSample(id: Long, bytes: Array[Byte])(f: Int => Unit): Unit = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+        s"payload $id: only 16-bit signed PCM is supported, got $fmt")
+      val bigEndian = fmt.isBigEndian
+      val data = in.readAllBytes()
+      var i = 0
+      while (i + 1 < data.length) {
+        val v =
+          if (bigEndian) (data(i).toInt << 8) | (data(i + 1) & 0xFF)
+          else (data(i + 1).toInt << 8) | (data(i) & 0xFF)
+        f(v)
+        i += 2
+      }
+    } finally in.close()
+  }
+}
+
+/** Deterministic synthetic WAV source for the oracle-checked audio queries
+  * and specs — the [[ImageGen]] pattern for the audio modality: PCM is
+  * lossless, so decoded samples equal generated samples exactly and DuckDB
+  * predicts decode results from the SAME integer arithmetic. */
+object AudioGen {
+  /** Interleaved sample `i` of payload `id`:
+    * ((i·31153 + id·40503) mod 65536) − 32768 — exact integer arithmetic
+    * in both engines (31153 is odd, so the sequence walks all residues;
+    * no float sine anywhere near the oracle). */
+  def sampleAt(id: Long, i: Long): Int =
+    (((i * 31153L + id * 40503L) % 65536L) - 32768L).toInt
+
+  /** 16-bit signed little-endian PCM WAV for `id`: frames = 256 + id%777,
+    * channels = 1 + id%2, rate = 8000 + (id%4)·4000 Hz — each a closed
+    * form of id for the q319 metadata oracle. Encoded through
+    * `AudioSystem.write` (the JDK's canonical 44-byte-header WAVE writer),
+    * so the ENCODE side of javax.sound is exercised too. */
+  def pcmWav(id: Long): Array[Byte] = {
+    val frames = (256 + id % 777).toInt
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 + (id % 4) * 4000).toFloat
+    val n = frames * channels
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = sampleAt(id, i)
+      data(2 * i) = (amp & 0xFF).toByte
+      data(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}

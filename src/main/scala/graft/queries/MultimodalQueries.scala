@@ -3,18 +3,20 @@ package graft.queries
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.multimodal.{ImageGen, ImageIoCodec, Multimodal}
+import graft.multimodal.{AudioGen, AudioIoCodec, ImageGen, ImageIoCodec, Multimodal}
 import graft.queries.QueryHelpers._
 
-/** Multimodal decode on REAL image bytes: deterministic grayscale PNGs are
-  * synthesized per document, decoded by the pure-JVM [[ImageIoCodec]]
-  * (javax.imageio — header-only metadata, full-pixel features), and the
-  * decode results are hash-checked against DuckDB computing the SAME values
-  * from the generation arithmetic (PNG is lossless, so decoded pixels ==
-  * generated pixels — the lexicon-twin pattern applied to pixels).
+/** Multimodal decode on REAL media bytes: deterministic grayscale PNGs
+  * (q300/q301) and 16-bit PCM WAVs (q319/q320) are synthesized per
+  * document, decoded by the pure-JVM codecs ([[ImageIoCodec]] /
+  * [[AudioIoCodec]] — header-only metadata, full-payload features), and
+  * the decode results are hash-checked against DuckDB computing the SAME
+  * values from the generation arithmetic (PNG and PCM are lossless, so
+  * decoded payloads == generated payloads — the lexicon-twin pattern
+  * applied to pixels and samples).
   *
-  * The earlier q32/q41 keep the StubCodec path (audio/video have no pure-JVM
-  * decoder); these queries prove the SEAM carries a real codec unchanged. */
+  * The earlier q32/q41 keep the StubCodec path (video has no pure-JVM
+  * decoder); these queries prove the SEAM carries real codecs unchanged. */
 private[graft] object MultimodalQueries extends QueryBook {
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -67,6 +69,49 @@ private[graft] object MultimodalQueries extends QueryBook {
           (id, best.toLong, (w.toLong * h) )
         }).toDF("doc_id", "modal_bucket", "n_pixels")
     }),
+
+    "q319_audio_meta" -> ((s, dir) => {
+      // WAV encode → javax.sound header decode, per document — the audio
+      // twin of q300 (the last offline-closable modality made real, r14).
+      // Metadata comes from the HEADER-ONLY pass (AudioSystem.
+      // getAudioFileFormat never reads sample data — at 100 TB a metadata
+      // sweep reads RIFF headers, not payloads); every field must equal
+      // the closed forms DuckDB derives from doc_id. Generation and decode
+      // share one executor-side pass: payload bytes never leave the
+      // partition that built them, only the slim metadata rows move.
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id => (id, AudioGen.pcmWav(id), "audio") })
+        .toDF("doc_id", "payload", "kind")
+      Multimodal.decodeMeta(media, AudioIoCodec).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("sample_rate_hz"),
+          col("height").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_bytes"),
+          (col("n_bytes") > 44L).as("wav_valid")) // 44 B = canonical header
+    }),
+
+    "q320_audio_features" -> ((s, dir) => {
+      // Full-PCM feature extraction through the codec seam — the audio
+      // twin of q301: 16-bucket amplitude histogram of each decoded WAV,
+      // reported as its modal bucket (argmax, ties to the lowest index —
+      // invariant under the feature's L2 normalization) plus the exact
+      // integer peak |amplitude|. PCM is lossless, so DuckDB recomputes
+      // both from the generation arithmetic; one mis-decoded sample (or a
+      // byte-order slip) flips the gate.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val wav = AudioGen.pcmWav(id)
+          val emb = AudioIoCodec.encodeFeature(id, wav, "audio", 16).embedding
+          var best = 0
+          var i = 1
+          while (i < emb.length) { if (emb(i) > emb(best)) best = i; i += 1 }
+          val n = (256 + id % 777) * (1 + id % 2)
+          (id, best.toLong, AudioIoCodec.peakAbs(id, wav), n)
+        }).toDF("doc_id", "modal_bucket", "peak_abs", "n_samples")
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -95,5 +140,37 @@ private[graft] object MultimodalQueries extends QueryBook {
         |FROM c
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY n DESC, b ASC) = 1""".stripMargin,
+
+    // closed forms of AudioGen.pcmWav: frames/channels/rate are direct
+    // functions of doc_id; n_bytes = 44-byte canonical RIFF header + PCM
+    "q319_audio_meta" ->
+      """SELECT doc_id,
+        | CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate_hz,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(256 + doc_id % 777 AS BIGINT) AS n_frames,
+        | CAST(44 + (256 + doc_id % 777) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |   AS n_bytes,
+        | TRUE AS wav_valid
+        |FROM documents""".stripMargin,
+
+    // the generation arithmetic re-run sample-by-sample (AudioGen.sampleAt:
+    // ((i*31153 + id*40503) % 65536) - 32768), bucketed to 16 amplitude
+    // bins of width 4096 — PCM is lossless, so the decoded histogram must
+    // match this exactly
+    "q320_audio_features" ->
+      """WITH d AS (SELECT doc_id,
+        |   (256 + doc_id % 777) * (1 + doc_id % 2) AS n FROM documents),
+        |sm AS (SELECT d.doc_id, d.n,
+        |   ((i.range * 31153 + d.doc_id * 40503) % 65536) - 32768 AS amp
+        |  FROM d JOIN range(2066) i ON i.range < d.n),
+        |b AS (SELECT doc_id, n, (amp + 32768) // 4096 AS bkt,
+        |   abs(amp) AS aa FROM sm),
+        |c AS (SELECT doc_id, n, bkt, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, max(aa) AS peak FROM b GROUP BY 1)
+        |SELECT c.doc_id, CAST(bkt AS BIGINT) AS modal_bucket,
+        | CAST(peak AS BIGINT) AS peak_abs, CAST(n AS BIGINT) AS n_samples
+        |FROM c JOIN p USING (doc_id)
+        |QUALIFY row_number() OVER (PARTITION BY c.doc_id
+        |  ORDER BY cnt DESC, bkt ASC) = 1""".stripMargin,
   )
 }
