@@ -613,6 +613,41 @@ private[graft] object DedupQueries extends QueryBook {
             round(col("n_found").cast("double") / col("n_candidates"), 6))
             .as("cand_precision"))
     }),
+
+    "q310_stream_neardup" -> ((s, dir) => {
+      // Streaming dedup-on-ingest under the batch oracle — the last
+      // LLM-pipeline streaming operator brought under the gate (r14; it
+      // was spec-only through r13). The documents table is replayed as a
+      // 4-batch file stream with DETERMINISTIC batch membership
+      // (slice = doc_id % 4, one slice per micro-batch — a hash reshard
+      // would leave batch assignment engine-internal and the verdicts
+      // order-dependent); nearDupDocStream's banded SimHash buckets
+      // remember the last 64 signatures per (band, 16-bit slice) across
+      // batches and vote each arrival against that window. With exactSig
+      // (the q28 md5-feature signature) and doc_id-ordered processing the
+      // flagged set is a pure function of the corpus, and the DuckDB twin
+      // replays the same arrival discipline declaratively: dup(X) iff
+      // ∃Y sharing a band bucket with 1 ≤ rn(X)−rn(Y) ≤ 64 in
+      // (batch, doc_id) order and hamming ≤ 3.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .where(size(split(TextExprs.cleanText(col("text")), " ")) >= 3)
+      val slices = (0 until 4).map(b =>
+        docs.where(pmod(col("doc_id"), lit(4)) === b))
+      QueryHelpers.streamReplaySlices(s, "q310", slices) { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.nearDupDocStream(stream, maxHamming = 3,
+            shingleLen = 3, maxSigsPerBucket = 64, exactSig = true)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }
+          .start()
+      }.select(col("doc_id"), col("is_dup").cast("long").as("is_dup"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1128,5 +1163,41 @@ private[graft] object DedupQueries extends QueryBook {
            |   AS cand_precision
            |FROM geoms g, base""".stripMargin
       },
+
+      // the streaming arrival discipline replayed declaratively: signature
+      // bits as in q28 (md5-feature SimHash); Spark's band value B is JVM
+      // sig bits [16B, 16B+15] = md5-bit positions [48-16B, 63-16B] = the
+      // 1-indexed bits-list slice [49-16B, 64-16B] (bits[b+1] is the vote
+      // at md5-bit b, and JVM bit p = md5-bit 63-p). rn orders each bucket
+      // by (batch = doc_id % 4, doc_id) — exactly the stream's insertion
+      // order — and Y is still inside the 64-signature window at X's
+      // arrival iff rn(X) - rn(Y) <= 64.
+      "q310_stream_neardup" ->
+        s"""$shingleCte,
+           |hs AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 16)) AS hs FROM sh),
+           |hb AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+           |votes AS (SELECT doc_id, b,
+           |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+           |          >> CAST(3 - b % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM hb CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, b),
+           |sigs AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+           |  FROM votes GROUP BY doc_id),
+           |bnd AS (SELECT doc_id, bits, bb.range AS band,
+           |    array_to_string(list_slice(bits, CAST(49 - 16 * bb.range AS INT),
+           |      CAST(64 - 16 * bb.range AS INT)), '') AS bval
+           |  FROM sigs CROSS JOIN range(0, 4) bb),
+           |rn AS (SELECT doc_id, bits, band, bval,
+           |    row_number() OVER (PARTITION BY band, bval
+           |      ORDER BY doc_id % 4, doc_id) AS rn
+           |  FROM bnd),
+           |hits AS (SELECT x.doc_id,
+           |    max(CASE WHEN list_sum(list_transform(range(1, 65),
+           |        i -> CASE WHEN x.bits[i] <> y.bits[i] THEN 1 ELSE 0 END)) <= 3
+           |      THEN 1 ELSE 0 END) AS hit
+           |  FROM rn x JOIN rn y ON x.band = y.band AND x.bval = y.bval
+           |    AND y.rn < x.rn AND x.rn - y.rn <= 64
+           |  GROUP BY x.doc_id)
+           |SELECT s.doc_id, CAST(coalesce(h.hit, 0) AS BIGINT) AS is_dup
+           |FROM sigs s LEFT JOIN hits h USING (doc_id)""".stripMargin,
   )
 }

@@ -188,16 +188,35 @@ object EventStreams {
     * over 4 bands keeps blocking recall for hamming ≤ 3 exactly as in
     * batch — the streaming compromise is only the bounded per-bucket
     * memory window.
+    *
+    * DETERMINISM (round 14, what put this under the correctness oracle as
+    * q310): within a (bucket, micro-batch) group the rows are processed in
+    * doc_id order — the only nondeterminism in the whole operator was the
+    * post-shuffle iterator order, and the sort is per-bucket-per-batch
+    * tiny. With batch membership itself deterministic (the q310 rig slices
+    * by doc_id % 4), the flagged set is a pure function of the corpus and
+    * a DuckDB twin replays the same arrival discipline with one
+    * row_number: doc X is a dup iff some Y in a shared band bucket has
+    * 1 ≤ rn(X) − rn(Y) ≤ maxSigsPerBucket (the insertion-window eviction,
+    * exactly) and hamming(X, Y) ≤ maxHamming.
+    *
+    * `exactSig = true` swaps the native FNV SimHash for the engine-neutral
+    * md5-feature signature ([[graft.plans.SimHash.simhashMd5Shingled]], the
+    * q28 oracle-exact variant) so the twin can recompute signatures
+    * bit-for-bit; the production default stays on the ~2-3x faster FNV
+    * path.
     * Output: (doc_id, is_dup 0/1), append-mode per micro-batch. */
   def nearDupDocStream(docs: DataFrame, maxHamming: Int = 3, shingleLen: Int = 3,
-      maxSigsPerBucket: Int = 64): DataFrame = {
+      maxSigsPerBucket: Int = 64, exactSig: Boolean = false): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
     import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val cln = graft.functions.TextExprs.cleanText(col("text"))
+    val sigExpr =
+      if (exactSig) graft.plans.SimHash.simhashMd5Shingled(cln, shingleLen)
+      else graft.plans.SimHash.simhashShingled(cln, shingleLen)
     val banded = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        graft.plans.SimHash.simhashShingled(
-          graft.functions.TextExprs.cleanText(col("text")), shingleLen).as("sig"))
+      .select(col("doc_id").cast("long").as("doc_id"), sigExpr.as("sig"))
       .select(col("doc_id"), col("sig"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
@@ -210,12 +229,14 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[BucketSigs]) =>
           var seen = state.getOption.map(_.sigs).getOrElse(Seq.empty)
-          // materialize before touching state: the rows iterator is lazy
-          val out = rows.map { case (docId, sig, _, _) =>
+          // materialize before touching state (the rows iterator is lazy)
+          // and process in doc_id order — post-shuffle iterator order is
+          // the operator's only nondeterminism (scaladoc: DETERMINISM)
+          val out = rows.toList.sortBy(_._1).map { case (docId, sig, _, _) =>
             val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sig) <= maxHamming)
             seen = (sig +: seen).take(maxSigsPerBucket)
             (docId, if (dup) 1 else 0)
-          }.toList
+          }
           state.update(BucketSigs(seen))
           out.iterator
       }
