@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextExprs
+
+/** Distributed BPE merge TRAINING (round 14) — the iterative top-pair →
+  * merge → recount loop that was the one corpus-scale tokenizer operation
+  * still missing after q169's single-pass pair counting
+  * (plans/BpeCountExpr.scala). Reference analog: the tokenizer-training
+  * stage of an LLM data pipeline; the reference repo itself has no
+  * tokenizer (survey_analysis.py:1-499), this is extension scope.
+  *
+  * Semantics (pinned, engine-neutral — the DuckDB twin implements the
+  * identical rules):
+  *  - the training grain is the WORD-FREQUENCY table (Sennrich-style BPE
+  *    on a word dict): words start as character sequences;
+  *  - pair statistics count every adjacent symbol pair, weighted by word
+  *    frequency (overlapping occurrences all count);
+  *  - each round merges the argmax pair, ties broken by (left, right)
+  *    lexicographic — a total order, so the merge SEQUENCE is
+  *    deterministic;
+  *  - within a word, merging is greedy leftmost non-overlapping.
+  *
+  * Greedy-leftmost is implemented two provably-equivalent ways: Spark
+  * folds left with `functions.aggregate` (merge when the accumulator's
+  * last symbol is `lhs` and the current is `rhs` — the freshly merged
+  * symbol is strictly longer than `lhs`, so it can never cascade within
+  * the round), and the SQL twin selects alternate matches within runs of
+  * consecutive match positions (consecutive matches force lhs == rhs, and
+  * alternate-selection is exactly what the fold does on such runs).
+  *
+  * Scale posture: the only corpus-scale pass is the word count. Each
+  * round is one explode+agg over the BOUNDED vocab table plus a ONE-ROW
+  * argmax collect; the vocab is re-pinned per round with localCheckpoint
+  * (the PageRank lineage posture — without it round r's plan nests r
+  * `aggregate` lambdas and codegen blows up). `topWords` caps the vocab
+  * for oracle tractability; the loop itself never materializes more than
+  * the vocab, so a multi-million-word dict trains the same way. */
+object BpeTrain {
+
+  /** Word-frequency table of the cleaned, lowercased corpus: [a-z]{2,20}
+    * words only (≥ 2 chars so a word can contribute a pair), top
+    * `topWords` by (count desc, word asc) — a deterministic cap. */
+  def wordVocab(docs: DataFrame, text: Column, topWords: Int): DataFrame =
+    docs.select(explode(split(lower(TextExprs.cleanText(text)), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]{2,20}$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(topWords)
+
+  /** Run `rounds` merge iterations over a (word, freq) vocab. Returns the
+    * learned merge sequence as a driver-side list — `rounds` entries of
+    * (lhs, rhs, weighted pair count); bounded by construction. Stops early
+    * if the vocab runs out of pairs. */
+  def trainMerges(vocab: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    var v = vocab.select(col("word"), col("freq").cast("long").as("freq"),
+        split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val top = v.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect() // ONE row — the argmax, never the pair table
+      if (top.isEmpty) dry = true
+      else {
+        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((lhs, rhs, c))
+        val m = lhs + rhs
+        val prev = v
+        v = v.select(col("word"), col("freq"),
+            aggregate(col("syms"), typedLit(Seq.empty[String]),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge sequence to a (word, freq) table, executor-side:
+    * the same greedy-leftmost fold as training, one pass per merge in
+    * learned order. Returns (word, freq, n_syms). */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val sp = words.sparkSession
+    import sp.implicits._
+    val ms = merges.toArray // small, ships in the closure
+    words.select(col("word"), col("freq").cast("long").as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        var syms: Seq[String] = w.map(_.toString)
+        ms.foreach { case (lhs, rhs) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == lhs && x == rhs)
+              out(out.length - 1) = lhs + rhs
+            else out += x
+          }
+          syms = out.toSeq
+        }
+        (w, f, syms.length.toLong)
+      }
+      .toDF("word", "freq", "n_syms")
+  }
+}

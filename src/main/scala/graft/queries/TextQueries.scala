@@ -834,6 +834,49 @@ private[graft] object TextQueries extends QueryBook {
         .select(col("lang"), col("pred"), col("n_docs"),
           round(col("n_docs").cast("double") / col("_t"), 4).as("share"))
     }),
+
+    "q311_bpe_train" -> ((s, dir) => {
+      // BPE merge TRAINING (r14) — q169 counted the first merge's
+      // statistics; this runs the full iterative loop: 20 rounds of
+      // argmax-pair → greedy merge over the top-500 word-frequency vocab,
+      // deterministic by construction (total tie-break order). Output is
+      // the learned merge SEQUENCE — 20 rows the DuckDB twin re-derives by
+      // unrolling the identical rounds. Per-round cost is one agg over the
+      // bounded vocab + a one-row argmax collect; the corpus only flows
+      // through the initial word count (BpeTrain scaladoc).
+      val merges = graft.operators.BpeTrain.trainMerges(
+        graft.operators.BpeTrain.wordVocab(t(s, dir, "documents"), col("text"), 500), 20)
+      val sp = s
+      import sp.implicits._
+      merges.zipWithIndex.map { case ((l, r2, c), i) =>
+        ((i + 1).toLong, l, r2, l + r2, c)
+      }.toDF("round", "lhs", "rhs", "merged", "pair_count")
+    }),
+
+    "q321_bpe_fertility" -> ((s, dir) => {
+      // The trained tokenizer APPLIED: the q311 merge sequence replayed
+      // over the FULL word vocabulary (executor-side greedy fold, one pass
+      // per merge), reporting corpus fertility (symbols per word
+      // occurrence) against the character-level baseline — the number a
+      // tokenizer-training pipeline actually tunes. Integer sums up to the
+      // final display divisions.
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrain.trainMerges(
+        graft.operators.BpeTrain.wordVocab(docs, col("text"), 500), 20)
+      val allWords = docs
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]{2,20}$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrain.applyMerges(allWords, merges.map(m => (m._1, m._2)))
+        .agg(count(lit(1)).as("n_words"),
+          sum("freq").as("n_occurrences"),
+          sum(col("freq") * col("n_syms")).as("total_syms"),
+          round(sum(col("freq") * col("n_syms")).cast("double") / sum("freq"), 6)
+            .as("fertility"),
+          sum(col("freq") * length(col("word"))).as("total_chars"),
+          round(sum(col("freq") * length(col("word"))).cast("double") / sum("freq"), 6)
+            .as("char_fertility"))
+    }),
   )
 
   /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
@@ -869,6 +912,65 @@ private[graft] object TextQueries extends QueryBook {
        |pred AS (SELECT d.doc_id, d.lang, coalesce(p.cand, 'unknown') AS pred,
        |   CAST(coalesce(p.n, 0) AS BIGINT) AS n_grams
        |  FROM documents d LEFT JOIN pick p USING (doc_id))""".stripMargin
+  }
+
+  /** Generated DuckDB twin of [[graft.operators.BpeTrain]] — the merge
+    * rounds UNROLLED (a recursive CTE cannot both aggregate over and
+    * window over its recursive term, so each round is its own CTE block).
+    * Every CTE is MATERIALIZED: DuckDB inlines CTEs by default and each
+    * round references its predecessor 3× — inlined, round 20 would expand
+    * to 3^20 copies of the scan (observed as an fd explosion).
+    * Per round r: pair counts p_r over the positional vocab v_r, argmax
+    * b_r (count desc, pair asc — the pinned tie-break), then the
+    * greedy-leftmost merge via the run/alternate machinery: m marks match
+    * positions, g groups runs of CONSECUTIVE matches (only possible when
+    * lhs == rhs), alternate members of each run merge (provably the
+    * Spark-side fold), absorbed right-elements drop via lag(sel), and
+    * positions renumber. */
+  private def bpeMergeBlock(src: String, best: String, dst: String, pfx: String): String =
+    s"""${pfx}x AS MATERIALIZED (SELECT v.word, v.freq, v.pos, v.sym,
+       |    CASE WHEN v.sym = b.l AND lead(v.sym) OVER
+       |        (PARTITION BY v.word ORDER BY v.pos) = b.r2
+       |      THEN 1 ELSE 0 END AS m
+       |  FROM $src v CROSS JOIN $best b),
+       |${pfx}y AS MATERIALIZED (SELECT *, pos - sum(m) OVER (PARTITION BY word ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS g FROM ${pfx}x),
+       |${pfx}z AS MATERIALIZED (SELECT *, CASE WHEN m = 1 AND (row_number() OVER
+       |      (PARTITION BY word, g, m ORDER BY pos)) % 2 = 1 THEN 1 ELSE 0 END AS sel
+       |  FROM ${pfx}y),
+       |$dst AS MATERIALIZED (SELECT word, freq,
+       |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INT) AS pos,
+       |    CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+       |      lag(sel) OVER (PARTITION BY word ORDER BY pos) AS psel FROM ${pfx}z)
+       |  WHERE coalesce(psel, 0) = 0)""".stripMargin
+
+  /** Positional char-split of a (word, freq) CTE: (word, freq, pos, sym). */
+  private def bpeCharSplit(src: String, dst: String): String =
+    s"""$dst AS MATERIALIZED (SELECT word, freq, CAST(i.range AS INT) AS pos,
+       |    substr(word, CAST(i.range AS INT), 1) AS sym
+       |  FROM $src JOIN range(1, 21) i ON i.range <= len(word))""".stripMargin
+
+  private val bpeWordFilter = "regexp_matches(word, '^[a-z]{2,20}$')"
+
+  /** Training prefix: top-500 vocab w, positional v1, and rounds 1..n
+    * (each contributes p_r, b_r, and the merge block producing v_{r+1}). */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val vocab =
+      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS word
+         |    FROM documents)
+         |  WHERE $bpeWordFilter
+         |  GROUP BY word ORDER BY freq DESC, word LIMIT 500),
+         |${bpeCharSplit("w", "v1")}""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT a.sym AS l, b.sym AS r2, sum(a.freq) AS c
+         |  FROM v$r a JOIN v$r b ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r2, c FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
+         |${bpeMergeBlock(s"v$r", s"b$r", s"v${r + 1}", s"t$r")}""".stripMargin
+    }
+    (vocab +: rs).mkString(",\n")
   }
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1422,5 +1524,37 @@ private[graft] object TextQueries extends QueryBook {
            | round(exp(avg(-ln(m.c / n.n))), 4) AS ppl
            |FROM t2 JOIN m USING (tok) CROSS JOIN n
            |GROUP BY 1""".stripMargin,
+
+      "q311_bpe_train" -> {
+        val rows = (1 to 20).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, l AS lhs, r2 AS rhs,
+             |   l || r2 AS merged, CAST(c AS BIGINT) AS pair_count FROM b$r""".stripMargin)
+        s"""${bpeTrainCtes(20)}
+           |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+      },
+
+      "q321_bpe_fertility" -> {
+        // the training chain re-derived, then the 20 learned merges applied
+        // to the FULL vocab (a1..a21) via the same greedy machinery
+        val apply = (1 to 20).map(r =>
+          bpeMergeBlock(s"a$r", s"b$r", s"a${r + 1}", s"u$r")).mkString(",\n")
+        s"""${bpeTrainCtes(20)},
+           |aw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS word
+           |    FROM documents)
+           |  WHERE $bpeWordFilter GROUP BY word),
+           |${bpeCharSplit("aw", "a1")},
+           |$apply,
+           |f AS MATERIALIZED (SELECT word, freq, CAST(count(*) AS BIGINT) AS n_syms
+           |  FROM a21 GROUP BY 1, 2)
+           |SELECT CAST(count(*) AS BIGINT) AS n_words,
+           | CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           | CAST(sum(freq * n_syms) AS BIGINT) AS total_syms,
+           | round(CAST(sum(freq * n_syms) AS DOUBLE) / sum(freq), 6) AS fertility,
+           | CAST(sum(freq * len(word)) AS BIGINT) AS total_chars,
+           | round(CAST(sum(freq * len(word)) AS DOUBLE) / sum(freq), 6)
+           |   AS char_fertility
+           |FROM f""".stripMargin
+      },
   )
 }
