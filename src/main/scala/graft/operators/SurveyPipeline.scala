@@ -197,6 +197,35 @@ object SurveyPipeline {
       .na.fill(0, Lexicons.SentimentOrder)
   }
 
+  /** Per-product top-k complaint themes — the one reference README feature
+    * described but never implemented in its code ("highlight top complaint
+    * themes ... per product", README.md:26-27; survey_analysis.py stops at
+    * the sentiment pivot). Composes the wide frame's `*_Sentiment` /
+    * `*_Category` column pairs with the q07 window-top-k shape: unpivot
+    * both traits side by side (struct-valued unpivot keeps each question's
+    * sentiment and category in the same row), keep Negative answers, count
+    * (Product, theme), rank within product by (n desc, theme asc — a total
+    * order). The window partitions by Product, so no single-partition sort
+    * exists at any product cardinality; the unpivot is a narrow per-row
+    * explode. Output: (Product, theme, n_complaints, rank ≤ k). */
+  def topThemes(wide: DataFrame, k: Int): DataFrame = {
+    val questions = wide.columns.filter(_.endsWith("_Sentiment"))
+      .map(_.stripSuffix("_Sentiment"))
+    require(questions.nonEmpty, "wide frame has no *_Sentiment columns")
+    val pairs = wide.select(col("Product"),
+      explode(array(questions.map(q => struct(
+        col(q + "_Sentiment").as("s"), col(q + "_Category").as("c"))): _*)).as("qc"))
+    val counts = pairs
+      .where(col("qc.s") === "Negative")
+      .groupBy(col("Product"), col("qc.c").as("theme"))
+      .agg(count(lit(1)).as("n_complaints"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("Product")
+          .orderBy(col("n_complaints").desc, col("theme").asc)))
+      .where(col("rank") <= k)
+  }
+
   /** O14/O18 — data sink: partition the wide table by product (the scalable
     * analog of one-sheet-per-product) + the summary alongside. */
   def writeReport(wide: DataFrame, summary: DataFrame, outDir: String): Unit = {

@@ -20,6 +20,18 @@ import graft.queries.QueryHelpers._
   * aggregated by [[graft.SparkEntry]]. Conventions in QueryHelpers. */
 private[graft] object SurveyQueries extends QueryBook {
 
+  /** q312's deterministic complaint injection: (doc_id residue, appended
+    * tail). First matching residue wins (a CASE chain in both engines).
+    * Tails are chosen to hit the reference's negative lexicon plus three
+    * distinct category keyword families (Shipping / Price / Support) —
+    * the synthetic corpus itself contains no negative-lexicon word, so
+    * without them the complaint mine is empty. Lexicon-twin constants:
+    * the SAME pairs build the Spark CASE and the DuckDB CASE. */
+  private val complaintTails: Seq[(Int, String)] = Seq(
+    7 -> " entrega delayed and late",
+    11 -> " too expensive price tag",
+    13 -> " awful support refund process")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q20_clean_filler" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -75,6 +87,31 @@ private[graft] object SurveyQueries extends QueryBook {
         substring(col("text"), 1, 80).as("Q Short"))
       SurveyPipeline.buildSummary(
         SurveyPipeline.analyzeWide(survey, "retail", idCol = Some(col("Email"))))
+    }),
+
+    "q312_top_complaint_themes" -> ((s, dir) => {
+      // The reference README's "top complaint themes per product" —
+      // described at README.md:26-27 but absent from survey_analysis.py;
+      // implemented r14 as SurveyPipeline.topThemes over the q38
+      // two-question wide frame: Negative answers' categories counted per
+      // product, top-3 by (count desc, theme asc). The synthetic corpus
+      // carries none of the reference's negative lexicon, so deterministic
+      // complaint tails are appended to Q Feedback by doc_id residue
+      // (`complaintTails` — the q82 fixture-shaping precedent, injected
+      // into BOTH engines from the same constants).
+      val tail = complaintTails.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (m, t)) => acc.when(pmod(col("doc_id"), lit(m)) === 0, lit(t))
+      }.otherwise(lit(""))
+      val survey = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("Email"),
+        col("source").as("Name"),
+        concat_ws(",", col("source"), col("lang")).as("Products"),
+        concat(col("text"), tail).as("Q Feedback"),
+        substring(col("text"), 1, 80).as("Q Short"))
+      SurveyPipeline.topThemes(
+          SurveyPipeline.analyzeWide(survey, "retail", idCol = Some(col("Email"))), 3)
+        .select(col("Product"), col("theme"), col("n_complaints"),
+          col("rank").cast("long").as("rank"))
     }),
 
     "q122_cached_api_classify" -> ((s, dir) => {
@@ -179,6 +216,32 @@ private[graft] object SurveyQueries extends QueryBook {
            | count(*) FILTER (WHERE sent = 'Negative') AS "Negative",
            | count(*) FILTER (WHERE sent = 'Mixed') AS "Mixed"
            |FROM w GROUP BY 1, 2""".stripMargin
+      },
+
+      "q312_top_complaint_themes" -> {
+        val tailCase = "CASE " + complaintTails.map { case (m, t) =>
+          s"WHEN doc_id % $m = 0 THEN '$t'" }.mkString(" ") + " ELSE '' END"
+        val cln1 = cleanSql(s"text || $tailCase")
+        val cln2 = cleanSql("substring(text, 1, 80)")
+        s"""WITH c1 AS (SELECT source, lang, $cln1 AS cln1, $cln2 AS cln2 FROM documents),
+           |c2 AS (SELECT *, lower(cln1) AS low1, lower(cln2) AS low2 FROM c1),
+           |w AS (
+           |  SELECT trim(unnest(string_split(source || ',' || lang, ','))) AS "Product",
+           |   ${sentimentSql(isFillerSql("cln1"), "low1")} AS sent,
+           |   ${categorySql(isFillerSql("cln1"), "low1")} AS theme
+           |  FROM c2
+           |  UNION ALL
+           |  SELECT trim(unnest(string_split(source || ',' || lang, ','))) AS "Product",
+           |   ${sentimentSql(isFillerSql("cln2"), "low2")} AS sent,
+           |   ${categorySql(isFillerSql("cln2"), "low2")} AS theme
+           |  FROM c2),
+           |n AS (SELECT "Product", theme, CAST(count(*) AS BIGINT) AS n_complaints
+           |  FROM w WHERE sent = 'Negative' GROUP BY 1, 2)
+           |SELECT "Product", theme, n_complaints,
+           | row_number() OVER (PARTITION BY "Product"
+           |   ORDER BY n_complaints DESC, theme) AS rank
+           |FROM n
+           |QUALIFY rank <= 3""".stripMargin
       },
 
       // the same JSON fixture parsed in SQL: JSON object -> MAP entries;
