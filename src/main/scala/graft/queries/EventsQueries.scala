@@ -960,6 +960,37 @@ private[graft] object EventsQueries extends QueryBook {
           col("purchase_ts"), col("purchase_value"))
     }),
 
+    "q322_stream_closed_sessions" -> ((s, dir) => {
+      // flatMapGroupsWithState sessionization under the batch oracle — the
+      // last stateful-API variant without a CORRECTNESS row (q305 covers
+      // session_window, q306 mapGroupsWithState). closedCentSessions is
+      // the BATCH-EQUIVALENT emit-on-close shape: in-batch gaps split and
+      // emit immediately, each user's final session emits when the
+      // event-time timeout fires, so over the time-ordered replay the
+      // materialization equals batch sessionization minus the tail
+      // sessions the final watermark never reached (strict <, the
+      // GroupState timeout contract) — which the DuckDB twin states as
+      // last_ts + gap < max ts.
+      streamReplay(s, dir, "q322", timeOrdered = true) {
+        _.select(col("ts"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      } { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.closedCentSessions(stream)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+        .select(col("user_id"), col("n_events"),
+          round(col("cents").cast("double") / 100.0, 2).as("sess_value"),
+          col("first_ts_ms"), col("last_ts_ms"))
+    }),
+
     "q314_purchase_interarrival" -> ((s, dir) => {
       // Repeat-purchase inter-arrival distribution, bucketed to hours —
       // the empirical replacement for an assumed-exponential arrival
@@ -1560,6 +1591,34 @@ private[graft] object EventsQueries extends QueryBook {
           | round(CAST(cents AS DOUBLE) / 100.0, 2) AS sess_value
           |FROM g, wm
           |WHERE last_ts + INTERVAL 30 MINUTE <= wm.mx""".stripMargin,
+
+      // q305's sessionization CTE in epoch-ms form; eviction is STRICT
+      // (GroupState event-time timeouts fire on watermark > timeoutTs,
+      // unlike session_window's append emission at watermark >= end)
+      "q322_stream_closed_sessions" ->
+        """WITH o AS (SELECT user_id,
+          |    CAST(round(value * 100) AS BIGINT) AS cents,
+          |    epoch_ms(ts::TIMESTAMP) AS ms,
+          |    epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+          |  FROM events),
+          |s AS (SELECT user_id, ms, cents,
+          |    CASE WHEN gap_ms IS NULL OR gap_ms >= 1800000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM o),
+          |c AS (SELECT user_id, ms, cents,
+          |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          |  FROM s),
+          |g AS (SELECT user_id, session_no, min(ms) AS first_ts_ms,
+          |    max(ms) AS last_ts_ms, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(sum(cents) AS BIGINT) AS cents
+          |  FROM c GROUP BY 1, 2),
+          |wm AS (SELECT max(epoch_ms(ts::TIMESTAMP)) AS mx FROM events)
+          |SELECT user_id, n_events,
+          | round(CAST(cents AS DOUBLE) / 100.0, 2) AS sess_value,
+          | first_ts_ms, last_ts_ms
+          |FROM g, wm
+          |WHERE last_ts_ms + 1800000 < wm.mx""".stripMargin,
 
       "q306_stream_state_totals" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

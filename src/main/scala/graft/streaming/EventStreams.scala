@@ -13,6 +13,10 @@ case class CentState(n: Long, cents: Long)
 /** Open-session accumulator for [[EventStreams.closedSessions]]. */
 case class SessionState(n: Long, sum: Double, t0: Long, t1: Long)
 
+/** Open-session accumulator for [[EventStreams.closedCentSessions]]
+  * (exact-integer cents). */
+case class OpenSession(n: Long, cents: Long, t0: Long, t1: Long)
+
 /** Per-bucket signature memory for [[EventStreams.nearDupDocStream]]. */
 case class BucketSigs(sigs: Seq[Long])
 
@@ -162,6 +166,61 @@ object EventStreams {
           }
       }
       .toDF("user_id", "n_events", "session_value", "first_ts_ms", "last_ts_ms")
+  }
+
+  /** [[closedSessions]] made BATCH-EQUIVALENT (round 14, the q322 oracle
+    * variant): the original buffers a whole micro-batch into one state, so
+    * two sessions falling inside one batch merge — fine as a demo of the
+    * timeout API, wrong against a batch sessionizer. This variant splits
+    * IN-BATCH gaps too: the batch's rows are sorted by event time
+    * (post-shuffle iterator order is the only nondeterminism; equal
+    * timestamps cannot split a session and per-session integer sums are
+    * order-invariant, so ts alone suffices) and folded against the open
+    * state — every gap ≥ `gapMs` closes and EMITS a session immediately,
+    * the trailing open session persists with an event-time timeout at
+    * t1 + gap. Emission therefore happens exactly once per session: mid-
+    * batch sessions emit in the batch that observes the gap, each user's
+    * final session emits when the watermark passes its timeout (strictly —
+    * GroupState fires on watermark > timeoutTs), and a bounded replay
+    * withholds only tail sessions with t1 + gap ≥ final watermark, which a
+    * DuckDB twin states as one predicate. Split rule gap ≥ gapMs matches
+    * `session_window` (q305), cents discipline keeps sums exact across
+    * state merges. Output: (user_id, n_events, cents, first_ts_ms,
+    * last_ts_ms); expects a pre-scaled `cents` column. */
+  def closedCentSessions(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    events.withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "ts", "cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.n, s.cents, s.t0, s.t1))
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+            var st = state.getOption.orNull
+            sorted.foreach { case (_, ts, c) =>
+              val ms = ts.getTime
+              if (st == null) st = OpenSession(1L, c, ms, ms)
+              else if (ms - st.t1 >= gapMs) {
+                closed += ((user, st.n, st.cents, st.t0, st.t1))
+                st = OpenSession(1L, c, ms, ms)
+              } else st = OpenSession(st.n + 1, st.cents + c, st.t0, math.max(st.t1, ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.t1 + gapMs)
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "n_events", "cents", "first_ts_ms", "last_ts_ms")
   }
 
   /** Streaming near-duplicate detection over a document stream — the batch
