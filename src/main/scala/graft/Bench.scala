@@ -87,14 +87,17 @@ object Bench {
     while (passes.size < 3 && timedElapsed + lastPassS <= budgetS)
       passes += timedPass()
     val results = names.map(n => n -> passes.map(_(n)).min)
-    // Short keys ("q01" for "q01_agg_pricing"): the driver's line capture
-    // has truncated the head of long JSON lines, losing the first ~13
-    // per-query timings; the qNN prefix is unique and halves the line.
+    // Driver-capture-proofing (r12/r13 lesson): the driver's line capture
+    // truncates the HEAD of long JSON lines, so (a) per-query keys are the
+    // short unique qNN prefix at 2 dp to keep the line small, and (b) the
+    // summary fields (metric/value/passes/sf) come AFTER the queries
+    // object — the tail survives truncation, so the headline total and
+    // pass count are recoverable even from a clipped line.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":${passes.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","passes":${passes.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

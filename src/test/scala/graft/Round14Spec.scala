@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.SurveyPipeline
+import graft.streaming.EventStreams
+
+/** Round-14 operator semantics: top-theme mining over the wide frame and
+  * the batch-equivalent flatMapGroupsWithState sessionizer (in-batch gap
+  * splitting — the property the q322 oracle relies on). */
+class Round14Spec extends SparkSpec {
+
+  test("topThemes ranks Negative categories per product with the pinned tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val wide = Seq(
+      ("1", "A", "bad price", "Negative", "Price"),
+      ("2", "A", "bad price", "Negative", "Price"),
+      ("3", "A", "late delivery", "Negative", "Shipping"),
+      ("4", "A", "bad design", "Negative", "Design"),   // ties Shipping at 1
+      ("5", "A", "love it", "Positive", "General"),     // non-negative: ignored
+      ("6", "B", "awful support", "Negative", "Support"))
+      .toDF("ResponseID", "Product", "Q_Feedback_Answer",
+        "Q_Feedback_Sentiment", "Q_Feedback_Category")
+    val out = SurveyPipeline.topThemes(wide, 2).collect()
+      .map(r => (r.getAs[String]("Product"), r.getAs[String]("theme"),
+        r.getAs[Long]("n_complaints"), r.getAs[Int]("rank"))).toSet
+    // A: Price(2) rank 1, then Design vs Shipping tie at 1 -> Design (lex)
+    assert(out === Set(("A", "Price", 2L, 1), ("A", "Design", 1L, 2),
+      ("B", "Support", 1L, 1)))
+  }
+
+  test("topThemes unions every question's sentiment/category pair") {
+    val sp = spark
+    import sp.implicits._
+    val wide = Seq(("1", "A", "Negative", "Price", "Negative", "Fit"))
+      .toDF("ResponseID", "Product", "Q1_Sentiment", "Q1_Category",
+        "Q2_Sentiment", "Q2_Category")
+    val themes = SurveyPipeline.topThemes(wide, 5).collect()
+      .map(_.getAs[String]("theme")).toSet
+    assert(themes === Set("Price", "Fit"))
+  }
+
+  test("closedCentSessions splits in-batch gaps and emits the final session on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "cents")
+    val q = EventStreams.closedCentSessions(df)
+      .writeStream.outputMode("append").format("memory").queryName("ccs").start()
+    try {
+      // ONE batch containing TWO complete sessions for user 1 (40-min gap)
+      // plus the open tail — the in-batch split the old closedSessions
+      // missed — and user 2's lone event.
+      mem.addData((1L, ts(0), 100L), (1L, ts(10), 50L),
+        (1L, ts(50), 10L), (1L, ts(120), 7L), (2L, ts(0), 1L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ccs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the two gap-closed sessions emit from the data batch; user 2's
+      // lone session ALSO emits within the same drain — the post-batch
+      // watermark (t0+120min) already passed its timeout (t0+30min) and
+      // processAllAvailable runs the watermark catch-up batch
+      assert(afterB1 === Set((1L, 2L, 150L), (1L, 1L, 10L), (2L, 1L, 1L)),
+        s"in-batch gaps must close sessions immediately: $afterB1")
+      // batch 2 advances the watermark past user 1's remaining tail
+      mem.addData((3L, ts(300), 5L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ccs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB2.contains((1L, 1L, 7L)),
+        s"timeout must flush final sessions: $afterB2")
+      // user 3's session is still open: watermark == its last ts
+      assert(!afterB2.exists(_._1 == 3L), s"open tail must be withheld: $afterB2")
+    } finally q.stop()
+  }
+
+  test("closedCentSessions bounds: first/last ts and order-invariant sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "cents")
+    val q = EventStreams.closedCentSessions(df)
+      .writeStream.outputMode("append").format("memory").queryName("ccs2").start()
+    try {
+      // unsorted arrival within the batch; equal timestamps included
+      mem.addData((7L, new Timestamp(t0 + 60000), 2L),
+        (7L, new Timestamp(t0), 1L), (7L, new Timestamp(t0 + 60000), 4L))
+      mem.addData((7L, new Timestamp(t0 + 7200000L), 9L)) // 2h later: closes it
+      q.processAllAvailable()
+      val rows = spark.table("ccs2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq === Seq((7L, 3L, 7L, t0, t0 + 60000)), rows.mkString(","))
+    } finally q.stop()
+  }
+}
