@@ -114,6 +114,35 @@ private[graft] object SurveyQueries extends QueryBook {
           col("rank").cast("long").as("rank"))
     }),
 
+    "q323_stream_classified_summary" -> ((s, dir) => {
+      // SURVEY.md §7.6's flagship made oracle-real: the reference's
+      // classify → aggregate dataflow streamed. Documents replay as a
+      // 4-batch file stream; each micro-batch runs the SAME cache-join
+      // classify shape (EventStreams.classifiedSummary with the
+      // pure-expression demo classifier — zero network) and appends
+      // long-form (product, sentiment, n, batch_id). Per-batch counts
+      // depend on batch membership, but their SUM per (product,
+      // sentiment) equals the one-shot batch classification regardless of
+      // the split — which is what the read-back aggregates and DuckDB
+      // twins via the q22 sentiment CTE. The q312 complaint tails are
+      // injected so the gate sees real Negative/Positive traffic, not an
+      // all-Neutral corpus.
+      val tail = complaintTails.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (m, t)) => acc.when(pmod(col("doc_id"), lit(m)) === 0, lit(t))
+      }.otherwise(lit(""))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("source").as("product"),
+        concat(col("text"), tail).as("answer"))
+      val slices = (0 until 4).map(b =>
+        docs.where(pmod(col("doc_id"), lit(4)) === b))
+      QueryHelpers.streamReplaySlices(s, "q323", slices) { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.classifiedSummary(stream, "retail",
+          graft.operators.DemoAnswerClassifier, out, ckpt)
+      }
+        .groupBy("product", "sentiment")
+        .agg(sum("n").as("n_answers"))
+    }),
+
     "q122_cached_api_classify" -> ((s, dir) => {
       // The reference's API-classify dataflow under the driver's hash gate
       // (previously spec-only): CacheJoinClassifier probes the reference's
@@ -242,6 +271,17 @@ private[graft] object SurveyQueries extends QueryBook {
            |   ORDER BY n_complaints DESC, theme) AS rank
            |FROM n
            |QUALIFY rank <= 3""".stripMargin
+      },
+
+      "q323_stream_classified_summary" -> {
+        val tailCase = "CASE " + complaintTails.map { case (m, t) =>
+          s"WHEN doc_id % $m = 0 THEN '$t'" }.mkString(" ") + " ELSE '' END"
+        s"""WITH c1 AS (SELECT source, ${cleanSql(s"text || $tailCase")} AS cln FROM documents),
+           |c2 AS (SELECT source, cln, lower(cln) AS low FROM c1)
+           |SELECT source AS product,
+           | ${sentimentSql(isFillerSql("cln"), "low")} AS sentiment,
+           | CAST(count(*) AS BIGINT) AS n_answers
+           |FROM c2 GROUP BY 1, 2""".stripMargin
       },
 
       // the same JSON fixture parsed in SQL: JSON object -> MAP entries;
