@@ -183,4 +183,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"), col("quality_w"),
         (col("quality_w") > 0.0).as("keep"))
   }
+
+  /** ROUGE-1 (unigram multiset overlap) between blocked candidate pairs —
+    * the reference-vs-candidate eval metric a synthetic-data/distillation
+    * pipeline scores generations with, run corpus-scale: precision =
+    * overlap/|candidate|, recall = overlap/|reference| (reference = the
+    * LOWER doc id of the pair, pinned so the unordered pair has one
+    * deterministic orientation), overlap = Σ_tok min(count_a, count_b).
+    *
+    * Scale shape: candidate pairs BLOCK on the md5 of the first 3 tokens
+    * (q198's discipline — never all-pairs); the per-token min-overlap is
+    * a (block, token) equi-join between per-doc token-count tables, so
+    * the widest shuffle key is (block, token) and every agg is map-side
+    * combinable. Lengths and overlaps stay LONG; the three ratios are
+    * the only float ops, rounded 6dp at the edge. */
+  def rouge1Pairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), split(TextExprs.cleanText(text), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 3))).as("h"))
+    val tc = base
+      .select(col("doc_id"), col("h"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "h", "tok").agg(count(lit(1)).as("cnt"))
+    val len = tc.groupBy("doc_id", "h").agg(sum("cnt").as("len"))
+    val pairs = len.select(col("h"), col("doc_id").as("id_a"), col("len").as("len_a"))
+      .join(len.select(col("h"), col("doc_id").as("id_b"), col("len").as("len_b")),
+        Seq("h"))
+      .where(col("id_a") < col("id_b"))
+    val ov = tc.select(col("h"), col("tok"), col("doc_id").as("id_a"), col("cnt").as("ca"))
+      .join(tc.select(col("h"), col("tok"), col("doc_id").as("id_b"), col("cnt").as("cb")),
+        Seq("h", "tok"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    val p = col("overlap").cast("double") / col("len_b")
+    val r = col("overlap").cast("double") / col("len_a")
+    pairs.join(ov, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        round(p, 6).as("rouge1_p"), round(r, 6).as("rouge1_r"),
+        round(lit(2.0) * p * r / (p + r), 6).as("rouge1_f1"))
+  }
 }

@@ -648,6 +648,18 @@ private[graft] object DedupQueries extends QueryBook {
           .start()
       }.select(col("doc_id"), col("is_dup").cast("long").as("is_dup"))
     }),
+
+    "q324_dbscan_clusters" -> ((s, dir) => {
+      // Density-based clustering with named noise — operators.Dbscan:
+      // DBSCAN over q34's hyperplane-bucketed ε-graph (same planes, same
+      // verify), core test as one hash agg, components over core-core
+      // edges only, border → min core-neighbor label. eps/minPts tuned to
+      // this synthetic table's cos range (max pairwise ≈ 0.51, q103 note);
+      // production text embeddings run eps 0.9+.
+      graft.operators.Dbscan.cluster(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), eps = 0.35, minPts = 3,
+        nPlanes = 8, dim = 64)
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -696,19 +708,11 @@ private[graft] object DedupQueries extends QueryBook {
       "q34_embed_neardup" -> {
         // bucket assignment replicated with the SAME plane constants the
         // Spark side uses (VectorExprs.deterministicPlanes) — generated, so
-        // the two engines cannot drift
-        val planes = graft.functions.VectorExprs.deterministicPlanes(8, 64)
-        def planeDot(v: String, p: Seq[Double]): String =
-          s"list_sum(list_transform(range(1,65), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString("\n   + ")
+        // the two engines cannot drift (bucket/cos SQL shared with q324)
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+           |b AS (SELECT vec_id, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e),
            |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-           |   list_sum(list_transform(range(1,65), i -> x.v[i] * y.v[i])) /
-           |   (sqrt(list_sum(list_transform(range(1,65), i -> x.v[i] * x.v[i]))) *
-           |    sqrt(list_sum(list_transform(range(1,65), i -> y.v[i] * y.v[i])))) AS cos
+           |   ${cosineSql("x.v", "y.v")} AS cos
            |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin
       },
@@ -1199,5 +1203,60 @@ private[graft] object DedupQueries extends QueryBook {
            |  GROUP BY x.doc_id)
            |SELECT s.doc_id, CAST(coalesce(h.hit, 0) AS BIGINT) AS is_dup
            |FROM sigs s LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+      // DBSCAN replayed declaratively on the SAME bucketed ε-graph the
+      // engine builds (generated plane constants): core = deg+1 ≥ minPts,
+      // clusters = min-label reach over core-core edges (q53's recursive
+      // pattern), border = min core-neighbor label — the deterministic
+      // tie-break Dbscan.cluster pins.
+      "q324_dbscan_clusters" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, ${hyperplaneBucketSql(8, 64)} AS bucket FROM e),
+           |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |   ${cosineSql("x.v", "y.v")} AS cos
+           |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |q AS (SELECT id_a, id_b FROM p WHERE cos >= 0.35),
+           |sym AS (SELECT id_a AS id, id_b AS nbr FROM q
+           |  UNION ALL SELECT id_b, id_a FROM q),
+           |core AS (SELECT id FROM sym GROUP BY id HAVING count(*) + 1 >= 3),
+           |ce AS (SELECT q.id_a, q.id_b FROM q
+           |  JOIN core ca ON q.id_a = ca.id JOIN core cb ON q.id_b = cb.id),
+           |ed AS (SELECT id_a AS src, id_b AS dst FROM ce
+           |  UNION SELECT id_b, id_a FROM ce
+           |  UNION SELECT id_a, id_a FROM ce
+           |  UNION SELECT id_b, id_b FROM ce),
+           |reach AS (SELECT src, dst FROM ed
+           |  UNION SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS id, min(dst) AS cid FROM reach GROUP BY src),
+           |corec AS (SELECT c.id, coalesce(m.cid, c.id) AS cid
+           |  FROM core c LEFT JOIN comp m USING (id)),
+           |border AS (SELECT s.id, min(cc.cid) AS cid
+           |  FROM sym s JOIN corec cc ON s.nbr = cc.id
+           |  WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
+           |SELECT e.vec_id,
+           | CASE WHEN cc.id IS NOT NULL THEN 'core'
+           |      WHEN br.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+           | CAST(coalesce(cc.cid, br.cid, -1) AS BIGINT) AS cluster_id
+           |FROM e LEFT JOIN corec cc ON e.vec_id = cc.id
+           |  LEFT JOIN border br ON e.vec_id = br.id""".stripMargin,
   )
+
+  /** Generated hyperplane-bucket SQL over a DOUBLE[] column `v` with the
+    * SAME plane constants as the engine (VectorExprs.deterministicPlanes)
+    * — shared by the q34 and q324 twins so neither can drift. */
+  private def hyperplaneBucketSql(nPlanes: Int, dim: Int): String = {
+    val planes = graft.functions.VectorExprs.deterministicPlanes(nPlanes, dim)
+    def planeDot(v: String, p: Seq[Double]): String =
+      s"list_sum(list_transform(range(1,${dim + 1}), j -> $v[j] * list_extract(${p.mkString("[", ", ", "]")}, j)))"
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDot("v", p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n   + ")
+  }
+
+  /** Exact-cosine verify SQL between two DOUBLE[64] expressions — the same
+    * operand shape (dot / (norm·norm)) as VectorExprs.cosineHoisted. */
+  private def cosineSql(a: String, b: String, dim: Int = 64): String =
+    s"""list_sum(list_transform(range(1,${dim + 1}), i -> $a[i] * $b[i])) /
+       |   (sqrt(list_sum(list_transform(range(1,${dim + 1}), i -> $a[i] * $a[i]))) *
+       |    sqrt(list_sum(list_transform(range(1,${dim + 1}), i -> $b[i] * $b[i]))))""".stripMargin
 }

@@ -603,6 +603,42 @@ private[graft] object GraphQueries extends QueryBook {
             / (col("n_transitions") * lit(1e6)))
             / log(col("n_states").cast("double")), 4).as("predictability"))
     }),
+
+    "q327_lang_modularity" -> ((s, dir) => {
+      // Newman modularity of the LANGUAGE partition over the verified
+      // near-dup graph (q27's banded LSH, never all-pairs): Q = Σ_c
+      // (e_c/m − (d_c/2m)²) — high Q means near-dup structure respects
+      // language boundaries (dedup can shard by lang); low/negative Q
+      // means heavy cross-lingual duplication (translations / boilerplate)
+      // and a lang-sharded dedup would MISS pairs — the go/no-go number
+      // for the most natural 100 TB partitioning of a multilingual crawl.
+      // Everything stays LONG (Q = (4m·Σe_c − Σd_c²) / 4m²) until the one
+      // final division, rounded 6dp — no float-order drift possible.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+          shingleLen = 3, numBands = 16, rowsPerBand = 2, threshold = 0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint() // two consumers: edge-lang join + degree agg
+      val lang = docs.select(col("doc_id"), col("lang"))
+      val eAgg = pairs
+        .join(lang.select(col("doc_id").as("id_a"), col("lang").as("la")), "id_a")
+        .join(lang.select(col("doc_id").as("id_b"), col("lang").as("lb")), "id_b")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_intra_edges"))
+      val dc = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .join(lang, "doc_id")
+        .groupBy("lang").agg(sum("deg").as("d_c"))
+      val dAgg = dc.agg(sum(col("d_c") * col("d_c")).as("_dc2"),
+        count(lit(1)).as("n_communities"))
+      eAgg.crossJoin(broadcast(dAgg))
+        .select(col("n_edges"), col("n_communities"), col("n_intra_edges"),
+          round((lit(4L) * col("n_edges") * col("n_intra_edges") - col("_dc2"))
+              .cast("double")
+            / (lit(4L) * col("n_edges") * col("n_edges")).cast("double"), 6)
+            .as("modularity"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1076,5 +1112,30 @@ private[graft] object GraphQueries extends QueryBook {
           | JOIN mcn ON tri.cur = mcn.cur AND tri.next = mcn.next
           | JOIN mc ON tri.cur = mc.cur
           |GROUP BY 1""".stripMargin,
+
+      // all-pairs exact candidate twin of the banded-LSH engine path —
+      // recall caveat documented at q159's oracle entry; integer-exact
+      // modularity numerator/denominator mirrors the engine's LONG math
+      "q327_lang_modularity" ->
+        s"""$shingleCte,
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.7),
+           |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |   CAST(sum(CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END) AS BIGINT)
+           |     AS n_intra_edges
+           |  FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+           |   JOIN documents db ON p.id_b = db.doc_id),
+           |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |   SELECT id_a AS id FROM pairs
+           |   UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+           |dc AS (SELECT d.lang, CAST(sum(g.deg) AS BIGINT) AS d_c
+           |  FROM deg g JOIN documents d ON g.id = d.doc_id GROUP BY 1),
+           |da2 AS (SELECT CAST(sum(d_c * d_c) AS BIGINT) AS dc2,
+           |   CAST(count(*) AS BIGINT) AS n_communities FROM dc)
+           |SELECT e.n_edges, da2.n_communities, e.n_intra_edges,
+           | round(CAST(4 * e.n_edges * e.n_intra_edges - da2.dc2 AS DOUBLE)
+           |   / CAST(4 * e.n_edges * e.n_edges AS DOUBLE), 6) AS modularity
+           |FROM e, da2""".stripMargin,
   )
 }

@@ -877,6 +877,16 @@ private[graft] object TextQueries extends QueryBook {
           round(sum(col("freq") * length(col("word"))).cast("double") / sum("freq"), 6)
             .as("char_fertility"))
     }),
+
+    "q326_rouge_overlap" -> ((s, dir) => {
+      // ROUGE-1 P/R/F1 between blocked candidate pairs — the eval metric
+      // pass a synthetic-data pipeline runs over (reference, candidate)
+      // text pairs, at corpus scale; see TextAnalysis.rouge1Pairs (blocks
+      // on the first-3-token md5, (block, token) equi-join overlap, never
+      // all-pairs). Blocked pairs share ≥ the 3-token prefix, so overlap
+      // ≥ 3 and the F1 denominator is never zero on either engine.
+      TextAnalysis.rouge1Pairs(t(s, dir, "documents"), col("doc_id"), col("text"))
+    }),
   )
 
   /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
@@ -1556,5 +1566,36 @@ private[graft] object TextQueries extends QueryBook {
            |   AS char_fertility
            |FROM f""".stripMargin
       },
+
+      // ROUGE-1 replayed relationally: same first-3-token blocking, same
+      // multiset-min overlap, same (dot-shaped) double arithmetic for the
+      // three ratios — blocked pairs share the 3-token prefix so overlap
+      // ≥ 3 and the F1 denominator is never zero.
+      "q326_rouge_overlap" ->
+        s"""WITH c AS (SELECT doc_id, string_split(${cleanSql("text")}, ' ') AS toks
+           |  FROM documents),
+           |k AS (SELECT doc_id, md5(array_to_string(toks[1:3], ' ')) AS h, toks
+           |  FROM c WHERE len(toks) >= 3),
+           |tc AS (SELECT doc_id, h, tok, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT doc_id, h, unnest(toks) AS tok FROM k)
+           |  GROUP BY doc_id, h, tok),
+           |ln AS (SELECT doc_id, h, CAST(sum(cnt) AS BIGINT) AS len
+           |  FROM tc GROUP BY doc_id, h),
+           |pr AS (SELECT a.doc_id AS id_a, a.len AS len_a,
+           |    b.doc_id AS id_b, b.len AS len_b
+           |  FROM ln a JOIN ln b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |ov AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |    CAST(sum(least(x.cnt, y.cnt)) AS BIGINT) AS overlap
+           |  FROM tc x JOIN tc y ON x.h = y.h AND x.tok = y.tok
+           |    AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b, o.overlap,
+           | round(CAST(o.overlap AS DOUBLE) / p.len_b, 6) AS rouge1_p,
+           | round(CAST(o.overlap AS DOUBLE) / p.len_a, 6) AS rouge1_r,
+           | round(2.0 * (CAST(o.overlap AS DOUBLE) / p.len_b)
+           |     * (CAST(o.overlap AS DOUBLE) / p.len_a)
+           |   / ((CAST(o.overlap AS DOUBLE) / p.len_b)
+           |     + (CAST(o.overlap AS DOUBLE) / p.len_a)), 6) AS rouge1_f1
+           |FROM pr p JOIN ov o ON p.id_a = o.id_a AND p.id_b = o.id_b""".stripMargin,
   )
 }

@@ -99,4 +99,37 @@ class Round14Spec extends SparkSpec {
       assert(rows.toSeq === Seq((7L, 3L, 7L, t0, t0 + 60000)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("Dbscan.cluster: core/border/noise roles and deterministic labels") {
+    val sp = spark
+    import sp.implicits._
+    // Build vectors in the plane spanned by {u, w}, u = the single LSH
+    // plane's normal, w ⊥ u — so the bucket bit is exactly sign(a) for
+    // vec = a·u + b·w and the test controls both bucketing and cosines.
+    val plane = graft.functions.VectorExprs.deterministicPlanes(1, 4).head
+    val pn = math.sqrt(plane.map(x => x * x).sum)
+    val u = plane.map(_ / pn)
+    val e0 = Seq(1.0, 0.0, 0.0, 0.0)
+    val proj = u.zip(e0).map { case (ui, ei) => ei - ui * e0.zip(u).map(t => t._1 * t._2).sum }
+    val wn = math.sqrt(proj.map(x => x * x).sum)
+    val w = proj.map(_ / wn)
+    def vec(deg: Double): Array[Float] = {
+      val (a, b) = (math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+      u.zip(w).map { case (ui, wi) => (a * ui + b * wi).toFloat }.toArray
+    }
+    // p-chain at 0°/36.87°/73.74° (adjacent cos = 0.8 ≥ eps, ends 0.28):
+    // only the middle is core (deg 2 + 1 = minPts); ends are border.
+    // q-clique at 160°/165°/170°: all core, one component, label = min id.
+    // 117° is ≥ 43° from everything → noise. eps margins ≥ 0.02 ≫ f32 ulp.
+    val rows = Seq(1L -> vec(0), 2L -> vec(36.87), 3L -> vec(73.74),
+      11L -> vec(160), 12L -> vec(165), 13L -> vec(170), 99L -> vec(117))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Dbscan.cluster(df, col("vec_id"), col("embedding"),
+        eps = 0.75, minPts = 3, nPlanes = 1, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, "border", 2L), (2L, "core", 2L), (3L, "border", 2L),
+      (11L, "core", 11L), (12L, "core", 11L), (13L, "core", 11L),
+      (99L, "noise", -1L)))
+  }
 }
