@@ -1011,6 +1011,49 @@ private[graft] object EventsQueries extends QueryBook {
         .select(col("gap_h"), col("n_gaps"),
           round(col("n_gaps").cast("double") / col("_t"), 4).as("share"))
     }),
+
+    "q325_stream_dedup_ttl" -> ((s, dir) => {
+      // dropDuplicatesWithinWatermark under the batch oracle — streaming
+      // exact dedup with TTL'd state, the ingest-side twin of q26: a key
+      // re-appearing AFTER its state expired is legitimately re-emitted
+      // (state = first-seen event time + delay; the watermark, not an
+      // operator timeout, evicts). The events table is replayed as 4
+      // micro-batches sliced by event-time QUARTER, each slice
+      // pre-compacted to one row per (user_id, event_type) at its min ts
+      // — batch membership and the kept row are pure functions of the
+      // corpus, and every slice row is ≥ the running watermark (delay > 0)
+      // so the late-drop path never fires. Watermark arithmetic is
+      // MILLISECOND-floored (Spark collects event-time stats in ms); the
+      // DuckDB twin replays the calibrated state machine: cleanup runs at
+      // END of batch (inclusive: expiry ≤ wm evicts), so back-to-back
+      // file batches see the PREVIOUS batch's watermark — see q325Sql and
+      // the Round14Spec boundary probes.
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("tus"))
+      val mm = ev.agg(min("tus"), max("tus")).head
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val span = tmax - tmin
+      val delayMs = span / 1000L / 8L
+      val sl = ev.withColumn("b",
+        expr(s"((tus - ${tmin}L) * 4) div ${span + 1}L"))
+      val slices = (0 until 4).map(i => sl.where(col("b") === i)
+        .groupBy("user_id", "event_type").agg(min("ts").as("ts")))
+      QueryHelpers.streamReplaySlices(s, "q325", slices) { (stream, ckpt, out) =>
+        stream
+          .withWatermark("ts", s"$delayMs milliseconds")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }
+          .start()
+      }.select(col("user_id"), col("event_type"), col("ts"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -1646,5 +1689,69 @@ private[graft] object EventsQueries extends QueryBook {
           |SELECT CAST(g.gap_h AS BIGINT) AS gap_h, g.n_gaps,
           | round(CAST(g.n_gaps AS DOUBLE) / t.tt, 4) AS share
           |FROM g, t""".stripMargin,
+
+      "q325_stream_dedup_ttl" -> q325Sql,
   )
+
+  /** q325 twin: the 4-batch dropDuplicatesWithinWatermark replay unrolled
+    * as staged CTEs — one anchor-state stage per micro-batch. Anchor =
+    * first-seen event time (MICROS — no TTL extension on duplicates,
+    * probe-verified); wm_b = (max slice ts over batches < b)_ms − delay,
+    * exactly Spark's ms-granular event-time stats. Calibrated semantics
+    * (differential vs the real operator at sf0.01, 1444/1444 rows, plus
+    * the Round14Spec boundary probes): state cleanup runs at the END of
+    * each micro-batch with that batch's eviction watermark and removes
+    * entries with expiry ≤ wm (INCLUSIVE), while arrivals are checked
+    * BEFORE their own batch's cleanup — so in a back-to-back file replay
+    * (no no-data batches interleave) the wm a batch-b arrival faces is
+    * the PREVIOUS batch's: wmLag = 1. */
+  private def q325Sql: String = q325SqlWith(wmLag = 1, cmpOp = ">=")
+
+  /** Parameterized generator (calibration surface): `wmLag` = how many
+    * batches the eviction watermark trails the arrival batch (0 = the
+    * batch's own watermark, 1 = previous batch's — eviction running in
+    * the prior commit), `cmpOp` = eviction comparator. The shipped
+    * combination is pinned in [[q325Sql]] after differential calibration
+    * against the real operator. Anchors stay in MICROS (state stores the
+    * raw event time); only the WATERMARK is ms-floored (Spark collects
+    * event-time stats in ms), hence the `* 1000` rescale in the test. */
+  private def q325SqlWith(wmLag: Int, cmpOp: String): String = {
+    val nB = 4
+    def evict(b: Int) =
+      s"(wm${b - wmLag} IS NOT NULL AND wm${b - wmLag} * 1000 $cmpOp a${b - 1} + delay * 1000)"
+    val stages = (1 until nB).map { b =>
+      s"""st$b AS (SELECT *,
+         |   (o$b IS NOT NULL AND (a${b - 1} IS NULL OR ${evict(b)})) AS e$b,
+         |   CASE WHEN o$b IS NULL THEN a${b - 1}
+         |        WHEN a${b - 1} IS NULL OR ${evict(b)} THEN o$b
+         |        ELSE a${b - 1} END AS a$b
+         |  FROM st${b - 1})""".stripMargin
+    }.mkString(",\n")
+    val oCols = (0 until nB).map(b =>
+      s"max(CASE WHEN b = $b THEN tus END) AS o$b").mkString(",\n   ")
+    val wmCols = (1 - wmLag until nB).map(b =>
+      if (b < 1) s"CAST(NULL AS BIGINT) AS wm$b"
+      else s"(SELECT max(tms) FROM slm WHERE b < $b) - delay AS wm$b")
+      .mkString(",\n   ")
+    val emits = (0 until nB).map(b =>
+      s"SELECT user_id, event_type, o$b AS tus FROM st${nB - 1} WHERE e$b")
+      .mkString("\n UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |mm AS (SELECT min(tus) AS tmin, max(tus) AS tmax FROM ev),
+       |sl AS (SELECT user_id, event_type,
+       |    ((tus - tmin) * 4) // (tmax - tmin + 1) AS b, min(tus) AS tus
+       |  FROM ev, mm GROUP BY 1, 2, 3),
+       |slm AS (SELECT user_id, event_type, b, tus, tus // 1000 AS tms FROM sl),
+       |dl AS (SELECT (tmax - tmin) // 1000 // 8 AS delay FROM mm),
+       |pv AS (SELECT user_id, event_type,
+       |   $oCols
+       |  FROM slm GROUP BY 1, 2),
+       |st0 AS (SELECT pv.*, delay,
+       |   $wmCols,
+       |   o0 AS a0, (o0 IS NOT NULL) AS e0
+       |  FROM pv, dl),
+       |$stages
+       |SELECT user_id, event_type, make_timestamp(tus) AS ts FROM (
+       | $emits)""".stripMargin
+  }
 }

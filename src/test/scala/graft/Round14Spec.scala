@@ -100,6 +100,65 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: inclusive end-of-batch eviction at the boundary") {
+    // The q325 twin's calibration probes. Model (confirmed against the
+    // sf0.01 file replay, 1444/1444): state cleanup runs at the END of
+    // every micro-batch — INCLUDING the no-data batches that interleave
+    // when the source idles, as here with processAllAvailable between
+    // addData calls — with that batch's eviction watermark, and removes
+    // entries with expiry ≤ wm (INCLUSIVE). Arrivals are checked BEFORE
+    // their own batch's cleanup, which is why a back-to-back file replay
+    // (no idle gaps → no no-data batches) faces the PREVIOUS batch's
+    // watermark (q325Sql's wmLag = 1), while this idle-gapped rig has
+    // cleanup fully caught up by each arrival.
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("k", "ts")
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append").format("memory").queryName("ddw").start()
+    try {
+      mem.addData((1L, ts(0))); q.processAllAvailable()   // emit; expiry t0+10m
+      mem.addData((2L, ts(20))); q.processAllAvailable()  // emit; wm -> t0+10m
+      // post-batch-1 cleanup ran with wm = t0+10m == key 1's expiry —
+      // the exact boundary. INCLUSIVE eviction → state gone → re-emitted.
+      mem.addData((1L, ts(21))); q.processAllAvailable()
+      // re-anchored at 21m (expiry 31m); wm is only 11m → still live → drop.
+      mem.addData((1L, ts(30))); q.processAllAvailable()
+      val got = spark.table("ddw").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - t0) / 60000L)).toSet
+      assert(got === Set((1L, 0L), (2L, 20L), (1L, 21L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: a dropped duplicate does NOT extend the TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append").format("memory").queryName("ddw2").start()
+    try {
+      mem.addData((1L, ts(0))); q.processAllAvailable()   // emit; expiry t0+10m
+      mem.addData((1L, ts(5))); q.processAllAvailable()   // dup; extension would push 15m
+      mem.addData((2L, ts(22))); q.processAllAvailable()  // wm -> t0+12m
+      // 12m ≥ 10m (first-seen + delay): state evicted despite the 5m dup
+      // — the anchor is the FIRST occurrence only (q325Sql's premise).
+      mem.addData((1L, ts(13))); q.processAllAvailable()
+      val got = spark.table("ddw2").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - t0) / 60000L)).toSet
+      assert(got === Set((1L, 0L), (2L, 22L), (1L, 13L)), got.toString)
+    } finally q.stop()
+  }
+
   test("Dbscan.cluster: core/border/noise roles and deterministic labels") {
     val sp = spark
     import sp.implicits._
