@@ -99,6 +99,7 @@ object ScaleProbe {
     if (args.headOption.contains("skyline")) { skylineProbe(args.drop(1)); return }
     if (args.headOption.contains("kcore")) { kcoreProbe(args.drop(1)); return }
     if (args.headOption.contains("dupcollapse")) { dupCollapseProbe(args.drop(1)); return }
+    if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -774,6 +775,87 @@ object ScaleProbe {
     assert(crossN == crossExpectN, s"cross pairs: $crossN vs $crossExpectN")
     assert(sameN == sameExpectN, s"same pairs: $sameN vs $sameExpectN")
     println(f"[probe] closed form holds: DP volume constant, output x${nN.toDouble / n1}%.1f")
+    spark.stop()
+  }
+
+  /** Dbscan distinct-vector collapse under pure replication — the
+    * copies² regime a dup-heavy corpus presents to density clustering.
+    * Synthetic blobs: 16 clusters on orthogonal one-hot dims (0..15),
+    * each cluster = m identical copies (m = 32·rep); nNoise = 16·rep
+    * UNIQUE two-hot vectors on reserved dims 16..63 (mutual cos ≤ 0.5 <
+    * eps, cos 0 to every cluster). Closed forms at eps=0.6, minPts=3:
+    * every cluster member core (mult = m ≥ 3), exactly 16 clusters
+    * labeled by their min member id, zero borders, all noise named
+    * noise — and the DISTINCT-grain candidate graph has ZERO pairs at
+    * ANY rep (collapse leaves 16 + nNoise nodes, all pairwise below
+    * eps), so the ε-graph cost scales with distinct vectors, not
+    * copies². Timed at rep and 2·rep to witness the flat distinct
+    * grain. */
+  private def dbscanProbe(args: Array[String]): Unit = {
+    val rep = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+    import org.apache.spark.sql.functions._
+    val sp2 = spark
+    import sp2.implicits._
+    val noisePairs = (for { i <- 16 until 64; j <- i + 1 until 64 } yield (i, j))
+    def corpus(r: Int) = {
+      val m = 32L * r
+      val nNoise = math.min(16 * r, noisePairs.size)
+      val clusters = spark.range(16).select(col("id").as("c"))
+        .crossJoin(spark.range(m).select(col("id").as("r")))
+        .select((col("c") * 10000000L + col("r")).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> IF(CAST(j AS BIGINT) = c, " +
+            "CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as("v"))
+      val np = noisePairs.take(nNoise).zipWithIndex
+        .map { case ((i, j), n) => (1000000000L + n, i, j) }
+        .toDF("vec_id", "i", "j")
+      val noise = np.select(col("vec_id"),
+        expr("transform(sequence(0, 63), k -> IF(CAST(k AS INT) = i OR " +
+          "CAST(k AS INT) = j, CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as("v"))
+      (clusters.unionAll(noise).repartition(64).cache(), m, nNoise)
+    }
+    Seq(rep, 2 * rep).foreach { r =>
+      val (big, m, nNoise) = corpus(r)
+      val n = big.count()
+      val out = timed(s"dbscan rep=$r ($n vectors, m=$m per blob)") {
+        graft.operators.Dbscan.cluster(big, col("vec_id"), col("v"),
+          eps = 0.6, minPts = 3).cache()
+      }
+      val byRole = out.groupBy("role").count().collect()
+        .map(row => row.getString(0) -> row.getLong(1)).toMap
+      assert(byRole.getOrElse("core", 0L) == 16 * m,
+        s"cores: ${byRole.get("core")} vs ${16 * m}")
+      assert(byRole.getOrElse("border", 0L) == 0L,
+        s"borders: ${byRole.get("border")}")
+      assert(byRole.getOrElse("noise", 0L) == nNoise,
+        s"noise: ${byRole.get("noise")} vs $nNoise")
+      val labels = out.where(col("role") === "core")
+        .select("cluster_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(labels.toSeq == (0 until 16).map(_ * 10000000L),
+        s"labels: ${labels.mkString(",")}")
+      // the collapse's whole point: the distinct-grain ε-graph is EMPTY
+      val groups = big.groupBy("v").agg(min("vec_id").as("gid"))
+      val gPairs = graft.operators.Dedup.embeddingNearDups(
+        groups, col("gid"), col("v"), threshold = 0.6, nPlanes = 8, dim = 64)
+        .count()
+      assert(gPairs == 0L, s"distinct-grain pairs: $gPairs")
+      println(s"[probe] rep=$r closed form holds: 16 clusters, " +
+        s"${16 * m} cores, $nNoise noise, 0 distinct-grain pairs")
+      out.unpersist(); big.unpersist()
+    }
     spark.stop()
   }
 

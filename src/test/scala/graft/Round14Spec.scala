@@ -191,4 +191,37 @@ class Round14Spec extends SparkSpec {
       (11L, "core", 11L), (12L, "core", 11L), (13L, "core", 11L),
       (99L, "noise", -1L)))
   }
+
+  test("Dbscan.cluster: distinct-vector collapse weights degrees by multiplicity") {
+    val sp = spark
+    import sp.implicits._
+    // Same {u, w}-basis rig as above. Duplicates collapse to one node
+    // with a multiplicity; deg(x)+1 = mult(own group) + Σ neighbor-group
+    // mults. At eps=0.75, minPts=4: three copies of a(0°) plus their
+    // neighbor c(38°) reach 4 → core; c sees 3+2+1=6 → core; the two
+    // b(50°) copies see 2+1=3 < 4 → border via core neighbor c (b–a is
+    // cos 50° ≈ 0.64, below eps); d(120°) is isolated → noise.
+    val plane = graft.functions.VectorExprs.deterministicPlanes(1, 4).head
+    val pn = math.sqrt(plane.map(x => x * x).sum)
+    val u = plane.map(_ / pn)
+    val e0 = Seq(1.0, 0.0, 0.0, 0.0)
+    val proj = u.zip(e0).map { case (ui, ei) => ei - ui * e0.zip(u).map(t => t._1 * t._2).sum }
+    val wn = math.sqrt(proj.map(x => x * x).sum)
+    val w = proj.map(_ / wn)
+    def vec(deg: Double): Array[Float] = {
+      val (a, b) = (math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+      u.zip(w).map { case (ui, wi) => (a * ui + b * wi).toFloat }.toArray
+    }
+    val rows = Seq(1L -> vec(0), 2L -> vec(0), 3L -> vec(0),
+      11L -> vec(50), 12L -> vec(50), 31L -> vec(38), 99L -> vec(120))
+    val out = graft.operators.Dbscan.cluster(rows.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), eps = 0.75, minPts = 4,
+        nPlanes = 1, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (31L, "core", 1L),
+      (11L, "border", 1L), (12L, "border", 1L),
+      (99L, "noise", -1L)))
+  }
 }
