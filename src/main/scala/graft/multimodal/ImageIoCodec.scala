@@ -116,4 +116,25 @@ object ImageGen {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** w×h grayscale PNG with pixel(x, y) = dx·x + dy·y + c — the q330
+    * family: direction (dx, dy) is the perceptual CONTENT, c a uniform
+    * brightness shift aHash must be invariant to. Callers keep
+    * dx·(w−1) + dy·(h−1) + c ≤ 255 so the ramp never clamps and the
+    * twin's lattice arithmetic is the exact pixel value. */
+  def rampPng(w: Int, h: Int, dx: Int, dy: Int, c: Int): Array[Byte] = {
+    require(dx * (w - 1) + dy * (h - 1) + c <= 255, "ramp would clamp")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, dx * x + dy * y + c); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

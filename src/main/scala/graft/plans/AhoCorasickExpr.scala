@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern automaton over raw UTF-8 bytes — the scan
+  * engine for BLOCKLIST-SIZED pattern sets (canary scans, contamination
+  * phrase lists, PII keyword sweeps). [[ContainsAny]] probes each pattern
+  * independently (O(n·k) for k patterns — right for the classifier's
+  * ~dozen-lexeme lexicons); a 10k-entry blocklist at 100 TB needs the
+  * automaton's O(n + matches), independent of k.
+  *
+  * Construction (driver-side, once per plan): byte-trie + BFS failure
+  * links with goto-table completion, so the matching loop is a single
+  * array index per input byte — no failure-chasing at scan time. Nodes
+  * are dense 256-way int arrays: Σ|pattern| nodes × 1 KiB; fine into the
+  * tens of thousands of patterns (a 10k × 20-byte list is ~200 MiB —
+  * past that, swap the node store for a banded/double-array layout; the
+  * expression contract doesn't change). The automaton ships to executors
+  * as a per-plan reference object, zero per-row allocation except one
+  * long-array visit bitmap per row for distinct-pattern counting.
+  *
+  * Byte-level matching is exact for UTF-8: a pattern matches iff its
+  * byte sequence appears, and UTF-8 is self-synchronizing for whole-
+  * pattern byte matches (no false positives across code-point
+  * boundaries for byte-identical needles).
+  */
+final class AcAutomaton(patterns: Array[Array[Byte]]) extends Serializable {
+  val nPatterns: Int = patterns.length
+  // trie build
+  private val next = scala.collection.mutable.ArrayBuffer(new Array[Int](256))
+  private val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+  java.util.Arrays.fill(next(0), -1)
+  patterns.zipWithIndex.foreach { case (p, pid) =>
+    var s = 0
+    p.foreach { b =>
+      val c = b & 0xff
+      if (next(s)(c) == -1) {
+        next(s)(c) = next.size
+        val row = new Array[Int](256); java.util.Arrays.fill(row, -1)
+        next += row; outs += Nil
+      }
+      s = next(s)(c)
+    }
+    outs(s) = pid :: outs(s)
+  }
+  // BFS failure links; complete the goto function in place so the scan
+  // never chases failures
+  private val fail = new Array[Int](next.size)
+  locally {
+    val q = scala.collection.mutable.Queue.empty[Int]
+    (0 until 256).foreach { c =>
+      val t = next(0)(c)
+      if (t == -1) next(0)(c) = 0
+      else { fail(t) = 0; q.enqueue(t) }
+    }
+    while (q.nonEmpty) {
+      val s = q.dequeue()
+      outs(s) = outs(s) ::: outs(fail(s))
+      (0 until 256).foreach { c =>
+        val t = next(s)(c)
+        if (t == -1) next(s)(c) = next(fail(s))(c)
+        else { fail(t) = next(fail(s))(c); q.enqueue(t) }
+      }
+    }
+  }
+  private val gotoTab: Array[Array[Int]] = next.toArray
+  private val outTab: Array[Array[Int]] = outs.map(_.toArray).toArray
+
+  /** Number of DISTINCT patterns occurring in `u`. */
+  def countDistinct(u: UTF8String): Int = {
+    val bytes = u.getBytes
+    val seen = new Array[Long]((nPatterns + 63) >> 6)
+    var found = 0
+    var s = 0
+    var i = 0
+    while (i < bytes.length && found < nPatterns) {
+      s = gotoTab(s)(bytes(i) & 0xff)
+      val out = outTab(s)
+      var j = 0
+      while (j < out.length) {
+        val pid = out(j)
+        if ((seen(pid >> 6) & (1L << (pid & 63))) == 0L) {
+          seen(pid >> 6) |= 1L << (pid & 63)
+          found += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    found
+  }
+}
+
+/** `ac_count_matches(text, patterns)` — number of DISTINCT literal
+  * patterns that occur as substrings, via one Aho–Corasick pass. */
+case class AcCountMatches(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "ac_count_matches needs at least one pattern")
+
+  @transient private lazy val ac: AcAutomaton =
+    new AcAutomaton(patterns.map(_.getBytes("UTF-8")).toArray)
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ac_count_matches requires string input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    ac.countDistinct(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, "graft.plans.AcAutomaton")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $acRef.countDistinct($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcCountMatches =
+    copy(child = newChild)
+  override def prettyName: String = "ac_count_matches"
+}
+
+object AcCountMatches {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def acCountMatches(c: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AcCountMatches(ColumnBridge.expression(c), patterns))
+}

@@ -112,6 +112,33 @@ private[graft] object MultimodalQueries extends QueryBook {
           (id, best.toLong, AudioIoCodec.peakAbs(id, wav), n)
         }).toDF("doc_id", "modal_bucket", "peak_abs", "n_samples")
     }),
+
+    "q330_image_ahash_dedup" -> ((s, dir) => {
+      // Perceptual-hash image dedup through the REAL decode path — the
+      // multimodal family's missing dedup primitive (multimodal.
+      // ImagePHash): 16×16 ramp PNGs with direction (dx, dy) as content
+      // and c as a uniform brightness shift; aHash groups by direction
+      // RATIO only (the block-vs-global-mean comparison is invariant to
+      // both brightness shift and contrast scale — re-encode/levels
+      // near-dups collapse, structural changes split). Hash is computed
+      // from DECODED pixels executor-side (payload never shuffles; only
+      // the 64-char hash moves); DuckDB recomputes it from the
+      // generation lattice, so one mis-decoded pixel flips the gate.
+      // n_brightness pins the invariance: every group must span all 7
+      // brightness levels.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 3).toInt
+          val dy = (1 + (id / 3) % 3).toInt
+          val c = ((id % 7) * 10).toInt
+          val png = ImageGen.rampPng(16, 16, dx, dy, c)
+          (id, graft.multimodal.ImagePHash.aHashBits(id, png), id % 7)
+        }).toDF("doc_id", "ahash_bits", "bright")
+        .groupBy("ahash_bits")
+        .agg(count(lit(1)).as("n_images"), min("doc_id").as("min_id"),
+          countDistinct("bright").as("n_brightness"))
+    }),
   )
 
   val oracleSql: ListMap[String, String] = ListMap(
@@ -172,5 +199,28 @@ private[graft] object MultimodalQueries extends QueryBook {
         |FROM c JOIN p USING (doc_id)
         |QUALIFY row_number() OVER (PARTITION BY c.doc_id
         |  ORDER BY cnt DESC, bkt ASC) = 1""".stripMargin,
+
+      // the aHash recomputed from the generation lattice: block b =
+      // (y//2)·8 + (x//2), bit = blockSum·256 > totalSum·4 (strict, ties
+      // → 0) — the SAME cross-multiplied integer comparison the decoder
+      // side runs on real pixels
+      "q330_image_ahash_dedup" ->
+        """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 3) % 3 AS BIGINT) AS dy,
+          |   CAST((doc_id % 7) * 10 AS BIGINT) AS c FROM documents),
+          |tot AS (SELECT doc_id, sum(dx * x.range + dy * y.range + c) AS tsum
+          |  FROM ids, range(16) x, range(16) y GROUP BY doc_id),
+          |blk AS (SELECT doc_id, (py.range // 2) * 8 + (px.range // 2) AS b,
+          |   sum(dx * px.range + dy * py.range + c) AS bsum
+          |  FROM ids, range(16) px, range(16) py GROUP BY 1, 2),
+          |bits AS (SELECT blk.doc_id, blk.b,
+          |   CASE WHEN blk.bsum * 256 > tot.tsum * 4 THEN '1' ELSE '0' END AS v
+          |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+          |hs AS (SELECT doc_id, string_agg(v, '' ORDER BY b) AS ahash_bits
+          |  FROM bits GROUP BY doc_id)
+          |SELECT h.ahash_bits, CAST(count(*) AS BIGINT) AS n_images,
+          | min(h.doc_id) AS min_id,
+          | CAST(count(DISTINCT i.doc_id % 7) AS BIGINT) AS n_brightness
+          |FROM hs h JOIN ids i ON h.doc_id = i.doc_id GROUP BY 1""".stripMargin,
   )
 }

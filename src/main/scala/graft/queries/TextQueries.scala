@@ -878,6 +878,28 @@ private[graft] object TextQueries extends QueryBook {
             .as("char_fertility"))
     }),
 
+    "q328_canary_scan" -> ((s, dir) => {
+      // Canary / blocklist scan via the Aho–Corasick native expression
+      // (plans/AhoCorasickExpr.scala): one O(n + matches) automaton pass
+      // counts DISTINCT blocklist phrases per document, independent of
+      // blocklist size — ContainsAny's per-pattern probing is right for
+      // dozen-lexeme classifier lexicons, wrong for the 10k-entry
+      // blocklists a contamination sweep carries. Canaries are injected
+      // by doc_id residue from the SAME constants the twin's generated
+      // SQL uses (lexicon-twin pattern); decoys are scanned but never
+      // injected, so their count contribution must be zero.
+      val tail = canaryList.foldLeft(lit("")) { case (acc, (m, c)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+        .select(col("doc_id"),
+          graft.plans.AcCountMatches.acCountMatches(col("_t"),
+            canaryList.map(_._2) ++ canaryDecoys).as("n_canaries"))
+    }),
+
     "q326_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1 P/R/F1 between blocked candidate pairs — the eval metric
       // pass a synthetic-data pipeline runs over (reference, candidate)
@@ -888,6 +910,18 @@ private[graft] object TextQueries extends QueryBook {
       TextAnalysis.rouge1Pairs(t(s, dir, "documents"), col("doc_id"), col("text"))
     }),
   )
+
+  /** q328's shared constants (lexicon-twin pattern: the engine expression
+    * and the generated twin SQL read the SAME list, so they cannot
+    * drift): canaries injected by doc_id residue, decoys scanned but
+    * never injected. Phrases are apostrophe-free for SQL literal safety
+    * and absent from the synthetic corpus's vocabulary. */
+  private val canaryList: Seq[(Int, String)] = Seq(
+    3 -> "canary zebra 0xA1", 5 -> "canary heron 0xB2",
+    7 -> "canary okapi 0xC3", 11 -> "canary lynx 0xD4",
+    13 -> "canary tapir 0xE5", 17 -> "canary gecko 0xF6")
+  private val canaryDecoys: Seq[String] =
+    Seq("canary never alpha", "canary never beta")
 
   /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
     * the IDENTICAL gram occurrences (same normalization regex, same cap,
@@ -1565,6 +1599,19 @@ private[graft] object TextQueries extends QueryBook {
            | round(CAST(sum(freq * len(word)) AS DOUBLE) / sum(freq), 6)
            |   AS char_fertility
            |FROM f""".stripMargin
+      },
+
+      // the injection chain and the per-phrase containment sum are both
+      // GENERATED from canaryList/canaryDecoys — the twin of one AC pass
+      "q328_canary_scan" -> {
+        val inj = canaryList.map { case (m, c) =>
+          s"(CASE WHEN doc_id % $m = 0 THEN ' $c' ELSE '' END)"
+        }.mkString(" || ")
+        val hits = (canaryList.map(_._2) ++ canaryDecoys).map(c =>
+          s"(CASE WHEN contains(t, '$c') THEN 1 ELSE 0 END)").mkString("\n   + ")
+        s"""WITH w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
+           |  FROM documents)
+           |SELECT doc_id, CAST($hits AS INT) AS n_canaries FROM w""".stripMargin
       },
 
       // ROUGE-1 replayed relationally: same first-3-token blocking, same

@@ -159,6 +159,56 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ImagePHash: brightness/contrast invariant, structure sensitive, lattice-exact") {
+    import graft.multimodal.{ImageGen, ImagePHash}
+    val base = ImagePHash.aHashBits(1, ImageGen.rampPng(16, 16, 1, 2, 0))
+    // uniform brightness shift: identical hash (the near-dup class aHash collapses)
+    assert(base == ImagePHash.aHashBits(2, ImageGen.rampPng(16, 16, 1, 2, 30)))
+    // contrast scale (slope x2, same direction ratio): identical hash
+    assert(base == ImagePHash.aHashBits(3, ImageGen.rampPng(16, 16, 2, 4, 0)))
+    // direction flip: structural change, different hash
+    assert(base != ImagePHash.aHashBits(4, ImageGen.rampPng(16, 16, 2, 1, 0)))
+    // decoded-pixel hash == the q330 twin's lattice arithmetic, bit for bit
+    val (dx, dy, c) = (3, 1, 40)
+    val bs = Array.fill(64)(0L)
+    var tot = 0L
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = (dx * x + dy * y + c).toLong
+      bs((y / 2) * 8 + x / 2) += v
+      tot += v
+    }
+    val fromLattice =
+      (0 until 64).map(b => if (bs(b) * 256 > tot * 4) '1' else '0').mkString
+    assert(ImagePHash.aHashBits(5, ImageGen.rampPng(16, 16, dx, dy, c)) == fromLattice)
+  }
+
+  test("AcAutomaton counts distinct patterns like the naive scan") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(text: String, pats: Seq[String]): Int =
+      pats.count(text.contains(_))
+    def ac(text: String, pats: Seq[String]): Int =
+      new graft.plans.AcAutomaton(pats.map(_.getBytes("UTF-8")).toArray)
+        .countDistinct(UTF8String.fromString(text))
+    // adversarial shapes: overlapping patterns, suffix-of-prefix failure
+    // transitions, repeats counted once, match at the last byte
+    val pats = Seq("ab", "b", "abc", "bca", "aab", "canary", "ry")
+    for (t <- Seq("", "a", "abc", "aabcabc", "xxabcax", "zcanarz canary",
+        "bbbbb", "aaabca", "xyzab")) {
+      assert(ac(t, pats) == naive(t, pats), s"text '$t'")
+    }
+    // multi-byte UTF-8 needles (byte-exact, no cross-boundary falses)
+    assert(ac("naïve café crème", Seq("ïve", "fé", "é c")) == 3)
+    assert(ac("naive cafe creme", Seq("ïve", "fé", "é c")) == 0)
+    // randomized differential over a 3-letter alphabet (dense overlaps)
+    val rnd = new scala.util.Random(42)
+    def rs(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 1 to 200) {
+      val ps = Seq.fill(1 + rnd.nextInt(6))(rs(1 + rnd.nextInt(4))).distinct
+      val t = rs(rnd.nextInt(30))
+      assert(ac(t, ps) == naive(t, ps), s"text '$t' pats $ps")
+    }
+  }
+
   test("Dbscan.cluster: core/border/noise roles and deterministic labels") {
     val sp = spark
     import sp.implicits._
