@@ -122,15 +122,21 @@ object ImageGen {
     * brightness shift aHash must be invariant to. Callers keep
     * dx·(w−1) + dy·(h−1) + c ≤ 255 so the ramp never clamps and the
     * twin's lattice arithmetic is the exact pixel value. */
-  def rampPng(w: Int, h: Int, dx: Int, dy: Int, c: Int): Array[Byte] = {
+  def rampPng(w: Int, h: Int, dx: Int, dy: Int, c: Int,
+      spike: Int = 0): Array[Byte] = {
     require(dx * (w - 1) + dy * (h - 1) + c <= 255, "ramp would clamp")
+    require(c + spike <= 255, "spiked origin pixel would clamp")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, dx * x + dy * y + c); x += 1 }
+      while (x < w) {
+        val s = if (x == 0 && y == 0) spike else 0
+        raster.setSample(x, y, 0, dx * x + dy * y + c + s)
+        x += 1
+      }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()

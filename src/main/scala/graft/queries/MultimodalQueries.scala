@@ -113,6 +113,53 @@ private[graft] object MultimodalQueries extends QueryBook {
         }).toDF("doc_id", "modal_bucket", "peak_abs", "n_samples")
     }),
 
+    "q329_image_neardup_hamming" -> ((s, dir) => {
+      // Perceptual NEAR-dup pairs over aHash — the Hamming complement of
+      // q330's exact grouping: distinct hashes band into 8×8-bit slices
+      // for the candidate join (q28's pigeonhole discipline — EXACT for
+      // hamming ≤ 7: any closer pair shares a zero-diff band), candidates
+      // verify with a codegen'd two-half conv/xor/bit_count, and pairs
+      // report at the GROUP grain (representative min ids + the image-
+      // pair count n_a·n_b), so the pair volume is distinct-hash-bounded,
+      // never image². Every fifth image carries a one-pixel spike whose
+      // +40 at the origin flips exactly the borderline block bits —
+      // near-miss hashes exist by construction, and the twin recomputes
+      // them from the same lattice.
+      import s.implicits._
+      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 3).toInt
+          val dy = (1 + (id / 3) % 3).toInt
+          val c = ((id % 7) * 10).toInt
+          val spike = if (id % 5 == 0) 40 else 0
+          val png = ImageGen.rampPng(16, 16, dx, dy, c, spike)
+          (id, graft.multimodal.ImagePHash.aHashBits(id, png))
+        }).toDF("doc_id", "h")
+      val groups = hashes.groupBy("h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("gid"))
+        .localCheckpoint() // consumers: band explode + two size joins
+      val bands = groups.select(col("gid"), col("h"), explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS b, " +
+            "substring(h, b * 8 + 1, 8) AS bv))")).as("s"))
+        .select(col("gid"), col("h"), col("s.b").as("b"), col("s.bv").as("bv"))
+      def half(hc: String, off: Int) =
+        s"CAST(conv(substring($hc, $off, 32), 2, 10) AS BIGINT)"
+      val cand = bands.as("x").join(bands.as("y"), Seq("b", "bv"))
+        .where(col("x.gid") < col("y.gid"))
+        .select(col("x.h").as("ha"), col("x.gid").as("gid_a"),
+          col("y.h").as("hb"), col("y.gid").as("gid_b"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr(
+          s"bit_count(${half("ha", 1)} ^ ${half("hb", 1)}) + " +
+            s"bit_count(${half("ha", 33)} ^ ${half("hb", 33)})").cast("long"))
+        .where(col("hamming") <= 7)
+        .join(groups.select(col("h").as("ha"), col("n").as("n_a")), "ha")
+        .join(groups.select(col("h").as("hb"), col("n").as("n_b")), "hb")
+        .select(col("gid_a"), col("gid_b"), col("hamming"),
+          (col("n_a") * col("n_b")).as("n_image_pairs"))
+    }),
+
     "q330_image_ahash_dedup" -> ((s, dir) => {
       // Perceptual-hash image dedup through the REAL decode path — the
       // multimodal family's missing dedup primitive (multimodal.
@@ -199,6 +246,38 @@ private[graft] object MultimodalQueries extends QueryBook {
         |FROM c JOIN p USING (doc_id)
         |QUALIFY row_number() OVER (PARTITION BY c.doc_id
         |  ORDER BY cnt DESC, bkt ASC) = 1""".stripMargin,
+
+      // spiked-lattice hashes, all-pairs Hamming at the distinct-hash
+      // grain (the oracle's license — the engine bands); hamming via a
+      // per-position sum, a different method than the engine's
+      // conv/xor/bit_count but the same integer
+      "q329_image_neardup_hamming" ->
+        """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 3) % 3 AS BIGINT) AS dy,
+          |   CAST((doc_id % 7) * 10 AS BIGINT) AS c,
+          |   CAST(CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS BIGINT) AS sp
+          |  FROM documents),
+          |blk AS (SELECT doc_id, (py.range // 2) * 8 + (px.range // 2) AS b,
+          |   sum(dx * px.range + dy * py.range + c
+          |     + CASE WHEN px.range = 0 AND py.range = 0 THEN sp ELSE 0 END) AS bsum
+          |  FROM ids, range(16) px, range(16) py GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, sum(bsum) AS tsum FROM blk GROUP BY 1),
+          |bits AS (SELECT blk.doc_id, blk.b,
+          |   CASE WHEN blk.bsum * 256 > tot.tsum * 4 THEN '1' ELSE '0' END AS v
+          |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+          |hs AS (SELECT doc_id, string_agg(v, '' ORDER BY b) AS h
+          |  FROM bits GROUP BY doc_id),
+          |g AS (SELECT h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS gid
+          |  FROM hs GROUP BY h),
+          |p AS (SELECT a.gid AS gid_a, b.gid AS gid_b,
+          |   a.n * b.n AS n_image_pairs,
+          |   list_sum(list_transform(range(1, 65), i ->
+          |     CASE WHEN substr(a.h, CAST(i AS INT), 1)
+          |       <> substr(b.h, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS hm
+          |  FROM g a JOIN g b ON a.gid < b.gid)
+          |SELECT gid_a, gid_b, CAST(hm AS BIGINT) AS hamming,
+          | CAST(n_image_pairs AS BIGINT) AS n_image_pairs
+          |FROM p WHERE hm <= 7""".stripMargin,
 
       // the aHash recomputed from the generation lattice: block b =
       // (y//2)·8 + (x//2), bit = blockSum·256 > totalSum·4 (strict, ties
