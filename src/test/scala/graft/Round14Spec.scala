@@ -159,6 +159,47 @@ class Round14Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: stateful sessionization matches the default provider") {
+    // The state backend a production 100 TB streaming job actually runs
+    // (HDFS-backed in-memory maps don't survive large keyspaces): same
+    // query, same batches, provider swapped per query — materializations
+    // must be identical. rocksdbjni ships in the Spark 4 jars.
+    implicit val sqlCtx = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
+    val t0 = 1700000000000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+    def run(provider: Option[String], name: String): Set[(Long, Long, Long, Long, Long)] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val mem = MemoryStream[(Long, Timestamp, Long)]
+        val q = EventStreams.closedCentSessions(
+            mem.toDF().toDF("user_id", "ts", "cents"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          mem.addData((1L, ts(0), 5L), (1L, ts(10), 7L), (2L, ts(3), 1L))
+          mem.addData((1L, ts(60), 2L), (2L, ts(90), 4L))
+          mem.addData((1L, ts(300), 1L))
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSet
+        } finally q.stop()
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val default = run(None, "sspar1")
+    val rocks = run(Some("org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"), "sspar2")
+    assert(default.nonEmpty && default == rocks,
+      s"default=$default rocksdb=$rocks")
+  }
+
   test("ImagePHash: brightness/contrast invariant, structure sensitive, lattice-exact") {
     import graft.multimodal.{ImageGen, ImagePHash}
     val base = ImagePHash.aHashBits(1, ImageGen.rampPng(16, 16, 1, 2, 0))
