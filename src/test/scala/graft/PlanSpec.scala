@@ -735,6 +735,23 @@ class PlanSpec extends SparkSpec {
       "margins + cells read the pinned contingency table")
   }
 
+  test("q328: the AC scan is one exchange-free projection over the parquet scan") {
+    val p = executed("q328_canary_scan")
+    assert(p.contains("ac_count_matches"), "the native automaton expression must run")
+    assert(!p.contains("Exchange"), s"blocklist scan must not shuffle:\n$p")
+  }
+
+  test("q324/embeddingNearDups: candidates join on the LSH bucket, never cross") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.table(spark, sf(), "embeddings")
+    val p = graft.operators.Dedup.embeddingNearDups(emb, col("vec_id"),
+        col("embedding"), threshold = 0.35, nPlanes = 8, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"epsilon-graph must be bucket-blocked:\n$p")
+    assert(p.contains("bucket"), "join key must be the hyperplane bucket")
+  }
+
   test("constant folding evaluates foldable native expressions at plan time") {
     graft.plans.GraftFunctions.registerAll(spark)
     val optimized = spark.sql("SELECT simhash('a b c') AS s").queryExecution.optimizedPlan.toString
