@@ -60,6 +60,35 @@ object AudioIoCodec extends MediaCodec {
     p
   }
 
+  /** Windowed energy with frame sampling — the audio analog of the q332
+    * GIF frame-sample: split the decoded interleaved sample stream into
+    * `window`-sample windows, visit every `every`-th window (0, every,
+    * 2·every, …), and reduce to (n_windows, n_sampled, Σ|amp| over
+    * sampled windows, max sampled window Σ|amp|). All integer; the final
+    * ragged window closes with whatever it holds. Per-payload streaming
+    * pass — only the four scalars leave the partition. */
+  def windowedAbsStats(id: Long, bytes: Array[Byte], window: Int,
+      every: Int): (Long, Long, Long, Long) = {
+    require(window >= 1 && every >= 1, "window and every must be >= 1")
+    var inWin = 0
+    var cur = 0L
+    var nW = 0L
+    var nS = 0L
+    var tot = 0L
+    var mx = 0L
+    def close(): Unit = {
+      if ((nW % every) == 0) { nS += 1; tot += cur; if (cur > mx) mx = cur }
+      nW += 1; cur = 0L; inWin = 0
+    }
+    foreachSample(id, bytes) { v =>
+      cur += math.abs(v.toLong)
+      inWin += 1
+      if (inWin == window) close()
+    }
+    if (inWin > 0) close()
+    (nW, nS, tot, mx)
+  }
+
   /** Decode the payload to PCM and visit every 16-bit sample (interleaved
     * channel order, as stored). Signed 16-bit PCM only — the dominant
     * uncompressed interchange format; anything else fails loudly rather

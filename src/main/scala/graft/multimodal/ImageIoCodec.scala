@@ -143,4 +143,40 @@ object ImageGen {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Animated grayscale GIF: frame f has pixel(x, y) = dx·x + dy·y +
+    * step·f + c. GIF's palette is exact for ≤ 256 distinct values, so the
+    * decode is lossless and the q332 twin predicts every frame sum from
+    * the generation lattice. Caller keeps the max frame value ≤ 255. */
+  def animatedRampGif(w: Int, h: Int, dx: Int, dy: Int, c: Int,
+      nFrames: Int, step: Int): Array[Byte] = {
+    require(dx * (w - 1) + dy * (h - 1) + step * (nFrames - 1) + c <= 255,
+      "ramp would clamp")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, dx * x + dy * y + step * f + c)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
 }

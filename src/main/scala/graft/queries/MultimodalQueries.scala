@@ -113,6 +113,62 @@ private[graft] object MultimodalQueries extends QueryBook {
         }).toDF("doc_id", "modal_bucket", "peak_abs", "n_samples")
     }),
 
+    "q333_audio_windowed" -> ((s, dir) => {
+      // Windowed audio energy with frame sampling — the audio analog of
+      // q332: decode the WAV, split interleaved samples into 64-sample
+      // windows, sample every 2nd window, reduce to four integer scalars.
+      // The twin replays the same modular sample formula with the same
+      // window grouping; the ragged final window is part of the contract.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val wav = AudioGen.pcmWav(id)
+          val (nw, ns, tot, mx) =
+            AudioIoCodec.windowedAbsStats(id, wav, window = 64, every = 2)
+          (id, nw, ns, tot, mx)
+        }).toDF("doc_id", "n_windows", "n_sampled", "sampled_abs_sum",
+          "peak_window_sum")
+    }),
+
+    "q331_image_resize" -> ((s, dir) => {
+      // Area-average resize through the real decode path — the brief's
+      // resize step made integer-exact (multimodal.ImageResize): 32×32
+      // ramps decode and floor-average into 8×8; the twin recomputes
+      // every output pixel from the generation lattice with the same
+      // floor division, so a single mis-pooled pixel flips the gate.
+      // Only three scalars per image leave the partition.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 2).toInt
+          val dy = (1 + (id / 2) % 2).toInt
+          val c = ((id % 5) * 8).toInt
+          val png = ImageGen.rampPng(32, 32, dx, dy, c)
+          val r = graft.multimodal.ImageResize.areaResize(id, png, 8, 8)
+          (id, r(0), r(63), r.sum)
+        }).toDF("doc_id", "r00", "r77", "r_sum")
+    }),
+
+    "q332_gif_frame_sample" -> ((s, dir) => {
+      // Frame sampling over REAL multi-frame media — the video-shaped
+      // operation the StubCodec could only fake, on the one multi-frame
+      // container pure JVM decodes losslessly (animated GIF,
+      // multimodal.GifCodec): count frames from the container, decode
+      // every 2nd frame, sum sampled luminance. Payloads never shuffle;
+      // the twin predicts each sampled frame's sum from the lattice.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 2).toInt
+          val dy = (1 + (id / 2) % 2).toInt
+          val c = ((id % 4) * 8).toInt
+          val nF = (3 + id % 4).toInt
+          val gif = ImageGen.animatedRampGif(16, 16, dx, dy, c, nF, 7)
+          val (n, ns, sum) = graft.multimodal.GifCodec.frameStats(id, gif, 2)
+          (id, n.toLong, ns.toLong, sum)
+        }).toDF("doc_id", "n_frames", "n_sampled", "sampled_sum")
+    }),
+
     "q329_image_neardup_hamming" -> ((s, dir) => {
       // Perceptual NEAR-dup pairs over aHash — the Hamming complement of
       // q330's exact grouping: distinct hashes band into 8×8-bit slices
@@ -246,6 +302,59 @@ private[graft] object MultimodalQueries extends QueryBook {
         |FROM c JOIN p USING (doc_id)
         |QUALIFY row_number() OVER (PARTITION BY c.doc_id
         |  ORDER BY cnt DESC, bkt ASC) = 1""".stripMargin,
+
+      // same modular sample formula, same 64-sample window grouping,
+      // same every-2nd sampling; all operands non-negative so % agrees
+      "q333_audio_windowed" ->
+        """WITH ids AS (SELECT doc_id,
+          |   CAST((256 + doc_id % 777) * (1 + doc_id % 2) AS BIGINT) AS n
+          |  FROM documents),
+          |sm AS (SELECT doc_id, i.range AS i,
+          |   abs(((i.range * 31153 + doc_id * 40503) % 65536) - 32768) AS a
+          |  FROM ids, range(2064) i WHERE i.range < n),
+          |wd AS (SELECT doc_id, i // 64 AS w, sum(a) AS ws
+          |  FROM sm GROUP BY 1, 2),
+          |sw AS (SELECT doc_id, CAST(sum(ws) AS BIGINT) AS tot,
+          |   CAST(count(*) AS BIGINT) AS ns, CAST(max(ws) AS BIGINT) AS mx
+          |  FROM wd WHERE w % 2 = 0 GROUP BY 1)
+          |SELECT i.doc_id, CAST((i.n + 63) // 64 AS BIGINT) AS n_windows,
+          | sw.ns AS n_sampled, sw.tot AS sampled_abs_sum,
+          | sw.mx AS peak_window_sum
+          |FROM ids i JOIN sw ON i.doc_id = sw.doc_id""".stripMargin,
+
+      // every resized pixel recomputed from the lattice with the SAME
+      // floor division (bsum // 16) the decoder-side pooling applies
+      "q331_image_resize" ->
+        """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 2) % 2 AS BIGINT) AS dy,
+          |   CAST((doc_id % 5) * 8 AS BIGINT) AS c FROM documents),
+          |blk AS (SELECT doc_id, px.range // 4 AS bi, py.range // 4 AS bj,
+          |   sum(dx * px.range + dy * py.range + c) AS bsum
+          |  FROM ids, range(32) px, range(32) py GROUP BY 1, 2, 3),
+          |rp AS (SELECT doc_id, bi, bj, bsum // 16 AS v FROM blk)
+          |SELECT doc_id,
+          | CAST(max(CASE WHEN bi = 0 AND bj = 0 THEN v END) AS BIGINT) AS r00,
+          | CAST(max(CASE WHEN bi = 7 AND bj = 7 THEN v END) AS BIGINT) AS r77,
+          | CAST(sum(v) AS BIGINT) AS r_sum
+          |FROM rp GROUP BY doc_id""".stripMargin,
+
+      // per-sampled-frame sums predicted from the lattice (GIF palette is
+      // exact for <= 256 distinct values, so decode == generation)
+      "q332_gif_frame_sample" ->
+        """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 2) % 2 AS BIGINT) AS dy,
+          |   CAST((doc_id % 4) * 8 AS BIGINT) AS c,
+          |   CAST(3 + doc_id % 4 AS BIGINT) AS nf FROM documents),
+          |fs AS (SELECT i.doc_id, f.range AS f,
+          |   sum(i.dx * px.range + i.dy * py.range + 7 * f.range + i.c) AS s
+          |  FROM ids i, range(6) f, range(16) px, range(16) py
+          |  WHERE f.range < i.nf AND f.range % 2 = 0
+          |  GROUP BY 1, 2)
+          |SELECT i.doc_id, i.nf AS n_frames,
+          | CAST(count(fs.f) AS BIGINT) AS n_sampled,
+          | CAST(sum(fs.s) AS BIGINT) AS sampled_sum
+          |FROM ids i JOIN fs ON i.doc_id = fs.doc_id
+          |GROUP BY 1, 2""".stripMargin,
 
       // spiked-lattice hashes, all-pairs Hamming at the distinct-hash
       // grain (the oracle's license — the engine bands); hamming via a

@@ -223,6 +223,37 @@ class Round14Spec extends SparkSpec {
     assert(ImagePHash.aHashBits(5, ImageGen.rampPng(16, 16, dx, dy, c)) == fromLattice)
   }
 
+  test("GifCodec: multi-frame round trip is lossless; sampling hits 0, k, 2k") {
+    import graft.multimodal.{GifCodec, ImageGen}
+    // 5 frames of 16x16, pixel = x + y + 7f + 3: frame sum = 3840 + 256(7f + 3)
+    val gif = ImageGen.animatedRampGif(16, 16, 1, 1, 3, 5, 7)
+    def frameSum(f: Int) = 3840L + 256L * (7 * f + 3)
+    val (n, ns, sum) = GifCodec.frameStats(1L, gif, 2)
+    assert(n == 5 && ns == 3, s"($n, $ns)")
+    assert(sum == frameSum(0) + frameSum(2) + frameSum(4), s"sum $sum")
+    // sampleEvery = 1 reads every frame
+    val (_, ns1, sum1) = GifCodec.frameStats(2L, gif, 1)
+    assert(ns1 == 5 && sum1 == (0 until 5).map(frameSum).sum)
+  }
+
+  test("ImageResize: floor-averaged blocks match the lattice, brightness moves all pixels") {
+    import graft.multimodal.{ImageGen, ImageResize}
+    val r = ImageResize.areaResize(1L, ImageGen.rampPng(32, 32, 2, 1, 5), 8, 8)
+    assert(r.length == 64)
+    // block (bi, bj) sum = sum over 4x4 of (2x + y + 5); floor / 16
+    def expect(bi: Int, bj: Int): Long = {
+      var s = 0L
+      for (y <- 4 * bj until 4 * bj + 4; x <- 4 * bi until 4 * bi + 4)
+        s += 2 * x + y + 5
+      s / 16
+    }
+    for (bj <- 0 until 8; bi <- 0 until 8)
+      assert(r(bj * 8 + bi) == expect(bi, bj), s"block ($bi, $bj)")
+    // +16 brightness -> every resized pixel shifts by exactly 16
+    val r2 = ImageResize.areaResize(2L, ImageGen.rampPng(32, 32, 2, 1, 21), 8, 8)
+    assert(r2.zip(r).forall { case (a, b) => a - b == 16 })
+  }
+
   test("AcAutomaton counts distinct patterns like the naive scan") {
     import org.apache.spark.unsafe.types.UTF8String
     def naive(text: String, pats: Seq[String]): Int =
