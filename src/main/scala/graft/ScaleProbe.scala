@@ -100,6 +100,7 @@ object ScaleProbe {
     if (args.headOption.contains("kcore")) { kcoreProbe(args.drop(1)); return }
     if (args.headOption.contains("dupcollapse")) { dupCollapseProbe(args.drop(1)); return }
     if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
+    if (args.headOption.contains("ac")) { acProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -775,6 +776,55 @@ object ScaleProbe {
     assert(crossN == crossExpectN, s"cross pairs: $crossN vs $crossExpectN")
     assert(sameN == sameExpectN, s"same pairs: $sameN vs $sameExpectN")
     println(f"[probe] closed form holds: DP volume constant, output x${nN.toDouble / n1}%.1f")
+    spark.stop()
+  }
+
+  /** The q328 automaton's scale claim, measured: ac_count_matches wall
+    * must be ~flat in the blocklist size (one state transition per input
+    * byte regardless of k), while ContainsAny — correct for dozen-lexeme
+    * classifier lexicons — probes each pattern separately and grows
+    * linearly in k on the zero-match worst case (every probe scans the
+    * whole text and fails). All patterns are absent from the corpus, so
+    * both operators do maximal work; correctness is cross-checked by an
+    * injected canary counting exactly 1 per doc. */
+  private def acProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    println(s"[probe] corpus: ${docs.count()} docs")
+    def pats(k: Int): Seq[String] = (0 until k).map(i => f"canary pattern $i%05d")
+    def timeIt(df: org.apache.spark.sql.DataFrame): Double = {
+      df.write.format("noop").mode("overwrite").save() // warm: codegen + JIT
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // correctness witness: an injected canary counts exactly once per doc
+    val hit = docs.select(graft.plans.AcCountMatches.acCountMatches(
+        concat(col("text"), lit(" canary pattern 00003")), pats(8)).as("c"))
+      .agg(sum("c"), count(lit(1))).head
+    assert(hit.getLong(0) == hit.getLong(1), s"injected canary must count 1/doc: $hit")
+    val walls = Seq(8, 1024).map { k =>
+      val ac = timeIt(docs.select(graft.plans.AcCountMatches
+        .acCountMatches(col("text"), pats(k)).as("c")))
+      val ca = timeIt(docs.select(graft.plans.ContainsAny
+        .containsAny(col("text"), pats(k)).as("c")))
+      println(f"[probe] k=$k%4d: ac_count_matches $ac%.3f s, contains_any $ca%.3f s")
+      (ac, ca)
+    }
+    val acRatio = walls(1)._1 / walls(0)._1
+    val caRatio = walls(1)._2 / walls(0)._2
+    println(f"[probe] 128x the blocklist: automaton x$acRatio%.2f, per-pattern probing x$caRatio%.1f")
+    assert(acRatio < 6.0, f"automaton wall must stay ~flat in k, got x$acRatio%.2f")
     spark.stop()
   }
 
