@@ -101,6 +101,7 @@ object ScaleProbe {
     if (args.headOption.contains("dupcollapse")) { dupCollapseProbe(args.drop(1)); return }
     if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
     if (args.headOption.contains("ac")) { acProbe(args.drop(1)); return }
+    if (args.headOption.contains("audio")) { audioProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -777,6 +778,40 @@ object ScaleProbe {
     assert(sameN == sameExpectN, s"same pairs: $sameN vs $sameExpectN")
     println(f"[probe] closed form holds: DP volume constant, output x${nN.toDouble / n1}%.1f")
     spark.stop()
+  }
+
+  /** Diagnose the javax.sound superlinearity (q319/q320/q333 run ~20× at
+    * 10× docs in the sf1 suite): generate+decode N WAVs on 1 thread vs
+    * 32 — if the 32-way run is not ≫ faster, a global lock inside
+    * AudioSystem's provider path serializes executor threads and the
+    * per-call registry lookup, not PCM work, is the bill. No Spark — the
+    * raw codec calls, isolated. */
+  private def audioProbe(args: Array[String]): Unit = {
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(5000)
+    def work(id: Long): Long = {
+      val wav = graft.multimodal.AudioGen.pcmWav(id)
+      graft.multimodal.AudioIoCodec.windowedAbsStats(id, wav, 64, 2)._3
+    }
+    (0L until 500L).foreach(work) // warm: JIT + provider registry
+    val t1 = System.nanoTime
+    (0L until n.toLong).foreach(work)
+    val single = (System.nanoTime - t1) / 1e9
+    println(f"[probe] single-thread $n docs: $single%.2f s")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    val t2 = System.nanoTime
+    val futs = (0 until 32).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var s = 0L; var i = t.toLong
+          while (i < n) { s += work(i); i += 32 }
+          s
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val par = (System.nanoTime - t2) / 1e9
+    println(f"[probe] 32-thread $n docs: $par%.2f s (speedup x${single / par}%.1f)")
   }
 
   /** The q328 automaton's scale claim, measured: ac_count_matches wall

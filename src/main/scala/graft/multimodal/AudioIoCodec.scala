@@ -25,10 +25,61 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * closure ships cleanly to executors. */
 object AudioIoCodec extends MediaCodec {
 
+  /** Every `AudioSystem` entry point funnels through a SYNCHRONIZED
+    * provider registry (`JDK13Services.getProviders`) — on a 32-thread
+    * executor the lock convoy makes the registry, not PCM work, the
+    * bill: ScaleProbe's audio mode measured 32 threads running 0.5×
+    * SLOWER than one, and the sf1 suite showed q319/q320/q333 at ~20×
+    * for 10× docs. The SPI types (`javax.sound.sampled.spi`) are public
+    * API: resolve the platform providers ONCE here and dispatch
+    * directly — provider instances are stateless parsers, safe to share
+    * across threads. */
+  @transient private lazy val fileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // The MIDI soundbank reader's probe itself funnels through the
+    // SYNCHRONIZED MidiSystem registry (jstack: 32 threads BLOCKED on
+    // JSSecurityManager.getProviders inside SoftMidiAudioFileReader even
+    // for WAV payloads it ultimately rejects). The RIFF/AIFF/AU readers
+    // are lock-free parsers — order them first so recognized payloads
+    // never reach the MIDI path.
+    val (midi, rest) = b.result()
+      .partition(_.getClass.getName.toLowerCase.contains("midi"))
+    rest ++ midi
+  }
+
+  @transient private lazy val fileWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def firstSupporting[A](id: Long, f: javax.sound.sampled.spi.AudioFileReader => A): A = {
+    val it = fileReaders.iterator
+    while (it.hasNext) {
+      try return f(it.next())
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      s"payload $id: no audio reader recognized the byte stream")
+  }
+
+  private[multimodal] def writeWave(ais: AudioInputStream,
+      out: ByteArrayOutputStream): Unit = {
+    val w = fileWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(sys.error("no WAVE writer available"))
+    w.write(ais, AudioFileFormat.Type.WAVE, out)
+  }
+
   override def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta =
     if (kind != "audio") ImageIoCodec.decodeMeta(id, bytes, kind)
     else {
-      val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val ff = firstSupporting(id,
+        _.getAudioFileFormat(new ByteArrayInputStream(bytes)))
       val f = ff.getFormat
       MediaMeta(id, kind, bytes.length.toLong,
         math.round(f.getSampleRate), f.getChannels, math.max(ff.getFrameLength, 0))
@@ -94,7 +145,8 @@ object AudioIoCodec extends MediaCodec {
     * uncompressed interchange format; anything else fails loudly rather
     * than mis-bucketing. */
   private def foreachSample(id: Long, bytes: Array[Byte])(f: Int => Unit): Unit = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val in = firstSupporting(id,
+      _.getAudioInputStream(new ByteArrayInputStream(bytes)))
     try {
       val fmt = in.getFormat
       require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
@@ -147,7 +199,9 @@ object AudioGen {
     val fmt = new AudioFormat(rate, 16, channels, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    // direct SPI dispatch — AudioSystem.write serializes on the global
+    // provider registry (see AudioIoCodec.fileWriters)
+    AudioIoCodec.writeWave(ais, bos)
     bos.toByteArray
   }
 }
