@@ -102,6 +102,7 @@ object ScaleProbe {
     if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
     if (args.headOption.contains("ac")) { acProbe(args.drop(1)); return }
     if (args.headOption.contains("audio")) { audioProbe(args.drop(1)); return }
+    if (args.headOption.contains("image")) { imageProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -778,6 +779,43 @@ object ScaleProbe {
     assert(sameN == sameExpectN, s"same pairs: $sameN vs $sameExpectN")
     println(f"[probe] closed form holds: DP volume constant, output x${nN.toDouble / n1}%.1f")
     spark.stop()
+  }
+
+  /** The ImageIO twin of the audio probe: generate+decode N PNGs on 1
+    * thread vs 32, with and without ImageIO's default FILE-backed stream
+    * cache (every `ImageIO.read(InputStream)` spills the stream to a
+    * temp file unless `setUseCache(false)`) — measures whether the image
+    * queries pay a hidden disk round-trip or a registry convoy. */
+  private def imageProbe(args: Array[String]): Unit = {
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(20000)
+    def work(id: Long): Int = {
+      val png = graft.multimodal.ImageGen.rampPng(16, 16,
+        (1 + id % 3).toInt, (1 + (id / 3) % 3).toInt, ((id % 7) * 10).toInt)
+      graft.multimodal.ImagePHash.aHashBits(id, png).count(_ == '1')
+    }
+    Seq(true, false).foreach { useCache =>
+      javax.imageio.ImageIO.setUseCache(useCache)
+      (0L until 500L).foreach(work)
+      val t1 = System.nanoTime
+      (0L until n.toLong).foreach(work)
+      val single = (System.nanoTime - t1) / 1e9
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      val t2 = System.nanoTime
+      val futs = (0 until 32).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var s = 0L; var i = t.toLong
+            while (i < n) { s += work(i); i += 32 }
+            s
+          }
+        })
+      }
+      futs.foreach(_.get())
+      pool.shutdown()
+      val par = (System.nanoTime - t2) / 1e9
+      println(f"[probe] useCache=$useCache: single $single%.2f s, " +
+        f"32-thread $par%.2f s (speedup x${single / par}%.1f) for $n PNGs")
+    }
   }
 
   /** Diagnose the javax.sound superlinearity (q319/q320/q333 run ~20× at

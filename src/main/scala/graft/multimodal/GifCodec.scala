@@ -21,7 +21,7 @@ object GifCodec {
     * each container once and never shuffles pixel data. */
   def frameStats(id: Long, bytes: Array[Byte], sampleEvery: Int): (Int, Int, Long) = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val iis = ImageStreams.imageInput(bytes)
     val readers = ImageIO.getImageReaders(iis)
     require(readers.hasNext, s"payload $id: no ImageIO reader for the byte stream")
     val reader = readers.next()
@@ -71,7 +71,7 @@ object ImageResize {
   /** Row-major resized pixels (length ow·oh), each = floor(blockSum /
     * blockArea) of the decoded luminance. */
   def areaResize(id: Long, bytes: Array[Byte], ow: Int, oh: Int): Array[Long] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = ImageStreams.readImage(bytes)
     require(img != null, s"payload $id: ImageIO could not decode the byte stream")
     val (w, h) = (img.getWidth, img.getHeight)
     require(w % ow == 0 && h % oh == 0,

@@ -28,7 +28,7 @@ import javax.imageio.ImageIO
 object ImagePHash {
 
   def aHashBits(id: Long, bytes: Array[Byte]): String = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = ImageStreams.readImage(bytes)
     require(img != null, s"payload $id: ImageIO could not decode the byte stream")
     val (w, h) = (img.getWidth, img.getHeight)
     require(w % 8 == 0 && h % 8 == 0,
