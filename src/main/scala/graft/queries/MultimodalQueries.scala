@@ -3,7 +3,7 @@ package graft.queries
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.multimodal.{AudioGen, AudioIoCodec, ImageGen, ImageIoCodec, Multimodal}
+import graft.multimodal.{AudioGen, AudioIoCodec, AviCodec, AviGen, ImageGen, ImageIoCodec, Multimodal}
 import graft.queries.QueryHelpers._
 
 /** Multimodal decode on REAL media bytes: deterministic grayscale PNGs
@@ -167,6 +167,54 @@ private[graft] object MultimodalQueries extends QueryBook {
           val (n, ns, sum) = graft.multimodal.GifCodec.frameStats(id, gif, 2)
           (id, n.toLong, ns.toLong, sum)
         }).toDF("doc_id", "n_frames", "n_sampled", "sampled_sum")
+    }),
+
+    "q334_avi_meta" -> ((s, dir) => {
+      // AVI header decode — REAL video through the codec seam, retiring the
+      // last StubCodec modality: deterministic uncompressed BI_RGB AVIs are
+      // synthesized per document (multimodal.AviGen; RIFF, the q319 WAV
+      // container discipline) and metadata comes from the HEADER-ONLY avih
+      // parse (AviCodec.decodeMeta walks chunk headers and never enters the
+      // movi payload list — at 100 TB a metadata sweep reads a few hundred
+      // bytes per payload). Every field, including the exact container byte
+      // size, must equal the closed forms DuckDB derives from doc_id.
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + (id % 3) * 4).toInt
+          val h = (16 + (id / 3) % 3 * 4).toInt
+          val nF = (3 + id % 4).toInt
+          (id, AviGen.rampAvi(w, h, 1, 1, 0, nF, 7), "video")
+        }).toDF("doc_id", "payload", "kind")
+      Multimodal.decodeMeta(media, AviCodec).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_bytes"),
+          (col("n_bytes") > 224L).as("avi_valid")) // 224 B = headers alone
+    }),
+
+    "q335_avi_frame_sample" -> ((s, dir) => {
+      // Frame sampling over REAL video — the q332 GIF shape on the AVI
+      // container (multimodal.AviCodec.frameStats): count frames from the
+      // movi list, decode every 2nd BI_RGB frame (skipped frames are never
+      // touched), reduce to four integer scalars. p00 (frame-0 top-left
+      // luminance) pins the bottom-up DIB row-order decode: a flipped
+      // reader reports dy·(h−1)+c instead of c and the oracle catches it.
+      // Payloads never shuffle; the twin predicts each sampled frame's sum
+      // from the generation lattice (BI_RGB is lossless).
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 2).toInt
+          val dy = (1 + (id / 2) % 2).toInt
+          val c = ((id % 5) * 8).toInt
+          val nF = (3 + id % 4).toInt
+          val avi = AviGen.rampAvi(16, 16, dx, dy, c, nF, 7)
+          val (n, ns, sum, p00) = AviCodec.frameStats(id, avi, 2)
+          (id, n.toLong, ns.toLong, sum, p00)
+        }).toDF("doc_id", "n_frames", "n_sampled", "sampled_sum", "p00")
     }),
 
     "q329_image_neardup_hamming" -> ((s, dir) => {
@@ -353,6 +401,40 @@ private[graft] object MultimodalQueries extends QueryBook {
           |SELECT i.doc_id, i.nf AS n_frames,
           | CAST(count(fs.f) AS BIGINT) AS n_sampled,
           | CAST(sum(fs.s) AS BIGINT) AS sampled_sum
+          |FROM ids i JOIN fs ON i.doc_id = fs.doc_id
+          |GROUP BY 1, 2""".stripMargin,
+
+      // closed forms of AviGen.rampAvi's fixed RIFF layout: 224 header
+      // bytes + nf frames of (8 B chunk header + 3·w·h DIB payload — the
+      // stride is exactly 3w because w is a multiple of 4 here)
+      "q334_avi_meta" ->
+        """SELECT doc_id,
+          | CAST(16 + (doc_id % 3) * 4 AS BIGINT) AS width,
+          | CAST(16 + ((doc_id // 3) % 3) * 4 AS BIGINT) AS height,
+          | CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+          | CAST(224 + (3 + doc_id % 4) *
+          |   (8 + 3 * (16 + (doc_id % 3) * 4) * (16 + ((doc_id // 3) % 3) * 4))
+          |   AS BIGINT) AS n_bytes,
+          | TRUE AS avi_valid
+          |FROM documents""".stripMargin,
+
+      // per-sampled-frame sums predicted from the lattice (BI_RGB DIB is
+      // lossless; R=G=B=v so BT.601 luma recovers v exactly); p00 = c pins
+      // the bottom-up row-order decode
+      "q335_avi_frame_sample" ->
+        """WITH ids AS (SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 2) % 2 AS BIGINT) AS dy,
+          |   CAST((doc_id % 5) * 8 AS BIGINT) AS c,
+          |   CAST(3 + doc_id % 4 AS BIGINT) AS nf FROM documents),
+          |fs AS (SELECT i.doc_id, f.range AS f,
+          |   sum(i.dx * px.range + i.dy * py.range + 7 * f.range + i.c) AS s
+          |  FROM ids i, range(6) f, range(16) px, range(16) py
+          |  WHERE f.range < i.nf AND f.range % 2 = 0
+          |  GROUP BY 1, 2)
+          |SELECT i.doc_id, i.nf AS n_frames,
+          | CAST(count(fs.f) AS BIGINT) AS n_sampled,
+          | CAST(sum(fs.s) AS BIGINT) AS sampled_sum,
+          | CAST(max(i.c) AS BIGINT) AS p00
           |FROM ids i JOIN fs ON i.doc_id = fs.doc_id
           |GROUP BY 1, 2""".stripMargin,
 

@@ -900,6 +900,34 @@ private[graft] object TextQueries extends QueryBook {
             canaryList.map(_._2) ++ canaryDecoys).as("n_canaries"))
     }),
 
+    "q336_blocklist_redact" -> ((s, dir) => {
+      // Blocklist REDACTION — the scrub a curation pipeline actually
+      // applies (q328 counts; this rewrites): one Aho–Corasick pass
+      // replaces every LEFTMOST-LONGEST non-overlapping blocklist match
+      // with the mask (plans.AcRedact — O(n + matches), independent of
+      // blocklist size). Secrets are injected by doc_id residue from the
+      // SAME constants the twin reads; the list is overlap-adversarial
+      // ("scrub zebra card" ⊃ "scrub zebra", ⊅-aligned "zebra card"), so
+      // a shortest-match or overlap-rescanning engine diverges. The twin
+      // replays the greedy policy exactly via a recursive leftmost-pick
+      // CTE. Decoys are scanned but never injected.
+      val tail = redactList.foldLeft(lit("")) { case (acc, (m, c)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+        .select(col("doc_id"),
+          graft.plans.AcRedact.acRedact(col("_t"),
+            redactList.map(_._2) ++ redactDecoys, "[X]").as("_r"))
+        .select(col("doc_id"),
+          md5(col("_r")).as("red_md5"),
+          length(col("_r")).cast("long").as("red_len"),
+          (size(split(col("_r"), "\\[X\\]", -1)) - 1).cast("long")
+            .as("n_redactions"))
+    }),
+
     "q326_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1 P/R/F1 between blocked candidate pairs — the eval metric
       // pass a synthetic-data pipeline runs over (reference, candidate)
@@ -922,6 +950,17 @@ private[graft] object TextQueries extends QueryBook {
     13 -> "canary tapir 0xE5", 17 -> "canary gecko 0xF6")
   private val canaryDecoys: Seq[String] =
     Seq("canary never alpha", "canary never beta")
+
+  /** q336's shared constants (same lexicon-twin discipline as q328): an
+    * overlap-adversarial blocklist — "scrub zebra card" contains "scrub
+    * zebra" at the same start (longest-on-tie) and "zebra card" at a later
+    * overlapping start (non-overlapping greedy must skip it) — injected by
+    * doc_id residue; decoys scanned but never injected. Apostrophe-free
+    * for SQL literal safety, absent from the corpus vocabulary. */
+  private val redactList: Seq[(Int, String)] = Seq(
+    3 -> "scrub zebra card", 5 -> "scrub zebra",
+    7 -> "zebra card", 11 -> "scrub okapi")
+  private val redactDecoys: Seq[String] = Seq("scrub never", "okapi card")
 
   /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
     * the IDENTICAL gram occurrences (same normalization regex, same cap,
@@ -1612,6 +1651,39 @@ private[graft] object TextQueries extends QueryBook {
         s"""WITH w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
            |  FROM documents)
            |SELECT doc_id, CAST($hits AS INT) AS n_canaries FROM w""".stripMargin
+      },
+
+      // the greedy leftmost-longest policy replayed exactly: each
+      // recursive step picks the match with min position (ties → max
+      // length) via the LATERAL LIMIT 1, masks it, and recurses on the
+      // suffix only (the accumulated prefix is never rescanned — same
+      // no-cascade rule as the engine); a doc terminates when no pattern
+      // remains in its suffix
+      "q336_blocklist_redact" -> {
+        val inj = redactList.map { case (m, c) =>
+          s"(CASE WHEN doc_id % $m = 0 THEN ' $c' ELSE '' END)"
+        }.mkString(" || ")
+        val patVals = (redactList.map(_._2) ++ redactDecoys)
+          .map(p => s"('$p')").mkString(", ")
+        s"""WITH RECURSIVE pats(pat) AS (VALUES $patVals),
+           |w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
+           |  FROM documents),
+           |steps AS (
+           |  SELECT doc_id, t AS rest, '' AS acc FROM w
+           |  UNION ALL
+           |  SELECT doc_id, substr(rest, p.pos + p.plen) AS rest,
+           |    acc || substr(rest, 1, p.pos - 1) || '[X]' AS acc
+           |  FROM steps,
+           |  LATERAL (SELECT strpos(rest, pat) AS pos, length(pat) AS plen
+           |           FROM pats WHERE strpos(rest, pat) > 0
+           |           ORDER BY pos ASC, plen DESC LIMIT 1) p),
+           |fin AS (SELECT doc_id, acc || rest AS red FROM steps s
+           |  WHERE NOT EXISTS (SELECT 1 FROM pats
+           |    WHERE strpos(s.rest, pat) > 0))
+           |SELECT doc_id, md5(red) AS red_md5,
+           | CAST(length(red) AS BIGINT) AS red_len,
+           | CAST(len(string_split(red, '[X]')) - 1 AS BIGINT) AS n_redactions
+           |FROM fin""".stripMargin
       },
 
       // ROUGE-1 replayed relationally: same first-3-token blocking, same
