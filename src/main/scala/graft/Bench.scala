@@ -19,13 +19,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+    // Optional state-store provider override (production-configuration
+    // datapoint: RocksDBStateStoreProvider — Round14Spec proves parity,
+    // this prices it). Local iteration only; the driver never sets it.
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach(c =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", c))
+    val spark = builder
       // Split small parquet files aggressively so single-file local scans
       // still fan out across cores (a no-op at real scale where files exceed
       // maxPartitionBytes anyway).

@@ -100,6 +100,7 @@ object ScaleProbe {
     if (args.headOption.contains("kcore")) { kcoreProbe(args.drop(1)); return }
     if (args.headOption.contains("dupcollapse")) { dupCollapseProbe(args.drop(1)); return }
     if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
+    if (args.headOption.contains("dbscanplanes")) { dbscanPlanesProbe(args.drop(1)); return }
     if (args.headOption.contains("ac")) { acProbe(args.drop(1)); return }
     if (args.headOption.contains("audio")) { audioProbe(args.drop(1)); return }
     if (args.headOption.contains("image")) { imageProbe(args.drop(1)); return }
@@ -979,6 +980,64 @@ object ScaleProbe {
         s"${16 * m} cores, $nNoise noise, 0 distinct-grain pairs")
       out.unpersist(); big.unpersist()
     }
+    spark.stop()
+  }
+
+  /** The ε-graph nPlanes knob DEMONSTRATED at 10× (VERDICT r14 #7): on a
+    * corpus of n DISTINCT lattice vectors (the collapse can't help — no
+    * exact copies), candidate-pair volume is Σ_buckets C(size, 2) ≈
+    * n²/2^(p+1) for p hyperplanes. Growing the corpus 10× under FIXED
+    * planes grows candidates ~100× (the quadratic regime q324's sf1 run
+    * brushed); stepping planes by log₂(10×) ≈ +4 re-tightens buckets and
+    * holds the growth to ~100/16 ≈ 6× — LINEAR-ish in n, which is the
+    * documented "raise nPlanes with n" contract. The probe counts
+    * candidates analytically (one bucket agg — the 10×-fixed join is
+    * exactly what we refuse to run) and runs the real verify join only at
+    * the scaled setting. */
+  private def dbscanPlanesProbe(args: Array[String]): Unit = {
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(20000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.VectorExprs
+    def corpus(sz: Int) = spark.range(sz)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> CAST(((id * 1009 + " +
+          "CAST(j AS BIGINT) * 131) % 17) - 8 AS FLOAT))").as("v"))
+      .repartition(64).cache()
+    def candPairs(df: org.apache.spark.sql.DataFrame, p: Int): Long = {
+      val planes = VectorExprs.deterministicPlanes(p, 64)
+      df.select(VectorExprs.hyperplaneBucket(col("v"), planes).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) / 2"))).head.getDouble(0).toLong
+    }
+    val (p0, p1) = (8, 12) // +4 = ceil(log2 10) rounded up to re-tighten
+    val small = corpus(n); val big = corpus(10 * n)
+    val c0s = candPairs(small, p0)
+    val c0b = candPairs(big, p0)
+    val c1s = candPairs(small, p1)
+    val c1b = candPairs(big, p1)
+    println(f"[probe] n=$n: fixed p=$p0 candidates $c0s -> $c0b at 10x " +
+      f"(x${c0b.toDouble / c0s}%.1f); stepped p=$p0->$p1 candidates " +
+      f"$c0s -> $c1b (x${c1b.toDouble / c0s}%.1f); p=$p1 at n: $c1s")
+    // quadratic regime under fixed planes; linear-ish under stepped
+    assert(c0b.toDouble / c0s > 50.0,
+      s"fixed-plane growth unexpectedly tame: $c0s -> $c0b")
+    assert(c1b.toDouble / c0s < 16.0,
+      s"stepped-plane growth superlinear: $c0s -> $c1b")
+    val t0 = System.nanoTime()
+    val verified = graft.operators.Dedup.embeddingNearDups(
+      big, col("vec_id"), col("v"), threshold = 0.95, nPlanes = p1, dim = 64)
+      .count()
+    println(f"[probe] verify join at 10x n, p=$p1: $verified pairs in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    small.unpersist(); big.unpersist()
     spark.stop()
   }
 

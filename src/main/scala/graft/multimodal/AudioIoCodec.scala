@@ -5,10 +5,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 
 /** Real pure-JVM audio codec behind the [[MediaCodec]] seam: WAV/AIFF/AU
   * via `javax.sound.sampled` — no native dependency, ships in every JDK.
-  * Non-audio kinds chain to [[ImageIoCodec]] (which itself falls back to
-  * [[StubCodec]] for video), so passing THIS codec to the Multimodal
-  * plumbing gives the full real-codec stack: image + audio real, video
-  * stubbed (no pure-JVM ffmpeg equivalent exists).
+  * Non-audio kinds chain to [[ImageIoCodec]]; video is covered by
+  * [[AviCodec]] (round 15 — chain head for the full real-codec stack:
+  * video + audio + image, no stub on any modality).
   *
   * Scale posture mirrors [[ImageIoCodec]]:
   *  - `decodeMeta` is HEADER-ONLY — `AudioSystem.getAudioFileFormat`

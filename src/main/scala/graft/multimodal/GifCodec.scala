@@ -18,7 +18,18 @@ object GifCodec {
   /** (n_frames, n_sampled, sampled_pixel_sum): decode frames
     * 0, k, 2k, … and sum their luminance. One reader per payload, frames
     * decoded on demand — a frame-sample pass over a 100 TB corpus reads
-    * each container once and never shuffles pixel data. */
+    * each container once and never shuffles pixel data.
+    *
+    * FULL-FRAME ASSUMPTION: each frame is summed AS STORED — the raster
+    * `reader.read(f)` returns, with no composition against the logical
+    * screen. A delta-encoded GIF (frames stored as changed sub-rectangles
+    * with x/y offsets, disposal-dependent) would contribute only its
+    * stored sub-rectangle. Exact for this repo's generator (every frame
+    * is written full-screen, no offsets — ImageGen.animatedRampGif) and
+    * for any full-frame GIF; a general player-style operator would first
+    * composite each frame onto the screen per the disposal method
+    * ([[AviCodec.frameStats]] needs no such caveat: DIB AVI frames are
+    * full-screen by construction). */
   def frameStats(id: Long, bytes: Array[Byte], sampleEvery: Int): (Int, Int, Long) = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
     val iis = ImageStreams.imageInput(bytes)

@@ -182,6 +182,58 @@ object ImageGen {
     bos.toByteArray
   }
 
+  /** w×h grayscale checkerboard PNG: pixel(x, y) = base + amp·((x/period
+    * + y/period + phase) mod 2) — the q339 family: the checker PERIOD and
+    * phase are the perceptual content (strong distinct harmonics, the
+    * spectrum a DCT hash discriminates on; ramps are spectrally
+    * degenerate — every non-DC coefficient hugs the median), base a
+    * uniform brightness shift the hash must be invariant to. */
+  def checkerPng(w: Int, h: Int, period: Int, phase: Int, base: Int,
+      amp: Int): Array[Byte] = {
+    require(base + amp <= 255, "checker would clamp")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          base + amp * ((x / period + y / period + phase) % 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageStreams.writePng(img, bos)
+    bos.toByteArray
+  }
+
+  /** w×h grayscale PNG from explicit row-major pixel values (0..255) —
+    * renders an [[ImageResize.areaResize]] output back to a decodable
+    * payload, so resized VARIANTS of an image can flow through the same
+    * real decode path as the original. */
+  def grayPng(w: Int, h: Int, vals: Array[Long]): Array[Byte] = {
+    require(vals.length == w * h, s"need ${w * h} pixels, got ${vals.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = vals(y * w + x)
+        require(v >= 0 && v <= 255, s"pixel out of range: $v")
+        raster.setSample(x, y, 0, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageStreams.writePng(img, bos)
+    bos.toByteArray
+  }
+
   /** Animated grayscale GIF: frame f has pixel(x, y) = dx·x + dy·y +
     * step·f + c. GIF's palette is exact for ≤ 256 distinct values, so the
     * decode is lossless and the q332 twin predicts every frame sum from

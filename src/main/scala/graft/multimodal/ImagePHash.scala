@@ -33,6 +33,10 @@ object ImagePHash {
     val (w, h) = (img.getWidth, img.getHeight)
     require(w % 8 == 0 && h % 8 == 0,
       s"payload $id: aHash needs dims divisible by 8, got ${w}x$h")
+    // the cross-multiplied comparison below needs 255·(w·h)²/64 < 2⁶³:
+    // w·h ≤ 1.5e9 keeps it exact (overflow would silently flip bits)
+    require(w.toLong * h <= 1500000000L,
+      s"payload $id: raster ${w}x$h too large for exact integer aHash")
     val raster = img.getRaster
     val bands = raster.getNumBands
     val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
@@ -62,8 +66,8 @@ object ImagePHash {
     var b = 0
     while (b < 64) {
       // blockMean > globalMean, cross-multiplied: exact in longs
-      // (blockSum ≤ 255·bw·bh; ·w·h ≤ 255·(w·h)² — fine to 2^63 for any
-      // raster up to ~50k×50k)
+      // (blockSum·w·h ≤ 255·(w·h)²/64, which stays below 2⁶³ up to
+      // w·h ≈ 1.5e9, ~39k×39k — guarded by the require above)
       sb.append(if (blockSums(b) * w * h > total * bw * bh) '1' else '0')
       b += 1
     }

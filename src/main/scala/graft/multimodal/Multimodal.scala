@@ -20,11 +20,14 @@ trait MediaCodec extends Serializable {
   def encodeFeature(id: Long, bytes: Array[Byte], kind: String, dim: Int): MediaFeature
 }
 
-/** The default codec: a deterministic offline STUB (this container ships
-  * no image/audio libs). Metadata derives from the byte stream and the
-  * feature is an L2-normalized byte histogram — fake but stable, so every
-  * downstream operator (frame sampling, resize math, cosine/LSH dedup over
-  * the features) is testable without a native dependency. */
+/** The default codec: a deterministic offline STUB. Metadata derives from
+  * the byte stream and the feature is an L2-normalized byte histogram —
+  * fake but stable, so seam-focused operators (q32/q41's fake payloads,
+  * which are utf-8 text bytes and decode under no real codec) are testable
+  * with zero decode dependencies. Every modality also has a REAL pure-JVM
+  * codec behind the same seam: [[ImageIoCodec]] (PNG/JPEG/GIF/BMP),
+  * [[AudioIoCodec]] (WAV/AIFF/AU), and [[AviCodec]] (uncompressed-DIB
+  * AVI video) — chain head [[AviCodec]] covers all three. */
 object StubCodec extends MediaCodec {
   override def decodeMeta(id: Long, bytes: Array[Byte], kind: String): MediaMeta = {
     val n = bytes.length.toLong

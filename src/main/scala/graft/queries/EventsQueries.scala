@@ -65,11 +65,11 @@ private[graft] object EventsQueries extends QueryBook {
         f.setLastModified(1700000000000L + i * 60000L)
       }
     }
-    val stream = s.readStream
-      .schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-    QueryHelpers.withStreamShuffle(s) {
+    QueryHelpers.withStreamShuffle(s) { scoped =>
+      val stream = scoped.readStream
+        .schema(scoped.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
       val q = run(stream, s"$base/ckpt", out)
       try { q.processAllAvailable() } finally q.stop()
     }

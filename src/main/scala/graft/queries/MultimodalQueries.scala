@@ -264,6 +264,57 @@ private[graft] object MultimodalQueries extends QueryBook {
           (col("n_a") * col("n_b")).as("n_image_pairs"))
     }),
 
+    "q339_dct_phash_neardup" -> ((s, dir) => {
+      // DCT pHash near-dup ACROSS RESIZED VARIANTS — the resize-robust
+      // complement to q330's aHash (multimodal.DctHash): every document
+      // contributes its 64×64 checkerboard (period+phase = content,
+      // base = brightness) AND the 32×32 area-resized variant rendered
+      // back to PNG, both hashed through the real decode path. pHash
+      // canonicalizes scale first, so variant pairs land in ONE hash
+      // group; brightness shifts move DC and median together (bits
+      // unchanged — exact on this lattice). Banding: 16×4-bit slices,
+      // pigeonhole-exact for hamming ≤ 15; pair volume is distinct-hash-
+      // bounded (q329's discipline), never image². The twin recomputes
+      // the hash at the content-class grain from the SAME integer DCT
+      // basis literals (generated VALUES — the oracle never evaluates a
+      // cosine).
+      import s.implicits._
+      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val p = 4 << (id % 4).toInt
+          val ph = ((id / 4) % 2).toInt
+          val c = ((id % 5) * 8).toInt
+          val a = ImageGen.checkerPng(64, 64, p, ph, 16 + c, 112)
+          val rv = graft.multimodal.ImageResize.areaResize(id, a, 32, 32)
+          val b = ImageGen.grayPng(32, 32, rv)
+          Iterator((id * 2, graft.multimodal.DctHash.hashBits(id, a)),
+            (id * 2 + 1, graft.multimodal.DctHash.hashBits(id, b)))
+        }).toDF("vid", "h")
+      val groups = hashes.groupBy("h")
+        .agg(count(lit(1)).as("n"), min("vid").as("gid"))
+        .localCheckpoint() // consumers: band explode + two size joins
+      val bands = groups.select(col("gid"), col("h"), explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS b, " +
+            "substring(h, b * 4 + 1, 4) AS bv))")).as("s"))
+        .select(col("gid"), col("h"), col("s.b").as("b"), col("s.bv").as("bv"))
+      def half(hc: String, off: Int) =
+        s"CAST(conv(substring($hc, $off, 32), 2, 10) AS BIGINT)"
+      val cand = bands.as("x").join(bands.as("y"), Seq("b", "bv"))
+        .where(col("x.gid") < col("y.gid"))
+        .select(col("x.h").as("ha"), col("x.gid").as("gid_a"),
+          col("y.h").as("hb"), col("y.gid").as("gid_b"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr(
+          s"bit_count(${half("ha", 1)} ^ ${half("hb", 1)}) + " +
+            s"bit_count(${half("ha", 33)} ^ ${half("hb", 33)})").cast("long"))
+        .where(col("hamming") <= 15)
+        .join(groups.select(col("h").as("ha"), col("n").as("n_a")), "ha")
+        .join(groups.select(col("h").as("hb"), col("n").as("n_b")), "hb")
+        .select(col("gid_a"), col("gid_b"), col("hamming"),
+          (col("n_a") * col("n_b")).as("n_image_pairs"))
+    }),
+
     "q330_image_ahash_dedup" -> ((s, dir) => {
       // Perceptual-hash image dedup through the REAL decode path — the
       // multimodal family's missing dedup primitive (multimodal.
@@ -469,6 +520,51 @@ private[graft] object MultimodalQueries extends QueryBook {
           |SELECT gid_a, gid_b, CAST(hm AS BIGINT) AS hamming,
           | CAST(n_image_pairs AS BIGINT) AS n_image_pairs
           |FROM p WHERE hm <= 7""".stripMargin,
+
+      // the integer DCT hash recomputed at the CONTENT-CLASS grain (hash
+      // depends only on (p, ph, c) — both variants of a doc canonicalize
+      // to the same 32×32 raster): lattice → floor-average → separable
+      // DCT against the generated basis literals → median-pair threshold
+      // → bits; then the q329-style distinct-hash all-pairs Hamming
+      "q339_dct_phash_neardup" ->
+        s"""WITH ids AS (SELECT doc_id,
+           |   CAST(4 << (doc_id % 4) AS BIGINT) AS p,
+           |   CAST((doc_id // 4) % 2 AS BIGINT) AS ph,
+           |   CAST((doc_id % 5) * 8 AS BIGINT) AS c FROM documents),
+           |cls AS (SELECT DISTINCT p, ph, c FROM ids),
+           |dctb(u, x, cv) AS (VALUES ${graft.multimodal.DctHash.basisSqlValues}),
+           |pxr AS (SELECT p, ph, c, rx.range // 2 AS bi, ry.range // 2 AS bj,
+           |   CAST(sum(16 + c + 112 * ((rx.range // p + ry.range // p + ph) % 2)) // 4
+           |     AS BIGINT) AS val
+           |  FROM cls, range(64) rx, range(64) ry GROUP BY 1, 2, 3, 4, 5),
+           |t1 AS (SELECT p, ph, c, d.u, bj, sum(d.cv * val) AS tv
+           |  FROM pxr JOIN dctb d ON d.x = bi GROUP BY 1, 2, 3, 4, 5),
+           |dd AS (SELECT p, ph, c, t1.u, d2.u AS v, sum(d2.cv * tv) AS dv
+           |  FROM t1 JOIN dctb d2 ON d2.x = bj GROUP BY 1, 2, 3, 4, 5),
+           |med AS (SELECT p, ph, c, sum(dv) AS m FROM (
+           |    SELECT p, ph, c, dv, row_number() OVER (PARTITION BY p, ph, c
+           |      ORDER BY dv) AS rn FROM dd)
+           |  WHERE rn IN (32, 33) GROUP BY 1, 2, 3),
+           |bits AS (SELECT dd.p, dd.ph, dd.c, dd.u * 8 + dd.v AS b,
+           |   CASE WHEN 2 * dd.dv > med.m THEN '1' ELSE '0' END AS bit
+           |  FROM dd JOIN med ON dd.p = med.p AND dd.ph = med.ph
+           |    AND dd.c = med.c),
+           |hs AS (SELECT p, ph, c, string_agg(bit, '' ORDER BY b) AS h
+           |  FROM bits GROUP BY 1, 2, 3),
+           |vids AS (SELECT i.doc_id * 2 + v.range AS vid, h.h
+           |  FROM ids i JOIN hs h ON h.p = i.p AND h.ph = i.ph AND h.c = i.c,
+           |   range(2) v),
+           |g AS (SELECT h, CAST(count(*) AS BIGINT) AS n, min(vid) AS gid
+           |  FROM vids GROUP BY h),
+           |pp AS (SELECT a.gid AS gid_a, b.gid AS gid_b,
+           |   a.n * b.n AS n_image_pairs,
+           |   list_sum(list_transform(range(1, 65), i ->
+           |     CASE WHEN substr(a.h, CAST(i AS INT), 1)
+           |       <> substr(b.h, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS hm
+           |  FROM g a JOIN g b ON a.gid < b.gid)
+           |SELECT gid_a, gid_b, CAST(hm AS BIGINT) AS hamming,
+           | CAST(n_image_pairs AS BIGINT) AS n_image_pairs
+           |FROM pp WHERE hm <= 15""".stripMargin,
 
       // the aHash recomputed from the generation lattice: block b =
       // (y//2)·8 + (x//2), bit = blockSum·256 > totalSum·4 (strict, ties

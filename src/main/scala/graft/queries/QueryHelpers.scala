@@ -42,11 +42,23 @@ private[graft] object QueryHelpers {
     * on this session, each replay creates a FRESH checkpoint (the
     * state-store partition count is pinned per checkpoint, never inherited
     * across runs), and aggregation values are partition-count invariant. */
-  private[graft] def withStreamShuffle[T](s: SparkSession, n: Int = 2)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+  /** Run a streaming drain under a narrow shuffle width WITHOUT touching
+    * the shared session conf. Round-15 correction of the r14 set/restore
+    * version — the q309 root cause: Bench's pass-0 warm-up pool runs
+    * rigs CONCURRENTLY, and two overlapped set/restores interleave as
+    * A:read 32 → A:set 2 → B:read 2 → A:restore 32 → B:restore 2,
+    * leaving the GLOBAL conf at 2 for the rest of the suite — every
+    * later query silently ran 2-partition shuffles (q309's triangular
+    * join: 0.89 s isolated vs 3.9–4.7 s in-suite; q28 1.37 → 1.8).
+    * `newSession()` shares the SparkContext, catalog, and cached data but
+    * owns its SQL conf, so the narrow width is visible ONLY to plans built
+    * from the scoped session — no mutation, no race, nothing to restore.
+    * The callback must build its readStream (and everything the drain
+    * executes) from the session it receives. */
+  private[graft] def withStreamShuffle[T](s: SparkSession, n: Int = 2)(f: SparkSession => T): T = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   /** File-stream replay over EXPLICIT slices: writes slice `i` as the
@@ -81,14 +93,32 @@ private[graft] object QueryHelpers {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 60000L)
     }
-    val stream = s.readStream
-      .schema(s.read.parquet(src.getPath).schema)
-      .option("maxFilesPerTrigger", 1)
-      .option("latestFirst", "false")
-      .parquet(src.getPath)
-    withStreamShuffle(s) {
+    withStreamShuffle(s) { scoped =>
+      val stream = scoped.readStream
+        .schema(scoped.read.parquet(src.getPath).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src.getPath)
       val q = run(stream, s"$base/ckpt", out)
-      try { q.processAllAvailable() } finally q.stop()
+      try {
+        q.processAllAvailable()
+        // Replay-invariant guard (ADVICE r14): the streaming-under-oracle
+        // twins (q310/q323/q325) are calibrated to slice i == micro-batch
+        // i, back-to-back, with no no-data batch interleaved before the
+        // last data batch (an interleaved one would run state cleanup at
+        // a different watermark and silently desynchronize engine and
+        // oracle). Fail loudly if a trigger setting or Spark's batch
+        // planning ever changes that. Trailing no-data batches are
+        // harmless: no data follows them, so they cannot change emission.
+        val prog = q.recentProgress
+        val lastData = prog.lastIndexWhere(_.numInputRows > 0)
+        val dataBatches = prog.count(_.numInputRows > 0)
+        require(dataBatches == slices.length,
+          s"$tag replay: ${dataBatches} data micro-batches, expected ${slices.length}")
+        require(prog.take(lastData + 1).forall(_.numInputRows > 0),
+          s"$tag replay: a no-data batch interleaved before the last data batch " +
+            s"(batch rows: ${prog.map(_.numInputRows).mkString(",")})")
+      } finally q.stop()
     }
     s.read.parquet(out)
   }

@@ -900,6 +900,54 @@ private[graft] object TextQueries extends QueryBook {
             canaryList.map(_._2) ++ canaryDecoys).as("n_canaries"))
     }),
 
+    "q337_unigram_train" -> ((s, dir) => {
+      // Unigram-LM tokenizer TRAINING (operators/UnigramLm.scala) — the
+      // SentencePiece complement to q311's BPE: seed an over-complete
+      // candidate vocab (all chars + top-60 substrings ≤ 4 of the bounded
+      // word vocab), then 3 rounds of hard (Viterbi) EM with integer-
+      // pinned costs round(1e6·ln(total/cnt)) — exact cross-engine
+      // comparisons, deterministic (cost, mask) tie-break. Output is the
+      // final piece table; the twin re-derives it by enumerating ALL
+      // 2^(n−1) segmentations per word (a different algorithm than the
+      // engine's DP — same unique argmin). Per-round cost is one
+      // flatMap+agg over the bounded vocab; only the word count sees the
+      // corpus.
+      val trained = graft.operators.UnigramLm.train(
+        graft.operators.UnigramLm.wordVocab(t(s, dir, "documents"), col("text"), 300),
+        maxPieceLen = 4, topSubs = 60, rounds = 3)
+      val sp = s
+      import sp.implicits._
+      trained.toDF("piece", "cnt", "cost6")
+    }),
+
+    "q338_unigram_fertility" -> ((s, dir) => {
+      // The trained unigram LM APPLIED: Viterbi segmentation (executor-
+      // side O(n·maxPieceLen) DP, corpus-size-free over the distinct-word
+      // table) of the FULL word vocabulary under the q337 costs, reporting
+      // fertility against the character baseline — the direct comparison
+      // row for q321's BPE fertility on the same corpus grain. Unknown-
+      // character words fall back to per-char <unk> (n_syms = length);
+      // the twin replays the same fallback via its left join.
+      val docs = t(s, dir, "documents")
+      val trained = graft.operators.UnigramLm.train(
+        graft.operators.UnigramLm.wordVocab(docs, col("text"), 300),
+        maxPieceLen = 4, topSubs = 60, rounds = 3)
+      val costs = trained.map(p => p._1 -> p._3).toMap
+      val allWords = docs
+        .select(explode(split(lower(TextExprs.cleanText(col("text"))), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]{2,12}$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.UnigramLm.segmentWords(allWords, costs, maxPieceLen = 4)
+        .agg(count(lit(1)).as("n_words"),
+          sum("freq").as("n_occurrences"),
+          sum(col("freq") * col("n_syms")).as("total_syms"),
+          round(sum(col("freq") * col("n_syms")).cast("double") / sum("freq"), 6)
+            .as("fertility"),
+          sum(col("freq") * length(col("word"))).as("total_chars"),
+          round(sum(col("freq") * length(col("word"))).cast("double") / sum("freq"), 6)
+            .as("char_fertility"))
+    }),
+
     "q336_blocklist_redact" -> ((s, dir) => {
       // Blocklist REDACTION — the scrub a curation pipeline actually
       // applies (q328 counts; this rewrites): one Aho–Corasick pass
@@ -1038,6 +1086,76 @@ private[graft] object TextQueries extends QueryBook {
 
   /** Training prefix: top-500 vocab w, positional v1, and rounds 1..n
     * (each contributes p_r, b_r, and the merge block producing v_{r+1}). */
+  /** One Viterbi-by-enumeration block for the q337/q338 twins: segment
+    * every word of `wordsCte` under `costCte` by materializing ALL
+    * 2^(n−1) cut masks (n ≤ 12 by the word filter), keeping masks whose
+    * every piece is in the vocab (count = bit_count+1 pieces matched),
+    * and picking min (cost, mask) per word — the same unique argmin the
+    * engine's (cost, mask)-lexicographic DP computes. Emits useg/uu/usc/
+    * ub CTEs suffixed `$tag`. */
+  private def unigramSegBlock(wordsCte: String, costCte: String, tag: String): String =
+    s"""useg$tag AS (SELECT word, freq, mask,
+       |   list_transform(range(1, len(cuts)), j -> substr(word,
+       |     CAST(cuts[j] + 1 AS INT), CAST(cuts[j+1] - cuts[j] AS INT))) AS pieces
+       |  FROM (SELECT word, freq, m.range AS mask,
+       |     list_concat(list_concat([CAST(0 AS BIGINT)],
+       |       [CAST(i AS BIGINT) FOR i IN range(1, len(word))
+       |          IF ((m.range >> (i - 1)) & 1) = 1]),
+       |       [CAST(len(word) AS BIGINT)]) AS cuts
+       |    FROM $wordsCte, range(2048) m
+       |    WHERE m.range < (1 << (len(word) - 1)))),
+       |uu$tag AS (SELECT word, freq, mask, unnest(pieces) AS piece FROM useg$tag),
+       |usc$tag AS (SELECT u.word, u.freq, u.mask, sum(c.cost) AS cost
+       |  FROM uu$tag u JOIN $costCte c ON c.piece = u.piece
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) = bit_count(mask) + 1),
+       |ub$tag AS (SELECT word, freq, mask FROM usc$tag
+       |  QUALIFY row_number() OVER (PARTITION BY word
+       |    ORDER BY cost ASC, mask ASC) = 1)""".stripMargin
+
+  /** Integer-pinned unigram piece costs from a (piece, cnt) CTE. */
+  private def unigramCostCte(vocabCte: String, dst: String): String =
+    s"""$dst AS (SELECT piece, CAST(round(1e6 * ln(
+       |   CAST((SELECT sum(cnt) FROM $vocabCte) AS DOUBLE) / cnt)) AS BIGINT) AS cost
+       |  FROM $vocabCte)""".stripMargin
+
+  /** The full q337 training chain: bounded vocab → seed pieces → `rounds`
+    * hard-EM rounds (E: unigramSegBlock; M: recount, drop unused multi-
+    * char pieces, floor singles at 1). Ends with uv$rounds/uc$rounds. */
+  private def unigramTrainCtes(rounds: Int): String = {
+    val seed =
+      s"""WITH uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS word
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]{2,12}$$')
+         |  GROUP BY word ORDER BY freq DESC, word LIMIT 300),
+         |usub AS (SELECT substr(word, CAST(s.range + 1 AS INT),
+         |    CAST(l.range + 1 AS INT)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM uw, range(12) s, range(4) l
+         |  WHERE s.range + l.range + 1 <= len(word)
+         |  GROUP BY 1),
+         |uv0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM usub
+         |    WHERE len(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT 60)),
+         |${unigramCostCte("uv0", "uc0")}""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""${unigramSegBlock("uw", s"uc${r - 1}", s"$r")},
+         |un$r AS (SELECT u.piece, CAST(sum(u.freq) AS BIGINT) AS cnt
+         |  FROM ub$r b JOIN uu$r u ON u.word = b.word AND u.mask = b.mask
+         |  GROUP BY 1),
+         |uv$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM un$r WHERE len(piece) >= 2
+         |  UNION ALL
+         |  SELECT v.piece, coalesce(n.cnt, CAST(1 AS BIGINT)) AS cnt
+         |  FROM uv0 v LEFT JOIN un$r n ON n.piece = v.piece
+         |  WHERE len(v.piece) = 1),
+         |${unigramCostCte(s"uv$r", s"uc$r")}""".stripMargin
+    }
+    (seed +: rs).mkString(",\n")
+  }
+
   private def bpeTrainCtes(rounds: Int): String = {
     val vocab =
       s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1639,6 +1757,36 @@ private[graft] object TextQueries extends QueryBook {
            |   AS char_fertility
            |FROM f""".stripMargin
       },
+
+      // the hard-EM chain re-derived end to end; the final piece table is
+      // the training artifact (counts + integer-pinned costs)
+      "q337_unigram_train" ->
+        s"""${unigramTrainCtes(3)}
+           |SELECT v.piece, v.cnt, c.cost AS cost6
+           |FROM uv3 v JOIN uc3 c ON v.piece = c.piece""".stripMargin,
+
+      // the training chain + one more enumeration-Viterbi block over the
+      // FULL word vocab under the final costs; unsegmentable words fall
+      // back to per-char <unk> via the left join's coalesce
+      "q338_unigram_fertility" ->
+        s"""${unigramTrainCtes(3)},
+           |aw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(string_split(lower(${cleanSql("text")}), ' ')) AS word
+           |    FROM documents)
+           |  WHERE regexp_matches(word, '^[a-z]{2,12}$$')
+           |  GROUP BY word),
+           |${unigramSegBlock("aw", "uc3", "a")},
+           |uf AS (SELECT a.word, a.freq,
+           |   CAST(coalesce(bit_count(b.mask) + 1, len(a.word)) AS BIGINT) AS n_syms
+           |  FROM aw a LEFT JOIN uba b ON b.word = a.word)
+           |SELECT CAST(count(*) AS BIGINT) AS n_words,
+           | CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           | CAST(sum(freq * n_syms) AS BIGINT) AS total_syms,
+           | round(CAST(sum(freq * n_syms) AS DOUBLE) / sum(freq), 6) AS fertility,
+           | CAST(sum(freq * len(word)) AS BIGINT) AS total_chars,
+           | round(CAST(sum(freq * len(word)) AS DOUBLE) / sum(freq), 6)
+           |   AS char_fertility
+           |FROM uf""".stripMargin,
 
       // the injection chain and the per-phrase containment sum are both
       // GENERATED from canaryList/canaryDecoys — the twin of one AC pass
