@@ -26,6 +26,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing stays at the parallelism-first DEFAULT — measured,
+      // not assumed (round 15): size-first coalescing
+      // (coalescePartitions.parallelismFirst=false) was benchmarked as
+      // the principled replacement for the raced conf=2 the r14 suite
+      // accidentally ran under, and came out WORSE suite-wide (377 s vs
+      // 335 s at 338 queries): it folds small CPU-BOUND intermediates to
+      // one partition, serializing exactly the stages that want all 32
+      // cores (q311 3.1→4.0, q282 3.0→5.1, q276 1.9→4.1). Tiny-shuffle
+      // task overhead is the smaller cost on this suite; see BASELINE.md
+      // round 15.
     // Optional state-store provider override (production-configuration
     // datapoint: RocksDBStateStoreProvider — Round14Spec proves parity,
     // this prices it). Local iteration only; the driver never sets it.
