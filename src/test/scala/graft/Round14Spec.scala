@@ -259,7 +259,7 @@ class Round14Spec extends SparkSpec {
     def naive(text: String, pats: Seq[String]): Int =
       pats.count(text.contains(_))
     def ac(text: String, pats: Seq[String]): Int =
-      new graft.plans.AcAutomaton(pats.map(_.getBytes("UTF-8")).toArray)
+      graft.plans.AcAutomaton(pats.map(_.getBytes("UTF-8")).toArray)
         .countDistinct(UTF8String.fromString(text))
     // adversarial shapes: overlapping patterns, suffix-of-prefix failure
     // transitions, repeats counted once, match at the last byte
