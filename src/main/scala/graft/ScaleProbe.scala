@@ -1006,10 +1006,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.VectorExprs
+    // hash-mixed coordinates: sign-diverse under random hyperplanes, so
+    // buckets load uniformly and the plane count is the real knob (a
+    // low-entropy lattice here leaves mega-buckets that extra planes
+    // cannot split — the probe would measure the corpus, not the knob)
     def corpus(sz: Int) = spark.range(sz)
       .select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), j -> CAST(((id * 1009 + " +
-          "CAST(j AS BIGINT) * 131) % 17) - 8 AS FLOAT))").as("v"))
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(pmod(xxhash64(id, j), 2001) - 1000 AS FLOAT))").as("v"))
       .repartition(64).cache()
     def candPairs(df: org.apache.spark.sql.DataFrame, p: Int): Long = {
       val planes = VectorExprs.deterministicPlanes(p, 64)
