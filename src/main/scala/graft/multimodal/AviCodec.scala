@@ -144,6 +144,26 @@ object AviCodec extends MediaCodec {
       MediaFeature(id, kind, acc)
     }
 
+  /** Visit every `sampleEvery`-th frame's LUMINANCE RASTER (row-major,
+    * length w·h) — the per-frame decode hook the video perceptual-hash
+    * family builds on (q340): skipped frames are never touched, one
+    * raster buffer is reused across frames, and only the per-frame
+    * reductions the caller computes leave the partition. */
+  def foreachSampledFrameRaster(id: Long, bytes: Array[Byte], sampleEvery: Int)(
+      f: (Int, Int, Int, Array[Long]) => Unit): Unit = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    val (w, h, _) = parseAvih(id, bytes)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val buf = new Array[Long](w * h)
+    foreachFrameChunk(id, bytes) { (idx, foff, fsz) =>
+      if (idx % sampleEvery == 0) {
+        require(fsz >= stride * h, s"payload $id: frame $idx truncated ($fsz B)")
+        foreachLum(bytes, foff, w, h) { (x, y, v) => buf(y * w + x) = v }
+        f(idx, w, h, buf)
+      }
+    }
+  }
+
   /** Frame sampling over real video — the q332 GIF shape on the AVI
     * container: decode frames 0, k, 2k, …, reduce to
     * (n_frames, n_sampled, sampled luminance sum, frame-0 top-left
@@ -198,6 +218,22 @@ object AviGen {
     12L + 200L + 12L + nFrames.toLong * (8L + stride.toLong * h)
   }
 
+  /** w×h, nFrames-frame uncompressed AVI with CHECKERBOARD frames whose
+    * phase advances by one per frame: pixel(x, y, f) = base + amp·((x/p +
+    * y/p + ph0 + f) mod 2), R=G=B (BT.601 luma recovers the value
+    * exactly). The q340 family: the checker period is the per-frame
+    * perceptual content (strong distinct harmonics for the DCT hash);
+    * for even p ≥ 4 a 2×2 area-average of a period-p checker is EXACTLY
+    * the period-p/2 checker at half resolution (blocks never straddle a
+    * period boundary: 2bi+1 is odd, multiples of p ≥ 4 are even), so a
+    * half-resolution variant video is the closed-form resize of the
+    * original, frame for frame. */
+  def checkerAvi(w: Int, h: Int, period: Int, ph0: Int, base: Int, amp: Int,
+      nFrames: Int): Array[Byte] =
+    buildAvi(w, h, nFrames) { (x, y, f) =>
+      base + amp * ((x / period + y / period + ph0 + f) % 2)
+    }
+
   /** w×h, nFrames-frame uncompressed AVI with grayscale ramp frames:
     * pixel(x, y, f) = dx·x + dy·y + frameStep·f + c, written as R=G=B=v
     * (so BT.601 luma recovers v EXACTLY: (299+587+114)/1000 = 1). Callers
@@ -206,7 +242,13 @@ object AviGen {
     * ['00db' frames, bottom-up BGR, 4-byte-padded rows]. No idx1 (optional
     * per spec; the reader streams). */
   def rampAvi(w: Int, h: Int, dx: Int, dy: Int, c: Int, nFrames: Int,
-      frameStep: Int): Array[Byte] = {
+      frameStep: Int): Array[Byte] =
+    buildAvi(w, h, nFrames)((x, y, f) => dx * x + dy * y + frameStep * f + c)
+
+  /** Shared writer: w×h, nFrames-frame BI_RGB AVI with pixel(x, y, f) =
+    * `pix(x, y, f)` written as R=G=B. Callers keep values in 0..255. */
+  private def buildAvi(w: Int, h: Int, nFrames: Int)(
+      pix: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val frameBytes = stride * h
     val out = new ByteArrayOutputStream(aviBytes(w, h, nFrames).toInt)
@@ -265,7 +307,7 @@ object AviGen {
         var x = 0
         var written = 0
         while (x < w) {
-          val v = dx * x + dy * y + frameStep * f + c
+          val v = pix(x, y, f)
           out.write(v); out.write(v); out.write(v) // B, G, R — equal
           written += 3
           x += 1

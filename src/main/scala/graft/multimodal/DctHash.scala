@@ -45,8 +45,36 @@ object DctHash {
     * bit order b = u·8 + v (row-major over the kept frequency corner).
     * Dims must be multiples of 32 (the areaResize divisibility license);
     * 32×32 inputs canonicalize as the identity. */
-  def hashBits(id: Long, bytes: Array[Byte]): String = {
-    val p = ImageResize.areaResize(id, bytes, 32, 32) // row-major [y*32+x]
+  def hashBits(id: Long, bytes: Array[Byte]): String =
+    hashOfRaster(id, ImageResize.areaResize(id, bytes, 32, 32), 32, 32)
+
+  /** Hash an already-decoded luminance raster (row-major, length w·h) —
+    * the per-frame entry point for video (q340): sampled AVI frames
+    * arrive as rasters from [[AviCodec.foreachSampledFrameRaster]], no
+    * PNG round trip. Dims must be multiples of 32; the canonicalizing
+    * area-average happens here, floor-exact. */
+  def hashOfRaster(id: Long, raster: Array[Long], w: Int, h: Int): String = {
+    val p: Array[Long] =
+      if (w == 32 && h == 32) raster
+      else {
+        require(w % 32 == 0 && h % 32 == 0,
+          s"payload $id: DCT hash needs dims divisible by 32, got ${w}x$h")
+        val (bw, bh) = (w / 32, h / 32)
+        val sums = new Array[Long](1024)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sums((y / bh) * 32 + (x / bw)) += raster(y * w + x)
+            x += 1
+          }
+          y += 1
+        }
+        val area = bw.toLong * bh
+        var i = 0
+        while (i < 1024) { sums(i) /= area; i += 1 }
+        sums
+      }
     // separable DCT: t(u)(y) = Σ_x basis(u)(x)·p(y)(x); d(u)(v) = Σ_y basis(v)(y)·t(u)(y)
     val t = Array.ofDim[Long](8, 32)
     var u = 0

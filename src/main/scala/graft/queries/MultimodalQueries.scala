@@ -315,6 +315,46 @@ private[graft] object MultimodalQueries extends QueryBook {
           (col("n_a") * col("n_b")).as("n_image_pairs"))
     }),
 
+    "q340_video_phash_dedup" -> ((s, dir) => {
+      // VIDEO near-dup dedup via sampled-frame perceptual hashes — the
+      // composition the multimodal family exists for: every document
+      // contributes a 64×64 phase-animated checker AVI AND its
+      // half-resolution 32×32 variant (for even period ≥ 4, the 2×2
+      // area-average of a period-p checker IS the period-p/2 checker —
+      // closed-form resize, frame for frame), each decoded frame-by-frame
+      // through the real RIFF/DIB path (AviCodec.foreachSampledFrameRaster)
+      // and hashed with the scale-canonicalizing DCT pHash; the video
+      // signature is the '-'-joined per-frame hash sequence. Variant
+      // videos land in their original's group BY CONSTRUCTION of the
+      // canonicalization — the q339 resize-robustness, lifted to video.
+      // Payloads never shuffle; only the signature string moves. The twin
+      // recomputes per-frame hashes at the (period, phase, base) FRAME-
+      // CLASS grain and string_aggs the per-doc phase walk.
+      import s.implicits._
+      val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val p = 4 << (id % 4).toInt
+          val ph0 = ((id / 4) % 2).toInt
+          val b0 = (16 + (id % 5) * 8).toInt
+          val nF = (2 + id % 3).toInt
+          def sig(bytes: Array[Byte]): String = {
+            val sb = new java.lang.StringBuilder
+            AviCodec.foreachSampledFrameRaster(id, bytes, 1) { (_, w, h, r) =>
+              if (sb.length > 0) sb.append('-')
+              sb.append(graft.multimodal.DctHash.hashOfRaster(id, r, w, h))
+            }
+            sb.toString
+          }
+          Iterator(
+            (id * 2, sig(AviCodec.checkerAvi(64, 64, p, ph0, b0, 112, nF))),
+            (id * 2 + 1, sig(AviCodec.checkerAvi(32, 32, p / 2, ph0, b0, 112, nF))))
+        }).toDF("vid", "sig")
+      sigs.groupBy("sig")
+        .agg(count(lit(1)).as("n_videos"), min("vid").as("min_vid"))
+        .withColumn("n_frames_hashed",
+          size(split(col("sig"), "-", -1)).cast("long"))
+    }),
+
     "q330_image_ahash_dedup" -> ((s, dir) => {
       // Perceptual-hash image dedup through the REAL decode path — the
       // multimodal family's missing dedup primitive (multimodal.
@@ -565,6 +605,50 @@ private[graft] object MultimodalQueries extends QueryBook {
            |SELECT gid_a, gid_b, CAST(hm AS BIGINT) AS hamming,
            | CAST(n_image_pairs AS BIGINT) AS n_image_pairs
            |FROM pp WHERE hm <= 15""".stripMargin,
+
+      // per-frame hashes recomputed at the (period, phase, base) frame-
+      // class grain on the 32×32 closed-form-resized lattice (uniform
+      // 2×2 blocks ⇒ the area-average is exact, no floor loss), then the
+      // per-doc phase walk string_agg'd; both variants share the sig
+      "q340_video_phash_dedup" ->
+        s"""WITH ids AS (SELECT doc_id,
+           |   CAST(4 << (doc_id % 4) AS BIGINT) AS p,
+           |   CAST((doc_id // 4) % 2 AS BIGINT) AS ph0,
+           |   CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS b0,
+           |   CAST(2 + doc_id % 3 AS BIGINT) AS nf FROM documents),
+           |fcls AS (SELECT DISTINCT p, ph.range AS ph, b0
+           |  FROM (SELECT DISTINCT p, b0 FROM ids), range(2) ph),
+           |dctb(u, x, cv) AS (VALUES ${graft.multimodal.DctHash.basisSqlValues}),
+           |pxr AS (SELECT p, ph, b0, rx.range AS bi, ry.range AS bj,
+           |   b0 + 112 * ((rx.range // (p // 2) + ry.range // (p // 2) + ph) % 2)
+           |     AS val
+           |  FROM fcls, range(32) rx, range(32) ry),
+           |t1 AS (SELECT p, ph, b0, d.u, bj, sum(d.cv * val) AS tv
+           |  FROM pxr JOIN dctb d ON d.x = bi GROUP BY 1, 2, 3, 4, 5),
+           |dd AS (SELECT p, ph, b0, t1.u, d2.u AS v, sum(d2.cv * tv) AS dv
+           |  FROM t1 JOIN dctb d2 ON d2.x = bj GROUP BY 1, 2, 3, 4, 5),
+           |med AS (SELECT p, ph, b0, sum(dv) AS m FROM (
+           |    SELECT p, ph, b0, dv, row_number() OVER (PARTITION BY p, ph, b0
+           |      ORDER BY dv) AS rn FROM dd)
+           |  WHERE rn IN (32, 33) GROUP BY 1, 2, 3),
+           |bits AS (SELECT dd.p, dd.ph, dd.b0, dd.u * 8 + dd.v AS b,
+           |   CASE WHEN 2 * dd.dv > med.m THEN '1' ELSE '0' END AS bit
+           |  FROM dd JOIN med ON dd.p = med.p AND dd.ph = med.ph
+           |    AND dd.b0 = med.b0),
+           |hs AS (SELECT p, ph, b0, string_agg(bit, '' ORDER BY b) AS h
+           |  FROM bits GROUP BY 1, 2, 3),
+           |docsig AS (SELECT i.doc_id,
+           |   string_agg(hs.h, '-' ORDER BY f.range) AS sig,
+           |   CAST(i.nf AS BIGINT) AS nf
+           |  FROM ids i JOIN range(4) f ON f.range < i.nf
+           |   JOIN hs ON hs.p = i.p AND hs.ph = (i.ph0 + f.range) % 2
+           |    AND hs.b0 = i.b0
+           |  GROUP BY i.doc_id, i.nf),
+           |vids AS (SELECT d.doc_id * 2 + v.range AS vid, d.sig, d.nf
+           |  FROM docsig d, range(2) v)
+           |SELECT sig, CAST(count(*) AS BIGINT) AS n_videos,
+           | min(vid) AS min_vid, CAST(max(nf) AS BIGINT) AS n_frames_hashed
+           |FROM vids GROUP BY sig""".stripMargin,
 
       // the aHash recomputed from the generation lattice: block b =
       // (y//2)·8 + (x//2), bit = blockSum·256 > totalSum·4 (strict, ties

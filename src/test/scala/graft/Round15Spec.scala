@@ -199,4 +199,42 @@ class Round15Spec extends SparkSpec {
     for (u <- 1 until 8 by 2)
       assert(DctHash.basis(u).sum === 0L, s"row $u")
   }
+
+  // ---------------- video pHash (q340 machinery) ----------------
+
+  test("checkerAvi frames decode to the generation lattice via the sampled-raster hook") {
+    val avi = AviCodec.checkerAvi(16, 16, 4, 1, 20, 100, 3)
+    var seen = List.empty[Int]
+    AviCodec.foreachSampledFrameRaster(7L, avi, 2) { (f, w, h, r) =>
+      seen ::= f
+      assert((w, h) === ((16, 16)))
+      for (x <- 0 until 16; y <- 0 until 16)
+        assert(r(y * 16 + x) === (20 + 100 * ((x / 4 + y / 4 + 1 + f) % 2)).toLong,
+          s"frame $f pixel ($x,$y)")
+    }
+    assert(seen.reverse === List(0, 2))
+  }
+
+  test("video frame hash: a 64x64 frame and its half-resolution variant hash identically") {
+    // 2x2 area-average of a period-p checker == the period-p/2 checker
+    for ((p, ph, b0) <- Seq((4, 0, 16), (8, 1, 48), (32, 1, 24))) {
+      val a = AviCodec.checkerAvi(64, 64, p, ph, b0, 112, 2)
+      val b = AviCodec.checkerAvi(32, 32, p / 2, ph, b0, 112, 2)
+      def hashes(avi: Array[Byte]) = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        AviCodec.foreachSampledFrameRaster(1L, avi, 1) { (_, w, h, r) =>
+          out += DctHash.hashOfRaster(1L, r, w, h)
+        }
+        out.toSeq
+      }
+      assert(hashes(a) === hashes(b), s"class ($p,$ph,$b0)")
+    }
+  }
+
+  test("hashOfRaster 32-divisibility guard fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      DctHash.hashOfRaster(5L, new Array[Long](48 * 48), 48, 48)
+    }
+    assert(ex.getMessage.contains("divisible by 32"))
+  }
 }
