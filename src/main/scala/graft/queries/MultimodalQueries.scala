@@ -346,8 +346,8 @@ private[graft] object MultimodalQueries extends QueryBook {
             sb.toString
           }
           Iterator(
-            (id * 2, sig(AviCodec.checkerAvi(64, 64, p, ph0, b0, 112, nF))),
-            (id * 2 + 1, sig(AviCodec.checkerAvi(32, 32, p / 2, ph0, b0, 112, nF))))
+            (id * 2, sig(AviGen.checkerAvi(64, 64, p, ph0, b0, 112, nF))),
+            (id * 2 + 1, sig(AviGen.checkerAvi(32, 32, p / 2, ph0, b0, 112, nF))))
         }).toDF("vid", "sig")
       sigs.groupBy("sig")
         .agg(count(lit(1)).as("n_videos"), min("vid").as("min_vid"))

@@ -203,7 +203,7 @@ class Round15Spec extends SparkSpec {
   // ---------------- video pHash (q340 machinery) ----------------
 
   test("checkerAvi frames decode to the generation lattice via the sampled-raster hook") {
-    val avi = AviCodec.checkerAvi(16, 16, 4, 1, 20, 100, 3)
+    val avi = AviGen.checkerAvi(16, 16, 4, 1, 20, 100, 3)
     var seen = List.empty[Int]
     AviCodec.foreachSampledFrameRaster(7L, avi, 2) { (f, w, h, r) =>
       seen ::= f
@@ -218,8 +218,8 @@ class Round15Spec extends SparkSpec {
   test("video frame hash: a 64x64 frame and its half-resolution variant hash identically") {
     // 2x2 area-average of a period-p checker == the period-p/2 checker
     for ((p, ph, b0) <- Seq((4, 0, 16), (8, 1, 48), (32, 1, 24))) {
-      val a = AviCodec.checkerAvi(64, 64, p, ph, b0, 112, 2)
-      val b = AviCodec.checkerAvi(32, 32, p / 2, ph, b0, 112, 2)
+      val a = AviGen.checkerAvi(64, 64, p, ph, b0, 112, 2)
+      val b = AviGen.checkerAvi(32, 32, p / 2, ph, b0, 112, 2)
       def hashes(avi: Array[Byte]) = {
         val out = scala.collection.mutable.ArrayBuffer[String]()
         AviCodec.foreachSampledFrameRaster(1L, avi, 1) { (_, w, h, r) =>
