@@ -142,6 +142,20 @@ class PlanSpec extends SparkSpec {
       .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
   }
 
+  test("ac_redact and ac_count_matches stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val df = docs.select(
+      graft.plans.AcRedact.acRedact(col("text"),
+        Seq("scrub zebra card", "scrub zebra", "zebra card"), "[X]").as("red"),
+      graft.plans.AcCountMatches.acCountMatches(col("text"),
+        Seq("canary zebra 0xA1", "canary heron 0xB2")).as("hits"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(800))
+    Seq("ac_redact", "ac_count_matches")
+      .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
+  }
+
   test("q89: the unigram model join carries no broadcast hint (scale posture)") {
     // a web-scale vocabulary exceeds any broadcast threshold: the only
     // hinted broadcast in the plan must be the one-row corpus total; the
