@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * This main measures exactly that: time a target query with an EMPTY cache
   * registry, then with N dummy cached relations registered, same session.
   * Usage: runMain graft.CacheProbe [nDummies] [queryName...]
+  *
+  * RESOLUTION: hypothesis REFUTED — 300 registered entries changed q309 by
+  * 0.82× (noise) and q28 by 0.99×. The real mechanism was the concurrent
+  * warm-up pool racing the streaming rigs' global shuffle-width
+  * set/restore; see QueryHelpers.withStreamShuffle and BASELINE.md round
+  * 15. Kept as the template for pricing CacheManager-registry effects.
   */
 object CacheProbe {
   def main(args: Array[String]): Unit = {

@@ -11,6 +11,16 @@ import scala.jdk.CollectionConverters._
   * execution and reports GC time and driver-thread counts, to identify
   * WHAT the leftover is (listener-bus/status-store bloat, GC pressure,
   * thread-pool creep). Usage: runMain graft.StreamTaxProbe [reps]
+  *
+  * RESOLUTION: this probe could NOT reproduce the tax sequentially —
+  * which was the decisive clue. The mechanism was Bench's CONCURRENT
+  * warm-up pool racing `withStreamShuffle`'s global set/restore and
+  * stranding `spark.sql.shuffle.partitions=2` for the whole timed suite
+  * (see QueryHelpers.withStreamShuffle and BASELINE.md round 15). The
+  * probe stays as the template for the next suite-position-dependent
+  * number: per-phase timing + GC + thread histograms, and the
+  * SPARK_GRAFT_TAX_POOL env to replicate the pool (which also exposed
+  * that StateStore.stop() mid-pool breaks in-flight streaming commits).
   */
 object StreamTaxProbe {
   def main(args: Array[String]): Unit = {
