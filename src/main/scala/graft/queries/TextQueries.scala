@@ -976,6 +976,42 @@ private[graft] object TextQueries extends QueryBook {
             .as("n_redactions"))
     }),
 
+    "q341_redaction_audit" -> ((s, dir) => {
+      // The VERIFICATION step a scrub pipeline runs after q336: rescan
+      // the REDACTED text with the same automaton and keep only docs
+      // whose scrub is total (hits_after = 0) — one scan→scrub→verify
+      // composition per row, all three passes Aho–Corasick O(n+matches).
+      // The engine-side hits_after filter is load-bearing: a partial
+      // redactor (overlap mishandled, resume-point off by one) leaves a
+      // pattern behind, drops the row here, and the oracle — which
+      // derives its zero INDEPENDENTLY by containment-scanning its own
+      // recursive-CTE redaction — catches the row-count drift. Reported
+      // at the flagged-doc grain (hits_before > 0): distinct patterns
+      // found, occurrences masked, and the length ledger.
+      val tail = redactList.foldLeft(lit("")) { case (acc, (m, c)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      val pats = redactList.map(_._2) ++ redactDecoys
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+        .select(col("doc_id"), col("_t"),
+          graft.plans.AcCountMatches.acCountMatches(col("_t"), pats)
+            .as("hits_before"),
+          graft.plans.AcRedact.acRedact(col("_t"), pats, "[X]").as("_r"))
+        .where(col("hits_before") > 0)
+        .select(col("doc_id"),
+          col("hits_before").cast("long").as("hits_before"),
+          (size(split(col("_r"), "\\[X\\]", -1)) - 1).cast("long")
+            .as("n_redactions"),
+          length(col("_t")).cast("long").as("len_before"),
+          length(col("_r")).cast("long").as("len_after"),
+          graft.plans.AcCountMatches.acCountMatches(col("_r"), pats)
+            .cast("long").as("hits_after"))
+        .where(col("hits_after") === 0)
+    }),
+
     "q326_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1 P/R/F1 between blocked candidate pairs — the eval metric
       // pass a synthetic-data pipeline runs over (reference, candidate)
@@ -1009,6 +1045,35 @@ private[graft] object TextQueries extends QueryBook {
     3 -> "scrub zebra card", 5 -> "scrub zebra",
     7 -> "zebra card", 11 -> "scrub okapi")
   private val redactDecoys: Seq[String] = Seq("scrub never", "okapi card")
+
+  /** Shared q336/q341 twin chain: injected text `w(doc_id, t)` → the
+    * greedy leftmost-longest replay (each recursive step picks the match
+    * with min position, ties → max length, via the LATERAL LIMIT 1, masks
+    * it, and recurses on the SUFFIX only — the accumulated prefix is
+    * never rescanned, the engine's no-cascade rule) → `fin(doc_id, red)`;
+    * a doc terminates when no pattern remains in its suffix. */
+  private def redactCtes: String = {
+    val inj = redactList.map { case (m, c) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN ' $c' ELSE '' END)"
+    }.mkString(" || ")
+    val patVals = (redactList.map(_._2) ++ redactDecoys)
+      .map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE pats(pat) AS (VALUES $patVals),
+       |w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
+       |  FROM documents),
+       |steps AS (
+       |  SELECT doc_id, t AS rest, '' AS acc FROM w
+       |  UNION ALL
+       |  SELECT doc_id, substr(rest, p.pos + p.plen) AS rest,
+       |    acc || substr(rest, 1, p.pos - 1) || '[X]' AS acc
+       |  FROM steps,
+       |  LATERAL (SELECT strpos(rest, pat) AS pos, length(pat) AS plen
+       |           FROM pats WHERE strpos(rest, pat) > 0
+       |           ORDER BY pos ASC, plen DESC LIMIT 1) p),
+       |fin AS (SELECT doc_id, acc || rest AS red FROM steps s
+       |  WHERE NOT EXISTS (SELECT 1 FROM pats
+       |    WHERE strpos(s.rest, pat) > 0))""".stripMargin
+  }
 
   /** Shared NB-prediction CTE for the q303/q304 oracles: DuckDB extracts
     * the IDENTICAL gram occurrences (same normalization regex, same cap,
@@ -1807,31 +1872,30 @@ private[graft] object TextQueries extends QueryBook {
       // suffix only (the accumulated prefix is never rescanned — same
       // no-cascade rule as the engine); a doc terminates when no pattern
       // remains in its suffix
-      "q336_blocklist_redact" -> {
-        val inj = redactList.map { case (m, c) =>
-          s"(CASE WHEN doc_id % $m = 0 THEN ' $c' ELSE '' END)"
-        }.mkString(" || ")
-        val patVals = (redactList.map(_._2) ++ redactDecoys)
-          .map(p => s"('$p')").mkString(", ")
-        s"""WITH RECURSIVE pats(pat) AS (VALUES $patVals),
-           |w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
-           |  FROM documents),
-           |steps AS (
-           |  SELECT doc_id, t AS rest, '' AS acc FROM w
-           |  UNION ALL
-           |  SELECT doc_id, substr(rest, p.pos + p.plen) AS rest,
-           |    acc || substr(rest, 1, p.pos - 1) || '[X]' AS acc
-           |  FROM steps,
-           |  LATERAL (SELECT strpos(rest, pat) AS pos, length(pat) AS plen
-           |           FROM pats WHERE strpos(rest, pat) > 0
-           |           ORDER BY pos ASC, plen DESC LIMIT 1) p),
-           |fin AS (SELECT doc_id, acc || rest AS red FROM steps s
-           |  WHERE NOT EXISTS (SELECT 1 FROM pats
-           |    WHERE strpos(s.rest, pat) > 0))
+      "q336_blocklist_redact" ->
+        s"""$redactCtes
            |SELECT doc_id, md5(red) AS red_md5,
            | CAST(length(red) AS BIGINT) AS red_len,
            | CAST(len(string_split(red, '[X]')) - 1 AS BIGINT) AS n_redactions
-           |FROM fin""".stripMargin
+           |FROM fin""".stripMargin,
+
+      // the audit twin recomputes hits_after from the REDACTED text with
+      // the same containment scan it used for hits_before — both engines
+      // derive the zero independently, so a partial scrub on either side
+      // breaks row or value parity
+      "q341_redaction_audit" -> {
+        def hitsSql(c: String) = (redactList.map(_._2) ++ redactDecoys)
+          .map(p => s"(CASE WHEN contains($c, '$p') THEN 1 ELSE 0 END)")
+          .mkString("\n   + ")
+        s"""$redactCtes
+           |SELECT w.doc_id,
+           | CAST(${hitsSql("w.t")} AS BIGINT) AS hits_before,
+           | CAST(len(string_split(f.red, '[X]')) - 1 AS BIGINT) AS n_redactions,
+           | CAST(length(w.t) AS BIGINT) AS len_before,
+           | CAST(length(f.red) AS BIGINT) AS len_after,
+           | CAST(${hitsSql("f.red")} AS BIGINT) AS hits_after
+           |FROM w JOIN fin f ON w.doc_id = f.doc_id
+           |WHERE ${hitsSql("w.t")} > 0""".stripMargin
       },
 
       // ROUGE-1 replayed relationally: same first-3-token blocking, same
