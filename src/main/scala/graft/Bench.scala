@@ -56,11 +56,31 @@ object Bench {
       }
     // Optional comma-separated name-prefix filter (local iteration only;
     // the driver never sets it, so round benches always cover the suite).
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val onlyFiltered = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(ps) =>
         val prefixes = ps.split(",").toSeq
         SparkEntry.queries.keys.toSeq.filter(n => prefixes.exists(n.startsWith))
       case None => SparkEntry.queries.keys.toSeq
+    }
+    // Optional shard selector "i/n" (VERDICT r15 #8: at 340 queries a
+    // min-of-3 full suite costs ~19 min wall and long JSON lines clip in
+    // the driver capture): deterministic round-robin over the SORTED name
+    // list, so shard i of n holds every n-th query. Each shard's JSON
+    // follows the full protocol (same warm-up pool, same min-of-3 budget
+    // logic, "shard" recorded in the line) and every query lands in
+    // exactly one shard, so summed shard totals equal a full run up to
+    // host band — the merge is plain addition.
+    val shard = sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { sp =>
+      val parts = sp.split("/").map(_.trim.toInt)
+      require(parts.length == 2 && parts(1) >= 1 &&
+        parts(0) >= 0 && parts(0) < parts(1),
+        s"bad shard spec '$sp' (want i/n with 0 <= i < n)")
+      (parts(0), parts(1))
+    }
+    val names = shard match {
+      case Some((i, n)) =>
+        onlyFiltered.sorted.zipWithIndex.collect { case (q, j) if j % n == i => q }
+      case None => onlyFiltered
     }
     // Pass 0 (untimed): Janino + JIT + parquet footers. Runs on a driver
     // thread pool — Spark's scheduler is thread-safe and the one-time costs
@@ -113,7 +133,8 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","passes":${passes.size},"sf":"$sfDir"}""")
+    val shardField = shard.map { case (i, n) => s""","shard":"$i/$n"""" }.getOrElse("")
+    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","passes":${passes.size},"sf":"$sfDir"$shardField}""")
     spark.stop()
   }
 }

@@ -102,6 +102,8 @@ object ScaleProbe {
     if (args.headOption.contains("dbscan")) { dbscanProbe(args.drop(1)); return }
     if (args.headOption.contains("dbscanplanes")) { dbscanPlanesProbe(args.drop(1)); return }
     if (args.headOption.contains("ac")) { acProbe(args.drop(1)); return }
+    if (args.headOption.contains("linkage")) { linkageProbe(args.drop(1)); return }
+    if (args.headOption.contains("dedupchain")) { dedupChainProbe(args.drop(1)); return }
     if (args.headOption.contains("audio")) { audioProbe(args.drop(1)); return }
     if (args.headOption.contains("image")) { imageProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -1042,6 +1044,157 @@ object ScaleProbe {
     println(f"[probe] verify join at 10x n, p=$p1: $verified pairs in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     small.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  /** Linkage-blocking contract (q88 / VERDICT r15 #1): on a name universe
+    * that GROWS with the corpus (minted 10-char names, 4-letter alphabet
+    * per position — every 3-char prefix block holds ~n/64 names), a FIXED
+    * 3-char prefix block grows its within-block pair space ~quadratically
+    * at 10× names, while QueryHelpers.linkagePfxLen steps the prefix with
+    * the distinct-name count and re-cuts it — the dbscanplanes
+    * "raise the knob with n" contract applied to record linkage. Closed
+    * forms under uniform minting: pairs ≈ B·C(n/B, 2) with B = 4^pfx
+    * blocks, so 10× names under fixed pfx ≈ ×100 pairs and each +1 prefix
+    * char divides by ~4. The probe then times the full verify (native
+    * Jaro-Winkler) at 10× under the stepped prefix. */
+  private def linkageProbe(args: Array[String]): Unit = {
+    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(9000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // minted catalog: names are deterministic 10-char strings over a
+    // 4-letter-per-position alphabet — prefix blocks fill uniformly, so
+    // the prefix length is the real knob (not the name distribution)
+    def corpus(sz: Int) = spark.range(sz)
+      .select(col("id").as("key"),
+        expr("array_join(transform(sequence(0, 9), j -> " +
+          "chr(97 + CAST(pmod(xxhash64(id, j), 4) AS INT))), '')").as("name"))
+      .repartition(64).cache()
+    def candPairs(df: org.apache.spark.sql.DataFrame, pfx: Int): Long = {
+      val dn = df.select(substring(col("name"), 1, pfx).as("b"), col("name"))
+        .distinct() // the q88 distinct-name collapse
+      dn.groupBy("b").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) / 2"))).head.getDouble(0).toLong
+    }
+    val small = corpus(n); val big = corpus(10 * n)
+    val names0 = small.select("name").distinct().count()
+    val names1 = big.select("name").distinct().count()
+    val (p0, p1) = (graft.queries.QueryHelpers.linkagePfxLen(names0),
+      graft.queries.QueryHelpers.linkagePfxLen(names1))
+    println(s"[probe] distinct names $names0 -> $names1 at 10x: " +
+      s"adaptive prefix $p0 -> $p1")
+    assert(p1 > p0, s"prefix rule did not step at 10x ($names0 -> $names1 names)")
+    val c0s = candPairs(small, p0)
+    val c0b = candPairs(big, p0)  // yesterday's knob at tomorrow's corpus
+    val c1b = candPairs(big, p1)  // the stepped knob
+    println(f"[probe] n=$n: fixed pfx=$p0 pairs $c0s -> $c0b at 10x " +
+      f"(x${c0b.toDouble / c0s}%.1f); stepped pfx=$p0->$p1 pairs " +
+      f"$c0s -> $c1b (x${c1b.toDouble / c0s}%.1f)")
+    assert(c0b.toDouble / c0s > 50.0,
+      s"fixed-prefix growth unexpectedly tame: $c0s -> $c0b")
+    assert(c1b < c0b / 3,
+      s"stepped prefix failed to re-cut the pair space: $c0b -> $c1b")
+    val t0 = System.nanoTime()
+    val verified = big.select(substring(col("name"), 1, p1).as("b"), col("name"))
+      .distinct().as("a")
+      .join(big.select(substring(col("name"), 1, p1).as("b"),
+        col("name").as("nb")).distinct().as("bb"), Seq("b"))
+      .where(col("name") < col("nb"))
+      .where(round(graft.plans.JaroWinkler.jaroWinkler(col("name"), col("nb")), 4)
+        .between(0.88, 0.9999))
+      .count()
+    println(f"[probe] verify at 10x names, pfx=$p1: $verified pairs in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    small.unpersist(); big.unpersist()
+    spark.stop()
+  }
+
+  /** One-decade evidence for the dedup CORE (VERDICT r15 #6): the composed
+    * COLLAPSED near-dup chain — distinct-text collapse → 8-band LSH join →
+    * hamming verify → member expansion → connected components
+    * (Dedup.simhashNearDupsExact + connectedComponents) — run at rep×
+    * pure replication of the sf0.1 documents corpus (rep=100 ≈ 500k docs),
+    * with PIGEONHOLE-EXACT closed forms. Pure replication leaves the
+    * DISTINCT-TEXT universe untouched, so banding + verify cost is
+    * invariant by construction and the pair set is a pure expansion:
+    *   pairs(rep)    = base_pairs·rep² + eligible_docs·C(rep,2)
+    *   clusters(rep) = base_clusters + (eligible_docs − docs_in_base_pairs)
+    * (each base doc's copies weld onto its text's component; components
+    * merge exactly as at base; previously-pairless eligible docs become
+    * their own copy-cluster). The probe asserts both EXACTLY at rep/10 and
+    * rep, and bounds the wall growth between the decades — quadratic
+    * VERIFY work would be ~100×; output-bound expansion is ~rep²-row
+    * minting through streamed joins, the q88 posture. */
+  private def dedupChainProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.filterNot(_.forall(_.isDigit))
+      .getOrElse("/root/testdata/sf0.1")
+    val rep = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(100)
+    require(rep >= 10 && rep % 10 == 0, "dedupchain wants rep >= 10, a multiple of 10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $dt%.1f s")
+      (a, dt)
+    }
+    val base = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def chain(r: Int): (Long, Long, Long, Double) = {
+      val corpus =
+        if (r == 1) base
+        else base.crossJoin(spark.range(r).select(col("id").as("_r")))
+          .select((col("doc_id") * r + col("_r")).as("doc_id"), col("text"))
+      val big = corpus.repartition(64).cache()
+      val nd = big.count()
+      val p = graft.operators.Dedup.simhashNearDupsExact(
+        big, col("doc_id"), col("text")).select("id_a", "id_b").cache()
+      val (np, tPairs) = timed(s"rep=$r collapse+LSH+verify+expand ($nd docs)")(
+        p.count())
+      val docsInPairs = p.select(col("id_a").as("d"))
+        .unionAll(p.select(col("id_b").as("d"))).distinct().count()
+      val (nc, tCc) = timed(s"rep=$r connected components")(
+        graft.operators.Dedup.connectedComponents(p)
+          .select("component").distinct().count())
+      p.unpersist(); big.unpersist()
+      (np, nc, docsInPairs, tPairs + tCc)
+    }
+    val (basePairs, baseClusters, baseDocsInPairs, _) = chain(1)
+    val eligibleDocs = base
+      .select(graft.functions.TextExprs.cleanText(col("text")).as("cln"))
+      .where(size(split(col("cln"), " ")) >= 3).count()
+    val (p10, c10, _, w10) = chain(rep / 10)
+    val (p100, c100, _, w100) = chain(rep)
+    def expectPairs(r: Long): Long =
+      basePairs * r * r + eligibleDocs * r * (r - 1) / 2
+    val expectClusters: Long = baseClusters + (eligibleDocs - baseDocsInPairs)
+    println(f"[probe] pairs rep=${rep / 10}: $p10 (closed form ${expectPairs(rep / 10)}); " +
+      f"rep=$rep: $p100 (closed form ${expectPairs(rep)})")
+    println(f"[probe] clusters rep=${rep / 10}: $c10, rep=$rep: $c100 " +
+      f"(closed form $expectClusters); wall $w10%.1f s -> $w100%.1f s " +
+      f"(x${w100 / w10}%.1f for 10x docs)")
+    assert(p10 == expectPairs(rep / 10), s"pair closed form broken at rep=${rep / 10}")
+    assert(p100 == expectPairs(rep), s"pair closed form broken at rep=$rep")
+    assert(c10 == expectClusters && c100 == expectClusters,
+      "cluster closed form broken")
+    // quadratic verify would be ~100x between the decades; the collapsed
+    // chain's wall is bound by the copies² PAIR OUTPUT it must mint
+    // (~100x more ROWS at rep than rep/10, streamed) plus constant verify
+    assert(w100 / w10 < 40.0, f"dedup chain wall superquadratic: x${w100 / w10}%.1f")
     spark.stop()
   }
 

@@ -40,6 +40,21 @@ object AviCodec extends MediaCodec {
   private def fourCC(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
+  /** Read the chunk size at `off + 4` and validate it against the
+    * enclosing container: a size ≥ 2^31 truncates to a negative Int
+    * (isz = -8 makes `in += 8 + isz + (isz & 1)` advance by ZERO — an
+    * infinite executor loop on a corrupt/adversarial payload, ADVICE
+    * r15), and any size past `limit` overruns the container. Both throw
+    * IllegalArgumentException like every other malformed-payload path, so
+    * the walkers always strictly advance. */
+  private def chunkSize(id: Long, b: Array[Byte], off: Int, limit: Int): Int = {
+    val sz = u32(b, off + 4) // unsigned: 0..2^32-1 as Long
+    require(sz <= (limit - off - 8).toLong,
+      s"payload $id: chunk '${fourCC(b, off)}' at $off declares $sz B, " +
+        s"only ${limit - off - 8} remain in its container")
+    sz.toInt // ≤ limit ≤ Int.MaxValue: exact, non-negative
+  }
+
   /** Width, height, totalFrames from the `avih` header — header-only: the
     * walk stops the moment `avih` is found, before any `movi` bytes. */
   private def parseAvih(id: Long, b: Array[Byte]): (Int, Int, Int) = {
@@ -50,13 +65,13 @@ object AviCodec extends MediaCodec {
     var off = 12
     while (off + 8 <= b.length) {
       val cc = fourCC(b, off)
-      val sz = u32(b, off + 4).toInt
-      if (cc == "LIST" && fourCC(b, off + 8) == "hdrl") {
+      val sz = chunkSize(id, b, off, b.length)
+      if (cc == "LIST" && sz >= 4 && fourCC(b, off + 8) == "hdrl") {
         var in = off + 12
         val end = off + 8 + sz
         while (in + 8 <= end) {
           val icc = fourCC(b, in)
-          val isz = u32(b, in + 4).toInt
+          val isz = chunkSize(id, b, in, end)
           if (icc == "avih") {
             require(isz >= 40, s"payload $id: truncated avih header ($isz B)")
             // MainAVIHeader: dwTotalFrames @16, dwWidth @32, dwHeight @36
@@ -81,13 +96,13 @@ object AviCodec extends MediaCodec {
     var idx = 0
     while (off + 8 <= b.length) {
       val cc = fourCC(b, off)
-      val sz = u32(b, off + 4).toInt
-      if (cc == "LIST" && fourCC(b, off + 8) == "movi") {
+      val sz = chunkSize(id, b, off, b.length)
+      if (cc == "LIST" && sz >= 4 && fourCC(b, off + 8) == "movi") {
         var in = off + 12
         val end = off + 8 + sz
         while (in + 8 <= end) {
           val icc = fourCC(b, in)
-          val isz = u32(b, in + 4).toInt
+          val isz = chunkSize(id, b, in, end)
           if (icc == "00db" || icc == "00dc") { f(idx, in + 8, isz); idx += 1 }
           in += 8 + isz + (isz & 1)
         }

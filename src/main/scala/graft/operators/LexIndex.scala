@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persist-and-reuse LEXICAL (BM25 inverted) index — the [[AnnIndex]]
+  * build-once/query-many discipline applied to sparse retrieval (VERDICT
+  * r15 gap #1: `Retrieval.bm25` re-derives df/avgdl from the corpus on
+  * every call; a production pipeline queries the same corpus thousands of
+  * times). Reference behavior spec: the scoring formula and tokenization
+  * are exactly `Retrieval.bm25`'s, so a build+query round trip reproduces
+  * q52's answers and the oracle hash gate carries over verbatim (q344).
+  *
+  * Artifact layout under `dir` (all parquet):
+  *  - `postings` — one row per (token, doc) posting: (token, doc_id, tf,
+  *    dl), PARTITIONED BY `tok_bucket` = pmod(xxhash64(token), nBuckets).
+  *    The document length is DENORMALIZED into the posting (classic
+  *    inverted-index design: Robertson's dl lives next to tf) so the
+  *    query path never touches a corpus-sized side table.
+  *  - `dict` — (token, dfreq): vocabulary-sized; the query filters it to
+  *    its terms and broadcasts the survivors.
+  *  - `stats` — ONE row (n_docs, avgdl): the corpus scalars.
+  *
+  * Query-path scale shape (the PlanSpec-pinned contract): the ONLY scan is
+  * `postings`, partition-pruned to the query terms' buckets (nProbe/k of
+  * the artifact at a production bucket count) with the token equality
+  * pushed to parquet; `dict` and `stats` arrive filtered-then-broadcast;
+  * the single shuffle is the final per-doc aggregate over MATCHED postings
+  * only. Zero scans of the documents table, zero corpus-wide aggregates,
+  * zero Lloyd-style refits — build cost is paid once, queries pay
+  * O(matched postings).
+  */
+object LexIndex {
+
+  /** Tokenize `df` exactly as `Retrieval.bm25` does and write the
+    * `postings`/`dict`/`stats` artifact under `dir`. */
+  def build(df: DataFrame, id: Column, text: Column, dir: String,
+      nBuckets: Int = 16): Unit = {
+    val tf = Retrieval.termFreqs(df, id, text).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .select("tok_bucket", "token", "doc_id", "tf", "dl")
+      .write.partitionBy("tok_bucket").mode("overwrite").parquet(s"$dir/postings")
+    tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+      .write.mode("overwrite").parquet(s"$dir/dict")
+    dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top scores for a bag-of-words query, answered ENTIRELY from the
+    * stored artifact: (doc_id, score), score rounded to 4 dp — the
+    * `Retrieval.bm25` contract, zero corpus scans. */
+  def query(spark: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "LexIndex.query needs at least one query term")
+    import spark.implicits._
+    // the terms' buckets via the engine's own hash (driver-tiny: |terms|
+    // rows through the same xxhash64 the build used — the two sides
+    // cannot disagree on the bucket function)
+    val buckets = terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets)).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("tok_bucket").isin(buckets: _*) &&
+        col("token").isin(terms: _*))
+    val dict = spark.read.parquet(s"$dir/dict")
+      .where(col("token").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    val idf = log(lit(1.0) + (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    postings
+      .join(broadcast(dict), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", idf * col("tf") * (k1 + 1.0) / norm)
+      .groupBy("doc_id")
+      .agg(round(sum("_s"), 4).as("score"))
+  }
+}

@@ -127,10 +127,12 @@ object UnigramLm {
     val seed = seedPieces(words.toDF(), maxPieceLen, topSubs)
       .as[(String, Long)].collect().toSeq // bounded: alphabet + topSubs
     val singleChars = seed.collect { case (p, _) if p.length == 1 => p }.toSet
+    val costLog = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]
     var pieces = seed
     var r = 0
     while (r < rounds) {
       val cost = toCosts(pieces)
+      costLog += pieces.map { case (p, _) => p -> cost(p) }
       // E-step: Viterbi-segment the bounded vocab, count piece usage.
       // flatMap runs executor-side; the groupBy output is piece-bounded.
       val used = words.flatMap { case (w, f) =>
@@ -147,10 +149,24 @@ object UnigramLm {
       r += 1
     }
     val cost = toCosts(pieces)
+    costLog += pieces.map { case (p, _) => p -> cost(p) }
+    capturedCosts = Some(costLog.toIndexedSeq)
     pieces.map { case (p, c) => (p, c, cost(p)) }
     // singleChars retained implicitly: seeds of length 1 never drop
     .ensuring(_.map(_._1).toSet.intersect(singleChars) == singleChars)
   }
+
+  /** Per-round cost tables captured by the most recent [[train]] call
+    * (index r = the table that drives round r+1's E-step; the last entry
+    * is the returned `cost6`). Read at ORACLE-DUMP time — Verify dumps
+    * `oracleSql` after the queries ran — to inject the engine's own
+    * (piece, cost) rows into the q337/q338 twins as VALUES literals
+    * (ADVICE r15: JVM `math.log` and DuckDB `ln()` are not bit-identical,
+    * and a 1-ulp gap near a .5 rounding boundary would flip the integer
+    * Viterbi tie-break; the DctHash.basisSqlValues shared-constant
+    * pattern removes the libm dependency — the twin still derives its own
+    * piece COUNTS, so a divergent E/M chain still fails the join). */
+  @volatile private[graft] var capturedCosts: Option[IndexedSeq[Seq[(String, Long)]]] = None
 
   /** Apply trained costs to a (word, freq) table, executor-side Viterbi:
     * (word, freq, n_syms), with n_syms = word length when a word is

@@ -99,6 +99,48 @@ final class AcAutomaton private (
     }
     UTF8String.fromBytes(buf.toByteArray)
   }
+
+  /** TYPED leftmost-longest non-overlapping redaction: same greedy policy
+    * as [[redact]], but each chosen match is replaced by ITS OWN pattern's
+    * mask (`masks(pid)`) — the per-class scrub (`<EMAIL>` vs `<PHONE>`)
+    * that lets downstream token accounting distinguish scrub types. The
+    * per-offset winner additionally records WHICH pattern won; equal-
+    * length ties at one offset are byte-identical patterns (impossible
+    * under distinct patterns), so length alone decides. Same two passes,
+    * same O(n + matches), mask bytes never rescanned. */
+  def redactTyped(u: UTF8String, masks: Array[Array[Byte]]): UTF8String = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    val best = new Array[Int](n) // longest match length starting at i
+    val who = new Array[Int](n)  // pattern id of that longest match
+    var s = 0
+    var i = 0
+    var any = false
+    while (i < n) {
+      s = gotoTab(s)(bytes(i) & 0xff)
+      val out = outTab(s)
+      var j = 0
+      while (j < out.length) {
+        val pid = out(j)
+        val len = patLens(pid)
+        val st = i - len + 1
+        if (len > best(st)) { best(st) = len; who(st) = pid; any = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (!any) return u
+    val buf = new java.io.ByteArrayOutputStream(n)
+    i = 0
+    while (i < n) {
+      if (best(i) > 0) {
+        val m = masks(who(i))
+        buf.write(m, 0, m.length)
+        i += best(i)
+      } else { buf.write(bytes(i)); i += 1 }
+    }
+    UTF8String.fromBytes(buf.toByteArray)
+  }
 }
 
 object AcAutomaton {
@@ -213,4 +255,49 @@ object AcRedact {
   import org.apache.spark.sql.graft.ColumnBridge
   def acRedact(c: Column, patterns: Seq[String], mask: String): Column =
     ColumnBridge.column(AcRedact(ColumnBridge.expression(c), patterns, mask))
+}
+
+/** `ac_redact_typed(text, patterns, masks)` — per-pattern-CLASS redaction
+  * (ADVICE/VERDICT r15 gap #3): the leftmost-longest one-pass policy of
+  * [[AcRedact]], but match i is replaced by `masks(i)` — `<EMAIL>` for the
+  * email patterns, `<PHONE>` for the phone patterns — so a scrubbed corpus
+  * still carries WHAT was scrubbed for downstream token accounting and
+  * per-class audit (q342). Codegen'd identically: automaton + mask table
+  * ride as per-plan reference objects, one virtual dispatch per row inside
+  * whole-stage codegen. */
+case class AcRedactTyped(child: Expression, patterns: Seq[String],
+    masks: Seq[String]) extends UnaryExpression {
+  require(patterns.nonEmpty, "ac_redact_typed needs at least one pattern")
+  require(patterns.forall(_.nonEmpty), "ac_redact_typed patterns must be non-empty")
+  require(patterns.length == masks.length,
+    "ac_redact_typed needs exactly one mask per pattern")
+  require(patterns.distinct.length == patterns.length,
+    "ac_redact_typed patterns must be distinct (equal-length ties would be ambiguous)")
+
+  @transient private lazy val ac: AcAutomaton =
+    AcAutomaton(patterns.map(_.getBytes("UTF-8")).toArray)
+  @transient private lazy val maskBytes: Array[Array[Byte]] =
+    masks.map(_.getBytes("UTF-8")).toArray
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ac_redact_typed requires string input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    ac.redactTyped(v.asInstanceOf[UTF8String], maskBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, "graft.plans.AcAutomaton")
+    val masksRef = ctx.addReferenceObj("masks", maskBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $acRef.redactTyped($c, $masksRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcRedactTyped =
+    copy(child = newChild)
+  override def prettyName: String = "ac_redact_typed"
+}
+
+object AcRedactTyped {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def acRedactTyped(c: Column, patterns: Seq[String], masks: Seq[String]): Column =
+    ColumnBridge.column(AcRedactTyped(ColumnBridge.expression(c), patterns, masks))
 }

@@ -355,6 +355,59 @@ private[graft] object MultimodalQueries extends QueryBook {
           size(split(col("sig"), "-", -1)).cast("long"))
     }),
 
+    "q343_crossmodal_dedup" -> ((s, dir) => {
+      // CROSS-MODAL near-dup ADJUDICATION (VERDICT r15 gap #2): the dedup
+      // decision an interleaved corpus needs — text near-dup evidence and
+      // media near-dup evidence JOINED at the doc grain and rolled to the
+      // conflict matrix. Text side: q198's machinery (blocked, distinct-
+      // text-collapsed, edit-distance-verified pairs) marks the docs that
+      // participate in ≥1 near-dup pair. Media side: q330's machinery —
+      // each doc's PNG decoded through the real path, aHash group size > 1
+      // marks a media dup. The matrix cells are the curation actions:
+      // text+media (true duplicate — drop), text_only (same text, new
+      // image — keep the media), media_only (same media, rewritten
+      // caption — keep the text), unique. The corpus is INTERLEAVED the
+      // way a crawl is: only the doc_id % 23 residue carries an image
+      // (the rest are text-only rows, media_dup = false by definition),
+      // and the image lattice (dx, dy ∈ 1..5) spreads the carriers over
+      // ~19 aHash ratio classes so both media singletons and media groups
+      // exist. Both sides are bucketed (text: 3-token-prefix blocks;
+      // media: hash groups) — no all-pairs anywhere, and only flags and
+      // 64-char hashes shuffle.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.editDistNearDups(
+        docs.where(col("n_chars") <= 512), col("doc_id"), col("text"),
+        simThreshold = 0.8)
+      val tdup = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .distinct().withColumn("_t", lit(true))
+      val img = docs.where(pmod(col("doc_id"), lit(23)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dx = (1 + id % 5).toInt
+          val dy = (1 + (id / 5) % 5).toInt
+          val c = ((id % 7) * 10).toInt
+          (id, graft.multimodal.ImagePHash.aHashBits(id,
+            ImageGen.rampPng(16, 16, dx, dy, c)))
+        }).toDF("doc_id", "mkey")
+      val msize = img.groupBy("mkey").agg(count(lit(1)).as("_mn"))
+      docs.select(col("doc_id"))
+        .join(img.join(msize, "mkey"), Seq("doc_id"), "left")
+        .join(tdup, Seq("doc_id"), "left")
+        .select(col("mkey"),
+          coalesce(col("_t"), lit(false)).as("_td"),
+          coalesce(col("_mn") > 1, lit(false)).as("_md"))
+        .select(col("mkey"),
+          when(col("_td") && col("_md"), "text+media")
+            .when(col("_td"), "text_only")
+            .when(col("_md"), "media_only")
+            .otherwise("unique").as("dup_class"))
+        .groupBy("dup_class")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("mkey").as("n_media_groups"))
+    }),
+
     "q330_image_ahash_dedup" -> ((s, dir) => {
       // Perceptual-hash image dedup through the REAL decode path — the
       // multimodal family's missing dedup primitive (multimodal.
@@ -672,5 +725,49 @@ private[graft] object MultimodalQueries extends QueryBook {
           | min(h.doc_id) AS min_id,
           | CAST(count(DISTINCT i.doc_id % 7) AS BIGINT) AS n_brightness
           |FROM hs h JOIN ids i ON h.doc_id = i.doc_id GROUP BY 1""".stripMargin,
+
+      // the two existing twins composed: q198's verified-pair chain marks
+      // text-dup docs, q330's closed-form aHash marks media-dup docs, one
+      // doc-grain join rolls the conflict matrix
+      "q343_crossmodal_dedup" ->
+        s"""WITH dd AS (SELECT doc_id, ${cleanSql("text")} AS t FROM documents
+          |  WHERE n_chars <= 512),
+          |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM dd),
+          |bk AS (SELECT doc_id, t, md5(array_to_string(toks[1:3], ' ')) AS h
+          |  FROM tk WHERE len(toks) >= 3),
+          |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bk a JOIN bk b ON a.h = b.h AND a.doc_id < b.doc_id
+          |  WHERE round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+          |    greatest(len(a.t), len(b.t)), 4) >= 0.8),
+          |td AS (SELECT DISTINCT doc_id FROM
+          |  (SELECT id_a AS doc_id FROM pp UNION ALL SELECT id_b FROM pp)),
+          |ids AS (SELECT doc_id, CAST(1 + doc_id % 5 AS BIGINT) AS dx,
+          |   CAST(1 + (doc_id // 5) % 5 AS BIGINT) AS dy,
+          |   CAST((doc_id % 7) * 10 AS BIGINT) AS c FROM documents
+          |  WHERE doc_id % 23 = 0),
+          |tot AS (SELECT doc_id, sum(dx * x.range + dy * y.range + c) AS tsum
+          |  FROM ids, range(16) x, range(16) y GROUP BY doc_id),
+          |blk AS (SELECT doc_id, (py.range // 2) * 8 + (px.range // 2) AS b,
+          |   sum(dx * px.range + dy * py.range + c) AS bsum
+          |  FROM ids, range(16) px, range(16) py GROUP BY 1, 2),
+          |bits AS (SELECT blk.doc_id, blk.b,
+          |   CASE WHEN blk.bsum * 256 > tot.tsum * 4 THEN '1' ELSE '0' END AS v
+          |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+          |hs AS (SELECT doc_id, string_agg(v, '' ORDER BY b) AS ahash_bits
+          |  FROM bits GROUP BY doc_id),
+          |msz AS (SELECT ahash_bits, count(*) AS mn FROM hs GROUP BY 1),
+          |lab AS (SELECT d.doc_id, h.ahash_bits,
+          |   (t.doc_id IS NOT NULL) AS tdup,
+          |   coalesce(m.mn > 1, FALSE) AS mdup
+          |  FROM documents d
+          |  LEFT JOIN hs h ON h.doc_id = d.doc_id
+          |  LEFT JOIN msz m ON m.ahash_bits = h.ahash_bits
+          |  LEFT JOIN td t ON d.doc_id = t.doc_id)
+          |SELECT CASE WHEN tdup AND mdup THEN 'text+media'
+          |  WHEN tdup THEN 'text_only'
+          |  WHEN mdup THEN 'media_only' ELSE 'unique' END AS dup_class,
+          | CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(count(DISTINCT ahash_bits) AS BIGINT) AS n_media_groups
+          |FROM lab GROUP BY 1""".stripMargin,
   )
 }

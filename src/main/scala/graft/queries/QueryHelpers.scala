@@ -15,6 +15,16 @@ private[graft] object QueryHelpers {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Corpus-adaptive linkage-blocking prefix length (q88, round 16 — the
+    * dbscanplanes "raise the knob with n" contract applied to record
+    * linkage): the name-prefix block key grows one character per decade of
+    * distinct names, re-cutting the within-block pair space instead of
+    * letting it grow ~quadratically. The q88 oracle replays the SAME step
+    * function as a SQL CASE from the same count; ScaleProbe mode `linkage`
+    * demonstrates the contract on a minted 10× name universe. */
+  private[graft] def linkagePfxLen(nDistinctNames: Long): Int =
+    if (nDistinctNames <= 10000L) 3 else if (nDistinctNames <= 100000L) 4 else 5
+
   /** Exclusive prefix sum (`prev_cum`) of `value` over `key` order for a
     * KEY-CARDINALITY-sized table (language quotas: a handful of rows) —
     * as a triangular self-join instead of a partition-less window. Same
@@ -57,6 +67,15 @@ private[graft] object QueryHelpers {
     * executes) from the session it receives. */
   private[graft] def withStreamShuffle[T](s: SparkSession, n: Int = 2)(f: SparkSession => T): T = {
     val scoped = s.newSession()
+    // newSession() inherits builder/SparkContext conf but NOT runtime SQL
+    // conf set on the parent (ADVICE r15: a caller's runtime override
+    // would silently vanish inside the drain) — copy the parent's runtime
+    // view across before narrowing. Static/immutable entries can't be
+    // re-set; they are identical in the clone anyway, so skip them.
+    s.conf.getAll.foreach { case (k, v) =>
+      try if (scoped.conf.get(k, null) != v) scoped.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     f(scoped)
   }
@@ -89,11 +108,25 @@ private[graft] object QueryHelpers {
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.startsWith("part-"))
         .getOrElse(sys.error(s"replay slice $i produced no part file"))
+      // the replay-invariant guard below requires one DATA batch per
+      // slice, so an empty slice would trip it spuriously (ADVICE r15) —
+      // fail HERE, at write time, with the actionable message (metadata-
+      // only count: parquet footer, no scan)
+      require(s.read.parquet(tmp).count() > 0L,
+        s"$tag replay slice $i is empty — the slicing predicate must give " +
+          "every micro-batch at least one row (empty slices would replay " +
+          "as zero batches and desynchronize the batch-grain twin)")
       val dst = new java.io.File(src, f"b$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 60000L)
     }
     withStreamShuffle(s) { scoped =>
+      // the guard below reads recentProgress, which is capped by
+      // numRecentProgressUpdates (default 100) — raise it above the batch
+      // count so a long replay can't undercount its own batches (ADVICE
+      // r15); slices.length data batches + headroom for no-data batches
+      scoped.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        (slices.length + 32).toString)
       val stream = scoped.readStream
         .schema(scoped.read.parquet(src.getPath).schema)
         .option("maxFilesPerTrigger", 1)

@@ -1591,9 +1591,32 @@ private[graft] object RelationalQueries extends QueryBook {
       // name pairs, and the jw < 1.0 cut means same-name pairs never even
       // need generating. Verified name pairs expand to key pairs through
       // two slim equi-joins; output is the pair-for-pair original.
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_name"),
-          substring(col("p_name"), 1, 3).as("pfx"))
+      //
+      // CORPUS-ADAPTIVE BLOCKING (round 16, the dbscanplanes "raise the
+      // knob with n" contract applied to linkage): prefix length is a
+      // closed-form step function of the DISTINCT-NAME count — ≤10k names
+      // → 3 chars, ≤100k → 4, else 5 — so when the name universe grows
+      // 10× the within-block distinct-pair space is re-cut instead of
+      // growing ~100×. The oracle computes the SAME CASE from the same
+      // count, so the two engines cannot drift at any SF (at the fixture
+      // SFs the rule yields 3 — hashes unchanged). ScaleProbe mode
+      // `linkage` demonstrates the contract on a 10× minted-name corpus.
+      //
+      // OUTPUT-STREAMING EXPANSION (round 16): on a duplicate-heavy corpus
+      // the pair-for-pair OUTPUT is copies² by contract — the floor is
+      // writing it, so nothing else may scale with it. Both expansion
+      // joins broadcast their bounded side (vx: ≤ distinct-pair count;
+      // the part projection: one slim row per part — at real scale this
+      // side is bucket-co-located on the block key instead), so the fan-
+      // out is generated inside ONE whole-stage-codegen stage: the 100×
+      // row mint never shuffles and never sorts. Measured: sf1 10.45 s →
+      // sub-second at the same 15.5M-row output (BASELINE.md round 16).
+      val pAll = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val nNames = pAll.agg(countDistinct("p_name")).head.getLong(0)
+      val pfxLen = QueryHelpers.linkagePfxLen(nNames)
+      val p = pAll
+        .withColumn("pfx", substring(col("p_name"), 1, pfxLen))
         .localCheckpoint() // three slim consumers, one scan
       val g = p.select("p_brand", "pfx", "p_name").distinct()
       val vx = g.select(col("p_brand"), col("pfx"), col("p_name").as("na"))
@@ -1604,11 +1627,12 @@ private[graft] object RelationalQueries extends QueryBook {
           round(graft.plans.JaroWinkler.jaroWinkler(col("na"), col("nb")), 4)
             .as("jw"))
         .where(col("jw") >= 0.88 && col("jw") < 1.0)
-      vx
-        .join(p.select(col("p_brand"), col("pfx"), col("p_name").as("na"),
-          col("p_partkey").as("_ka")), Seq("p_brand", "pfx", "na"))
-        .join(p.select(col("p_brand"), col("pfx"), col("p_name").as("nb"),
-          col("p_partkey").as("_kb")), Seq("p_brand", "pfx", "nb"))
+      p.select(col("p_brand"), col("pfx"), col("p_name").as("na"),
+          col("p_partkey").as("_ka"))
+        .join(broadcast(vx), Seq("p_brand", "pfx", "na"))
+        .join(broadcast(p.select(col("p_brand"), col("pfx"),
+          col("p_name").as("nb"), col("p_partkey").as("_kb"))),
+          Seq("p_brand", "pfx", "nb"))
         .select(least(col("_ka"), col("_kb")).as("key_a"),
           greatest(col("_ka"), col("_kb")).as("key_b"), col("jw"))
     }),
@@ -2754,12 +2778,19 @@ private[graft] object RelationalQueries extends QueryBook {
           | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
           |FROM runs""".stripMargin,
 
+      // the blocking prefix length replays the engine's corpus-adaptive
+      // CASE from the same distinct-name count (round 16) — one rule,
+      // two engines, no drift at any SF
       "q88_fuzzy_match" ->
-        """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        """WITH pl AS (SELECT CASE WHEN count(DISTINCT p_name) <= 10000 THEN 3
+          |   WHEN count(DISTINCT p_name) <= 100000 THEN 4 ELSE 5 END AS n
+          |  FROM part)
+          |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
           | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
           |FROM part a JOIN part b
           |  ON a.p_brand = b.p_brand
-          |  AND substring(a.p_name, 1, 3) = substring(b.p_name, 1, 3)
+          |  AND substring(a.p_name, 1, (SELECT n FROM pl))
+          |    = substring(b.p_name, 1, (SELECT n FROM pl))
           |  AND a.p_partkey < b.p_partkey
           |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88
           |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 4) < 1.0""".stripMargin,

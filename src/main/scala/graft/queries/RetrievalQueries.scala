@@ -30,6 +30,23 @@ private[graft] object RetrievalQueries extends QueryBook {
         terms = Seq("spark", "vector", "stream"))
     }),
 
+    "q344_lex_index_query" -> ((s, dir) => {
+      // Build-once / query-many BM25 (operators.LexIndex — the q123
+      // discipline for LEXICAL retrieval): postings (+denormalized dl),
+      // dict, and corpus stats are WRITTEN as a parquet artifact, then
+      // the query is answered entirely from the store — the only scan is
+      // the postings table, partition-pruned to the terms' hash buckets,
+      // with zero documents-table reads and zero corpus-wide aggregates
+      // on the query path (PlanSpec pins all three). Built from the same
+      // tokenize pass as q52, the round trip reproduces q52's scores, so
+      // the oracle is q52's twin verbatim.
+      val ixDir = s"target/lex_index/${new java.io.File(dir).getName}"
+      graft.operators.LexIndex.build(
+        t(s, dir, "documents"), col("doc_id"), col("text"), ixDir)
+      graft.operators.LexIndex.query(s, ixDir,
+        terms = Seq("spark", "vector", "stream"))
+    }),
+
     "q132_phrase_search" -> ((s, dir) => {
       // Exact phrase search over positional postings (the inverted-index
       // adjacency-anchor algorithm) with a bounded per-phrase top-k —
@@ -227,22 +244,11 @@ private[graft] object RetrievalQueries extends QueryBook {
            | row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
            |FROM sc QUALIFY rnk <= 3""".stripMargin,
 
-      "q52_bm25" ->
-        s"""WITH tok AS (SELECT doc_id,
-           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
-           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-           |  WHERE token <> '' GROUP BY doc_id, token),
-           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
-           |sc AS (SELECT tf.doc_id,
-           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
-           |     * tf.tf * (1.2 + 1.0)
-           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
-           |  FROM tf
-           |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token) dfq USING (token)
-           |  JOIN dl USING (doc_id) CROSS JOIN st
-           |  WHERE tf.token IN ('spark', 'vector', 'stream'))
-           |SELECT doc_id, round(sum(s), 4) AS score FROM sc GROUP BY doc_id""".stripMargin,
+      "q52_bm25" -> bm25Sql,
+
+      // q344 is q52's build+query round trip through the stored postings
+      // artifact — scores must be bit-identical, so the twin is q52's
+      "q344_lex_index_query" -> bm25Sql,
 
       "q132_phrase_search" -> {
         val qvals = phraseQueries.flatMap { p =>
@@ -429,4 +435,24 @@ private[graft] object RetrievalQueries extends QueryBook {
            |SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
   )
+
+  /** Shared q52/q344 twin: BM25 from first principles over the same
+    * tokenize chain — q344's stored-artifact round trip must reproduce
+    * these scores bit-for-bit. */
+  private def bm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+       |sc AS (SELECT tf.doc_id,
+       |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+       |     * tf.tf * (1.2 + 1.0)
+       |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+       |  FROM tf
+       |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token) dfq USING (token)
+       |  JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.token IN ('spark', 'vector', 'stream'))
+       |SELECT doc_id, round(sum(s), 4) AS score FROM sc GROUP BY doc_id""".stripMargin
 }

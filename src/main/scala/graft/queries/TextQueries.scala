@@ -976,6 +976,71 @@ private[graft] object TextQueries extends QueryBook {
             .as("n_redactions"))
     }),
 
+    "q345_stream_redact" -> ((s, dir) => {
+      // STREAMING redaction (VERDICT r15 #7): q336's scrub composed into
+      // the q323 replay rig — documents arrive as a 4-batch file stream,
+      // each micro-batch is scrubbed IN the batch plan by the same
+      // Aho–Corasick automaton (one per-plan reference object reused
+      // across batches; at 100 TB this is scrub-at-ingest, the posture
+      // that never lands unscrubbed bytes), and the appended per-batch
+      // per-source ledgers roll up to totals that must equal the one-shot
+      // batch scrub — the twin derives them from the SAME recursive
+      // leftmost-longest replay as q336, so a partial scrub in any single
+      // micro-batch breaks the hash.
+      val tail = redactList.foldLeft(lit("")) { case (acc, (m, c)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      val pats = redactList.map(_._2) ++ redactDecoys
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+      val slices = (0 until 4).map(b =>
+        docs.where(pmod(col("doc_id"), lit(4)) === b))
+      QueryHelpers.streamReplaySlices(s, "q345", slices) { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.redactedSummary(stream, pats, "[X]", out, ckpt)
+      }
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("n_redactions").as("n_redactions"),
+          sum("len_before").as("len_before"),
+          sum("len_after").as("len_after"))
+    }),
+
+    "q342_typed_redact" -> ((s, dir) => {
+      // PER-CLASS redaction (VERDICT r15 gap: one mask string erases WHAT
+      // was scrubbed) — plans.AcRedactTyped replaces each leftmost-longest
+      // non-overlapping match with ITS pattern's class mask (<EMAIL> /
+      // <PHONE> / <ID>), one automaton pass, so downstream token
+      // accounting can distinguish scrub types. The lexicon is overlap-
+      // adversarial ACROSS classes: "mail kudu at vole dot net" ⊃ "mail
+      // kudu" (longest-at-start within EMAIL), "ring kudu seven" ⊃ "kudu
+      // seven" (PHONE), and the %143 docs splice "mail kudu"+" seven
+      // vole" so an EMAIL mask's resume point decides whether the ID
+      // pattern survives — a shortest-match or rescanning engine gets a
+      // different class census. Per-class counts come from splitting on
+      // the mask literals; the twin replays the greedy policy with the
+      // mask carried through the recursion.
+      val tail = typedRedactList.foldLeft(lit("")) { case (acc, (m, c, _)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      val pats = typedRedactList.map(_._2) ++ typedRedactDecoys.map(_._1)
+      val masks = typedRedactList.map(_._3) ++ typedRedactDecoys.map(_._2)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+        .select(col("doc_id"),
+          graft.plans.AcRedactTyped.acRedactTyped(col("_t"), pats, masks)
+            .as("_r"))
+        .select(col("doc_id"),
+          md5(col("_r")).as("red_md5"),
+          length(col("_r")).cast("long").as("red_len"),
+          (size(split(col("_r"), "<EMAIL>", -1)) - 1).cast("long").as("n_email"),
+          (size(split(col("_r"), "<PHONE>", -1)) - 1).cast("long").as("n_phone"),
+          (size(split(col("_r"), "<ID>", -1)) - 1).cast("long").as("n_id"))
+    }),
+
     "q341_redaction_audit" -> ((s, dir) => {
       // The VERIFICATION step a scrub pipeline runs after q336: rescan
       // the REDACTED text with the same automaton and keep only docs
@@ -1046,6 +1111,18 @@ private[graft] object TextQueries extends QueryBook {
     7 -> "zebra card", 11 -> "scrub okapi")
   private val redactDecoys: Seq[String] = Seq("scrub never", "okapi card")
 
+  /** Typed-redaction lexicon (q342): (injection residue, pattern, class
+    * mask). Overlap-adversarial within AND across classes — see the q342
+    * comment; apostrophe-free, absent from the corpus vocabulary. */
+  private val typedRedactList: Seq[(Int, String, String)] = Seq(
+    (3, "mail kudu at vole dot net", "<EMAIL>"),
+    (5, "ring kudu seven", "<PHONE>"),
+    (7, "kudu seven", "<PHONE>"),
+    (11, "mail kudu", "<EMAIL>"),
+    (13, "seven vole", "<ID>"))
+  private val typedRedactDecoys: Seq[(String, String)] =
+    Seq("ring vole" -> "<PHONE>", "kudu card" -> "<ID>")
+
   /** Shared q336/q341 twin chain: injected text `w(doc_id, t)` → the
     * greedy leftmost-longest replay (each recursive step picks the match
     * with min position, ties → max length, via the LATERAL LIMIT 1, masks
@@ -1068,6 +1145,36 @@ private[graft] object TextQueries extends QueryBook {
        |    acc || substr(rest, 1, p.pos - 1) || '[X]' AS acc
        |  FROM steps,
        |  LATERAL (SELECT strpos(rest, pat) AS pos, length(pat) AS plen
+       |           FROM pats WHERE strpos(rest, pat) > 0
+       |           ORDER BY pos ASC, plen DESC LIMIT 1) p),
+       |fin AS (SELECT doc_id, acc || rest AS red FROM steps s
+       |  WHERE NOT EXISTS (SELECT 1 FROM pats
+       |    WHERE strpos(s.rest, pat) > 0))""".stripMargin
+  }
+
+  /** q342 twin chain: [[redactCtes]] with the mask carried through the
+    * recursion — the LATERAL pick returns (pos, plen, mask) and the
+    * accumulator appends the picked pattern's OWN mask instead of a
+    * constant. Equal-length ties at one position are byte-identical
+    * patterns (excluded by the distinct-patterns require on the engine
+    * side), so pos ASC, plen DESC stays a total order. */
+  private def typedRedactCtes: String = {
+    val inj = typedRedactList.map { case (m, c, _) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN ' $c' ELSE '' END)"
+    }.mkString(" || ")
+    val patVals = (typedRedactList.map(t => (t._2, t._3)) ++ typedRedactDecoys)
+      .map { case (p, k) => s"('$p', '$k')" }.mkString(", ")
+    s"""WITH RECURSIVE pats(pat, mask) AS (VALUES $patVals),
+       |w AS (SELECT doc_id, coalesce(text, '') || $inj AS t
+       |  FROM documents),
+       |steps AS (
+       |  SELECT doc_id, t AS rest, '' AS acc FROM w
+       |  UNION ALL
+       |  SELECT doc_id, substr(rest, p.pos + p.plen) AS rest,
+       |    acc || substr(rest, 1, p.pos - 1) || p.mask AS acc
+       |  FROM steps,
+       |  LATERAL (SELECT strpos(rest, pat) AS pos, length(pat) AS plen,
+       |           mask
        |           FROM pats WHERE strpos(rest, pat) > 0
        |           ORDER BY pos ASC, plen DESC LIMIT 1) p),
        |fin AS (SELECT doc_id, acc || rest AS red FROM steps s
@@ -1178,11 +1285,27 @@ private[graft] object TextQueries extends QueryBook {
        |  QUALIFY row_number() OVER (PARTITION BY word
        |    ORDER BY cost ASC, mask ASC) = 1)""".stripMargin
 
-  /** Integer-pinned unigram piece costs from a (piece, cnt) CTE. */
-  private def unigramCostCte(vocabCte: String, dst: String): String =
-    s"""$dst AS (SELECT piece, CAST(round(1e6 * ln(
-       |   CAST((SELECT sum(cnt) FROM $vocabCte) AS DOUBLE) / cnt)) AS BIGINT) AS cost
-       |  FROM $vocabCte)""".stripMargin
+  /** Integer-pinned unigram piece costs. When the engine has trained in
+    * this JVM (always true in a Verify dump — queries run first), the
+    * round's (piece, cost) rows are injected as VALUES literals from
+    * `UnigramLm.capturedCosts` — the shared-constant pattern (ADVICE r15:
+    * recomputing round(1e6·ln(total/cnt)) in DuckDB rides on libm parity;
+    * a 1-ulp gap at a .5 boundary flips the Viterbi tie-break). The twin
+    * still derives its own piece counts, so a broken E/M chain still
+    * fails. The ln() recomputation remains as the fallback for a dump
+    * without a prior train. */
+  private def unigramCostCte(vocabCte: String, dst: String): String = {
+    val idx = dst.stripPrefix("uc").toInt
+    graft.operators.UnigramLm.capturedCosts match {
+      case Some(tabs) if idx < tabs.length =>
+        val vals = tabs(idx).map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+        s"$dst(piece, cost) AS (SELECT * FROM (VALUES $vals))"
+      case _ =>
+        s"""$dst AS (SELECT piece, CAST(round(1e6 * ln(
+           |   CAST((SELECT sum(cnt) FROM $vocabCte) AS DOUBLE) / cnt)) AS BIGINT) AS cost
+           |  FROM $vocabCte)""".stripMargin
+    }
+  }
 
   /** The full q337 training chain: bounded vocab → seed pieces → `rounds`
     * hard-EM rounds (E: unigramSegBlock; M: recount, drop unused multi-
@@ -1239,7 +1362,10 @@ private[graft] object TextQueries extends QueryBook {
     (vocab +: rs).mkString(",\n")
   }
 
-  val oracleSql: ListMap[String, String] = ListMap(
+  // def, not val: the q337/q338 twins embed UnigramLm.capturedCosts —
+  // engine-computed VALUES only available AFTER the queries ran (Verify
+  // dumps oracleSql last), so the map must be built at dump time
+  def oracleSql: ListMap[String, String] = ListMap(
       "q303_langdetect_nb" ->
         s"""$langNbCte
            |SELECT doc_id, lang, pred, n_grams FROM pred""".stripMargin,
@@ -1877,6 +2003,33 @@ private[graft] object TextQueries extends QueryBook {
            |SELECT doc_id, md5(red) AS red_md5,
            | CAST(length(red) AS BIGINT) AS red_len,
            | CAST(len(string_split(red, '[X]')) - 1 AS BIGINT) AS n_redactions
+           |FROM fin""".stripMargin,
+
+      // streaming scrub twin: the q336 recursive replay rolled to source
+      // totals — batch-membership-invariant sums, so the 4-slice replay
+      // must land exactly here
+      "q345_stream_redact" ->
+        s"""$redactCtes
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(len(string_split(f.red, '[X]')) - 1) AS BIGINT)
+           |   AS n_redactions,
+           | CAST(sum(length(w.t)) AS BIGINT) AS len_before,
+           | CAST(sum(length(f.red)) AS BIGINT) AS len_after
+           |FROM fin f JOIN w ON f.doc_id = w.doc_id
+           |JOIN documents d ON d.doc_id = f.doc_id
+           |GROUP BY d.source""".stripMargin,
+
+      // typed twin: the same greedy leftmost-longest recursion, with the
+      // picked pattern's CLASS MASK carried through the accumulator — the
+      // per-class splits then audit that both engines assigned every
+      // match to the same class
+      "q342_typed_redact" ->
+        s"""$typedRedactCtes
+           |SELECT doc_id, md5(red) AS red_md5,
+           | CAST(length(red) AS BIGINT) AS red_len,
+           | CAST(len(string_split(red, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+           | CAST(len(string_split(red, '<PHONE>')) - 1 AS BIGINT) AS n_phone,
+           | CAST(len(string_split(red, '<ID>')) - 1 AS BIGINT) AS n_id
            |FROM fin""".stripMargin,
 
       // the audit twin recomputes hits_after from the REDACTED text with

@@ -330,4 +330,32 @@ object EventStreams {
           .write.mode("append").parquet(outDir)
       }
       .start()
+
+  /** Streaming REDACTION (q345 — VERDICT r15 #7): every micro-batch is
+    * scrubbed with the SAME Aho–Corasick leftmost-longest pass the batch
+    * path runs (plans.AcRedact, whole-stage-codegen'd inside the batch
+    * plan) and the per-batch per-source scrub ledger is appended —
+    * (source, n_docs, n_redactions, len_before, len_after, batch_id).
+    * Ledger sums are batch-membership-invariant, so the read-back rollup
+    * equals the one-shot batch scrub regardless of the slicing — which is
+    * what the DuckDB twin checks. Expects columns (source, _t). */
+  def redactedSummary(stream: DataFrame, patterns: Seq[String], mask: String,
+      outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val maskRe = java.util.regex.Pattern.quote(mask)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.select(col("source"), col("_t"),
+            graft.plans.AcRedact.acRedact(col("_t"), patterns, mask).as("_r"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((size(split(col("_r"), maskRe, -1)) - 1).cast("long"))
+              .as("n_redactions"),
+            sum(length(col("_t")).cast("long")).as("len_before"),
+            sum(length(col("_r")).cast("long")).as("len_after"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
 }

@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
       .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
   }
 
+  test("ac_redact_typed stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val df = docs.select(
+      graft.plans.AcRedactTyped.acRedactTyped(col("text"),
+        Seq("mail kudu", "ring vole"), Seq("<EMAIL>", "<PHONE>")).as("red"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(800))
+    assert(p.contains("ac_redact_typed"), "ac_redact_typed missing from codegen span")
+  }
+
   test("ac_redact and ac_count_matches stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")
