@@ -41,6 +41,12 @@ object Bench {
     // this prices it). Local iteration only; the driver never sets it.
     sys.env.get("SPARK_GRAFT_STATESTORE").foreach(c =>
       builder.config("spark.sql.streaming.stateStore.providerClass", c))
+    // Shuffle-width override for LOCAL bisects only (e.g. reproducing the
+    // r14 conf-race regime where the suite silently ran 2-partition
+    // shuffles); the driver never sets it, so round records keep the
+    // honest width.
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(n =>
+      builder.config("spark.sql.shuffle.partitions", n))
     val spark = builder
       // Split small parquet files aggressively so single-file local scans
       // still fan out across cores (a no-op at real scale where files exceed

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *    query path never touches a corpus-sized side table.
   *  - `dict` — (token, dfreq): vocabulary-sized; the query filters it to
   *    its terms and broadcasts the survivors.
-  *  - `stats` — ONE row (n_docs, avgdl): the corpus scalars.
+  *  - `stats` — ONE row (n_docs, dl_sum): the corpus scalars as EXACT
+  *    integer totals (avgdl derives at query time), so [[append]] merges
+  *    them additively with zero floating-point drift.
   *
   * Query-path scale shape (the PlanSpec-pinned contract): the ONLY scan is
   * `postings`, partition-pruned to the query terms' buckets (nProbe/k of
@@ -44,7 +46,49 @@ object LexIndex {
       .write.partitionBy("tok_bucket").mode("overwrite").parquet(s"$dir/postings")
     tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
       .write.mode("overwrite").parquet(s"$dir/dict")
-    dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // stats as EXACT INTEGER totals (doc count, Σdl): avgdl is derived at
+    // query time as one double division — so an appended index recombines
+    // bit-identically with a from-scratch build (a stored floating avgdl
+    // would re-round on every merge; integer sums cannot drift)
+    dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Append a NEW document batch to an existing index — the ingest path
+    * (q129's incremental contract applied to the lexical artifact): the
+    * batch is tokenized once, its postings land as new files in the
+    * bucket-partitioned layout, and the corpus statistics are UPDATED
+    * EXACTLY because every BM25 statistic is additive — dfreq and doc
+    * counts add, and avgdl recombines from the two totals. Unlike the ANN
+    * index (frozen quantizers, appends encoded against standing
+    * centroids), a lexical index's stats shift with every ingest; this
+    * append keeps them exact, so build(A)+append(B) ≡ build(A∪B) and the
+    * q346 oracle can hash-gate the upsert against the full-corpus twin.
+    * Cost: one pass over the BATCH plus a vocab-sized dict rewrite — the
+    * standing postings are never read or rewritten. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame, id: Column,
+      text: Column, nBuckets: Int = 16): Unit = {
+    val tf = Retrieval.termFreqs(batch, id, text).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .select("tok_bucket", "token", "doc_id", "tf", "dl")
+      .write.partitionBy("tok_bucket").mode("append").parquet(s"$dir/postings")
+    // dict: additive dfreq merge (vocab-sized on both sides)
+    val oldDict = spark.read.parquet(s"$dir/dict")
+    val merged = oldDict.unionByName(
+        tf.groupBy("token").agg(count(lit(1)).as("dfreq")))
+      .groupBy("token").agg(sum("dfreq").as("dfreq"))
+      .localCheckpoint() // sever lineage from the file being overwritten
+    merged.write.mode("overwrite").parquet(s"$dir/dict")
+    // stats: exact integer addition — no floating recombination anywhere
+    val oldStats = spark.read.parquet(s"$dir/stats").head()
+    val (oldN, oldSum) = (oldStats.getLong(0), oldStats.getLong(1))
+    val newStats = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("s")).head()
+    val (bN, bSum) = (newStats.getLong(0), newStats.getLong(1))
+    import spark.implicits._
+    Seq((oldN + bN, oldSum + bSum)).toDF("n_docs", "dl_sum")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -67,6 +111,8 @@ object LexIndex {
     val dict = spark.read.parquet(s"$dir/dict")
       .where(col("token").isin(terms: _*))
     val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
     val idf = log(lit(1.0) + (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     postings

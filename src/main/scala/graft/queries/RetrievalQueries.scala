@@ -47,6 +47,25 @@ private[graft] object RetrievalQueries extends QueryBook {
         terms = Seq("spark", "vector", "stream"))
     }),
 
+    "q346_lex_index_upsert" -> ((s, dir) => {
+      // Lexical-index INGEST (q129's incremental contract on the BM25
+      // artifact): the index is built on the standing corpus (doc_id % 10
+      // != 0), the fresh batch is APPENDED — new postings land as new
+      // bucket files, dict dfreq merges additively, and the corpus stats
+      // recombine as exact integer totals, so build(A)+append(B) is
+      // BIT-IDENTICAL to build(A∪B) — and the query must reproduce the
+      // full-corpus q52 scores, which is exactly what the twin checks.
+      // The standing postings are never read or rewritten by the ingest.
+      val ixDir = s"target/lex_index_upsert/${new java.io.File(dir).getName}"
+      val docs = t(s, dir, "documents")
+      graft.operators.LexIndex.build(
+        docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"), ixDir)
+      graft.operators.LexIndex.append(s, ixDir,
+        docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+      graft.operators.LexIndex.query(s, ixDir,
+        terms = Seq("spark", "vector", "stream"))
+    }),
+
     "q132_phrase_search" -> ((s, dir) => {
       // Exact phrase search over positional postings (the inverted-index
       // adjacency-anchor algorithm) with a bounded per-phrase top-k —
@@ -249,6 +268,10 @@ private[graft] object RetrievalQueries extends QueryBook {
       // q344 is q52's build+query round trip through the stored postings
       // artifact — scores must be bit-identical, so the twin is q52's
       "q344_lex_index_query" -> bm25Sql,
+
+      // q346 is build(90%)+append(10%)+query: additive stats make the
+      // upsert bit-identical to a full build, so the twin is again q52's
+      "q346_lex_index_upsert" -> bm25Sql,
 
       "q132_phrase_search" -> {
         val qvals = phraseQueries.flatMap { p =>

@@ -126,6 +126,22 @@ class Round16Spec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("LexIndex.append: build(A)+append(B) answers identically to build(A∪B)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val terms = Seq("spark", "data")
+    val full = s"target/test_lex_full/${System.nanoTime()}"
+    val inc = s"target/test_lex_inc/${System.nanoTime()}"
+    graft.operators.LexIndex.build(docs, col("doc_id"), col("text"), full)
+    graft.operators.LexIndex.build(
+      docs.where(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"), inc)
+    graft.operators.LexIndex.append(spark, inc,
+      docs.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))
+    def res(dir: String) = graft.operators.LexIndex.query(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(res(inc) === res(full))
+    assert(res(full).nonEmpty)
+  }
+
   test("LexIndex query path scans ONLY the artifact, partition-pruned to the terms' buckets") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val dir = s"target/test_lex_index_plan/${System.nanoTime()}"
