@@ -49,11 +49,17 @@ object AviCodec extends MediaCodec {
     * the walkers always strictly advance. */
   private def chunkSize(id: Long, b: Array[Byte], off: Int, limit: Int): Int = {
     val sz = u32(b, off + 4) // unsigned: 0..2^32-1 as Long
-    require(sz <= (limit - off - 8).toLong,
-      s"payload $id: chunk '${fourCC(b, off)}' at $off declares $sz B, " +
-        s"only ${limit - off - 8} remain in its container")
+    // hot path kept tiny (JIT-inlinable into the chunk walkers): the
+    // message-building throw lives in a separate cold method
+    if (sz > (limit - off - 8).toLong) badChunk(id, b, off, limit, sz)
     sz.toInt // ≤ limit ≤ Int.MaxValue: exact, non-negative
   }
+
+  private def badChunk(id: Long, b: Array[Byte], off: Int, limit: Int,
+      sz: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"payload $id: chunk '${fourCC(b, off)}' at $off declares $sz B, " +
+        s"only ${limit - off - 8} remain in its container")
 
   /** Width, height, totalFrames from the `avih` header — header-only: the
     * walk stops the moment `avih` is found, before any `movi` bytes. */

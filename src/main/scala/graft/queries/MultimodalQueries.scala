@@ -19,6 +19,24 @@ import graft.queries.QueryHelpers._
   * decoder); these queries prove the SEAM carries real codecs unchanged. */
 private[graft] object MultimodalQueries extends QueryBook {
 
+  /** The slim per-doc id feed for the decode-bound stages, FANNED OUT
+    * before the decode. The fixture's documents table is one small
+    * parquet file = one row group = ONE scan split, so a mapPartitions
+    * decode that inherits scan parallelism runs single-threaded no matter
+    * how many cores exist (found round 16: q340 6.7 s at sf0.1 vs 3.4 s
+    * at 10× the data, whose ScaleUp output has many files). Decode cost
+    * here is per-ROW, not per-byte — a round-robin repartition of bare
+    * ids (a shuffle of longs) buys full-width decode under ANY source
+    * layout. The 100 TB posture is the same: payload-decode parallelism
+    * must never be an accident of file splits. */
+  private def docIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
 
     "q300_imageio_roundtrip" -> ((s, dir) => {
@@ -30,7 +48,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // 100 TB the bytes never leave the partition that decoded them);
       // only the slim (doc_id, lum) manifest joins the metadata.
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (32 + id % 97).toInt
           val h = (32 + (id * 31) % 97).toInt
@@ -57,7 +75,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // recomputes the histogram from the generation lattice
       // (x + y over w×h), so a single mis-decoded pixel flips the gate.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (32 + id % 97).toInt
           val h = (32 + (id * 31) % 97).toInt
@@ -80,7 +98,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // share one executor-side pass: payload bytes never leave the
       // partition that built them, only the slim metadata rows move.
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docIds(s, dir)
         .mapPartitions(_.map { id => (id, AudioGen.pcmWav(id), "audio") })
         .toDF("doc_id", "payload", "kind")
       Multimodal.decodeMeta(media, AudioIoCodec).toDF()
@@ -101,7 +119,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // both from the generation arithmetic; one mis-decoded sample (or a
       // byte-order slip) flips the gate.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val wav = AudioGen.pcmWav(id)
           val emb = AudioIoCodec.encodeFeature(id, wav, "audio", 16).embedding
@@ -120,7 +138,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // The twin replays the same modular sample formula with the same
       // window grouping; the ragged final window is part of the contract.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val wav = AudioGen.pcmWav(id)
           val (nw, ns, tot, mx) =
@@ -138,7 +156,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // floor division, so a single mis-pooled pixel flips the gate.
       // Only three scalars per image leave the partition.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 2).toInt
           val dy = (1 + (id / 2) % 2).toInt
@@ -157,7 +175,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // every 2nd frame, sum sampled luminance. Payloads never shuffle;
       // the twin predicts each sampled frame's sum from the lattice.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 2).toInt
           val dy = (1 + (id / 2) % 2).toInt
@@ -179,7 +197,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // bytes per payload). Every field, including the exact container byte
       // size, must equal the closed forms DuckDB derives from doc_id.
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (16 + (id % 3) * 4).toInt
           val h = (16 + (id / 3) % 3 * 4).toInt
@@ -205,7 +223,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // Payloads never shuffle; the twin predicts each sampled frame's sum
       // from the generation lattice (BI_RGB is lossless).
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 2).toInt
           val dy = (1 + (id / 2) % 2).toInt
@@ -230,7 +248,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // near-miss hashes exist by construction, and the twin recomputes
       // them from the same lattice.
       import s.implicits._
-      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val hashes = docIds(s, dir)
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 3).toInt
           val dy = (1 + (id / 3) % 3).toInt
@@ -279,7 +297,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // basis literals (generated VALUES — the oracle never evaluates a
       // cosine).
       import s.implicits._
-      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val hashes = docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val p = 4 << (id % 4).toInt
           val ph = ((id / 4) % 2).toInt
@@ -331,7 +349,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // recomputes per-frame hashes at the (period, phase, base) FRAME-
       // CLASS grain and string_aggs the per-doc phase walk.
       import s.implicits._
-      val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val sigs = docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val p = 4 << (id % 4).toInt
           val ph0 = ((id / 4) % 2).toInt
@@ -367,13 +385,18 @@ private[graft] object MultimodalQueries extends QueryBook {
       // text+media (true duplicate — drop), text_only (same text, new
       // image — keep the media), media_only (same media, rewritten
       // caption — keep the text), unique. The corpus is INTERLEAVED the
-      // way a crawl is: only the doc_id % 23 residue carries an image
-      // (the rest are text-only rows, media_dup = false by definition),
-      // and the image lattice (dx, dy ∈ 1..5) spreads the carriers over
-      // ~19 aHash ratio classes so both media singletons and media groups
-      // exist. Both sides are bucketed (text: 3-token-prefix blocks;
-      // media: hash groups) — no all-pairs anywhere, and only flags and
-      // 64-char hashes shuffle.
+      // way a crawl is — THREE modalities: the doc_id % 23 residue
+      // carries an IMAGE (real-decode aHash, q330's machinery; the
+      // dx, dy ∈ 1..5 lattice spreads carriers over ~19 ratio classes so
+      // media singletons and groups both exist), the disjoint % 31
+      // residue carries a VIDEO (real RIFF/DIB frame decode → per-frame
+      // DCT pHash signature, q340's machinery), and the rest are
+      // text-only rows (media_dup = false by definition). Media keys are
+      // modality-prefixed so an image hash can never collide with a
+      // video signature. Both sides are bucketed (text: 3-token-prefix
+      // blocks; media: hash/signature groups) — no all-pairs anywhere,
+      // and only flags and hash strings shuffle; payloads decode and die
+      // executor-side.
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.Dedup.editDistNearDups(
@@ -383,17 +406,36 @@ private[graft] object MultimodalQueries extends QueryBook {
         .unionAll(pairs.select(col("id_b").as("doc_id")))
         .distinct().withColumn("_t", lit(true))
       val img = docs.where(pmod(col("doc_id"), lit(23)) === 0)
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 5).toInt
           val dy = (1 + (id / 5) % 5).toInt
           val c = ((id % 7) * 10).toInt
-          (id, graft.multimodal.ImagePHash.aHashBits(id,
+          (id, "i:" + graft.multimodal.ImagePHash.aHashBits(id,
             ImageGen.rampPng(16, 16, dx, dy, c)))
         }).toDF("doc_id", "mkey")
-      val msize = img.groupBy("mkey").agg(count(lit(1)).as("_mn"))
+      val vid = docs.where(pmod(col("doc_id"), lit(31)) === 0 &&
+          pmod(col("doc_id"), lit(23)) =!= 0)
+        .select(col("doc_id")) // fan out like docIds: decode is per-row
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .mapPartitions(_.map { id =>
+          val p = 4 << (id % 4).toInt
+          val ph0 = ((id / 4) % 2).toInt
+          val b0 = (16 + (id % 5) * 8).toInt
+          val nF = (2 + id % 3).toInt
+          val sb = new java.lang.StringBuilder("v:")
+          AviCodec.foreachSampledFrameRaster(id,
+            AviGen.checkerAvi(64, 64, p, ph0, b0, 112, nF), 1) { (_, w, h, r) =>
+            if (sb.length > 2) sb.append('-')
+            sb.append(graft.multimodal.DctHash.hashOfRaster(id, r, w, h))
+          }
+          (id, sb.toString)
+        }).toDF("doc_id", "mkey")
+      val media = img.unionAll(vid)
+      val msize = media.groupBy("mkey").agg(count(lit(1)).as("_mn"))
       docs.select(col("doc_id"))
-        .join(img.join(msize, "mkey"), Seq("doc_id"), "left")
+        .join(media.join(msize, "mkey"), Seq("doc_id"), "left")
         .join(tdup, Seq("doc_id"), "left")
         .select(col("mkey"),
           coalesce(col("_t"), lit(false)).as("_td"),
@@ -422,7 +464,7 @@ private[graft] object MultimodalQueries extends QueryBook {
       // n_brightness pins the invariance: every group must span all 7
       // brightness levels.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val dx = (1 + id % 3).toInt
           val dy = (1 + (id / 3) % 3).toInt
@@ -726,9 +768,10 @@ private[graft] object MultimodalQueries extends QueryBook {
           | CAST(count(DISTINCT i.doc_id % 7) AS BIGINT) AS n_brightness
           |FROM hs h JOIN ids i ON h.doc_id = i.doc_id GROUP BY 1""".stripMargin,
 
-      // the two existing twins composed: q198's verified-pair chain marks
-      // text-dup docs, q330's closed-form aHash marks media-dup docs, one
-      // doc-grain join rolls the conflict matrix
+      // three existing twins composed: q198's verified-pair chain marks
+      // text-dup docs, q330's closed-form aHash marks image carriers,
+      // q340's frame-class DCT signature marks video carriers (modality-
+      // prefixed keys), one doc-grain join rolls the conflict matrix
       "q343_crossmodal_dedup" ->
         s"""WITH dd AS (SELECT doc_id, ${cleanSql("text")} AS t FROM documents
           |  WHERE n_chars <= 512),
@@ -755,19 +798,54 @@ private[graft] object MultimodalQueries extends QueryBook {
           |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
           |hs AS (SELECT doc_id, string_agg(v, '' ORDER BY b) AS ahash_bits
           |  FROM bits GROUP BY doc_id),
-          |msz AS (SELECT ahash_bits, count(*) AS mn FROM hs GROUP BY 1),
-          |lab AS (SELECT d.doc_id, h.ahash_bits,
+          |vparm AS (SELECT doc_id,
+          |   CAST(4 << (doc_id % 4) AS BIGINT) AS p,
+          |   CAST((doc_id // 4) % 2 AS BIGINT) AS ph0,
+          |   CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS b0,
+          |   CAST(2 + doc_id % 3 AS BIGINT) AS nf FROM documents
+          |  WHERE doc_id % 31 = 0 AND doc_id % 23 <> 0),
+          |vfc AS (SELECT DISTINCT p, ph.range AS ph, b0
+          |  FROM (SELECT DISTINCT p, b0 FROM vparm), range(2) ph),
+          |dctb(u, x, cv) AS (VALUES ${graft.multimodal.DctHash.basisSqlValues}),
+          |vpx AS (SELECT p, ph, b0, rx.range AS bi, ry.range AS bj,
+          |   b0 + 112 * ((rx.range // (p // 2) + ry.range // (p // 2) + ph) % 2)
+          |     AS val
+          |  FROM vfc, range(32) rx, range(32) ry),
+          |vt1 AS (SELECT p, ph, b0, d.u, bj, sum(d.cv * val) AS tv
+          |  FROM vpx JOIN dctb d ON d.x = bi GROUP BY 1, 2, 3, 4, 5),
+          |vdd AS (SELECT p, ph, b0, vt1.u, d2.u AS v, sum(d2.cv * tv) AS dv
+          |  FROM vt1 JOIN dctb d2 ON d2.x = bj GROUP BY 1, 2, 3, 4, 5),
+          |vmed AS (SELECT p, ph, b0, sum(dv) AS m FROM (
+          |    SELECT p, ph, b0, dv, row_number() OVER (PARTITION BY p, ph, b0
+          |      ORDER BY dv) AS rn FROM vdd)
+          |  WHERE rn IN (32, 33) GROUP BY 1, 2, 3),
+          |vbits AS (SELECT vdd.p, vdd.ph, vdd.b0, vdd.u * 8 + vdd.v AS b,
+          |   CASE WHEN 2 * vdd.dv > vmed.m THEN '1' ELSE '0' END AS bit
+          |  FROM vdd JOIN vmed ON vdd.p = vmed.p AND vdd.ph = vmed.ph
+          |    AND vdd.b0 = vmed.b0),
+          |vhs AS (SELECT p, ph, b0, string_agg(bit, '' ORDER BY b) AS h
+          |  FROM vbits GROUP BY 1, 2, 3),
+          |vsig AS (SELECT i.doc_id,
+          |   'v:' || string_agg(vhs.h, '-' ORDER BY f.range) AS mkey
+          |  FROM vparm i JOIN range(4) f ON f.range < i.nf
+          |   JOIN vhs ON vhs.p = i.p AND vhs.ph = (i.ph0 + f.range) % 2
+          |    AND vhs.b0 = i.b0
+          |  GROUP BY i.doc_id),
+          |media AS (SELECT doc_id, 'i:' || ahash_bits AS mkey FROM hs
+          |  UNION ALL SELECT doc_id, mkey FROM vsig),
+          |msz AS (SELECT mkey, count(*) AS mn FROM media GROUP BY 1),
+          |lab AS (SELECT d.doc_id, h.mkey,
           |   (t.doc_id IS NOT NULL) AS tdup,
           |   coalesce(m.mn > 1, FALSE) AS mdup
           |  FROM documents d
-          |  LEFT JOIN hs h ON h.doc_id = d.doc_id
-          |  LEFT JOIN msz m ON m.ahash_bits = h.ahash_bits
+          |  LEFT JOIN media h ON h.doc_id = d.doc_id
+          |  LEFT JOIN msz m ON m.mkey = h.mkey
           |  LEFT JOIN td t ON d.doc_id = t.doc_id)
           |SELECT CASE WHEN tdup AND mdup THEN 'text+media'
           |  WHEN tdup THEN 'text_only'
           |  WHEN mdup THEN 'media_only' ELSE 'unique' END AS dup_class,
           | CAST(count(*) AS BIGINT) AS n_docs,
-          | CAST(count(DISTINCT ahash_bits) AS BIGINT) AS n_media_groups
+          | CAST(count(DISTINCT mkey) AS BIGINT) AS n_media_groups
           |FROM lab GROUP BY 1""".stripMargin,
   )
 }
