@@ -142,6 +142,18 @@ class PlanSpec extends SparkSpec {
       .foreach(n => assert(p.contains(n), s"$n missing from codegen span"))
   }
 
+  test("decode-bound multimodal stages fan out independently of scan splits") {
+    // round 16: the sf0.1 documents fixture is ONE parquet row group =
+    // one scan split; without an explicit round-robin exchange of the
+    // bare ids, every per-doc decode ran single-threaded (q340 6.7 s →
+    // 0.57 s). Pin the exchange so a refactor can't silently re-couple
+    // decode parallelism to file layout.
+    val df = SparkEntry.queries("q340_video_phash_dedup")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("roundrobin"),
+      "decode feed lost its round-robin fan-out:\n" + p.take(1200))
+  }
+
   test("ac_redact_typed stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")
