@@ -92,6 +92,43 @@ object LexIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Compact the bucket-partitioned postings: every `tok_bucket` whose
+    * parquet fragment count exceeds `maxFragments` is rewritten into ONE
+    * fragment — content-identical, dict/stats untouched, clean buckets
+    * keep their files. The maintenance pass of the [[append]] ingest loop
+    * (AnnIndex.compact's contract on the lexical artifact): each append
+    * lands one file per bucket, and after enough batches the query path
+    * pays a small-file open per fragment instead of a streaming scan.
+    * Returns the bucket ids rewritten. */
+  def compact(spark: SparkSession, dir: String, maxFragments: Int = 4): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings = new Path(s"$dir/postings")
+    def fragments(p: Path): Int =
+      fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    val over = fs.listStatus(postings)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("tok_bucket="))
+      .filter(d => fragments(d.getPath) > maxFragments)
+      .map(_.getPath.getName.stripPrefix("tok_bucket=").toLong).toSeq.sorted
+    if (over.nonEmpty) {
+      val tmp = new Path(s"$dir/postings_compacting")
+      fs.delete(tmp, true)
+      // hash-repartition on the partition column: every row of a bucket
+      // lands in one task, so each rewritten bucket is exactly one fragment
+      spark.read.parquet(s"$dir/postings")
+        .where(col("tok_bucket").isin(over.map(java.lang.Long.valueOf): _*))
+        .repartition(col("tok_bucket"))
+        .write.partitionBy("tok_bucket").mode("overwrite").parquet(tmp.toString)
+      over.foreach { b =>
+        val live = new Path(postings, s"tok_bucket=$b")
+        fs.delete(live, true)
+        fs.rename(new Path(tmp, s"tok_bucket=$b"), live)
+      }
+      fs.delete(tmp, true)
+    }
+    over
+  }
+
   /** BM25 top scores for a bag-of-words query, answered ENTIRELY from the
     * stored artifact: (doc_id, score), score rounded to 4 dp — the
     * `Retrieval.bm25` contract, zero corpus scans. */

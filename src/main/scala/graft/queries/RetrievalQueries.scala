@@ -62,6 +62,10 @@ private[graft] object RetrievalQueries extends QueryBook {
         docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"), ixDir)
       graft.operators.LexIndex.append(s, ixDir,
         docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+      // maintenance pass under the same hash gate (the q129 discipline):
+      // rewriting the multi-fragment buckets (build + append = 2 files
+      // each) must be invisible to the query — compact ≡ append ≡ build
+      graft.operators.LexIndex.compact(s, ixDir, maxFragments = 1)
       graft.operators.LexIndex.query(s, ixDir,
         terms = Seq("spark", "vector", "stream"))
     }),
