@@ -1090,7 +1090,13 @@ object ScaleProbe {
       graft.queries.QueryHelpers.linkagePfxLen(names1))
     println(s"[probe] distinct names $names0 -> $names1 at 10x: " +
       s"adaptive prefix $p0 -> $p1")
-    assert(p1 > p0, s"prefix rule did not step at 10x ($names0 -> $names1 names)")
+    // input validation, not a contract check: the rule steps once per
+    // DECADE, so an n whose 10× image stays inside one band (e.g. 500 →
+    // 5k, both ≤ 10k) cannot demonstrate the step — tell the caller to
+    // pick n near a boundary instead of misreporting a broken contract
+    require(p1 > p0, s"probe input n=$n does not cross a linkagePfxLen " +
+      s"decade ($names0 -> $names1 distinct names both map to prefix $p0) " +
+      "— choose n so that 10x the minted names crosses 10000 or 100000")
     val c0s = candPairs(small, p0)
     val c0b = candPairs(big, p0)  // yesterday's knob at tomorrow's corpus
     val c1b = candPairs(big, p1)  // the stepped knob

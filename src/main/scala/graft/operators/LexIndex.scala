@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *    query path never touches a corpus-sized side table.
   *  - `dict` — (token, dfreq): vocabulary-sized; the query filters it to
   *    its terms and broadcasts the survivors.
-  *  - `stats` — ONE row (n_docs, dl_sum): the corpus scalars as EXACT
-  *    integer totals (avgdl derives at query time), so [[append]] merges
-  *    them additively with zero floating-point drift.
+  *  - `stats` — ONE row (n_docs, dl_sum, n_buckets): the corpus scalars
+  *    as EXACT integer totals (avgdl derives at query time), so
+  *    [[append]] merges them additively with zero floating-point drift —
+  *    plus the bucket count, PERSISTED so query/append always hash with
+  *    the build's modulus (a mismatched caller parameter would silently
+  *    prune away live postings; reading it from the artifact removes the
+  *    footgun).
   *
   * Query-path scale shape (the PlanSpec-pinned contract): the ONLY scan is
   * `postings`, partition-pruned to the query terms' buckets (nProbe/k of
@@ -34,16 +38,34 @@ import org.apache.spark.sql.functions._
   */
 object LexIndex {
 
+  /** One tokenize pass over `df`: (tf with localCheckpoint, per-doc dl).
+    * Shared by [[build]] and [[append]] — the q346 contract is
+    * build(A)+append(B) ≡ build(A∪B) bit-for-bit, so there must be
+    * exactly ONE tokenization/bucketing code path. */
+  private def tokenized(df: DataFrame, id: Column, text: Column)
+      : (DataFrame, DataFrame) = {
+    val tf = Retrieval.termFreqs(df, id, text).localCheckpoint()
+    (tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** Write (tf ⋈ dl) as bucket-partitioned postings under `dir`. */
+  private def writePostings(tf: DataFrame, dl: DataFrame, dir: String,
+      mode: String, nBuckets: Int): Unit =
+    tf.join(dl, "doc_id")
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .select("tok_bucket", "token", "doc_id", "tf", "dl")
+      .write.partitionBy("tok_bucket").mode(mode).parquet(s"$dir/postings")
+
+  /** The artifact's persisted bucket modulus (stats row, column 3). */
+  private def storedBuckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/stats").head().getAs[Int]("n_buckets")
+
   /** Tokenize `df` exactly as `Retrieval.bm25` does and write the
     * `postings`/`dict`/`stats` artifact under `dir`. */
   def build(df: DataFrame, id: Column, text: Column, dir: String,
       nBuckets: Int = 16): Unit = {
-    val tf = Retrieval.termFreqs(df, id, text).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, "doc_id")
-      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-      .select("tok_bucket", "token", "doc_id", "tf", "dl")
-      .write.partitionBy("tok_bucket").mode("overwrite").parquet(s"$dir/postings")
+    val (tf, dl) = tokenized(df, id, text)
+    writePostings(tf, dl, dir, "overwrite", nBuckets)
     tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
       .write.mode("overwrite").parquet(s"$dir/dict")
     // stats as EXACT INTEGER totals (doc count, Σdl): avgdl is derived at
@@ -51,44 +73,42 @@ object LexIndex {
     // bit-identically with a from-scratch build (a stored floating avgdl
     // would re-round on every merge; integer sums cannot drift)
     dl.agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+      .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Append a NEW document batch to an existing index — the ingest path
     * (q129's incremental contract applied to the lexical artifact): the
     * batch is tokenized once, its postings land as new files in the
-    * bucket-partitioned layout, and the corpus statistics are UPDATED
-    * EXACTLY because every BM25 statistic is additive — dfreq and doc
-    * counts add, and avgdl recombines from the two totals. Unlike the ANN
-    * index (frozen quantizers, appends encoded against standing
-    * centroids), a lexical index's stats shift with every ingest; this
-    * append keeps them exact, so build(A)+append(B) ≡ build(A∪B) and the
-    * q346 oracle can hash-gate the upsert against the full-corpus twin.
-    * Cost: one pass over the BATCH plus a vocab-sized dict rewrite — the
-    * standing postings are never read or rewritten. */
+    * bucket-partitioned layout (hashed with the ARTIFACT's stored bucket
+    * count), and the corpus statistics are UPDATED EXACTLY because every
+    * BM25 statistic is additive — dfreq and doc counts add, and avgdl
+    * recombines from the two integer totals. Unlike the ANN index (frozen
+    * quantizers, appends encoded against standing centroids), a lexical
+    * index's stats shift with every ingest; this append keeps them exact,
+    * so build(A)+append(B) ≡ build(A∪B) and the q346 oracle can hash-gate
+    * the upsert against the full-corpus twin. Cost: one pass over the
+    * BATCH plus a vocab-sized dict rewrite — the standing postings are
+    * never read or rewritten. */
   def append(spark: SparkSession, dir: String, batch: DataFrame, id: Column,
-      text: Column, nBuckets: Int = 16): Unit = {
-    val tf = Retrieval.termFreqs(batch, id, text).localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, "doc_id")
-      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
-      .select("tok_bucket", "token", "doc_id", "tf", "dl")
-      .write.partitionBy("tok_bucket").mode("append").parquet(s"$dir/postings")
+      text: Column): Unit = {
+    val oldStats = spark.read.parquet(s"$dir/stats").head()
+    val (oldN, oldSum, nBuckets) = (oldStats.getAs[Long]("n_docs"),
+      oldStats.getAs[Long]("dl_sum"), oldStats.getAs[Int]("n_buckets"))
+    val (tf, dl) = tokenized(batch, id, text)
+    writePostings(tf, dl, dir, "append", nBuckets)
     // dict: additive dfreq merge (vocab-sized on both sides)
-    val oldDict = spark.read.parquet(s"$dir/dict")
-    val merged = oldDict.unionByName(
-        tf.groupBy("token").agg(count(lit(1)).as("dfreq")))
+    val merged = spark.read.parquet(s"$dir/dict")
+      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("dfreq")))
       .groupBy("token").agg(sum("dfreq").as("dfreq"))
       .localCheckpoint() // sever lineage from the file being overwritten
     merged.write.mode("overwrite").parquet(s"$dir/dict")
     // stats: exact integer addition — no floating recombination anywhere
-    val oldStats = spark.read.parquet(s"$dir/stats").head()
-    val (oldN, oldSum) = (oldStats.getLong(0), oldStats.getLong(1))
     val newStats = dl.agg(count(lit(1)).as("n"),
       coalesce(sum("dl"), lit(0L)).as("s")).head()
-    val (bN, bSum) = (newStats.getLong(0), newStats.getLong(1))
     import spark.implicits._
-    Seq((oldN + bN, oldSum + bSum)).toDF("n_docs", "dl_sum")
+    Seq((oldN + newStats.getLong(0), oldSum + newStats.getLong(1), nBuckets))
+      .toDF("n_docs", "dl_sum", "n_buckets")
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -99,11 +119,25 @@ object LexIndex {
     * (AnnIndex.compact's contract on the lexical artifact): each append
     * lands one file per bucket, and after enough batches the query path
     * pays a small-file open per fragment instead of a streaming scan.
-    * Returns the bucket ids rewritten. */
+    * Crash-safe swap: the live bucket is renamed ASIDE (`.old`), the
+    * compacted copy renamed in, then the old dir deleted — at every
+    * instant at least one complete copy of the bucket exists under a
+    * name a restarted compact will find and finish from (a delete-then-
+    * rename window would lose the bucket silently: an absent partition is
+    * not an error to the query path). Returns the bucket ids rewritten. */
   def compact(spark: SparkSession, dir: String, maxFragments: Int = 4): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val postings = new Path(s"$dir/postings")
+    // finish an interrupted prior swap: a `.old` dir with no live dir
+    // means the crash hit between rename-aside and rename-in
+    fs.listStatus(postings)
+      .filter(d => d.isDirectory && d.getPath.getName.endsWith(".old"))
+      .foreach { d =>
+        val live = new Path(postings, d.getPath.getName.stripSuffix(".old"))
+        if (!fs.exists(live)) fs.rename(d.getPath, live)
+        else fs.delete(d.getPath, true)
+      }
     def fragments(p: Path): Int =
       fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
     val over = fs.listStatus(postings)
@@ -121,8 +155,10 @@ object LexIndex {
         .write.partitionBy("tok_bucket").mode("overwrite").parquet(tmp.toString)
       over.foreach { b =>
         val live = new Path(postings, s"tok_bucket=$b")
-        fs.delete(live, true)
+        val aside = new Path(postings, s"tok_bucket=$b.old")
+        fs.rename(live, aside)
         fs.rename(new Path(tmp, s"tok_bucket=$b"), live)
+        fs.delete(aside, true)
       }
       fs.delete(tmp, true)
     }
@@ -131,11 +167,13 @@ object LexIndex {
 
   /** BM25 top scores for a bag-of-words query, answered ENTIRELY from the
     * stored artifact: (doc_id, score), score rounded to 4 dp — the
-    * `Retrieval.bm25` contract, zero corpus scans. */
+    * `Retrieval.bm25` contract, zero corpus scans. The bucket modulus
+    * comes from the artifact itself, never from the caller. */
   def query(spark: SparkSession, dir: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 16): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "LexIndex.query needs at least one query term")
     import spark.implicits._
+    val nBuckets = storedBuckets(spark, dir)
     // the terms' buckets via the engine's own hash (driver-tiny: |terms|
     // rows through the same xxhash64 the build used — the two sides
     // cannot disagree on the bucket function)

@@ -1604,20 +1604,30 @@ private[graft] object RelationalQueries extends QueryBook {
       //
       // OUTPUT-STREAMING EXPANSION (round 16): on a duplicate-heavy corpus
       // the pair-for-pair OUTPUT is copies² by contract — the floor is
-      // writing it, so nothing else may scale with it. Both expansion
-      // joins broadcast their bounded side (vx: ≤ distinct-pair count;
-      // the part projection: one slim row per part — at real scale this
-      // side is bucket-co-located on the block key instead), so the fan-
-      // out is generated inside ONE whole-stage-codegen stage: the 100×
-      // row mint never shuffles and never sorts. Measured: sf1 10.45 s →
-      // sub-second at the same 15.5M-row output (BASELINE.md round 16).
+      // writing it, so nothing else may scale with it. vx (≤ distinct-
+      // pair count) always broadcasts; the slim part projection
+      // broadcasts only while ≤ 2M rows (driver-safe) and past that the
+      // expansion falls back to a shuffled join on the block key — the
+      // bucket-co-located posture, never a driver-OOM cliff. Inside the
+      // broadcast regime the fan-out is generated in ONE whole-stage-
+      // codegen stage: the 100× row mint never shuffles and never sorts.
+      // Measured: sf1 10.45 s → ~1.1 s at the same 15.5M-row output
+      // (BASELINE.md round 16).
       val pAll = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val nNames = pAll.agg(countDistinct("p_name")).head.getLong(0)
+        .localCheckpoint() // ONE source scan; the count and all three
+                           // expansion consumers read the checkpoint
+      val sizes = pAll.agg(countDistinct("p_name").as("dn"),
+        count(lit(1)).as("n")).head
+      val (nNames, nParts) = (sizes.getLong(0), sizes.getLong(1))
       val pfxLen = QueryHelpers.linkagePfxLen(nNames)
-      val p = pAll
-        .withColumn("pfx", substring(col("p_name"), 1, pfxLen))
-        .localCheckpoint() // three slim consumers, one scan
+      val p = pAll.withColumn("pfx", substring(col("p_name"), 1, pfxLen))
+      // broadcast the slim part projection only while it is genuinely
+      // broadcastable — past that the expansion falls back to a shuffled
+      // join on the block key (the bucket-co-located posture at real
+      // scale); the hint must not be a driver-OOM cliff at sf100
+      val bcast: DataFrame => DataFrame =
+        if (nParts <= 2000000L) broadcast else identity
       val g = p.select("p_brand", "pfx", "p_name").distinct()
       val vx = g.select(col("p_brand"), col("pfx"), col("p_name").as("na"))
         .join(g.select(col("p_brand"), col("pfx"), col("p_name").as("nb")),
@@ -1630,7 +1640,7 @@ private[graft] object RelationalQueries extends QueryBook {
       p.select(col("p_brand"), col("pfx"), col("p_name").as("na"),
           col("p_partkey").as("_ka"))
         .join(broadcast(vx), Seq("p_brand", "pfx", "na"))
-        .join(broadcast(p.select(col("p_brand"), col("pfx"),
+        .join(bcast(p.select(col("p_brand"), col("pfx"),
           col("p_name").as("nb"), col("p_partkey").as("_kb"))),
           Seq("p_brand", "pfx", "nb"))
         .select(least(col("_ka"), col("_kb")).as("key_a"),
