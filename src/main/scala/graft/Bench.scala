@@ -77,9 +77,14 @@ object Bench {
     // exactly one shard, so summed shard totals equal a full run up to
     // host band — the merge is plain addition.
     val shard = sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { sp =>
-      val parts = sp.split("/").map(_.trim.toInt)
-      require(parts.length == 2 && parts(1) >= 1 &&
-        parts(0) >= 0 && parts(0) < parts(1),
+      // arity first, in its own require — "3" must produce the intended
+      // message, not an ArrayIndexOutOfBounds from evaluating parts(1)
+      // inside the same boolean (ADVICE r16)
+      val parts = sp.split("/").map(_.trim).filter(_.nonEmpty)
+        .flatMap(p => scala.util.Try(p.toInt).toOption)
+      require(parts.length == 2,
+        s"bad shard spec '$sp' (want i/n with 0 <= i < n)")
+      require(parts(1) >= 1 && parts(0) >= 0 && parts(0) < parts(1),
         s"bad shard spec '$sp' (want i/n with 0 <= i < n)")
       (parts(0), parts(1))
     }

@@ -106,6 +106,8 @@ object ScaleProbe {
     if (args.headOption.contains("dedupchain")) { dedupChainProbe(args.drop(1)); return }
     if (args.headOption.contains("audio")) { audioProbe(args.drop(1)); return }
     if (args.headOption.contains("image")) { imageProbe(args.drop(1)); return }
+    if (args.headOption.contains("lexindex")) { lexIndexProbe(args.drop(1)); return }
+    if (args.headOption.contains("annquery")) { annQueryProbe(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -1679,6 +1681,187 @@ object ScaleProbe {
       s"covariance (hence loadings/lambda) must be replication-invariant; max diff $maxDiff")
     println(f"[probe] replication invariance verified: max |Δ| = $maxDiff%.2e")
     big.unpersist()
+    spark.stop()
+  }
+
+  /** Lexindex mode (VERDICT r16 #6): the LexIndex query-path scale
+    * contract measured at a 10× corpus. The grown corpus is the base
+    * documents plus 9·|base| FILLER docs with a DISJOINT minted vocabulary
+    * (two unique tokens per filler doc), so:
+    *  (a) matched postings for the probe terms are INVARIANT while the
+    *      corpus grows 10× (and the vocabulary ~20·|base|) — the query
+    *      wall must track the former, not the latter;
+    *  (b) the vocabulary growth crosses [[graft.operators.LexIndex
+    *      .nBucketsFor]] steps, so the modulus rises and the
+    *      PRUNED-PARTITION FRACTION |term buckets| / nBuckets SHRINKS —
+    *      the raise-the-knob-with-n contract applied to the artifact
+    *      layout (bigger corpus ⇒ a query touches a SMALLER fraction).
+    * Usage: runMain graft.ScaleProbe lexindex [sfDir] */
+  private def lexIndexProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val terms = Seq("spark", "vector", "stream")
+    val base = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    val filler = spark.range(9L * nBase).select(
+      (col("id") + 1000000000L).as("doc_id"),
+      concat(lit("fillertok"), col("id"), lit(" gtok"), col("id")).as("text"))
+    val big = base.unionByName(filler)
+    def timedMin(runs: Int)(f: => Unit): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    def buildAndProbe(tag: String, df: org.apache.spark.sql.DataFrame)
+        : (Int, Int, Double, Long) = {
+      val dir = s"target/probe_lexindex/$tag"
+      val t0 = System.nanoTime()
+      graft.operators.LexIndex.build(df, col("doc_id"), col("text"), dir)
+      println(f"[probe] build $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val (_, _, nb) = graft.operators.LexIndex.stats(spark, dir)
+      val termBuckets = terms.toDF("t")
+        .select(pmod(xxhash64(col("t")), lit(nb)).as("b"))
+        .distinct().as[Long].collect().length
+      // matched postings = Σ dfreq over the probe terms (fresh build ⇒
+      // the committed dict generation is g1)
+      val matched = spark.read.parquet(s"$dir/dict/g1")
+        .where(col("token").isin(terms: _*))
+        .agg(coalesce(sum("dfreq"), lit(0L))).head().getLong(0)
+      val plan = graft.operators.LexIndex.query(spark, dir, terms)
+        .queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+        "query plan lost its static bucket pruning")
+      val wall = timedMin(3) {
+        graft.operators.LexIndex.query(spark, dir, terms).collect()
+      }
+      println(f"[probe] $tag: nBuckets=$nb termBuckets=$termBuckets " +
+        f"(fraction ${termBuckets.toDouble / nb}%.4f) matched=$matched " +
+        f"query wall $wall%.2f s")
+      (nb, termBuckets, wall, matched)
+    }
+    val (nb0, tb0, w0, m0) = buildAndProbe("base", base)
+    val (nb1, tb1, w1, m1) = buildAndProbe("big", big)
+    assert(m1 == m0,
+      s"matched postings must be invariant under disjoint-vocab growth: $m0 -> $m1")
+    assert(nb1 > nb0, s"nBuckets must step with the vocabulary: $nb0 -> $nb1")
+    assert(tb1.toDouble / nb1 < tb0.toDouble / nb0,
+      f"pruned fraction must SHRINK as the corpus grows: " +
+        f"${tb0.toDouble / nb0}%.4f -> ${tb1.toDouble / nb1}%.4f")
+    assert(w1 / w0 < 4.0,
+      f"query wall must track matched postings, not corpus size: x${w1 / w0}%.1f")
+    println(f"[probe] lexindex contract holds: 10x corpus, matched postings " +
+      f"invariant ($m0), fraction ${tb0.toDouble / nb0}%.4f -> " +
+      f"${tb1.toDouble / nb1}%.4f, wall x${w1 / w0}%.2f")
+    spark.stop()
+  }
+
+  /** Annquery mode (VERDICT r16 #7 — the second decade for ANN): the
+    * IVFADC QUERY path at rep× replicated vectors with FROZEN quantizers.
+    * Build fits on the base corpus; copies arrive via [[graft.operators
+    * .AnnIndex.append]] (one argmin+encode pass per ingest, zero Lloyd),
+    * so every copy encodes identically and the probed-cell populations
+    * scale EXACTLY with replication. Asserts, at rep/10 and rep:
+    *  (a) candidates/query = the probed cells' population — checked by
+    *      the exact ×10 between the decades, per query;
+    *  (b) recall@5 at the DISTINCT-vector grain is FLAT across the
+    *      decades (copy-invariant ADC ⇒ the approximate distinct top-k
+    *      cannot move when only multiplicity grows);
+    *  (c) the query wall is bounded by the candidate growth (~10×), never
+    *      the corpus² — printed for the record.
+    * Usage: runMain graft.ScaleProbe annquery [sfDir] [rep] */
+  private def annQueryProbe(args: Array[String]): Unit = {
+    val sfDir = args.headOption.filterNot(_.forall(_.isDigit))
+      .getOrElse("/root/testdata/sf0.1")
+    val rep = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(100)
+    require(rep >= 10 && rep % 10 == 0, "annquery wants rep >= 10, a multiple of 10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).repartition(32).cache()
+    val nBase = base.count()
+    val dir = "target/probe_annquery"
+    def timed[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name: $dt%.1f s"); (a, dt)
+    }
+    def copies(lo: Long, hi: Long) =
+      base.crossJoin(spark.range(lo, hi).select(col("id").as("_c")))
+        .select((col("vec_id") + col("_c") * nBase).as("vec_id"), col("embedding"))
+    timed(s"build (quantizers fit once on $nBase base vectors)")(
+      graft.operators.AnnIndex.build(base, col("vec_id"), col("embedding"), dir))
+    val q = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    // exact distinct-grain ground truth from the base corpus (L2², the
+    // ADC objective), top-5 per query
+    import org.apache.spark.sql.expressions.Window
+    val exactTop = q.crossJoin(base.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv")))
+      .select(col("query_id"), col("cid"),
+        round(graft.functions.VectorExprs.dot(col("qv"), col("qv")) +
+          graft.functions.VectorExprs.dot(col("cv"), col("cv")) -
+          lit(2.0) * graft.functions.VectorExprs.dot(col("qv"), col("cv")), 6).as("d2"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cid").asc)))
+      .where(col("r") <= 5)
+      .select(col("query_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probe(tag: String): (Map[Long, Long], Double, Double) = {
+      val all = graft.operators.AnnIndex.query(spark, dir, q,
+        k = Int.MaxValue, nProbe = 2)
+      val cand = all.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val approxTop = all
+        .withColumn("orig", pmod(col("corpus_id"), lit(nBase)))
+        .groupBy("query_id", "orig").agg(min("adc").as("adc"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc").asc, col("orig").asc)))
+        .where(col("r") <= 5)
+        .select(col("query_id"), col("orig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approxTop intersect exactTop).size.toDouble / exactTop.size
+      val (_, wall) = timed(s"$tag top-5 query (8 queries, nProbe=2)")(
+        graft.operators.AnnIndex.query(spark, dir, q, k = 5, nProbe = 2).collect())
+      println(f"[probe] $tag: candidates/query ${cand.values.sum / cand.size} avg, " +
+        f"distinct-grain recall@5 $recall%.3f")
+      (cand, recall, wall)
+    }
+    timed(s"append decade 1 (copies 1..${rep / 10 - 1}, frozen quantizers)")(
+      graft.operators.AnnIndex.append(spark, dir, copies(1, rep / 10),
+        col("vec_id"), col("embedding")))
+    val (cand10, rec10, w10) = probe(s"rep=${rep / 10}")
+    timed(s"append decade 2 (copies ${rep / 10}..${rep - 1})")(
+      graft.operators.AnnIndex.append(spark, dir, copies(rep / 10, rep),
+        col("vec_id"), col("embedding")))
+    val (cand100, rec100, w100) = probe(s"rep=$rep")
+    cand10.foreach { case (qid, n) =>
+      assert(cand100(qid) == 10 * n,
+        s"candidates/query must scale exactly with probed-cell population: " +
+          s"query $qid: $n -> ${cand100(qid)} (want ${10 * n})")
+    }
+    assert(rec10 == rec100,
+      f"distinct-grain recall must be FLAT across decades: $rec10%.3f -> $rec100%.3f")
+    assert(w100 / w10 < 40.0,
+      f"query wall outgrew the candidate set: x${w100 / w10}%.1f")
+    println(f"[probe] annquery contract holds: candidates x10 exact per query, " +
+      f"recall flat at $rec100%.3f, wall $w10%.1f s -> $w100%.1f s " +
+      f"(x${w100 / w10}%.1f for 10x candidates)")
+    base.unpersist()
     spark.stop()
   }
 }

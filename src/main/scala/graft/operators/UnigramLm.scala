@@ -150,23 +150,43 @@ object UnigramLm {
     }
     val cost = toCosts(pieces)
     costLog += pieces.map { case (p, _) => p -> cost(p) }
-    capturedCosts = Some(costLog.toIndexedSeq)
+    costCaptures.put(
+      TrainKey(seed.sorted.hashCode, maxPieceLen, topSubs, rounds),
+      costLog.toIndexedSeq)
     pieces.map { case (p, c) => (p, c, cost(p)) }
     // singleChars retained implicitly: seeds of length 1 never drop
     .ensuring(_.map(_._1).toSet.intersect(singleChars) == singleChars)
   }
 
-  /** Per-round cost tables captured by the most recent [[train]] call
-    * (index r = the table that drives round r+1's E-step; the last entry
-    * is the returned `cost6`). Read at ORACLE-DUMP time — Verify dumps
-    * `oracleSql` after the queries ran — to inject the engine's own
-    * (piece, cost) rows into the q337/q338 twins as VALUES literals
-    * (ADVICE r15: JVM `math.log` and DuckDB `ln()` are not bit-identical,
-    * and a 1-ulp gap near a .5 rounding boundary would flip the integer
-    * Viterbi tie-break; the DctHash.basisSqlValues shared-constant
-    * pattern removes the libm dependency — the twin still derives its own
-    * piece COUNTS, so a divergent E/M chain still fails the join). */
-  @volatile private[graft] var capturedCosts: Option[IndexedSeq[Seq[(String, Long)]]] = None
+  /** Per-round cost tables captured by [[train]] (index r = the table
+    * that drives round r+1's E-step; the last entry is the returned
+    * `cost6`), KEYED by the train inputs — seed-piece fingerprint plus
+    * (maxPieceLen, topSubs, rounds). Read at ORACLE-DUMP time — Verify
+    * dumps `oracleSql` after the queries ran — so the q337/q338 twins can
+    * adjudicate the 1-ulp libm boundary (ADVICE r15: JVM `math.log` and
+    * DuckDB `ln()` are not bit-identical near a .5 rounding boundary).
+    * Keying replaces the r16 single last-writer-wins slot (ADVICE r16: a
+    * train with different params or corpus in the same JVM would have
+    * silently stamped the wrong table into both twins). */
+  private final case class TrainKey(seedFp: Int, maxPieceLen: Int,
+      topSubs: Int, rounds: Int)
+  private val costCaptures = new java.util.concurrent.ConcurrentHashMap[
+    TrainKey, IndexedSeq[Seq[(String, Long)]]]()
+
+  /** The captured cost tables for a (maxPieceLen, topSubs, rounds)
+    * configuration — defined only when exactly ONE vocabulary fingerprint
+    * has trained under it in this JVM. Ambiguity (two corpora, same
+    * params) returns None and the twin falls back to its own ln()
+    * derivation rather than guess. */
+  private[graft] def capturedCostsFor(maxPieceLen: Int, topSubs: Int,
+      rounds: Int): Option[IndexedSeq[Seq[(String, Long)]]] = {
+    import scala.jdk.CollectionConverters._
+    val hits = costCaptures.asScala.collect {
+      case (k, v) if k.maxPieceLen == maxPieceLen &&
+        k.topSubs == topSubs && k.rounds == rounds => v
+    }.toSeq
+    if (hits.size == 1) Some(hits.head) else None
+  }
 
   /** Apply trained costs to a (word, freq) table, executor-side Viterbi:
     * (word, freq, n_syms), with n_syms = word length when a word is

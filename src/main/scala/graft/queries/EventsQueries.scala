@@ -824,6 +824,38 @@ private[graft] object EventsQueries extends QueryBook {
             .as("row_share"))
     }),
 
+    "q349_stream_static_enrich" -> ((s, dir) => {
+      // STREAM-STATIC enrichment under the oracle (VERDICT r16 #3 — the
+      // one streaming shape that had only a spec): events replayed as a
+      // 4-batch file stream are joined IN the streaming plan to a static
+      // customer dimension (EventStreams.enrichWithDim — broadcast under
+      // the threshold, stateless, no watermark: the static side is
+      // bounded so the stream never buffers), the enriched rows append
+      // per batch, and the read-back rolls up per (segment, event_type).
+      // Stateless join ⇒ batch-membership-invariant, so the rollup must
+      // equal the plain batch join — which is the twin verbatim. At
+      // 100 TB this is the decorate-at-ingest posture: the dimension
+      // ships to executors once, events never shuffle.
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      streamReplay(s, dir, "q349") {
+        _.select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"), col("ts"))
+      } { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.enrichWithDim(stream, dim, "user_id")
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("c_mktsegment"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out)
+          .start()
+      }
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("cents").cast("double") / 100.0, 2).as("sum_value"))
+    }),
+
     "q302_stream_window" -> ((s, dir) => {
       // Structured Streaming END-TO-END under the batch oracle: the events
       // table is re-sharded into 4 parquet files and replayed as a FILE
@@ -1598,6 +1630,17 @@ private[graft] object EventsQueries extends QueryBook {
           |SELECT c.q_early, c.q_late, c.n_customers,
           | round(CAST(c.n_customers AS DOUBLE) / r.r, 4) AS row_share
           |FROM cells c JOIN rows_ r ON c.q_early = r.q_early""".stripMargin,
+
+      // stream-static join twin: a stateless broadcast join is batch-
+      // membership-invariant, so the streamed rollup is the plain batch
+      // join — cents discipline keeps the sum order-proof
+      "q349_stream_static_enrich" ->
+        """SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+          | e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+          |   / 100.0, 2) AS sum_value
+          |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+          |GROUP BY 1, 2""".stripMargin,
 
       "q302_stream_window" ->
         """SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -393,8 +393,13 @@ private[graft] object QueryHelpers {
        |c2 AS (SELECT *, lower($cln) AS $low FROM c1)""".stripMargin
 
   // q115's full twin, factored out so q119 (recall@k) can embed the
-  // IDENTICAL approximate result as a derived table
-  private[graft] lazy val q115Oracle: String = {
+  // IDENTICAL approximate result as a derived table; round 17
+  // parameterizes it so q348 can reuse the chain at a different
+  // (query set, pool size) for the artifact-only hybrid fusion
+  private[graft] lazy val q115Oracle: String =
+    ivfadcOracle("vec_id < 8", k = 5, nProbe = 2)
+
+  private[graft] def ivfadcOracle(queryPred: String, k: Int, nProbe: Int): String = {
     def asg(m: Int): String = "(" + graft.operators.KMeansOp.oracleSql(
       "embeddings", "vec_id",
       s"list_slice(embedding, ${m * 16 + 1}, ${m * 16 + 16})",
@@ -414,12 +419,12 @@ private[graft] object QueryHelpers {
     }.mkString(" + ")
     s"""WITH q AS (SELECT vec_id AS query_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE $queryPred),
        |probed AS (SELECT query_id, qv, cell FROM (
        |  SELECT q.query_id, q.qv, cc.cid AS cell,
        |   row_number() OVER (PARTITION BY q.query_id
        |     ORDER BY $cd ASC, cc.cid ASC) AS crnk
-       |  FROM q CROSS JOIN $cbFull) WHERE crnk <= 2)
+       |  FROM q CROSS JOIN $cbFull) WHERE crnk <= $nProbe)
        |SELECT query_id, corpus_id, adc,
        | CAST(row_number() OVER (PARTITION BY query_id
        |   ORDER BY adc ASC, corpus_id ASC) AS BIGINT) AS rnk
@@ -436,7 +441,7 @@ private[graft] object QueryHelpers {
        |   JOIN ${cb(1)} ON cb1.cid = a1.cluster
        |   JOIN ${cb(2)} ON cb2.cid = a2.cluster
        |   JOIN ${cb(3)} ON cb3.cid = a3.cluster)
-       |QUALIFY rnk <= 5""".stripMargin
+       |QUALIFY rnk <= $k""".stripMargin
   }
 
 }

@@ -70,6 +70,96 @@ private[graft] object RetrievalQueries extends QueryBook {
         terms = Seq("spark", "vector", "stream"))
     }),
 
+    "q347_lex_query_table" -> ((s, dir) => {
+      // BATCHED query-table retrieval (VERDICT r16 #1 — the production
+      // grain): 64 queries answered from the persisted BM25 artifact with
+      // ONE postings scan and ZERO per-query driver work. queryMany
+      // explodes the term arrays, buckets them IN THE PLAN with the
+      // artifact's stored xxhash64 modulus, equi-joins postings on
+      // (tok_bucket, token) with the query side broadcast, and aggregates
+      // per (query, doc) — at 100 TB ten thousand queries ride one
+      // artifact pass instead of ten thousand round trips. Top-10 per
+      // query on the rounded score, doc_id tie-break (deterministic).
+      // The query table is a shared Scala constant; the oracle's VALUES
+      // are generated from the SAME constant.
+      val ixDir = s"target/lex_index_many/${new java.io.File(dir).getName}"
+      graft.operators.LexIndex.build(
+        t(s, dir, "documents"), col("doc_id"), col("text"), ixDir)
+      val sp = s
+      import sp.implicits._
+      val q = manyQueries.toDF("query_id", "terms")
+      graft.operators.LexIndex.queryMany(s, ixDir, q, k = 10)
+        .select(col("query_id").as("qid"), col("rnk"), col("doc_id"),
+          col("score"))
+    }),
+
+    "q348_hybrid_artifacts" -> ((s, dir) => {
+      // ARTIFACT-ONLY hybrid retrieval (VERDICT r16 #2): the persisted
+      // BM25 inverted index (q344) and the persisted IVFADC index (q123)
+      // composed into RRF top-k — the answer path reads ONLY the two
+      // stored artifacts (Round17Spec pins zero documents/embeddings
+      // scans in the plan). The probe vector is the query INPUT (one
+      // bounded head() at setup — in production it arrives from outside
+      // the corpus); the lexical pool is LexIndex.query's top-50 on the
+      // rounded score, the dense pool is AnnIndex.query's ADC top-50 over
+      // 2 probed cells, and the fusion is q273's RRF arithmetic on the
+      // two bounded pools (triangular rank join — zero-window posture).
+      val tag = new java.io.File(dir).getName
+      val lexDir = s"target/hybrid_lex/$tag"
+      val annDir = s"target/hybrid_ann/$tag"
+      val emb = t(s, dir, "embeddings")
+      graft.operators.LexIndex.build(
+        t(s, dir, "documents"), col("doc_id"), col("text"), lexDir)
+      graft.operators.AnnIndex.build(emb, col("vec_id"), col("embedding"), annDir)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val sp = s
+      import sp.implicits._
+      val kPool = 50
+      val lexPool = graft.operators.LexIndex.query(s, lexDir,
+          terms = Seq("spark", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kPool)
+      val lex = lexPool.as("a")
+        .join(lexPool.select(col("doc_id").as("_bid"), col("score").as("_bs")).as("b"),
+          col("_bs") > col("score") ||
+            (col("_bs") === col("score") && col("_bid") < col("doc_id")), "left")
+        .groupBy(col("doc_id")).agg((count(col("_bid")) + 1L).as("lex_rank"))
+      val dense = graft.operators.AnnIndex.query(s, annDir,
+          Seq((0L, qv)).toDF("query_id", "qv"), k = kPool, nProbe = 2)
+        .select(col("corpus_id").as("doc_id"), col("rnk").as("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          round(
+            when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + 60))
+              .otherwise(0.0) +
+            when(col("dense_rank").isNotNull, lit(1.0) / (col("dense_rank") + 60))
+              .otherwise(0.0), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
+    }),
+
+    "q350_lex_index_ingest" -> ((s, dir) => {
+      // INDEX-AT-INGEST (VERDICT r16 #4): LexIndex composed into the
+      // replay rig — each micro-batch of the document stream is committed
+      // into the persisted BM25 artifact inside foreachBatch (batch 0
+      // builds, later batches append under the manifest-commit protocol;
+      // one commit per batch, the q345 scrub-at-ingest posture applied to
+      // indexing). Exact-integer additive stats make the stream-built
+      // artifact answer IDENTICALLY to a one-shot full-corpus build, so
+      // the query twin is q52's verbatim — any batch double-ingested or
+      // lost by the commit protocol breaks the hash.
+      val ixDir = s"target/lex_index_ingest/${new java.io.File(dir).getName}"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val slices = (0 until 4).map(b =>
+        docs.where(pmod(col("doc_id"), lit(4)) === b))
+      QueryHelpers.streamReplaySlices(s, "q350", slices) { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.indexedIngest(stream, ixDir, out, ckpt)
+      }
+      graft.operators.LexIndex.query(s, ixDir,
+        terms = Seq("spark", "vector", "stream"))
+    }),
+
     "q132_phrase_search" -> ((s, dir) => {
       // Exact phrase search over positional postings (the inverted-index
       // adjacency-anchor algorithm) with a bounded per-phrase top-k —
@@ -277,6 +367,83 @@ private[graft] object RetrievalQueries extends QueryBook {
       // upsert bit-identical to a full build, so the twin is again q52's
       "q346_lex_index_upsert" -> bm25Sql,
 
+      // q350 streams the corpus through build+append (4 micro-batch
+      // commits); the stream-built artifact must answer exactly like a
+      // one-shot build, so the twin is once more q52's verbatim
+      "q350_lex_index_ingest" -> bm25Sql,
+
+      // q347: bm25Sql generalized to the query-table grain — the VALUES
+      // are generated from the SAME manyQueries constant the engine runs
+      "q347_lex_query_table" -> {
+        val qvals = manyQueries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |qt(qid, token) AS (SELECT * FROM (VALUES $qvals)),
+           |dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+           |sc AS (SELECT qt.qid, tf.doc_id,
+           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * (1.2 + 1.0)
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st),
+           |ag AS (SELECT qid, doc_id, round(sum(s), 4) AS score FROM sc
+           |  GROUP BY 1, 2)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           | CAST(row_number() OVER (PARTITION BY qid
+           |   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+           | doc_id, score
+           |FROM ag QUALIFY rnk <= 10""".stripMargin
+      },
+
+      // q348: the bm25 chain's top-50 ranks fused with the IVFADC chain's
+      // ADC top-50 ranks (ivfadcOracle re-pointed at the single probe) —
+      // q273's RRF arithmetic over the two artifact-derived pools
+      "q348_hybrid_artifacts" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |  FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |bsc AS (SELECT tf.doc_id,
+           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * (1.2 + 1.0)
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM tf
+           |  JOIN (SELECT token, count(*) AS dfreq FROM tf GROUP BY token)
+           |   dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st
+           |  WHERE tf.token IN ('spark', 'vector', 'stream')),
+           |bm AS (SELECT doc_id, round(sum(s), 4) AS rel FROM bsc
+           |  GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |   CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+           |     AS BIGINT) AS lex_rank
+           |  FROM bm ORDER BY rel DESC, doc_id LIMIT 50),
+           |den0 AS (
+           |${QueryHelpers.ivfadcOracle("vec_id = 0", k = 50, nProbe = 2)}
+           |),
+           |den AS (SELECT corpus_id AS doc_id, rnk AS dense_rank FROM den0),
+           |fused AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           |   coalesce(lex.lex_rank, 0) AS lex_rank,
+           |   coalesce(den.dense_rank, 0) AS dense_rank,
+           |   round((CASE WHEN lex.lex_rank IS NOT NULL
+           |      THEN 1.0 / (lex.lex_rank + 60) ELSE 0.0 END) +
+           |     (CASE WHEN den.dense_rank IS NOT NULL
+           |      THEN 1.0 / (den.dense_rank + 60) ELSE 0.0 END), 6)
+           |     AS rrf_score
+           |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+           |SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
       "q132_phrase_search" -> {
         val qvals = phraseQueries.flatMap { p =>
           val ts = p.split(" ")
@@ -462,6 +629,21 @@ private[graft] object RetrievalQueries extends QueryBook {
            |SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
   )
+
+  /** q347's query table: 64 deterministic term triples over a fixed
+    * 16-token pool — one shared constant generates BOTH the engine's
+    * queries DataFrame and the oracle's VALUES rows, so the two sides
+    * cannot drift. Triples may collapse (distinct), giving a mix of 1-,
+    * 2- and 3-term queries; terms absent from a corpus simply match no
+    * postings on either side. */
+  private lazy val manyQueryPool = Vector("spark", "vector", "stream", "table",
+    "join", "batch", "window", "fast", "data", "query", "index", "cache",
+    "merge", "scan", "filter", "group")
+  private[graft] lazy val manyQueries: Seq[(Long, Seq[String])] =
+    (0 until 64).map { i =>
+      (i.toLong, Seq(manyQueryPool(i % 16), manyQueryPool((i / 2 + 3) % 16),
+        manyQueryPool((i * 5 + 1) % 16)).distinct)
+    }
 
   /** Shared q52/q344 twin: BM25 from first principles over the same
     * tokenize chain — q344's stored-artifact round trip must reproduce

@@ -1041,6 +1041,40 @@ private[graft] object TextQueries extends QueryBook {
           (size(split(col("_r"), "<ID>", -1)) - 1).cast("long").as("n_id"))
     }),
 
+    "q351_stream_typed_redact" -> ((s, dir) => {
+      // Per-class STREAMING redaction ledger (VERDICT r16 #8): q342's
+      // typed masks composed into the q345 scrub-at-ingest rig — each
+      // micro-batch is scrubbed by the one-pass AcRedactTyped automaton
+      // and the per-source ledger SPLITS by mask class (<EMAIL>/<PHONE>/
+      // <ID>), completing the typed-scrub story end to end: at ingest,
+      // the pipeline knows not just how much it scrubbed per source but
+      // WHAT. The rollup is batch-membership-invariant, so the 4-slice
+      // replay must land exactly on the one-shot typed scrub; the twin
+      // reuses the q342 constants and recursion rolled to source totals.
+      val tail = typedRedactList.foldLeft(lit("")) { case (acc, (m, c, _)) =>
+        concat(acc, when(pmod(col("doc_id"), lit(m)) === 0, lit(" " + c))
+          .otherwise(lit("")))
+      }
+      val pats = typedRedactList.map(_._2) ++ typedRedactDecoys.map(_._1)
+      val masks = typedRedactList.map(_._3) ++ typedRedactDecoys.map(_._2)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(coalesce(col("text"), lit("")), tail).as("_t"))
+      val slices = (0 until 4).map(b =>
+        docs.where(pmod(col("doc_id"), lit(4)) === b))
+      QueryHelpers.streamReplaySlices(s, "q351", slices) { (stream, ckpt, out) =>
+        graft.streaming.EventStreams.typedRedactedSummary(stream, pats, masks,
+          Seq("<EMAIL>", "<PHONE>", "<ID>"), out, ckpt)
+      }
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("n_email").as("n_email"),
+          sum("n_phone").as("n_phone"),
+          sum("n_id").as("n_id"),
+          sum("len_before").as("len_before"),
+          sum("len_after").as("len_after"))
+    }),
+
     "q341_redaction_audit" -> ((s, dir) => {
       // The VERIFICATION step a scrub pipeline runs after q336: rescan
       // the REDACTED text with the same automaton and keep only docs
@@ -1285,25 +1319,39 @@ private[graft] object TextQueries extends QueryBook {
        |  QUALIFY row_number() OVER (PARTITION BY word
        |    ORDER BY cost ASC, mask ASC) = 1)""".stripMargin
 
-  /** Integer-pinned unigram piece costs. When the engine has trained in
-    * this JVM (always true in a Verify dump — queries run first), the
-    * round's (piece, cost) rows are injected as VALUES literals from
-    * `UnigramLm.capturedCosts` — the shared-constant pattern (ADVICE r15:
-    * recomputing round(1e6·ln(total/cnt)) in DuckDB rides on libm parity;
-    * a 1-ulp gap at a .5 boundary flips the Viterbi tie-break). The twin
-    * still derives its own piece counts, so a broken E/M chain still
-    * fails. The ln() recomputation remains as the fallback for a dump
-    * without a prior train. */
+  /** Integer-pinned unigram piece costs. The twin ALWAYS derives its own
+    * (piece, cost) table from its own vocab CTE — round(1e6·ln(total/cnt))
+    * — so the piece set and the cost arithmetic stay adversarial. When the
+    * engine has trained the q337/q338 configuration in this JVM (always
+    * true in a Verify dump — queries run first), the captured table is
+    * used ONLY to adjudicate the documented 1-ulp libm boundary (ADVICE
+    * r15: JVM `math.log` vs DuckDB `ln()` can differ by one ulp at a .5
+    * rounding boundary, flipping the Viterbi tie-break): the picked cost
+    * is the engine's, but any piece-set difference or cost gap > 1 raises
+    * `error()` and FAILS the dump instead of being silently adopted
+    * (ADVICE r16 — the previous VALUES-only injection made the per-round
+    * piece set tautological). No capture, or an ambiguous one → the pure
+    * ln() derivation. */
   private def unigramCostCte(vocabCte: String, dst: String): String = {
     val idx = dst.stripPrefix("uc").toInt
-    graft.operators.UnigramLm.capturedCosts match {
+    def lnCte(name: String) =
+      s"""$name AS (SELECT piece, CAST(round(1e6 * ln(
+         |   CAST((SELECT sum(cnt) FROM $vocabCte) AS DOUBLE) / cnt)) AS BIGINT) AS cost
+         |  FROM $vocabCte)""".stripMargin
+    graft.operators.UnigramLm.capturedCostsFor(
+        maxPieceLen = 4, topSubs = 60, rounds = 3) match {
       case Some(tabs) if idx < tabs.length =>
         val vals = tabs(idx).map { case (p, c) => s"('$p', $c)" }.mkString(", ")
-        s"$dst(piece, cost) AS (SELECT * FROM (VALUES $vals))"
-      case _ =>
-        s"""$dst AS (SELECT piece, CAST(round(1e6 * ln(
-           |   CAST((SELECT sum(cnt) FROM $vocabCte) AS DOUBLE) / cnt)) AS BIGINT) AS cost
-           |  FROM $vocabCte)""".stripMargin
+        s"""${lnCte(s"${dst}_raw")},
+           |${dst}_cap(piece, cost) AS (SELECT * FROM (VALUES $vals)),
+           |$dst AS (SELECT cap.piece,
+           |   CASE WHEN raw.cost IS NULL OR abs(cap.cost - raw.cost) > 1
+           |      OR (SELECT count(*) FROM ${dst}_raw)
+           |        <> (SELECT count(*) FROM ${dst}_cap)
+           |    THEN CAST(error('unigram round $idx: engine-captured cost table drifts from the twin-derived one beyond 1 ulp') AS BIGINT)
+           |    ELSE cap.cost END AS cost
+           |  FROM ${dst}_cap cap LEFT JOIN ${dst}_raw raw USING (piece))""".stripMargin
+      case _ => lnCte(dst)
     }
   }
 
@@ -1362,9 +1410,9 @@ private[graft] object TextQueries extends QueryBook {
     (vocab +: rs).mkString(",\n")
   }
 
-  // def, not val: the q337/q338 twins embed UnigramLm.capturedCosts —
-  // engine-computed VALUES only available AFTER the queries ran (Verify
-  // dumps oracleSql last), so the map must be built at dump time
+  // def, not val: the q337/q338 twins consult UnigramLm.capturedCostsFor
+  // — engine-computed adjudication VALUES only available AFTER the
+  // queries ran (Verify dumps oracleSql last), so build the map at dump time
   def oracleSql: ListMap[String, String] = ListMap(
       "q303_langdetect_nb" ->
         s"""$langNbCte
@@ -2031,6 +2079,25 @@ private[graft] object TextQueries extends QueryBook {
            | CAST(len(string_split(red, '<PHONE>')) - 1 AS BIGINT) AS n_phone,
            | CAST(len(string_split(red, '<ID>')) - 1 AS BIGINT) AS n_id
            |FROM fin""".stripMargin,
+
+      // typed streaming twin: the q342 recursion (mask carried through
+      // the accumulator) rolled to per-source per-class totals — a
+      // partial or misclassified scrub in any single micro-batch breaks
+      // the class census
+      "q351_stream_typed_redact" ->
+        s"""$typedRedactCtes
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(len(string_split(f.red, '<EMAIL>')) - 1) AS BIGINT)
+           |   AS n_email,
+           | CAST(sum(len(string_split(f.red, '<PHONE>')) - 1) AS BIGINT)
+           |   AS n_phone,
+           | CAST(sum(len(string_split(f.red, '<ID>')) - 1) AS BIGINT)
+           |   AS n_id,
+           | CAST(sum(length(w.t)) AS BIGINT) AS len_before,
+           | CAST(sum(length(f.red)) AS BIGINT) AS len_after
+           |FROM fin f JOIN w ON f.doc_id = w.doc_id
+           |JOIN documents d ON d.doc_id = f.doc_id
+           |GROUP BY d.source""".stripMargin,
 
       // the audit twin recomputes hits_after from the REDACTED text with
       // the same containment scan it used for hits_before — both engines

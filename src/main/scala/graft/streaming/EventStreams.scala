@@ -358,4 +358,61 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Per-CLASS streaming redaction (q351 — VERDICT r16 #8): q342's typed
+    * masks composed into the q345 scrub-at-ingest rig. Every micro-batch
+    * is scrubbed by the one-pass leftmost-longest typed automaton
+    * (plans.AcRedactTyped — each match replaced by its pattern's class
+    * mask) and the appended per-batch per-source ledger SPLITS the scrub
+    * census by mask class, so the rollup tells not just how much was
+    * scrubbed per source but WHAT. Ledger sums are batch-membership-
+    * invariant; the DuckDB twin replays the greedy policy with the mask
+    * carried through the recursion. Expects columns (source, _t);
+    * `masks(i)` is the class mask of `patterns(i)` and `classMasks` the
+    * distinct masks to census (column-named by stripping `<>`). */
+  def typedRedactedSummary(stream: DataFrame, patterns: Seq[String],
+      masks: Seq[String], classMasks: Seq[String], outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val classCounts = classMasks.map { mk =>
+          val name = "n_" + mk.replaceAll("[<>]", "").toLowerCase
+          sum((size(split(col("_r"),
+            java.util.regex.Pattern.quote(mk), -1)) - 1).cast("long")).as(name)
+        }
+        batch.select(col("source"), col("_t"),
+            graft.plans.AcRedactTyped.acRedactTyped(col("_t"), patterns, masks)
+              .as("_r"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), classCounts ++ Seq(
+            sum(length(col("_t")).cast("long")).as("len_before"),
+            sum(length(col("_r")).cast("long")).as("len_after")): _*)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Index-at-ingest (q350 — VERDICT r16 #4): every micro-batch of a
+    * document stream is COMMITTED into the persisted BM25 artifact —
+    * batch 0 builds, later batches run [[graft.operators.LexIndex.append]]
+    * (one manifest commit per batch; exact-integer additive stats make
+    * the stream-built index bit-identical to a one-shot build, and the
+    * doc_id disjointness guard refuses a replayed batch instead of
+    * double-counting it). A per-batch ledger is appended to `outDir` for
+    * the replay rig's read-back contract. Expects columns (doc_id, text). */
+  def indexedIngest(stream: DataFrame, ixDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0L)
+          graft.operators.LexIndex.build(batch.toDF(), col("doc_id"), col("text"), ixDir)
+        else
+          graft.operators.LexIndex.append(batch.sparkSession, ixDir,
+            batch.toDF(), col("doc_id"), col("text"))
+        batch.agg(count(lit(1)).as("n_docs")).withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }

@@ -177,9 +177,13 @@ class Round16Spec extends SparkSpec {
     import sp.implicits._
     val vocab = Seq(("banana", 5L), ("bandana", 3L), ("anna", 2L))
       .toDF("word", "freq")
+    // topSubs = 9 keeps this train's (maxPieceLen, topSubs, rounds) key
+    // unique in the suite JVM (Round15Spec trains (3, 10, 2) on a
+    // different vocab; same-params-different-vocab is deliberately
+    // AMBIGUOUS under the r17 keyed capture)
     val out = graft.operators.UnigramLm.train(vocab, maxPieceLen = 3,
-      topSubs = 10, rounds = 2)
-    val tabs = graft.operators.UnigramLm.capturedCosts.get
+      topSubs = 9, rounds = 2)
+    val tabs = graft.operators.UnigramLm.capturedCostsFor(3, 9, 2).get
     assert(tabs.length === 3) // rounds + final
     val finalCosts = tabs.last.toMap
     out.foreach { case (p, _, c6) => assert(finalCosts(p) === c6, p) }
