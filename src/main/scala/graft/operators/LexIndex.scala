@@ -214,12 +214,20 @@ object LexIndex {
 
   /** Write (tf ⋈ dl) as bucket-partitioned postings fragments under
     * `dir/postings` (mode append: new files only, existing fragments are
-    * never touched — the manifest decides liveness). */
+    * never touched — the manifest decides liveness). Each bucket is
+    * repartitioned to ONE task and sorted by token, so a build or append
+    * lands exactly one TOKEN-ORDERED fragment per touched bucket: parquet
+    * min/max column statistics then let the query path's pushed
+    * `token IN (…)` filter skip whole row groups inside a pruned bucket —
+    * at a production bucket size the scan reads the matched terms'
+    * neighborhoods, not the full bucket. */
   private def writePostings(tf: DataFrame, dl: DataFrame, dir: String,
       nBuckets: Int): Unit =
     tf.join(dl, "doc_id")
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
       .select("tok_bucket", "token", "doc_id", "tf", "dl")
+      .repartition(col("tok_bucket"))
+      .sortWithinPartitions("tok_bucket", "token", "doc_id")
       .write.partitionBy("tok_bucket").mode("append").parquet(s"$dir/postings")
 
   private def statsRow(spark: SparkSession, nDocs: Long, dlSum: Long,
