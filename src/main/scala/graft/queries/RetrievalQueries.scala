@@ -139,6 +139,54 @@ private[graft] object RetrievalQueries extends QueryBook {
         .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
     }),
 
+    "q352_hybrid_query_table" -> ((s, dir) => {
+      // BATCHED artifact-only hybrid — the full production retrieval
+      // grain, closing the story q347 and q348 each tell half of: a
+      // query TABLE (8 queries, each with a term list AND a query
+      // vector) answered from the two persisted indexes with ONE
+      // postings scan (LexIndex.queryMany) + ONE codes probe
+      // (AnnIndex.query), RRF-fused per query, top-10 per query. The
+      // query vectors are bounded INPUT (8-row collect at setup); the
+      // answer path never scans documents or embeddings. At 100 TB this
+      // is the retrieval service's nightly batch: thousands of queries,
+      // two artifact passes, zero corpus passes.
+      val tag = new java.io.File(dir).getName
+      val lexDir = s"target/hybrid_lexq/$tag"
+      val annDir = s"target/hybrid_annq/$tag"
+      val emb = t(s, dir, "embeddings")
+      graft.operators.LexIndex.build(
+        t(s, dir, "documents"), col("doc_id"), col("text"), lexDir)
+      graft.operators.AnnIndex.build(emb, col("vec_id"), col("embedding"), annDir)
+      val sp = s
+      import sp.implicits._
+      val kPool = 50
+      val lex = graft.operators.LexIndex.queryMany(s, lexDir,
+          manyQueries.take(8).toDF("query_id", "terms"), k = kPool)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rank"))
+      val qvs = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val dense = graft.operators.AnnIndex.query(s, annDir,
+          qvs.toDF("query_id", "qv"), k = kPool, nProbe = 2)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rnk").as("dense_rank"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          round(
+            when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + 60))
+              .otherwise(0.0) +
+            when(col("dense_rank").isNotNull, lit(1.0) / (col("dense_rank") + 60))
+              .otherwise(0.0), 6).as("rrf_score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("query_id").as("qid"), col("rnk"), col("doc_id"),
+          col("lex_rank"), col("dense_rank"), col("rrf_score"))
+    }),
+
     "q350_lex_index_ingest" -> ((s, dir) => {
       // INDEX-AT-INGEST (VERDICT r16 #4): LexIndex composed into the
       // replay rig — each micro-batch of the document stream is committed
@@ -399,6 +447,58 @@ private[graft] object RetrievalQueries extends QueryBook {
            |   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
            | doc_id, score
            |FROM ag QUALIFY rnk <= 10""".stripMargin
+      },
+
+      // q352: the q347 per-query bm25 chain cut to top-50 per query,
+      // fused with the 8-query IVFADC chain (ivfadcOracle at k=50) by
+      // the same RRF arithmetic, top-10 per query
+      "q352_hybrid_query_table" -> {
+        val qvals = manyQueries.take(8).flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')")
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id,
+           |   unnest(string_split(lower(${cleanSql("text")}), ' ')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           |  WHERE token <> '' GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |  FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+           |qt(qid, token) AS (SELECT * FROM (VALUES $qvals)),
+           |dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+           |sc AS (SELECT qt.qid, tf.doc_id,
+           |   ln(1.0 + (st.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+           |     * tf.tf * (1.2 + 1.0)
+           |     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+           |  FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+           |  JOIN dl USING (doc_id) CROSS JOIN st),
+           |ag AS (SELECT qid, doc_id, round(sum(s), 4) AS score FROM sc
+           |  GROUP BY 1, 2),
+           |lex AS (SELECT qid, doc_id,
+           |   CAST(row_number() OVER (PARTITION BY qid
+           |     ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+           |  FROM ag QUALIFY lex_rank <= 50),
+           |den0 AS (
+           |${QueryHelpers.ivfadcOracle("vec_id < 8", k = 50, nProbe = 2)}
+           |),
+           |den AS (SELECT query_id AS qid, corpus_id AS doc_id,
+           |   rnk AS dense_rank FROM den0),
+           |fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+           |   coalesce(l.doc_id, d.doc_id) AS doc_id,
+           |   coalesce(l.lex_rank, 0) AS lex_rank,
+           |   coalesce(d.dense_rank, 0) AS dense_rank,
+           |   round((CASE WHEN l.lex_rank IS NOT NULL
+           |      THEN 1.0 / (l.lex_rank + 60) ELSE 0.0 END) +
+           |     (CASE WHEN d.dense_rank IS NOT NULL
+           |      THEN 1.0 / (d.dense_rank + 60) ELSE 0.0 END), 6)
+           |     AS rrf_score
+           |  FROM lex l FULL OUTER JOIN den d
+           |   ON l.qid = d.qid AND l.doc_id = d.doc_id)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           | CAST(row_number() OVER (PARTITION BY qid
+           |   ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rnk,
+           | doc_id, lex_rank, dense_rank, rrf_score
+           |FROM fused QUALIFY rnk <= 10""".stripMargin
       },
 
       // q348: the bm25 chain's top-50 ranks fused with the IVFADC chain's

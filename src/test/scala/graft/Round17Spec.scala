@@ -199,13 +199,15 @@ class Round17Spec extends SparkSpec {
 
   // ---------------- artifact-only hybrid ----------------
 
-  test("q348 answer plan reads ONLY the two artifacts — no corpus scans") {
-    val df = graft.SparkEntry.queries("q348_hybrid_artifacts")(spark, sf())
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("documents.parquet"),
-      "hybrid answer path scanned the documents table:\n" + plan.take(1500))
-    assert(!plan.contains("embeddings.parquet"),
-      "hybrid answer path scanned the embeddings table:\n" + plan.take(1500))
-    assert(df.count() > 0)
+  for (q <- Seq("q348_hybrid_artifacts", "q352_hybrid_query_table")) {
+    test(s"$q answer plan reads ONLY the two artifacts — no corpus scans") {
+      val df = graft.SparkEntry.queries(q)(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "hybrid answer path scanned the documents table:\n" + plan.take(1500))
+      assert(!plan.contains("embeddings.parquet"),
+        "hybrid answer path scanned the embeddings table:\n" + plan.take(1500))
+      assert(df.count() > 0)
+    }
   }
 }
