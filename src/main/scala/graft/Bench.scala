@@ -77,14 +77,16 @@ object Bench {
     // exactly one shard, so summed shard totals equal a full run up to
     // host band — the merge is plain addition.
     val shard = sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { sp =>
-      // arity first, in its own require — "3" must produce the intended
-      // message, not an ArrayIndexOutOfBounds from evaluating parts(1)
-      // inside the same boolean (ADVICE r16)
-      val parts = sp.split("/").map(_.trim).filter(_.nonEmpty)
-        .flatMap(p => scala.util.Try(p.toInt).toOption)
-      require(parts.length == 2,
+      // arity and numeric-ness first, in their own require — "3" or
+      // "0/x/4" must produce the intended message, never an
+      // ArrayIndexOutOfBounds and never a silently-salvaged spec
+      // (ADVICE r16; review r17: dropping non-numeric segments would
+      // accept a mangled spec as the wrong shard)
+      val segs = sp.split("/", -1).map(_.trim)
+      require(segs.length == 2 && segs.forall(s => s.nonEmpty && s.forall(_.isDigit)),
         s"bad shard spec '$sp' (want i/n with 0 <= i < n)")
-      require(parts(1) >= 1 && parts(0) >= 0 && parts(0) < parts(1),
+      val parts = segs.map(_.toInt)
+      require(parts(1) >= 1 && parts(0) < parts(1),
         s"bad shard spec '$sp' (want i/n with 0 <= i < n)")
       (parts(0), parts(1))
     }

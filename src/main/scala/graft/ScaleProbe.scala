@@ -1730,9 +1730,9 @@ object ScaleProbe {
       val termBuckets = terms.toDF("t")
         .select(pmod(xxhash64(col("t")), lit(nb)).as("b"))
         .distinct().as[Long].collect().length
-      // matched postings = Σ dfreq over the probe terms (fresh build ⇒
-      // the committed dict generation is g1)
-      val matched = spark.read.parquet(s"$dir/dict/g1")
+      // matched postings = Σ dfreq over the probe terms (manifest-resolved
+      // dict — rebuilds over a reused probe dir advance the generation)
+      val matched = graft.operators.LexIndex.liveDict(spark, dir)
         .where(col("token").isin(terms: _*))
         .agg(coalesce(sum("dfreq"), lit(0L))).head().getLong(0)
       val plan = graft.operators.LexIndex.query(spark, dir, terms)

@@ -42,15 +42,27 @@ import org.apache.spark.sql.functions._
   *    (readers ignore a torn write and fall back to the previous seq).
   *
   * == Crash/retry contract ==
-  * [[append]] and [[compact]] write ONLY new files, then commit one new
-  * manifest. A crash at ANY step before the manifest write leaves the
-  * previous manifest — and therefore the query path — fully consistent;
-  * the new files are unreferenced orphans (swept by the next [[compact]]).
-  * Retrying a failed [[append]] is safe: the orphaned first attempt is
-  * never in any manifest, so nothing double-counts; retrying an append
-  * that DID commit fails the doc_id disjointness guard instead of
-  * silently doubling tf (the correct refusal). Single writer assumed —
-  * the manifest sequence is not a lock.
+  * [[build]], [[append]] and [[compact]] write ONLY new files, then
+  * commit one new manifest. A crash at ANY step before the manifest
+  * write leaves the previous manifest — and therefore the query path —
+  * fully consistent; the new files are unreferenced orphans (swept by
+  * [[gc]] on the next successful commit, or by a [[compact]] call even
+  * when nothing needs rewriting). Retrying a failed [[append]] is safe:
+  * the orphaned first attempt is never in any manifest, so nothing
+  * double-counts; retrying an append that DID commit fails the doc_id
+  * disjointness guard instead of silently doubling tf (the correct
+  * refusal). Rebuilding over a live index is itself a commit, never a
+  * wipe. Single writer assumed — the manifest sequence is not a lock.
+  *
+  * == Retention window ==
+  * Every commit retains the PREVIOUS snapshot in full (its manifest,
+  * generation dirs, and data files) and reclaims everything older — so
+  * a query plan resolved just before a commit keeps collecting
+  * correctly across that commit, and a reader racing the writer falls
+  * back cleanly if the newest manifest is torn. One snapshot of history
+  * is the minimum that makes single-writer/many-reader safe; a real
+  * deployment would widen the window by time, exactly as Delta/Iceberg
+  * retention does.
   *
   * == Query-path scale shape (the PlanSpec-pinned contract) ==
   * The ONLY scan is `postings`, partition-pruned to the query terms'
@@ -131,30 +143,47 @@ object LexIndex {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Parse one manifest file; None when torn/invalid. */
-  private def parseManifest(fs: FileSystem, p: Path, seq: Long): Option[Manifest] = {
-    val in = fs.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    val lines = body.split("\n", -1).toSeq.filter(_.nonEmpty)
-    if (lines.isEmpty || !lines.last.startsWith("commit=")) return None
-    val payload = lines.init
-    if (lines.last != s"commit=${payload.length}") return None
-    def one(k: String) = payload.collectFirst { case l if l.startsWith(k + "=") => l.drop(k.length + 1) }
-    for (d <- one("dict"); s <- one("stats")) yield Manifest(seq, d, s,
-      payload.collect { case l if l.startsWith("p=") => l.drop(2) },
-      payload.collect { case l if l.startsWith("d=") => l.drop(2) })
-  }
+  /** Parse one manifest file; None when torn/invalid — or no longer
+    * readable at all (a concurrent GC may reclaim a superseded manifest
+    * between the directory listing and the open; the reader just moves
+    * on to the next candidate). */
+  private def parseManifest(fs: FileSystem, p: Path, seq: Long): Option[Manifest] =
+    scala.util.Try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    }.toOption.flatMap { body =>
+      val lines = body.split("\n", -1).toSeq.filter(_.nonEmpty)
+      if (lines.isEmpty || !lines.last.startsWith("commit=")) None
+      else {
+        val payload = lines.init
+        if (lines.last != s"commit=${payload.length}") None
+        else {
+          def one(k: String) = payload.collectFirst {
+            case l if l.startsWith(k + "=") => l.drop(k.length + 1)
+          }
+          for (d <- one("dict"); s <- one("stats")) yield Manifest(seq, d, s,
+            payload.collect { case l if l.startsWith("p=") => l.drop(2) },
+            payload.collect { case l if l.startsWith("d=") => l.drop(2) })
+        }
+      }
+    }
 
-  /** Newest VALID manifest (torn trailing writes are skipped). */
-  private def latest(fs: FileSystem, dir: String): Option[Manifest] = {
+  /** The newest `n` VALID manifests, newest first (torn trailing writes
+    * are skipped). take(1) = the live state; take(2) = the RETENTION
+    * WINDOW: the live snapshot plus one previous snapshot stay fully
+    * readable after every commit, so a plan resolved against the
+    * pre-commit manifest keeps collecting correctly across one
+    * concurrent commit (the Delta retention discipline at its minimum
+    * useful depth — review r17 finding #1). */
+  private def newest(fs: FileSystem, dir: String, n: Int): Seq[Manifest] = {
     val md = new Path(s"$dir/manifest")
-    if (!fs.exists(md)) return None
+    if (!fs.exists(md)) return Nil
     fs.listStatus(md).map(_.getPath)
       .filter(_.getName.matches("m\\d{20}\\.txt"))
       .sortBy(_.getName)(Ordering[String].reverse)
@@ -163,8 +192,11 @@ object LexIndex {
         scala.util.Try(p.getName.stripPrefix("m").stripSuffix(".txt").toLong)
           .toOption.flatMap(parseManifest(fs, p, _))
       }
-      .nextOption()
+      .take(n).toSeq
   }
+
+  private def latest(fs: FileSystem, dir: String): Option[Manifest] =
+    newest(fs, dir, 1).headOption
 
   private def live(fs: FileSystem, dir: String): Manifest =
     latest(fs, dir).getOrElse(
@@ -194,20 +226,32 @@ object LexIndex {
     spark.read.option("basePath", s"$dir/$base")
       .parquet(rels.map(r => s"$dir/$r"): _*)
 
-  /** Best-effort GC after a commit: manifests older than `keep`, plus
-    * dict/stats generations the live manifest no longer references. A
+  /** Best-effort GC, run after every commit (and by a no-op [[compact]],
+    * so crash debris is reclaimed even when nothing needs rewriting —
+    * review r17 finding #3): everything outside the RETENTION WINDOW
+    * (the two newest valid manifests — see [[newest]]) is deleted —
+    * older manifests, unreferenced dict/stats generations, and
+    * postings/docs data files no retained manifest lists (fragments a
+    * compact replaced two commits ago, debris from crashed writes). A
     * crash mid-GC leaves unreferenced orphans, never corruption. */
-  private def gc(fs: FileSystem, dir: String, keep: Manifest): Unit = {
+  private def gc(fs: FileSystem, dir: String): Unit = {
+    val keep = newest(fs, dir, 2)
+    if (keep.isEmpty) return
+    val minName = manifestName(keep.map(_.seq).min)
     val md = new Path(s"$dir/manifest")
     fs.listStatus(md).map(_.getPath)
-      .filter(p => p.getName.matches("m\\d{20}\\.txt") && p.getName < manifestName(keep.seq))
+      .filter(p => p.getName.matches("m\\d{20}\\.txt") && p.getName < minName)
       .foreach(p => fs.delete(p, false))
+    val keepGens = keep.flatMap(m => Seq(m.dict, m.stats)).toSet
     Seq("dict", "stats").foreach { comp =>
       val root = new Path(s"$dir/$comp")
       if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith("g") && s"$comp/${p.getName}" != (if (comp == "dict") keep.dict else keep.stats))
+        .filter(p => p.getName.startsWith("g") && !keepGens.contains(s"$comp/${p.getName}"))
         .foreach(p => fs.delete(p, true))
     }
+    val keepData = keep.flatMap(m => m.postings ++ m.docs).toSet
+    (listData(fs, dir, "postings") ++ listData(fs, dir, "docs"))
+      .filterNot(keepData).foreach(f => fs.delete(new Path(s"$dir/$f"), false))
   }
 
   // ------------------------------------------------------------------- build
@@ -238,30 +282,41 @@ object LexIndex {
   }
 
   /** Tokenize `df` exactly as `Retrieval.bm25` does and commit the
-    * artifact under `dir` (wiped first — build is from-scratch; a crash
-    * mid-build leaves no committed manifest, so the index is simply not
-    * live and the build re-runs clean). `nBuckets = 0` (default) picks
-    * the modulus from the vocabulary via [[nBucketsFor]]. */
+    * artifact under `dir`. Rebuild-over-a-LIVE-index follows the same
+    * commit protocol as every other transition (review r17 finding #4 —
+    * the previous version wiped the directory first, which broke
+    * concurrent queries for the whole build and destroyed the standing
+    * index on a mid-build crash): the new corpus lands as NEW files and
+    * a NEW generation, one manifest commit makes it live, and the
+    * superseded snapshot stays readable for the retention window. A
+    * crash mid-build leaves the previous index (or, on a fresh dir,
+    * nothing) committed. `nBuckets = 0` (default) picks the modulus from
+    * the vocabulary via [[nBucketsFor]]. */
   def build(df: DataFrame, id: Column, text: Column, dir: String,
       nBuckets: Int = 0): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
-    fs.delete(new Path(dir), true)
+    val prev = latest(fs, dir)
     val (tf, dl) = tokenized(df, id, text)
     val dict = tf.groupBy("token").agg(count(lit(1)).as("dfreq")).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets else nBucketsFor(dict.count())
+    val beforeP = listData(fs, dir, "postings")
+    val beforeD = listData(fs, dir, "docs")
     writePostings(tf, dl, dir, nb)
     dl.select("doc_id").write.mode("append").parquet(s"$dir/docs")
-    dict.write.mode("overwrite").parquet(s"$dir/dict/g1")
+    val gen = prev.map(_.seq).getOrElse(0L) + 1
+    dict.write.mode("overwrite").parquet(s"$dir/dict/g$gen")
     // stats as EXACT INTEGER totals (doc count, Σdl): avgdl is derived at
     // query time as one double division — so an appended index recombines
     // bit-identically with a from-scratch build (a stored floating avgdl
     // would re-round on every merge; integer sums cannot drift)
     val agg = dl.agg(count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("dl_sum")).head()
-    statsRow(spark, agg.getLong(0), agg.getLong(1), nb, s"$dir/stats/g1")
-    writeManifest(fs, dir, Manifest(1L, "dict/g1", "stats/g1",
-      listData(fs, dir, "postings").toSeq, listData(fs, dir, "docs").toSeq))
+    statsRow(spark, agg.getLong(0), agg.getLong(1), nb, s"$dir/stats/g$gen")
+    writeManifest(fs, dir, Manifest(gen, s"dict/g$gen", s"stats/g$gen",
+      (listData(fs, dir, "postings") -- beforeP).toSeq,
+      (listData(fs, dir, "docs") -- beforeD).toSeq))
+    gc(fs, dir)
   }
 
   // ------------------------------------------------------------------ append
@@ -325,21 +380,25 @@ object LexIndex {
       m.docs ++ (listData(fs, dir, "docs") -- beforeD))
     writeManifest(fs, dir, next)
     trip("append-post-commit")
-    gc(fs, dir, next)
+    gc(fs, dir)
   }
 
   // ----------------------------------------------------------------- compact
 
   /** Compact the bucket-partitioned postings: every `tok_bucket` whose
     * LIVE fragment count exceeds `maxFragments` is rewritten into ONE
-    * fragment — content-identical, dict/stats untouched, clean buckets
-    * keep their files. The maintenance pass of the [[append]] ingest loop:
-    * each append lands one file per touched bucket, and after enough
-    * batches the query path pays a small-file open per fragment instead
-    * of a streaming scan. Commit = one manifest swap (compacted files in,
-    * replaced fragments out); the replaced fragments and any orphans from
-    * crashed earlier writes are then deleted best-effort — a crash at any
-    * step leaves the previous manifest serving the identical content.
+    * TOKEN-SORTED fragment (the same layout [[writePostings]] produces —
+    * review r17 finding #2: an unsorted rewrite would permanently lose
+    * the min/max row-group skipping) — content-identical, dict/stats
+    * untouched, clean buckets keep their files. The maintenance pass of
+    * the [[append]] ingest loop: each append lands one file per touched
+    * bucket, and after enough batches the query path pays a small-file
+    * open per fragment instead of a streaming scan. Commit = one manifest
+    * swap (compacted files in, replaced fragments out); [[gc]] then
+    * reclaims everything outside the retention window — and runs even
+    * when NO bucket is over (review r17 finding #3), so debris from
+    * crashed writes is swept by the next compact regardless. A crash at
+    * any step leaves the previous manifest serving identical content.
     * Returns the bucket ids rewritten. */
   def compact(spark: SparkSession, dir: String, maxFragments: Int = 4): Seq[Long] = {
     val fs = fsOf(spark, dir)
@@ -353,10 +412,12 @@ object LexIndex {
     if (over.nonEmpty) {
       val before = listData(fs, dir, "postings")
       val overFiles = over.flatMap(byBucket)
-      // hash-repartition on the partition column: every row of a bucket
-      // lands in one task, so each rewritten bucket is exactly one fragment
+      // hash-repartition on the partition column (every row of a bucket
+      // lands in one task, so each rewritten bucket is exactly one
+      // fragment), token-sorted like the write path
       readRel(spark, dir, "postings", overFiles)
         .repartition(col("tok_bucket"))
+        .sortWithinPartitions("tok_bucket", "token", "doc_id")
         .write.partitionBy("tok_bucket").mode("append").parquet(s"$dir/postings")
       val fresh = (listData(fs, dir, "postings") -- before).toSeq
       trip("compact-post-data")
@@ -365,13 +426,8 @@ object LexIndex {
         m.postings.filterNot(f => overSet.contains(bucketOf(f))) ++ fresh, m.docs)
       writeManifest(fs, dir, next)
       trip("compact-post-commit")
-      gc(fs, dir, next)
-      // orphan sweep: anything under postings/docs the live manifest does
-      // not reference (replaced fragments, debris from crashed writes)
-      val keep = next.postings.toSet ++ next.docs.toSet
-      (listData(fs, dir, "postings") ++ listData(fs, dir, "docs"))
-        .filterNot(keep).foreach(f => fs.delete(new Path(s"$dir/$f"), false))
     }
+    gc(fs, dir)
     over
   }
 
@@ -383,6 +439,17 @@ object LexIndex {
     val r = spark.read.parquet(s"$dir/${m.stats}").head()
     (r.getAs[Long]("n_docs"), r.getAs[Long]("dl_sum"), r.getAs[Int]("n_buckets"))
   }
+
+  /** The live dictionary (token, dfreq) — resolved via the manifest, so
+    * callers never hard-code a generation path (probes, diagnostics). */
+  def liveDict(spark: SparkSession, dir: String): DataFrame = {
+    val m = live(fsOf(spark, dir), dir)
+    spark.read.parquet(s"$dir/${m.dict}")
+  }
+
+  /** The live manifest's postings file list (tests/probes). */
+  private[graft] def livePostingFiles(spark: SparkSession, dir: String): Seq[String] =
+    live(fsOf(spark, dir), dir).postings
 
   /** Shared scoring tail: postings already filtered to the query terms,
     * dict filtered to the same, stats broadcast — BM25 per `grain`. */

@@ -116,14 +116,13 @@ private[graft] object RetrievalQueries extends QueryBook {
       val sp = s
       import sp.implicits._
       val kPool = 50
-      val lexPool = graft.operators.LexIndex.query(s, lexDir,
-          terms = Seq("spark", "vector", "stream"))
-        .orderBy(col("score").desc, col("doc_id").asc).limit(kPool)
-      val lex = lexPool.as("a")
-        .join(lexPool.select(col("doc_id").as("_bid"), col("score").as("_bs")).as("b"),
-          col("_bs") > col("score") ||
-            (col("_bs") === col("score") && col("_bid") < col("doc_id")), "left")
-        .groupBy(col("doc_id")).agg((count(col("_bid")) + 1L).as("lex_rank"))
+      // queryMany on a one-row query table returns the top-50 WITH ranks
+      // from one artifact scan (review r17: the previous triangular
+      // self-join re-executed the whole pool twice to rank 50 rows)
+      val lex = graft.operators.LexIndex.queryMany(s, lexDir,
+          Seq((0L, Seq("spark", "vector", "stream"))).toDF("query_id", "terms"),
+          k = kPool)
+        .select(col("doc_id"), col("rnk").as("lex_rank"))
       val dense = graft.operators.AnnIndex.query(s, annDir,
           Seq((0L, qv)).toDF("query_id", "qv"), k = kPool, nProbe = 2)
         .select(col("corpus_id").as("doc_id"), col("rnk").as("dense_rank"))

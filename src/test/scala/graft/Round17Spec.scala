@@ -106,20 +106,64 @@ class Round17Spec extends SparkSpec {
     // reader trusted directory listings over the manifest, these rows
     // would corrupt the scores
     val b = spark.sql("SELECT pmod(xxhash64('spark'), 16)").head().getLong(0)
+    val junkDir = new java.io.File(s"$dir/postings/tok_bucket=$b")
+    val preJunk = junkDir.listFiles().map(_.getName).toSet
     spark.range(5).select(lit("spark").as("token"),
         (col("id") + 1000000L).as("doc_id"), lit(99L).as("tf"), lit(99L).as("dl"))
-      .write.mode("append").parquet(s"$dir/postings/tok_bucket=$b")
+      .write.mode("append").parquet(junkDir.getPath)
+    // data files only: the direct write also drops _SUCCESS markers,
+    // which are not data and outside the sweep's contract
+    val junkNames = (junkDir.listFiles().map(_.getName).toSet -- preJunk)
+      .filter(_.endsWith(".parquet"))
     // stray generation dirs (a crashed writer's debris)
     spark.range(1).select(lit("zzz").as("token"), lit(1L).as("dfreq"))
       .write.parquet(s"$dir/dict/g99")
     assert(answers(dir) === before)
-    // the maintenance pass sweeps postings orphans (force a rewrite of
-    // the polluted bucket by compacting at maxFragments = 0)
+    // a NO-OP compact (nothing over-fragmented) must still sweep debris
+    // that no retained manifest references (review r17 finding #3)
+    assert(LexIndex.compact(spark, dir, maxFragments = 5).isEmpty)
+    assert(junkDir.listFiles().map(_.getName).toSet.intersect(junkNames).isEmpty,
+      "no-op compact must sweep unreferenced debris")
+    assert(!new java.io.File(s"$dir/dict/g99").exists(),
+      "no-op compact must reclaim stray generations")
+    assert(answers(dir) === before)
+    // a REWRITING compact leaves exactly one LIVE fragment per bucket
+    // (the replaced fragment stays on disk for the retention window)
     LexIndex.compact(spark, dir, maxFragments = 0)
     assert(answers(dir) === before)
-    val liveJunk = new java.io.File(s"$dir/postings/tok_bucket=$b").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(liveJunk.length === 1, "compact must leave exactly one live fragment")
+    val liveInBucket = LexIndex.livePostingFiles(spark, dir)
+      .count(_.contains(s"tok_bucket=$b/"))
+    assert(liveInBucket === 1, "compact must leave exactly one live fragment")
+  }
+
+  test("a plan resolved before a commit keeps collecting across it (retention window)") {
+    val dir = fresh("retention_append")
+    LexIndex.build(standing, col("doc_id"), col("text"), dir)
+    val preCommitPlan = LexIndex.query(spark, dir, terms) // resolves the m1 snapshot
+    LexIndex.append(spark, dir, batch, col("doc_id"), col("text"))
+    // the superseded snapshot (manifest m1's dict/stats gens and files)
+    // must still be fully readable for one commit
+    assert(preCommitPlan.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === standingAnswers)
+    assert(answers(dir) === fullAnswers)
+  }
+
+  test("rebuild over a LIVE index is a commit, not a wipe") {
+    val dir = fresh("rebuild_live")
+    LexIndex.build(standing, col("doc_id"), col("text"), dir)
+    val preCommitPlan = LexIndex.query(spark, dir, terms)
+    LexIndex.build(docs, col("doc_id"), col("text"), dir) // rebuild, same dir
+    assert(answers(dir) === fullAnswers)
+    // one snapshot of history: the pre-rebuild plan still collects
+    assert(preCommitPlan.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === standingAnswers)
+    // a third rebuild pushes the first snapshot out of the window — its
+    // files are reclaimed, and only two manifests remain on disk
+    LexIndex.build(docs, col("doc_id"), col("text"), dir)
+    assert(answers(dir) === fullAnswers)
+    val manifests = new java.io.File(s"$dir/manifest").listFiles()
+      .count(_.getName.endsWith(".txt"))
+    assert(manifests === 2, s"retention window must keep exactly 2 manifests, saw $manifests")
   }
 
   // ---------------- guards ----------------
