@@ -44,34 +44,53 @@ object AnnIndex {
     val spark = e.sparkSession
     val coarseF = Future(KMeansOp.fit(e, id, vec, k = p.kCoarse, iters = p.iters))
     val fitsF = Future.sequence((0 until p.nSub).map { m => Future {
-      val (cents, base) = KMeansOp.fit(
-        e, id, slice(vec, m * p.subDim + 1, p.subDim), k = p.kCode, iters = p.iters)
-      val (cl, _) = KMeansOp.argmin(col("v"), cents)
-      (cents, base.select(col("id").as("vec_id"), cl.cast("int").as(s"code$m")))
+      KMeansOp.fit(
+        e, id, slice(vec, m * p.subDim + 1, p.subDim), k = p.kCode, iters = p.iters)._1
     }})
     val (coarse, base) = Await.result(coarseF, Duration.Inf)
-    val (cellCol, _) = KMeansOp.argmin(col("v"), coarse)
-    val cells = base.select(col("id").as("vec_id"), cellCol.cast("int").as("cell"))
     val fits = Await.result(fitsF, Duration.Inf)
 
     val centRows =
       coarse.zipWithIndex.map { case (c, i) => Row("coarse", i, c.toSeq) } ++
-      fits.zipWithIndex.flatMap { case ((cents, _), m) =>
+      fits.zipWithIndex.flatMap { case (cents, m) =>
         cents.zipWithIndex.map { case (c, i) => Row(s"sub$m", i, c.toSeq) } }
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, false),
       org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType, false),
       org.apache.spark.sql.types.StructField("c",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // centroids and codes are independent outputs of the completed fits —
+    // write them concurrently (round 17, guide §2.6)
+    val centW = Future(
+      spark.createDataFrame(spark.sparkContext.parallelize(centRows.toSeq, 1), centSchema)
+        .write.mode("overwrite").parquet(s"$dir/centroids"))
 
     // cell-partitioned layout: each coarse cell is its own directory, so
     // the query path's probe join can DYNAMICALLY PRUNE to the probed
     // cells — at a production k the probe reads nProbe/k of the artifact
-    // from storage instead of scanning every code file
-    (fits.map(_._2) :+ cells).reduce(_.join(_, "vec_id"))
+    // from storage instead of scanning every code file.
+    //
+    // Encode in ONE row-local pass (round 17, guide §2.4): cell and every
+    // code_m are argmins of the SAME row's vector against driver-held
+    // centroid matrices — [[append]] always encoded this way; build
+    // previously joined five per-fit projections on vec_id (four corpus
+    // joins whose only product was column concatenation). Bit-identical:
+    // slice(toDouble(vec)) ≡ toDouble(slice(vec)) element-wise and the
+    // argmin arithmetic is the same native expression.
+    val (cellCol, _) = KMeansOp.argmin(col("v"),
+      graft.plans.AnnNative.matrix(spark, coarse))
+    val encoded = (0 until p.nSub).foldLeft(
+        base.select(col("id").as("vec_id"), col("v"))
+          .withColumn("cell", cellCol.cast("int"))) { (d, m) =>
+      val (cl, _) = KMeansOp.argmin(
+        slice(col("v"), m * p.subDim + 1, p.subDim),
+        graft.plans.AnnNative.matrix(spark, fits(m)))
+      d.withColumn(s"code$m", cl.cast("int"))
+    }
+    encoded
+      .select(col("vec_id") +: (0 until p.nSub).map(m => col(s"code$m")) :+ col("cell"): _*)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    Await.result(centW, Duration.Inf)
   }
 
   /** Append a NEW batch to an existing index using the STANDING

@@ -52,37 +52,55 @@ object BpeTrain {
   /** Run `rounds` merge iterations over a (word, freq) vocab. Returns the
     * learned merge sequence as a driver-side list — `rounds` entries of
     * (lhs, rhs, weighted pair count); bounded by construction. Stops early
-    * if the vocab runs out of pairs. */
+    * if the vocab runs out of pairs.
+    *
+    * The merge LOOP runs on the driver over the collected vocab (round-17
+    * optimization, guide §1.2 "the distributed algorithm" first): the
+    * vocab is bounded by `topWords` BY CONTRACT — the operator's training
+    * grain is a capped word-frequency dict, exactly how production BPE
+    * trainers (SentencePiece, HF tokenizers) hold it in one process — so
+    * the previous 2 Spark jobs per round (an argmax collect and a
+    * localCheckpoint re-pin, 40 scheduler round trips for a 500-row
+    * table at 20 rounds) were pure structure, not distribution. The
+    * corpus-scale pass ([[wordVocab]]) stays distributed; this collect is
+    * topWords-bounded like the centroid matrices. Arithmetic, tie-break
+    * total order, and the greedy-leftmost fold are unchanged — the merge
+    * sequence is bit-identical (BpeTrainSpec pins both paths' semantics,
+    * and the q311/q337 oracle twins re-derive the identical rounds). */
   def trainMerges(vocab: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
-    var v = vocab.select(col("word"), col("freq").cast("long").as("freq"),
-        split(col("word"), "").as("syms"))
-      .localCheckpoint()
+    var words: Array[(Array[String], Long)] = vocab
+      .select(col("word"), col("freq").cast("long").as("freq"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 0
     var dry = false
     while (r < rounds && !dry) {
-      val top = v.where(size(col("syms")) >= 2)
-        .select(col("freq"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(1).collect() // ONE row — the argmax, never the pair table
-      if (top.isEmpty) dry = true
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
       else {
-        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // argmax with the pinned total order: count desc, then (l, r) asc
+        val ((lhs, rhs), c) = counts.minBy { case ((l, rr), cnt) => (-cnt, l, rr) }
         merges += ((lhs, rhs, c))
         val m = lhs + rhs
-        val prev = v
-        v = v.select(col("word"), col("freq"),
-            aggregate(col("syms"), typedLit(Seq.empty[String]),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(lhs) && x === lit(rhs),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-                .otherwise(concat(acc, array(x)))).as("syms"))
-          .localCheckpoint()
-        prev.unpersist()
+        words = words.map { case (syms, f) =>
+          // greedy leftmost non-overlapping — identical to applyMerges
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == lhs && x == rhs)
+              out(out.length - 1) = m
+            else out += x
+          }
+          (out.toArray, f)
+        }
         r += 1
       }
     }

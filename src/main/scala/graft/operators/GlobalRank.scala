@@ -83,8 +83,11 @@ object GlobalRank {
     // ONE RDD object for both passes: the second job skips the shuffle-write
     // stage and re-reads the same map output, so both passes see identical
     // range bounds and partition contents (no persist needed — see the
-    // object scaladoc's cache-posture note).
-    val rdd = sorted.rdd
+    // object scaladoc's cache-posture note). InternalRow grain throughout
+    // (round 17): `.rdd` boxed every field to external Rows and
+    // createDataFrame re-encoded them back — two full ser/de passes whose
+    // only product was the appended long.
+    val rdd = sorted.queryExecution.toRdd
     val sums = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
@@ -92,12 +95,27 @@ object GlobalRank {
       .collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
     val withSum = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = bc.value(i)
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      val append = appendField(schema)
+      it.map { r => acc += r.getLong(vIdx); append(r, acc) }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    spark.createDataFrame(withSum, schema).drop("_gsum_v")
+    org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, withSum, schema).drop("_gsum_v")
+  }
+
+  /** Per-partition InternalRow appender: joins each row with ONE extra
+    * trailing field and projects to an UnsafeRow under `schema` (reused
+    * buffer — the standard operator iterator contract; downstream
+    * operators copy when they buffer). Call INSIDE the partition closure:
+    * the generated projection is not serializable. */
+  private def appendField(schema: StructType)
+      : (org.apache.spark.sql.catalyst.InternalRow, Any) => org.apache.spark.sql.catalyst.InternalRow = {
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    (r, v) => { extra.update(0, v); proj(joined(r, extra)) }
   }
 
   /** Appends the GLOBAL running maximum of `valueCol` (inclusive of the
@@ -119,8 +137,9 @@ object GlobalRank {
     val tagged = df.withColumn("_gmax_v", valueCol.cast("long"))
     val sorted = tagged.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex("_gmax_v")
-    // ONE RDD object for both passes (see withRunningSum's scaladoc note).
-    val rdd = sorted.rdd
+    // ONE RDD object for both passes (see withRunningSum's scaladoc note);
+    // InternalRow grain throughout (round 17, same rationale).
+    val rdd = sorted.queryExecution.toRdd
     val maxes = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var m = Long.MinValue
@@ -130,16 +149,17 @@ object GlobalRank {
       .collect().sortBy(_._1).map(_._2)
     val offsets = maxes.scanLeft(Long.MinValue)(math.max)
     val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = true))
     val withMax = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = bc.value(i)
+      val append = appendField(schema)
       it.map { r =>
         if (!r.isNullAt(vIdx)) acc = math.max(acc, r.getLong(vIdx))
-        val v: Any = if (acc == Long.MinValue) null else acc
-        Row.fromSeq(r.toSeq :+ v)
+        append(r, if (acc == Long.MinValue) null else acc)
       }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = true))
-    spark.createDataFrame(withMax, schema).drop("_gmax_v")
+    org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, withMax, schema).drop("_gmax_v")
   }
 
   /** Shared core: returns (df + rank column, total row count). */
@@ -152,8 +172,9 @@ object GlobalRank {
     // execution could legally sample different range bounds, but two jobs
     // over the SAME RDD reuse the shuffle-write stage (it is skipped, the
     // map output re-read), so the count pass and the rank-assignment pass
-    // see identical partitioning without persisting anything.
-    val rdd = sorted.rdd
+    // see identical partitioning without persisting anything. InternalRow
+    // grain throughout (round 17, see withRunningSum).
+    val rdd = sorted.queryExecution.toRdd
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, {
         var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
@@ -161,11 +182,13 @@ object GlobalRank {
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
     val withIdx = rdd.mapPartitionsWithIndex { (i, it) =>
       var k = bc.value(i)
-      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
+      val append = appendField(schema)
+      it.map { r => k += 1; append(r, k) }
     }
-    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    (spark.createDataFrame(withIdx, schema), offsets.last)
+    (org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, withIdx, schema), offsets.last)
   }
 }

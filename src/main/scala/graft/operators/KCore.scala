@@ -34,8 +34,18 @@ object KCore {
       removed = deg.where(col("deg") < k).count()
       if (removed > 0) {
         val alive = deg.where(col("deg") >= k).select("node")
-        e = e.join(alive.withColumnRenamed("node", "p1"), Seq("p1"))
+        val e1 = e.join(alive.withColumnRenamed("node", "p1"), Seq("p1"))
           .join(alive.withColumnRenamed("node", "p2"), Seq("p2"))
+        // unrolled SECOND peel inside the same materialization (round 17):
+        // the k-core is the unique fixpoint of peeling in ANY schedule, so
+        // batching two peels per checkpoint halves the driver round trips
+        // (each round previously cost a deg pin + count + edge pin; the
+        // second peel here rides the same job). A no-op second peel (no
+        // casualties in e1) filters with an all-alive set — harmless.
+        val deg2 = degrees(e1)
+        val alive2 = deg2.where(col("deg") >= k).select("node")
+        e = e1.join(alive2.withColumnRenamed("node", "p1"), Seq("p1"))
+          .join(alive2.withColumnRenamed("node", "p2"), Seq("p2"))
           .localCheckpoint()
       }
     }

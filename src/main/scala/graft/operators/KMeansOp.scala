@@ -91,11 +91,14 @@ object KMeansOp {
       .withColumn("_draw", md5(col("id").cast("string")))
       .orderBy(col("_draw").asc, col("id").asc).limit(cap)
       .drop("_draw").cache()
-    val dim = sample.select(size(col("v"))).head().getInt(0)
     var centroids: Seq[Array[Double]] = sample.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray).toSeq
     require(centroids.length == k,
       s"fit sample (${centroids.length} rows) smaller than k=$k — raise fitSampleCap")
+    // dim read off the seed rows (round 17: the seed collect already has
+    // a full vector — the previous separate size(v) head() was one more
+    // serial driver job per fit, five fits per index build)
+    val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val (cl, _) = argmin(col("v"), centroids)
       val dimSums = (0 until dim).map(i =>

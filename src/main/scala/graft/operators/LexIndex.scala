@@ -105,14 +105,22 @@ object LexIndex {
     if (failpoint.contains(name))
       throw new IllegalStateException(s"LexIndex failpoint tripped: $name")
 
-  /** One tokenize pass over `df`: (tf with localCheckpoint, per-doc dl).
+  /** One tokenize pass over `df` (round-17 optimization): the pinned
+    * grain is the ROW-LOCALLY computed (doc_id, token, tf, dl) long
+    * format — [[Retrieval.termFreqsWithDl]] derives tf and dl inside the
+    * row, so the protocol no longer pays a (doc_id, token) exchange, a
+    * doc-length exchange, or a tf ⋈ dl join; the only corpus exchanges
+    * left are the dict aggregate and the bucket-layout repartition. The
+    * doc-grain facts (docs membership, n_docs, Σdl) are the `is_first`
+    * FILTER of the same checkpointed table — exactly one marked row per
+    * document — so they cost neither a re-tokenize scan nor an exchange.
     * Shared by [[build]] and [[append]] — the q346 contract is
     * build(A)+append(B) ≡ build(A∪B) bit-for-bit, so there must be
     * exactly ONE tokenization/bucketing code path. */
   private def tokenized(df: DataFrame, id: Column, text: Column)
       : (DataFrame, DataFrame) = {
-    val tf = Retrieval.termFreqs(df, id, text).localCheckpoint()
-    (tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val tfd = Retrieval.termFreqsWithDl(df, id, text).localCheckpoint()
+    (tfd, tfd.where(col("is_first")).select(col("doc_id"), col("dl")))
   }
 
   // ---------------------------------------------------------------- manifest
@@ -256,18 +264,20 @@ object LexIndex {
 
   // ------------------------------------------------------------------- build
 
-  /** Write (tf ⋈ dl) as bucket-partitioned postings fragments under
-    * `dir/postings` (mode append: new files only, existing fragments are
-    * never touched — the manifest decides liveness). Each bucket is
-    * repartitioned to ONE task and sorted by token, so a build or append
-    * lands exactly one TOKEN-ORDERED fragment per touched bucket: parquet
-    * min/max column statistics then let the query path's pushed
-    * `token IN (…)` filter skip whole row groups inside a pruned bucket —
-    * at a production bucket size the scan reads the matched terms'
-    * neighborhoods, not the full bucket. */
-  private def writePostings(tf: DataFrame, dl: DataFrame, dir: String,
+  /** Write the row-local (doc_id, token, tf, dl) expansion of `base` as
+    * bucket-partitioned postings fragments under `dir/postings` (mode
+    * append: new files only, existing fragments are never touched — the
+    * manifest decides liveness). Each bucket is repartitioned to ONE task
+    * and sorted by token, so a build or append lands exactly one
+    * TOKEN-ORDERED fragment per touched bucket: parquet min/max column
+    * statistics then let the query path's pushed `token IN (…)` filter
+    * skip whole row groups inside a pruned bucket — at a production
+    * bucket size the scan reads the matched terms' neighborhoods, not the
+    * full bucket. dl rides the row (round 17: no tf ⋈ dl join — the
+    * bucket repartition is this path's ONLY exchange). */
+  private def writePostings(tfd: DataFrame, dir: String,
       nBuckets: Int): Unit =
-    tf.join(dl, "doc_id")
+    tfd
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))
       .select("tok_bucket", "token", "doc_id", "tf", "dl")
       .repartition(col("tok_bucket"))
@@ -297,22 +307,36 @@ object LexIndex {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val prev = latest(fs, dir)
-    val (tf, dl) = tokenized(df, id, text)
-    val dict = tf.groupBy("token").agg(count(lit(1)).as("dfreq")).localCheckpoint()
+    val (tfd, docsDl) = tokenized(df, id, text)
+    val dict = tfd
+      .groupBy("token").agg(count(lit(1)).as("dfreq")).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets else nBucketsFor(dict.count())
     val beforeP = listData(fs, dir, "postings")
     val beforeD = listData(fs, dir, "docs")
-    writePostings(tf, dl, dir, nb)
-    dl.select("doc_id").write.mode("append").parquet(s"$dir/docs")
     val gen = prev.map(_.seq).getOrElse(0L) + 1
-    dict.write.mode("overwrite").parquet(s"$dir/dict/g$gen")
-    // stats as EXACT INTEGER totals (doc count, Σdl): avgdl is derived at
-    // query time as one double division — so an appended index recombines
-    // bit-identically with a from-scratch build (a stored floating avgdl
-    // would re-round on every merge; integer sums cannot drift)
-    val agg = dl.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum("dl"), lit(0L)).as("dl_sum")).head()
-    statsRow(spark, agg.getLong(0), agg.getLong(1), nb, s"$dir/stats/g$gen")
+    // the four data-file writes are independent derivations of the two
+    // pinned tables (tfd checkpoint, dict checkpoint) — run them
+    // concurrently (round 17, guide §2.6); the protocol's crash contract
+    // only requires that ALL land before the one manifest commit, which
+    // the Await below preserves
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(writePostings(tfd, dir, nb)),
+      Future(docsDl.select("doc_id").write.mode("append").parquet(s"$dir/docs")),
+      Future(dict.write.mode("overwrite").parquet(s"$dir/dict/g$gen")),
+      Future {
+        // stats as EXACT INTEGER totals (doc count, Σdl): avgdl is derived
+        // at query time as one double division — so an appended index
+        // recombines bit-identically with a from-scratch build (a stored
+        // floating avgdl would re-round on every merge; integer sums
+        // cannot drift). Both scalars are row-local over the is_first
+        // filter: no exchange.
+        val agg = docsDl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("dl_sum")).head()
+        statsRow(spark, agg.getLong(0), agg.getLong(1), nb, s"$dir/stats/g$gen")
+      })), Duration.Inf)
     writeManifest(fs, dir, Manifest(gen, s"dict/g$gen", s"stats/g$gen",
       (listData(fs, dir, "postings") -- beforeP).toSeq,
       (listData(fs, dir, "docs") -- beforeD).toSeq))
@@ -345,10 +369,9 @@ object LexIndex {
     val st = spark.read.parquet(s"$dir/${m.stats}").head()
     val (oldN, oldSum, nBuckets) = (st.getAs[Long]("n_docs"),
       st.getAs[Long]("dl_sum"), st.getAs[Int]("n_buckets"))
-    val (tf, dl) = tokenized(batch, id, text)
-    val dlc = dl.localCheckpoint() // read by guard, postings, dict, stats
+    val (tfd, docsDl) = tokenized(batch, id, text)
     if (m.docs.nonEmpty) {
-      val overlap = dlc.select("doc_id")
+      val overlap = docsDl.select("doc_id")
         .join(readRel(spark, dir, "docs", m.docs), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(overlap == 0L,
@@ -361,19 +384,31 @@ object LexIndex {
     // leak into the manifest
     val beforeP = listData(fs, dir, "postings")
     val beforeD = listData(fs, dir, "docs")
-    writePostings(tf, dlc, dir, nBuckets)
-    dlc.select("doc_id").write.mode("append").parquet(s"$dir/docs")
+    // each protocol phase's independent writes run concurrently (round 17,
+    // guide §2.6) — both derive from the pinned tfd checkpoint; the crash
+    // contract is unchanged because nothing is referenced until the one
+    // manifest commit, and the failpoints keep their between-phase spots
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(writePostings(tfd, dir, nBuckets)),
+      Future(docsDl.select("doc_id").write.mode("append")
+        .parquet(s"$dir/docs")))), Duration.Inf)
     trip("append-post-data")
     val gen = m.seq + 1
-    spark.read.parquet(s"$dir/${m.dict}")
-      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("dfreq")))
-      .groupBy("token").agg(sum("dfreq").as("dfreq"))
-      .write.mode("overwrite").parquet(s"$dir/dict/g$gen")
-    // stats: exact integer addition — no floating recombination anywhere
-    val add = dlc.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("s")).head()
-    statsRow(spark, oldN + add.getLong(0), oldSum + add.getLong(1), nBuckets,
-      s"$dir/stats/g$gen")
+    Await.result(Future.sequence(Seq(
+      Future(spark.read.parquet(s"$dir/${m.dict}")
+        .unionByName(tfd.groupBy("token").agg(count(lit(1)).as("dfreq")))
+        .groupBy("token").agg(sum("dfreq").as("dfreq"))
+        .write.mode("overwrite").parquet(s"$dir/dict/g$gen")),
+      Future {
+        // stats: exact integer addition — no floating recombination anywhere
+        val add = docsDl.agg(count(lit(1)).as("n"),
+          coalesce(sum("dl"), lit(0L)).as("s")).head()
+        statsRow(spark, oldN + add.getLong(0), oldSum + add.getLong(1), nBuckets,
+          s"$dir/stats/g$gen")
+      })), Duration.Inf)
     trip("append-post-gens")
     val next = Manifest(gen, s"dict/g$gen", s"stats/g$gen",
       m.postings ++ (listData(fs, dir, "postings") -- beforeP),

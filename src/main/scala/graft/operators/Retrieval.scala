@@ -19,14 +19,40 @@ import graft.functions.TextExprs
   */
 object Retrieval {
 
+  /** The cleaned, lowercased, whitespace-split, empty-dropped token array —
+    * THE tokenization every sparse-retrieval operator shares (one code
+    * path, so LexIndex build/append/bm25 can never drift). */
+  def tokens(text: Column): Column =
+    filter(split(lower(TextExprs.cleanText(text)), " "), t => t =!= "")
+
+  /** The row-local (token, tf, dl, first) pair array of a document's
+    * cleaned text — one native whole-stage-codegen call per row
+    * ([[graft.plans.TermFreqsExprs.termFreqPairs]]); every token of a
+    * document lives in its row, so term frequency is a ROW-LOCAL
+    * aggregate, not a corpus shuffle (round-17 optimization; guide §2.4
+    * "remove shuffles outright": the previous explode → groupBy(doc_id,
+    * token) exchanged the whole exploded token stream just to count
+    * within rows). */
+  def tfPairs(text: Column): Column =
+    graft.plans.TermFreqsExprs.termFreqPairs(lower(TextExprs.cleanText(text)))
+
+  /** (doc_id, token, tf, dl, is_first): per-document term frequencies
+    * PLUS the document length, all computed row-locally (no exchange
+    * anywhere). `is_first` marks exactly ONE row per document, so
+    * doc-grain facts (doc list, n_docs, Σdl) are a FILTER over this
+    * table, never a re-scan or an exchange. Token-less docs contribute
+    * no rows (the previous groupBy semantics). The denormalized-dl long
+    * format [[LexIndex]] persists. */
+  def termFreqsWithDl(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(tfPairs(text)).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.tf").as("tf"),
+        col("p.dl").as("dl"), col("p.first").as("is_first"))
+
   /** (doc_id, token, tf): term frequencies of the cleaned, lowercased,
     * whitespace-split text. Empty tokens dropped; docs with no tokens
-    * contribute no rows. */
+    * contribute no rows. Row-local — see [[termFreqsWithDl]]. */
   def termFreqs(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), lower(TextExprs.cleanText(text)).as("cln"))
-      .select(col("doc_id"), explode(split(col("cln"), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    termFreqsWithDl(df, id, text).select("doc_id", "token", "tf")
 
   /** Top-k TF-IDF terms per document.
     *
@@ -106,19 +132,26 @@ object Retrieval {
   def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    // see tfidfTopK: one tokenize pass, GC-released blocks, no cache leak
-    val tf = termFreqs(df, id, text).localCheckpoint()
-    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // corpus scalars ride a broadcast cross join; document frequency is
-    // computed over the query-term rows only (identical df for those terms)
+    // Row-local rewrite (round 17, guide §2.3/§2.4): tf of the query
+    // terms and dl are both per-ROW facts of the native tfPairs kernel,
+    // so the corpus never shuffles at all — no (doc_id, token) exchange,
+    // no doc-length exchange, no tf ⋈ dl join, no corpus-sized
+    // checkpoint. Two scans of the pruned (id, text) columns replace
+    // them: corpus scalars (dl read off the first pair, no explode) and
+    // the matched-pairs pass; the only exchange left is the final
+    // per-doc aggregate over MATCHED rows. Identical integers →
+    // identical 4-dp scores.
+    val matched = termFreqsWithDl(df, id, text)
+      .where(col("token").isin(terms: _*))
+    val docLen = df
+      .select(try_element_at(tfPairs(text), lit(1))("dl").as("dl"))
+      .where(col("dl").isNotNull)
     val stats = docLen.agg(count(lit(1)).cast("double").as("_nd"), avg("dl").as("_avgdl"))
-    val matches = tf.where(col("token").isin(terms: _*))
-    val dfreq = matches.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val dfreq = matched.groupBy("token").agg(count(lit(1)).as("dfreq"))
     val idf = log(lit(1.0) + (col("_nd") - col("dfreq") + 0.5) / (col("dfreq") + 0.5))
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))
-    matches
+    matched
       .join(broadcast(dfreq), "token")
-      .join(docLen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("_s", idf * col("tf") * (k1 + 1.0) / norm)
       .groupBy("doc_id")

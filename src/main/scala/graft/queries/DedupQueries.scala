@@ -554,17 +554,23 @@ private[graft] object DedupQueries extends QueryBook {
         .select(col("doc_id"), lower(TextExprs.cleanText(col("text"))).as("tx"))
         .where(length(col("tx")) >= 3)
       val sh = docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))")).as("g"))
+          // native char_grams (round 17): the transform/substring HOF ran
+          // interpreted per element with an O(len²) substring re-walk
+          explode(graft.plans.CharGramsExprs.charGrams(col("tx"), 3)).as("g"))
         .distinct()
         .localCheckpoint() // feeds signatures, sizes, and the gram join
       val hv = sh.select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("hv"))
       val perms = s.createDataFrame(blockPerms.map { case (p, c) => (p.toLong, c) })
         .toDF("p", "c")
-      val sig = hv.crossJoin(broadcast(perms))
+      // sig and truth are independent derivations of the pinned sh —
+      // materialize them concurrently (round 17, guide §2.6); sizes is
+      // lazy and rides inside truth's plan as before
+      val sigF = scala.concurrent.Future(hv.crossJoin(broadcast(perms))
         .groupBy("doc_id", "p")
         .agg(min(col("hv").bitwiseXOR(col("c"))).as("v"))
         .localCheckpoint() // the 32-perm signature feeds all 3 geometries
+      )(scala.concurrent.ExecutionContext.Implicits.global)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val truth = sh.as("a")
         .join(sh.as("b"),
@@ -576,25 +582,35 @@ private[graft] object DedupQueries extends QueryBook {
         .where(col("shared") * 10 >= (col("sa") + col("sb") - col("shared")) * 7)
         .select("id_a", "id_b")
         .localCheckpoint() // counted AND intersected per geometry
-      val perGeom = blockGeometries.map { case (nb, r) =>
-        // band signature = the r per-band minhashes in perm order, as a
-        // canonical string (array_sort on (p, v) structs orders by p; the
-        // DuckDB twin is string_agg ORDER BY p)
-        val bands = sig.groupBy(col("doc_id"), expr(s"p div $r").as("band"))
-          .agg(array_join(transform(
-            array_sort(collect_list(struct(col("p"), col("v")))),
-            x => x("v").cast("string")), ",").as("sg"))
-        val cand = bands.as("a").join(bands.as("b"), Seq("band", "sg"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .where(col("id_a") < col("id_b"))
-          .distinct()
-          .localCheckpoint() // counted AND intersected with truth
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-            .agg(count(lit(1)).as("n_found")))
-          .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
-            col("n_candidates"), col("n_found"))
-      }.reduce(_ unionAll _)
+      val sig = scala.concurrent.Await.result(
+        sigF, scala.concurrent.duration.Duration.Inf)
+      // the three geometries are INDEPENDENT jobs over the same pinned
+      // sig/truth tables — build their checkpoints concurrently (round
+      // 17, guide §2.6 "overlap independent jobs": the serial version
+      // left the cluster idle in each geometry's tail)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val perGeom = Await.result(Future.sequence(
+        blockGeometries.map { case (nb, r) => Future {
+          // band signature = the r per-band minhashes in perm order, as a
+          // canonical string (array_sort on (p, v) structs orders by p;
+          // the DuckDB twin is string_agg ORDER BY p)
+          val bands = sig.groupBy(col("doc_id"), expr(s"p div $r").as("band"))
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("v")))),
+              x => x("v").cast("string")), ",").as("sg"))
+          val cand = bands.as("a").join(bands.as("b"), Seq("band", "sg"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .where(col("id_a") < col("id_b"))
+            .distinct()
+            .localCheckpoint() // counted AND intersected with truth
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+              .agg(count(lit(1)).as("n_found")))
+            .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"), col("n_found"))
+        }}), Duration.Inf).reduce(_ unionAll _)
       val base = sizes.agg(count(lit(1)).as("n_docs"))
         .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
         .select(col("n_docs"),

@@ -102,20 +102,40 @@ private[graft] object QueryHelpers {
     val base = s"target/stream/$tag/${java.util.UUID.randomUUID()}"
     val src = new java.io.File(s"$base/src"); src.mkdirs()
     val out = s"$base/out"
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$base/tmp$i"
-      df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"replay slice $i produced no part file"))
-      // the replay-invariant guard below requires one DATA batch per
-      // slice, so an empty slice would trip it spuriously (ADVICE r15) —
-      // fail HERE, at write time, with the actionable message (metadata-
-      // only count: parquet footer, no scan)
-      require(s.read.parquet(tmp).count() > 0L,
-        s"$tag replay slice $i is empty — the slicing predicate must give " +
-          "every micro-batch at least one row (empty slices would replay " +
-          "as zero batches and desynchronize the batch-grain twin)")
+    // Write the slices CONCURRENTLY (round 17, guide §2.6 "overlap
+    // independent jobs"): the per-slice writes are independent Spark
+    // jobs, and running them serially left the cluster idle in each
+    // job's tail — at 4 slices this was the dominant rig-prep cost. The
+    // emptiness guard reads the written footer's row count directly
+    // (pure metadata — no Spark job at all). Moves + mtimes stay serial
+    // below: FileStreamSource replays oldest-mtime-first, so ordering is
+    // assigned once, deterministically, after every write landed.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = Await.result(Future.sequence(slices.zipWithIndex.map {
+      case (df, i) => Future {
+        val tmp = s"$base/tmp$i"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"replay slice $i produced no part file"))
+        val conf = s.sparkContext.hadoopConfiguration
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+        val nRows = try reader.getRecordCount finally reader.close()
+        // the replay-invariant guard below requires one DATA batch per
+        // slice, so an empty slice would trip it spuriously (ADVICE r15)
+        // — fail HERE, at write time, with the actionable message
+        require(nRows > 0L,
+          s"$tag replay slice $i is empty — the slicing predicate must give " +
+            "every micro-batch at least one row (empty slices would replay " +
+            "as zero batches and desynchronize the batch-grain twin)")
+        part
+      }
+    }), Duration.Inf)
+    parts.zipWithIndex.foreach { case (part, i) =>
       val dst = new java.io.File(src, f"b$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 60000L)

@@ -633,9 +633,10 @@ private[graft] object RelationalQueries extends QueryBook {
         // length < 3 → zero grams; the filter also dodges sequence(1, 0),
         // which Spark evaluates as a DESCENDING [1, 0] rather than empty
         .where(length(col("t")) >= 3)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
-          .as("gram"))
+        // native char_grams (round 17): the transform/substring HOF ran
+        // interpreted per element with an O(len²) substring re-walk
+        .select(col("source"),
+          explode(graft.plans.CharGramsExprs.charGrams(col("t"), 3)).as("gram"))
         .groupBy("source", "gram").agg(count(lit(1)).as("c"))
       val norms = grams.groupBy("source")
         .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))

@@ -23,6 +23,19 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap an RDD of InternalRows as a DataFrame WITHOUT the external-Row
+    * round trip (round-17 optimization): `spark.createDataFrame(rdd,
+    * schema)` re-encodes every field of every row through the Row →
+    * Catalyst converters, and the matching `df.rdd` read side boxes every
+    * field the other way. The two-pass GlobalRank operators live entirely
+    * at the InternalRow grain; this exposes the private[sql]
+    * internalCreateDataFrame they need to come back into SQL. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register an expression-backed SQL function into a LIVE session's
     * function registry (sessionState is private[sql], hence here). The
     * session-creation path is graft.plans.GraftExtensions via
