@@ -29,10 +29,9 @@ object CoPurchase {
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .where(size(col("ps")) >= 2)
     baskets
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-          "y -> struct(x AS p1, y AS p2))))")).as("e"))
+      // native ordered_pairs (round 17): the nested transform/slice HOF
+      // ran interpreted per element, allocating a slice per pair row
+      .select(explode(graft.plans.WordGramsExprs.orderedPairs(col("ps"))).as("e"))
       .groupBy(col("e.p1").as("p1"), col("e.p2").as("p2"))
       .agg(count(lit(1)).as("w")).where(col("w") >= minOrders)
       .select("p1", "p2")

@@ -28,14 +28,11 @@ object Dedup {
     * lambda body only touches `toks` — pass an ATTRIBUTE column: a non-
     * attribute subtree in a higher-order-function lambda is re-evaluated per
     * element (measured ~50x on the documents corpus). */
-  def shinglesOfToks(toks: Column, n: Int): Column = {
-    val nWindows = size(toks) - (n - 1)
-    // guard: sequence(0, -1) would produce a DESCENDING [0,-1], not empty
-    when(nWindows <= 0, typedLit(Seq.empty[String]))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), nWindows - 1),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def shinglesOfToks(toks: Column, n: Int): Column =
+    // native token_grams (round 17): the transform/slice/concat_ws HOF ran
+    // interpreted per window; distinct keeps array_distinct's
+    // first-occurrence order, short arrays yield empty — same contract
+    graft.plans.WordGramsExprs.tokenGrams(toks, n, distinct = true)
 
   /** Word n-gram shingle set (distinct) of the cleaned text. Convenience
     * single-Column form for tests/small frames; on the hot path stage
@@ -569,11 +566,11 @@ object Dedup {
       gramLen: Int = 3, window: Int = 4): DataFrame = {
     val base = df.select(id.as("doc_id"),
       split(lower(TextExprs.cleanText(text)), " ").as("toks"))
-    val nGrams = size(col("toks")) - (gramLen - 1)
+    // native token_grams (round 17), positional (non-distinct): winnowing
+    // windows over the gram-hash SEQUENCE need every occurrence in order
     val grams = base.select(col("doc_id"),
-      when(nGrams <= 0, typedLit(Seq.empty[String]))
-        .otherwise(transform(sequence(lit(0), nGrams - 1),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(gramLen))))).as("grams"))
+      graft.plans.WordGramsExprs.tokenGrams(
+        col("toks"), gramLen, distinct = false).as("grams"))
     val hashes = grams.select(col("doc_id"),
       transform(col("grams"), g => substring(md5(g), 1, 16)).as("gh"))
     val nWin = size(col("gh")) - (window - 1)

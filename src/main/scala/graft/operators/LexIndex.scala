@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   *    silently double tf contributions).
   *  - `dict/g{N}/` — (token, dfreq), vocabulary-sized, one GENERATION
   *    directory per commit that changes it (never overwritten in place).
-  *  - `stats/g{N}/` — ONE row (n_docs, dl_sum, n_buckets): the corpus
-  *    scalars as EXACT integer totals (avgdl derives at query time), so
-  *    [[append]] merges them additively with zero floating-point drift —
-  *    plus the bucket modulus, PERSISTED so query/append always hash with
-  *    the build's modulus.
+  *  - `stats/g{N}/stats.txt` — the corpus scalars (n_docs, dl_sum,
+  *    n_buckets) as ONE terminator-validated text object (round 17: they
+  *    are protocol metadata like the manifest, so reading them costs
+  *    metadata I/O, not a Spark job): EXACT integer totals (avgdl derives
+  *    at query time), so [[append]] merges them additively with zero
+  *    floating-point drift — plus the bucket modulus, PERSISTED so
+  *    query/append always hash with the build's modulus.
   *  - `manifest/m{seq}.txt` — the commit log: dict/stats generation plus
   *    the live postings/docs file lists, terminated by a `commit=` line
   *    (readers ignore a torn write and fall back to the previous seq).
@@ -284,11 +286,48 @@ object LexIndex {
       .sortWithinPartitions("tok_bucket", "token", "doc_id")
       .write.partitionBy("tok_bucket").mode("append").parquet(s"$dir/postings")
 
-  private def statsRow(spark: SparkSession, nDocs: Long, dlSum: Long,
-      nBuckets: Int, path: String): Unit = {
-    import spark.implicits._
-    Seq((nDocs, dlSum, nBuckets)).toDF("n_docs", "dl_sum", "n_buckets")
-      .write.mode("overwrite").parquet(path)
+  /** Write the corpus scalars as ONE small terminator-validated text
+    * object (round-17 optimization: the stats are PROTOCOL METADATA like
+    * the manifest — three integers — and the previous single-row parquet
+    * write/read cost a Spark job on every lifecycle op and every query
+    * setup; the Delta discipline keeps table-level scalars in the log,
+    * not in data files). Layout: `stats/g{N}/stats.txt`, same generation
+    * paths as before, same gc. */
+  private def statsRow(fs: FileSystem, dir: String, nDocs: Long, dlSum: Long,
+      nBuckets: Int, gen: String): Unit = {
+    val body = s"n_docs=$nDocs\ndl_sum=$dlSum\nn_buckets=$nBuckets\ncommit=3"
+    val p = new Path(s"$dir/$gen/stats.txt")
+    if (fs.exists(p)) fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the committed corpus scalars — pure metadata I/O, zero Spark
+    * jobs. Falls back to the pre-round-17 single-row parquet layout so a
+    * standing artifact written by older code stays readable for its
+    * retention window. */
+  private def readStats(spark: SparkSession, dir: String, statsGen: String)
+      : (Long, Long, Int) = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/$statsGen/stats.txt")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val kv = body.split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      require(kv.get("commit").contains("3"),
+        s"torn stats object under $dir/$statsGen")
+      (kv("n_docs").toLong, kv("dl_sum").toLong, kv("n_buckets").toInt)
+    } else {
+      val r = spark.read.parquet(s"$dir/$statsGen").head()
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("dl_sum"), r.getAs[Int]("n_buckets"))
+    }
   }
 
   /** Tokenize `df` exactly as `Retrieval.bm25` does and commit the
@@ -335,7 +374,7 @@ object LexIndex {
         // filter: no exchange.
         val agg = docsDl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum("dl"), lit(0L)).as("dl_sum")).head()
-        statsRow(spark, agg.getLong(0), agg.getLong(1), nb, s"$dir/stats/g$gen")
+        statsRow(fs, dir, agg.getLong(0), agg.getLong(1), nb, s"stats/g$gen")
       })), Duration.Inf)
     writeManifest(fs, dir, Manifest(gen, s"dict/g$gen", s"stats/g$gen",
       (listData(fs, dir, "postings") -- beforeP).toSeq,
@@ -366,9 +405,7 @@ object LexIndex {
       text: Column): Unit = {
     val fs = fsOf(spark, dir)
     val m = live(fs, dir)
-    val st = spark.read.parquet(s"$dir/${m.stats}").head()
-    val (oldN, oldSum, nBuckets) = (st.getAs[Long]("n_docs"),
-      st.getAs[Long]("dl_sum"), st.getAs[Int]("n_buckets"))
+    val (oldN, oldSum, nBuckets) = readStats(spark, dir, m.stats)
     val (tfd, docsDl) = tokenized(batch, id, text)
     if (m.docs.nonEmpty) {
       val overlap = docsDl.select("doc_id")
@@ -406,8 +443,8 @@ object LexIndex {
         // stats: exact integer addition — no floating recombination anywhere
         val add = docsDl.agg(count(lit(1)).as("n"),
           coalesce(sum("dl"), lit(0L)).as("s")).head()
-        statsRow(spark, oldN + add.getLong(0), oldSum + add.getLong(1), nBuckets,
-          s"$dir/stats/g$gen")
+        statsRow(fs, dir, oldN + add.getLong(0), oldSum + add.getLong(1),
+          nBuckets, s"stats/g$gen")
       })), Duration.Inf)
     trip("append-post-gens")
     val next = Manifest(gen, s"dict/g$gen", s"stats/g$gen",
@@ -471,8 +508,7 @@ object LexIndex {
   /** The committed corpus scalars: (n_docs, dl_sum, n_buckets). */
   def stats(spark: SparkSession, dir: String): (Long, Long, Int) = {
     val m = live(fsOf(spark, dir), dir)
-    val r = spark.read.parquet(s"$dir/${m.stats}").head()
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("dl_sum"), r.getAs[Int]("n_buckets"))
+    readStats(spark, dir, m.stats)
   }
 
   /** The live dictionary (token, dfreq) — resolved via the manifest, so
@@ -501,9 +537,11 @@ object LexIndex {
   }
 
   private def statsDf(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
-    val st = spark.read.parquet(s"$dir/${m.stats}")
-    st.select(col("n_docs").cast("double").as("n_docs"),
-      (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+    // metadata read + literal one-row relation: zero jobs, and the avgdl
+    // division is the SAME double op the previous in-plan cast performed
+    val (n, dlSum, _) = readStats(spark, dir, m.stats)
+    spark.range(1).select(lit(n.toDouble).as("n_docs"),
+      lit(dlSum.toDouble / n.toDouble).as("avgdl"))
   }
 
   /** BM25 scores for ONE bag-of-words query, answered ENTIRELY from the
@@ -516,11 +554,10 @@ object LexIndex {
     import spark.implicits._
     val fs = fsOf(spark, dir)
     val m = live(fs, dir)
-    val st = spark.read.parquet(s"$dir/${m.stats}").head()
-    require(st.getAs[Long]("n_docs") > 0L,
+    val (nDocsQ, _, nBuckets) = readStats(spark, dir, m.stats)
+    require(nDocsQ > 0L,
       s"LexIndex.query: index under $dir is empty (n_docs = 0) — avgdl is " +
         "undefined; build with at least one non-empty document first")
-    val nBuckets = st.getAs[Int]("n_buckets")
     // the terms' buckets via the engine's own hash (driver-tiny: |terms|
     // rows through the same xxhash64 the build used — the two sides
     // cannot disagree on the bucket function); the literal IN list keeps
@@ -552,10 +589,9 @@ object LexIndex {
       k: Int = 0, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val fs = fsOf(spark, dir)
     val m = live(fs, dir)
-    val st = spark.read.parquet(s"$dir/${m.stats}").head()
-    require(st.getAs[Long]("n_docs") > 0L,
+    val (nDocsQ, _, nBuckets) = readStats(spark, dir, m.stats)
+    require(nDocsQ > 0L,
       s"LexIndex.queryMany: index under $dir is empty (n_docs = 0)")
-    val nBuckets = st.getAs[Int]("n_buckets")
     val qt = queries.select(col("query_id"),
         explode(array_distinct(col("terms"))).as("token"))
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))

@@ -124,9 +124,10 @@ object TextAnalysis {
       base.select(col("id"), explode(grams).as("g"))
         .groupBy("id", "g").agg(count(lit(1)).as("c"))
         .groupBy("id").agg((max("c").cast("double") / sum("c")).as(out))
-    // ordered (non-distinct) bigrams — frequency needs every occurrence
-    val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
-      i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))
+    // ordered (non-distinct) bigrams — frequency needs every occurrence;
+    // native token_grams (round 17): one codegen call, no interpreted HOF
+    val bigrams = graft.plans.WordGramsExprs.tokenGrams(
+      col("toks"), 2, distinct = false)
     topShare(col("toks"), "_uni").join(topShare(bigrams, "_bi"), "id")
       .select(col("id"),
         round(col("_uni"), 6).as("top_uni_frac"),

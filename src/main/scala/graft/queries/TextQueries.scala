@@ -200,11 +200,14 @@ private[graft] object TextQueries extends QueryBook {
       // overlap and q113's incremental dedup). No sort, no window:
       // "first seen" is min(doc_id), not an ordered scan.
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(TextExprs.cleanText(col("text")), " ").as("toks"))
-        .where(size(col("toks")) >= 3)
-      val u = docs.select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
-        .as("h"))
+        .select(col("doc_id"),
+          // native word_grams (round 17): interpreted transform/slice/
+          // concat_ws HOF → one codegen call, zero-copy gram spans
+          graft.plans.WordGramsExprs.wordGrams(
+            TextExprs.cleanText(col("text")), 3).as("grams"))
+        .where(size(col("grams")) >= 1)
+      val u = docs.select(col("doc_id"),
+        explode(array_distinct(col("grams"))).as("h"))
       // both facts are AGGREGATES of the shingle stream — novel counts come
       // from rolling the first-occurrence table up by its min-doc (never
       // joining the corpus-sized stream back against it), so the only join
@@ -624,14 +627,11 @@ private[graft] object TextQueries extends QueryBook {
       // both engines regress identical inputs.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
-          filter(split(lower(TextExprs.cleanText(col("text"))), " "),
-            tk => tk =!= "").as("toks"))
-        .select(col("doc_id"),
-          when(size(col("toks")) >= 3, // sequence(1, 0) descends — guard
-            expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' '," +
-              " element_at(toks, i), element_at(toks, i + 1)," +
-              " element_at(toks, i + 2)))"))
-            .otherwise(typedLit(Seq.empty[String])).as("grams"))
+          // native word_grams (round 17): the transform/concat_ws HOF ran
+          // interpreted per window; each gram is now a zero-copy char
+          // span of the single-space cleaned text — identical strings
+          graft.plans.WordGramsExprs.wordGrams(
+            lower(TextExprs.cleanText(col("text"))), 3).as("grams"))
       val ranked = graft.operators.GlobalRank.withRowNumber(
           docs, Seq(col("doc_id").asc), "rk")
         .select(col("rk"), col("grams"), size(col("grams")).cast("long").as("ng"))

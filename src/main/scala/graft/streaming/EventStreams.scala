@@ -406,13 +406,21 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the ledger write is independent of the index commit — overlap
+        // them (round 17, guide §2.6); both complete before the batch
+        // function returns, so batch-commit semantics are unchanged
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val ledger = Future(
+          batch.agg(count(lit(1)).as("n_docs")).withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir))
         if (id == 0L)
           graft.operators.LexIndex.build(batch.toDF(), col("doc_id"), col("text"), ixDir)
         else
           graft.operators.LexIndex.append(batch.sparkSession, ixDir,
             batch.toDF(), col("doc_id"), col("text"))
-        batch.agg(count(lit(1)).as("n_docs")).withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
+        Await.result(ledger, Duration.Inf)
       }
       .start()
 }
