@@ -18,7 +18,7 @@ object OptProf {
     val reps = args.drop(1).headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(2)
     val rest = args.drop(if (args.length > 1 && scala.util.Try(args(1).toInt).isSuccess) 2 else 1)
     val names = if (rest.nonEmpty) rest.toSeq else SparkEntry.queries.keys.toSeq
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-optprof")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -27,7 +27,12 @@ object OptProf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k2=v2" (guide §1.2:
+    // configuration is step 3 — measure it like everything else)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)

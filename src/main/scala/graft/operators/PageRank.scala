@@ -76,8 +76,9 @@ object PageRank {
   def adjacencyEdges(toks: DataFrame): DataFrame = {
     val adj = toks
       .where(size(col("ts")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS u, ts[i] AS v))")).as("e"))
+      // native adjacent_pairs (round 17): the transform HOF ran
+      // interpreted per slot
+      .select(explode(graft.plans.WordGramsExprs.adjacentPairs(col("ts"))).as("e"))
       .select(least(col("e.u"), col("e.v")).as("u"), greatest(col("e.u"), col("e.v")).as("v"))
       .where(col("u") =!= "" && col("v") =!= "" && col("u") =!= col("v"))
     val canon = adj.groupBy("u", "v").agg(count(lit(1)).as("w"))

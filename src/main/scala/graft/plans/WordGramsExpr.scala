@@ -170,6 +170,48 @@ case class TokenGrams(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "token_grams"
 }
 
+/** `adjacent_pairs(ts)` — the (ts(i), ts(i+1)) bigram structs of a string
+  * array, in order: exactly `transform(sequence(1, size(ts) - 1), i ->
+  * struct(ts[i-1], ts[i]))` as one codegen call per row (round 17 — the
+  * PageRank adjacency / PMI / Kneser-Ney bigram producers all ran that
+  * HOF interpreted). Field names (u, v); callers re-alias. */
+object AdjacentPairsImpl {
+  def pairs(xs: ArrayData): ArrayData = {
+    val k = xs.numElements()
+    if (k < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) { toks(i) = xs.getUTF8String(i); i += 1 }
+    val out = new Array[Any](k - 1)
+    i = 0
+    while (i < k - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks(i), toks(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", StringType, nullable = false),
+    StructField("v", StringType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_pairs requires array<string> input, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    AdjacentPairsImpl.pairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.AdjacentPairsImpl.pairs($c);")
+  override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+    copy(child = newChild)
+  override def prettyName: String = "adjacent_pairs"
+}
+
 object WordGramsExprs {
   import org.apache.spark.sql.graft.ColumnBridge
   def wordGrams(c: Column, n: Int): Column =
@@ -178,4 +220,6 @@ object WordGramsExprs {
     ColumnBridge.column(OrderedPairs(ColumnBridge.expression(c)))
   def tokenGrams(c: Column, n: Int, distinct: Boolean): Column =
     ColumnBridge.column(TokenGrams(ColumnBridge.expression(c), n, distinct))
+  def adjacentPairs(c: Column): Column =
+    ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(c)))
 }

@@ -146,10 +146,9 @@ private[graft] object TextQueries extends QueryBook {
       val v = docs.select(explode(col("toks")).as("tok"))
         .where(col("tok") =!= "").agg(countDistinct("tok").as("v"))
       val bg = docs.where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .select(col("doc_id"), explode(
+          graft.plans.WordGramsExprs.adjacentPairs(col("toks"))).as("bg"))
+        .select(col("doc_id"), col("bg.u").as("w1"), col("bg.v").as("w2"))
       val m2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val m1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
       bg.join(m2, Seq("w1", "w2")).join(m1, Seq("w1"))
@@ -236,10 +235,9 @@ private[graft] object TextQueries extends QueryBook {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
       def bigrams(d: DataFrame) = d.where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .select(col("doc_id"), explode(
+          graft.plans.WordGramsExprs.adjacentPairs(col("toks"))).as("bg"))
+        .select(col("doc_id"), col("bg.u").as("w1"), col("bg.v").as("w2"))
       val train = docs.where(col("doc_id") % 5 =!= 0)
       val uni = train.select(explode(col("toks")).as("tok")).where(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -677,10 +675,9 @@ private[graft] object TextQueries extends QueryBook {
       val docs = t(s, dir, "documents")
         .select(split(lower(TextExprs.cleanText(col("text"))), " ").as("toks"))
       val bg = docs.where(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .select(explode(
+          graft.plans.WordGramsExprs.adjacentPairs(col("toks"))).as("bg"))
+        .select(col("bg.u").as("w1"), col("bg.v").as("w2"))
         .where(col("w1") =!= "" && col("w2") =!= "")
       val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
         .localCheckpoint()
